@@ -1,0 +1,135 @@
+"""Text-analysis functions for training-data pipelines (EXT, SURVEY.md §2.7).
+
+All native column expressions — tokenization, shingling, quality scoring,
+language ID, fingerprinting run JVM-side inside whole-stage codegen, so the
+per-document cost is a few string ops: exactly what you want when the
+documents table is 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WHITESPACE_RE = r"\s+"
+
+# BPE-ish word/piece splitter: words, numbers, or single punctuation marks.
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword lists for the n-gram/stopword language heuristic.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+STOPWORDS_EN = ("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
+
+
+def normalize_ws(text: Column | str) -> Column:
+    """Lowercase + collapse whitespace + trim: the canonical form used by
+    fingerprinting and dedup."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), WHITESPACE_RE, " "))
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens of the lowercased text (empty tokens removed)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), WHITESPACE_RE), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(c)
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    c = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(c, r"[A-Za-z0-9\s]", "")
+    return F.when(F.length(c) > 0, F.length(stripped) / F.length(c)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    """Fraction of tokens that are common English stopwords."""
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def round4(c: Column) -> Column:
+    """Portable half-up 4-dp rounding: floor(x*1e4 + 0.5)/1e4. Unlike
+    engine-native round(), this is a pure function of the input double, so
+    two engines computing the same double always agree at the boundary."""
+    return F.floor(c * 10000 + F.lit(0.5)) / 10000
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite heuristic quality score in [0,1]: length sweet-spot,
+    low punctuation density, presence of stopwords (prose-likeness)."""
+    n_tok = token_count(text)
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(text) * 5, F.lit(1.0))
+    stop_score = F.least(stopword_ratio(text) * 4, F.lit(1.0))
+    return round4(len_score * 0.4 + punct_score * 0.3 + stop_score * 0.3)
+
+
+def _stopword_hits(toks: Column, stopwords: tuple[str, ...]) -> Column:
+    # single-arg lambda required: a 2-arg lambda would receive (element, index)
+    return F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language stopword hit counts (the n-gram heuristic's signal)."""
+    toks = tokens(text)
+    return {
+        lang: _stopword_hits(toks, sw) for lang, sw in LANG_STOPWORDS.items()
+    }
+
+
+def lang_id(text: Column | str) -> Column:
+    """Predicted language = argmax of stopword hits, ties broken by language
+    code order, 'und' (undetermined) when no list scores > 0."""
+    scores = lang_scores(text)
+    langs = sorted(scores)
+    best = None
+    best_score = None
+    for lang in langs:
+        s = scores[lang]
+        if best is None:
+            best, best_score = F.lit(lang), s
+        else:
+            cond = s > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, s).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column | str, length: int = 16) -> Column:
+    """Deterministic document fingerprint: md5 of the whitespace-normalized
+    lowercase text, truncated. (Rolling-hash analog with an exact,
+    portable hash — identical in Spark and DuckDB.)"""
+    return F.substring(F.md5(normalize_ws(text)), 1, length)
+
+
+def shingles(text: Column | str, k: int = 5) -> Column:
+    """k-token shingles (space-joined) of the normalized text; documents
+    shorter than k tokens yield their full token string as one shingle."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))

@@ -1,0 +1,255 @@
+"""Deduplication operators for training-data pipelines (EXT, SURVEY.md §2.7).
+
+Four tiers, each with a different cost/recall point — all designed so the
+candidate-generation step is a key-equality shuffle (never an O(n²) cross
+join), which is the property that survives a 100 TB corpus:
+
+- exact:          hash groupBy on the normalized text (1 shuffle).
+- minhash LSH:    shingle → k minhashes → b bands → self-join on band
+                  signature → verify true Jaccard on candidates only.
+- simhash:        64-bit sign-aggregated token hash → join on exact
+                  signature (near-dup ⇒ small Hamming distance; banding the
+                  4×16-bit chunks gives the Hamming<=3 candidate join).
+- ngram Jaccard:  inverted-index join on shingles, Jaccard from shared-
+                  shingle counts (exact similarity, pruned by the index).
+
+Hashes are md5-based (not Spark-private xxhash) so signatures are portable
+and oracle-checkable; lexicographic min over fixed-width hex == numeric min.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_wrangle_openstreetmaps_data_spark.functions.text import (
+    normalize_ws,
+    round4,
+    shingles,
+    tokens,
+)
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """EXT-D1 — exact dedup by normalized text: one representative (min id)
+    per group plus the duplicate count. Deterministic, unlike
+    dropDuplicates' arbitrary-row pick."""
+    return (
+        df.groupBy(normalize_ws(text_col).alias("norm_text"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep_id", "n_copies")
+    )
+
+
+def _minhash_signature(shingle_arr, n_hashes: int):
+    """Array of n minhashes: per salt j, min over shingles of
+    md5(j || '|' || shingle) truncated to 16 hex chars. Fixed-width lowercase
+    hex ⇒ lexicographic array_min == numeric min."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingle_arr,
+                    lambda s, j=j: F.substring(
+                        F.md5(F.concat(F.lit(f"{j}|"), s)), 1, 16
+                    ),
+                )
+            )
+            for j in range(n_hashes)
+        ]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, shingles, sig) — the reusable first stage of MinHash LSH."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        shingles(text_col, shingle_k).alias("sh"),
+    ).withColumn("sig", _minhash_signature(F.col("sh"), n_hashes))
+
+
+def dedup_minhash_lsh(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """EXT-D2 — MinHash+LSH near-dup pairs (id_a < id_b, jaccard >= threshold).
+
+    Candidates come from equality on any band signature (shuffle join on the
+    band key — each doc emits `bands` rows, so the join input is O(n·bands),
+    never O(n²)); the true shingle-set Jaccard then filters false positives.
+    """
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+
+    banded = sigs.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_sig"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect(F.array_distinct("sh_a"), F.array_distinct("sh_b")))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.withColumn("jaccard", round4(inter / union))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document: per token, a stable hash; signature bit i
+    is the sign of the sum over tokens of (+1 if bit set else -1).
+
+    Expressed as a sum over exploded (doc, token) pairs — partial aggregation
+    makes it one shuffle keyed by doc id at any scale."""
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
+    )
+    h = F.xxhash64("tok")  # signature is internal-only → fast hash is fine
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    votes = tok.groupBy("id").agg(*bit_votes)
+    sig = None
+    for i in range(bits):
+        # shiftleft, not lit(2**i): bit 63 overflows a long literal
+        bit = F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return votes.select("id", sig.alias("simhash"))
+
+
+def dedup_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup candidate pairs whose SimHash signatures share at least one
+    16-bit chunk (Hamming distance <= chunks-1 guaranteed recall), ranked by
+    exact Hamming distance. Join key = (chunk index, chunk value)."""
+    sigs = simhash(df, text_col, id_col)
+    chunk_bits = 64 // chunks
+    mask = (1 << chunk_bits) - 1
+    chunked = sigs.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", c * chunk_bits).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("chunk", "chunk_val"),
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    xor = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    hamming = F.bit_count(xor)
+    return cand.select("id_a", "id_b", hamming.alias("hamming"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join via an inverted index:
+    explode distinct shingles, self-join on shingle (the index lookup),
+    count shared shingles per pair, then Jaccard = |∩| / (|a|+|b|-|∩|).
+
+    Never materializes all pairs — only pairs sharing >= 1 shingle, which for
+    a high-entropy corpus is near-linear. Skewed (stop-)shingles are the
+    risk at scale: AQE skew-join plus dropping top-frequency shingles
+    (not needed on this corpus) are the mitigations."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("s"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    # sizes is per-document (same cardinality as the corpus) — NOT broadcast;
+    # AQE picks the join strategy, and the pair table is the small side.
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            round4(F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (EXT, SURVEY.md §2.7).
+
+- ``cosine_topk``: brute-force exact top-k against a query vector. The
+  query is a broadcast literal folded into a narrow projection —
+  no shuffle at all except the final TakeOrderedAndProject (partial top-k
+  per partition). This IS the correct 100 TB plan for one query vector.
+- ``lsh_bucket_topk``: the scale path for *batched* queries — sign-random-
+  projection LSH buckets both sides, joins on bucket, ranks within. The
+  projection matrix is generated from a seed, so results are deterministic.
+- ``knn_join``: all-pairs k-NN between two embedding tables via bucketing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_wrangle_openstreetmaps_data_spark.functions.text import round4
+from data_wrangle_openstreetmaps_data_spark.functions.vectors import cosine, dot
+
+
+def _seeded_projections(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5(seed, plane, i):
+    no numpy RNG state, reproducible everywhere."""
+    planes = []
+    for p in range(n_planes):
+        vec = []
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}|{p}|{i}".encode()).digest()[:8]
+            (u,) = struct.unpack(">Q", h)
+            vec.append((u / 2**64) * 2.0 - 1.0)  # uniform [-1, 1)
+        planes.append(vec)
+    return planes
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k. Sim is rounded to 4 dp for stable
+    cross-engine comparison; ties broken by id."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = round4(cosine(F.col(vec_col), q))
+    return (
+        embeddings.select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def lsh_bucket(vec_col, planes: list[list[float]]):
+    """Sign-random-projection bucket id (one long per vector): bit p = sign
+    of <v, plane_p>. Pure column expr — vectorizable, no UDF."""
+    bucket = None
+    for p, plane in enumerate(planes):
+        pv = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(vec_col, pv) >= 0, F.lit(2**p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bit if bucket is None else bucket.bitwiseOR(bit)
+    return bucket
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: rank only vectors falling in the query's LSH
+    bucket. At scale the bucket column is precomputed/partitioned-by, making
+    a query a partition-pruned scan instead of a full sweep."""
+    planes = _seeded_projections(dim, n_planes, seed)
+    bucketed = embeddings.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
+    qdf_bucket = None
+    # compute the query's bucket driver-side (tiny, deterministic)
+    qb = 0
+    for p, plane in enumerate(planes):
+        d = sum(float(a) * float(b) for a, b in zip(query_vec, plane))
+        if d >= 0:
+            qb |= 2**p
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = round4(cosine(F.col(vec_col), q))
+    return (
+        bucketed.filter(F.col("_bucket") == qb)
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    n_planes: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Bucketed approximate k-NN join: bucket both sides with the same
+    hyperplanes, join on bucket, keep top-k neighbours per left row via a
+    window. Join cost is sum of per-bucket products, not |L|×|R|."""
+    from pyspark.sql import Window
+
+    planes = _seeded_projections(dim, n_planes, seed)
+    lb = left.select(
+        F.col(id_col).alias("lid"), F.col(vec_col).alias("lvec")
+    ).withColumn("_bucket", lsh_bucket(F.col("lvec"), planes))
+    rb = right.select(
+        F.col(id_col).alias("rid"), F.col(vec_col).alias("rvec")
+    ).withColumn("_bucket", lsh_bucket(F.col("rvec"), planes))
+    pairs = lb.join(rb, "_bucket").filter(F.col("lid") != F.col("rid"))
+    sim = round4(cosine(F.col("lvec"), F.col("rvec")))
+    w = Window.partitionBy("lid").orderBy(F.desc("sim"), F.col("rid"))
+    return (
+        pairs.select("lid", "rid", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("lid", "rid", "sim", "rn")
+    )

@@ -1,0 +1,870 @@
+"""Query registry: every implemented SURVEY.md §2 operator as a
+(Spark callable, DuckDB oracle SQL) pair.
+
+The Spark side exercises the engine's operators (package modules); the
+oracle side is independent ANSI SQL over the same parquet tables. Column
+names and value determinism are aligned on both sides (SURVEY.md §7):
+explicit aliases, explicit tiebreaks, sorted set-joins, decimal-exact sums,
+portable md5 hashing, rounded floating-point outputs.
+
+Queries marked ``oracle=None`` are genuinely approximate / non-SQL
+operators (LSH ANN, simhash) → the driver records a rows-only check;
+their correctness is pinned by unit tests with planted duplicates instead
+(tests/test_dedup.py, tests/test_similarity.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_wrangle_openstreetmaps_data_spark.catalog import table
+from data_wrangle_openstreetmaps_data_spark.functions import cleaning, text
+from data_wrangle_openstreetmaps_data_spark.operators import (
+    audit,
+    dedup,
+    join as join_ops,
+    sample,
+    similarity,
+    topk,
+)
+
+# ---------------------------------------------------------------------------
+# Shared derived-dirty-data constants (testdata has no OSM-ish dirty strings,
+# so we derive them deterministically from keys — same literals on both the
+# Spark and oracle side).
+# ---------------------------------------------------------------------------
+
+DIRTY_STREETS = [
+    "Jessore road",
+    "Dum Dum raod",
+    "Park st",
+    "MG Rd.",
+    "24/j, shyamsundar pally",
+    "41, Jawaharlal Nehru Road",
+    "Sarat Bose Avenue",
+    "Gariahat Sarani",
+]
+
+DIRTY_CITIES = [
+    "kolkata",
+    "Kolkata",
+    "saltlake",
+    "Bamangachi",
+    "Salt Lake",
+    "dum dum cantt",
+]
+
+DIRTY_POSTCODES = ["700091", " 700 091 ", "7000", "74 00", "Kol-64", "700042"]
+
+AMENITIES = ["cafe", "restaurant", "hospital"]
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def _pick(key_col: F.Column, values: list[str]) -> F.Column:
+    """values[(key % len) + 1] — deterministic per-row literal pick."""
+    return F.element_at(
+        F.array(*[F.lit(v) for v in values]),
+        (key_col % len(values) + 1).cast("int"),
+    )
+
+
+def _sql_pick(key_expr: str, values: list[str]) -> str:
+    lits = ", ".join("'" + v.replace("'", "''") + "'" for v in values)
+    return f"list_extract([{lits}], CAST({key_expr} % {len(values)} + 1 AS INT))"
+
+
+def _sql_case_map(key_expr: str, mapping: dict[str, str]) -> str:
+    whens = " ".join(
+        "WHEN '{}' THEN '{}'".format(k.replace("'", "''"), v.replace("'", "''"))
+        for k, v in mapping.items()
+    )
+    return f"CASE {key_expr} {whens} ELSE NULL END"
+
+
+def _sql_regex(pattern: str) -> str:
+    return "'" + pattern.replace("'", "''") + "'"
+
+
+PROB_SQL = _sql_regex(cleaning.PROBLEMCHARS_RE)
+LOWER_SQL = _sql_regex(cleaning.LOWER_RE)
+LOWER_COLON_SQL = _sql_regex(cleaning.LOWER_COLON_RE)
+
+# derived key used by the regex-classification queries (4 classes)
+def _derived_key() -> F.Column:
+    m = (F.col("doc_id") % 4).cast("int")
+    return (
+        F.when(m == 0, F.col("lang"))
+        .when(m == 1, F.concat(F.col("lang"), F.lit(":"), F.col("lang")))
+        .when(m == 2, F.concat(F.col("lang"), F.lit(".raw")))
+        .otherwise(F.upper(F.col("lang")))
+    )
+
+
+DERIVED_KEY_SQL = (
+    "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN lang "
+    "WHEN 1 THEN lang || ':' || lang "
+    "WHEN 2 THEN lang || '.raw' "
+    "ELSE upper(lang) END"
+)
+
+KEY_CLASS_SQL = (
+    f"CASE WHEN regexp_matches(k, {PROB_SQL}) THEN 'problemchars' "
+    f"WHEN regexp_matches(k, {LOWER_COLON_SQL}) THEN 'lower_colon' "
+    f"WHEN regexp_matches(k, {LOWER_SQL}) THEN 'lower' "
+    "ELSE 'other' END"
+)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+# ---------------------------------------------------------------------------
+# Core relational surface (SURVEY.md §2.1-2.3)
+# ---------------------------------------------------------------------------
+
+
+def q_topk_group_count(spark: SparkSession, sf: str) -> DataFrame:
+    """A9 flagship — $match/$group/$sort/$limit (openstreet_kolkata.py:629-639)."""
+    return topk.topk_group_count(
+        table(spark, sf, "events"), "event_type", k=10, require_col="event_type"
+    )
+
+
+def q_topk_group_count_ways(spark: SparkSession, sf: str) -> DataFrame:
+    """A9 second instance — highway pipeline (openstreet_kolkata.py:642-652)."""
+    return topk.topk_group_count(
+        table(spark, sf, "orders"), "o_orderpriority", k=10,
+        require_col="o_orderpriority",
+    )
+
+
+def q_filter_count(spark: SparkSession, sf: str) -> DataFrame:
+    """A8 — find(filter).count() (openstreet_kolkata.py:605-616)."""
+    df = table(spark, sf, "orders")
+    return df.filter(F.col("o_orderstatus") == "O").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def q_amenity_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """A8 multi — the 7 amenity counts in one pass (openstreet_kolkata.py:610-616)."""
+    df = table(spark, sf, "events")
+    return df.agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(f"cnt_{t}")
+            for t in EVENT_TYPES
+        ]
+    )
+
+
+def q_total_count(spark: SparkSession, sf: str) -> DataFrame:
+    """S6 — db.maps.count() (openstreet_kolkata.py:592)."""
+    return table(spark, sf, "lineitem").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def q_group_count(spark: SparkSession, sf: str) -> DataFrame:
+    """A1 — histogram of element tags (openstreet_kolkata.py:87-95)."""
+    return audit.count_tags(table(spark, sf, "lineitem"), "l_returnflag")
+
+
+def q_group_count_user(spark: SparkSession, sf: str) -> DataFrame:
+    """A3 — contribution count per user (openstreet_kolkata.py:149-166)."""
+    df = table(spark, sf, "events")
+    return df.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def q_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """A3 — len(users) distinct count (openstreet_kolkata.py:163)."""
+    return audit.distinct_count(table(spark, sf, "events"), "user_id")
+
+
+def q_countdistinct_nested(spark: SparkSession, sf: str) -> DataFrame:
+    """A7 — distinct('created.user') on a nested struct (openstreet_kolkata.py:601)."""
+    df = table(spark, sf, "events").select(
+        F.struct(F.col("user_id").alias("usr")).alias("created")
+    )
+    return df.agg(F.countDistinct(F.col("created.usr")).alias("cnt"))
+
+
+def q_filter_isin(spark: SparkSession, sf: str) -> DataFrame:
+    """F1 — element-type isin filter (openstreet_kolkata.py:153,334,466)."""
+    df = table(spark, sf, "lineitem")
+    return (
+        df.filter(F.col("l_returnflag").isin("A", "R"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_filter_eq(spark: SparkSession, sf: str) -> DataFrame:
+    """F2 — key-equality predicate (openstreet_kolkata.py:177-178)."""
+    df = table(spark, sf, "orders")
+    return df.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+
+def q_filter_prefix_suffix(spark: SparkSession, sf: str) -> DataFrame:
+    """F3 — startswith/endswith predicate (openstreet_kolkata.py:271-273)."""
+    df = table(spark, sf, "part")
+    return (
+        df.filter(F.col("p_type").startswith("S") & F.col("p_type").endswith("L"))
+        .groupBy("p_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_regex_classify_count(spark: SparkSession, sf: str) -> DataFrame:
+    """F4/A2 — 4-way regex key classification + count (openstreet_kolkata.py:114-137)."""
+    df = table(spark, sf, "documents").select(_derived_key().alias("k"))
+    return audit.audit_keys(df, "k")
+
+
+def q_conditional_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """A2 — fixed 4-bucket conditional aggregate (openstreet_kolkata.py:130-137)."""
+    df = table(spark, sf, "documents").select(_derived_key().alias("k"))
+    return audit.audit_keys_wide(df, "k")
+
+
+def q_filter_notnull(spark: SparkSession, sf: str) -> DataFrame:
+    """F6 — validity filter intent: keep rows with a user (openstreet_kolkata.py:455-461)."""
+    df = table(spark, sf, "events")
+    usr = F.when(F.col("user_id") % 10 == 0, F.lit(None)).otherwise(
+        F.col("user_id")
+    )
+    return df.select(usr.alias("usr")).filter(F.col("usr").isNotNull()).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def q_distinct_values(spark: SparkSession, sf: str) -> DataFrame:
+    """A5 — global distinct value set (openstreet_kolkata.py:250-251)."""
+    return (
+        table(spark, sf, "orders")
+        .select(F.col("o_orderstatus").alias("status"))
+        .distinct()
+    )
+
+
+def q_union_types(spark: SparkSession, sf: str) -> DataFrame:
+    """Set op — union of the node and way element streams (openstreet_kolkata.py:153)."""
+    orders = table(spark, sf, "orders").select(F.lit("order").alias("type"))
+    events = table(spark, sf, "events").select(F.lit("event").alias("type"))
+    return (
+        orders.unionByName(events)
+        .groupBy("type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_sample_every_10th(spark: SparkSession, sf: str) -> DataFrame:
+    """S3 — deterministic every-10th sampler (openstreet_kolkata.py:67-77)."""
+    return sample.every_nth(
+        table(spark, sf, "orders").select("o_orderkey", "o_orderstatus"),
+        "o_orderkey",
+        10,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audits with collect_set (A4-A6) on derived dirty data
+# ---------------------------------------------------------------------------
+
+
+def _supplier_streets(spark: SparkSession, sf: str) -> DataFrame:
+    df = table(spark, sf, "supplier")
+    return df.select(
+        "s_suppkey", _pick(F.col("s_suppkey"), DIRTY_STREETS).alias("street")
+    )
+
+
+def q_collect_set_grouped(spark: SparkSession, sf: str) -> DataFrame:
+    """A4 — street-type audit: grouped collect_set (openstreet_kolkata.py:175-190)."""
+    audited = audit.audit_street_types(_supplier_streets(spark, sf), "street")
+    return audited.select(
+        "stype", F.concat_ws(",", "streets").alias("streets_csv"), "cnt"
+    )
+
+
+def q_collect_set_derived_key(spark: SparkSession, sf: str) -> DataFrame:
+    """A6 — postcode audit: collect_set under derived bucket key
+    (openstreet_kolkata.py:270-289)."""
+    df = table(spark, sf, "customer").select(
+        F.when(F.col("c_custkey") % 2 == 0, F.lit("addr:postcode"))
+        .otherwise(F.lit("addr:postal_code"))
+        .alias("k"),
+        _pick(F.col("c_custkey"), DIRTY_POSTCODES).alias("v"),
+    )
+    audited = audit.audit_postcodes(df, "k", "v")
+    return audited.select(
+        "bucket", F.concat_ws(",", "codes").alias("codes_csv"), "any_valid"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar cleaning ops (X1-X8) on derived dirty data
+# ---------------------------------------------------------------------------
+
+
+def q_string_normalize_join(spark: SparkSession, sf: str) -> DataFrame:
+    """X2 — dictionary-normalize street type (openstreet_kolkata.py:217-226)."""
+    df = _supplier_streets(spark, sf)
+    return df.select(
+        "s_suppkey",
+        F.col("street").alias("street_in"),
+        cleaning.normalize_street_type("street").alias("street_fixed"),
+    )
+
+
+def q_regex_split_column(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 — leading house-number split: 1 col in → 2 cols out
+    (openstreet_kolkata.py:228-237)."""
+    df = _supplier_streets(spark, sf)
+    housenum, remainder = cleaning.split_housenumber("street")
+    return df.select(
+        "s_suppkey", housenum.alias("housenum"), remainder.alias("name_out")
+    )
+
+
+def q_lookup_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """X4 — city-name dictionary normalize (openstreet_kolkata.py:261-268),
+    intent-level (multi-word keys reachable)."""
+    df = table(spark, sf, "customer").select(
+        "c_custkey", _pick(F.col("c_custkey"), DIRTY_CITIES).alias("city_in")
+    )
+    return df.select(
+        "c_custkey",
+        "city_in",
+        cleaning.fix_city_name("city_in").alias("city_fixed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reshape / nested construction (R1-R6)
+# ---------------------------------------------------------------------------
+
+
+def q_struct_assembly(spark: SparkSession, sf: str) -> DataFrame:
+    """R1 — created-struct assembly then dotted-path projection
+    (openstreet_kolkata.py:477-480,527-528)."""
+    df = table(spark, sf, "events").select(
+        "event_id",
+        F.struct(
+            F.col("user_id").alias("usr"), F.col("event_type").alias("etype")
+        ).alias("created"),
+    )
+    return df.select(
+        "event_id",
+        F.col("created.usr").alias("usr"),
+        F.col("created.etype").alias("etype"),
+    )
+
+
+def q_array_assembly(spark: SparkSession, sf: str) -> DataFrame:
+    """R2 — pos=[lat,lon] ordered array assembly (openstreet_kolkata.py:483-487)."""
+    df = table(spark, sf, "events").select(
+        "event_id",
+        F.array(F.col("value"), F.col("value") * 2).alias("pos"),
+    )
+    return df.select(
+        "event_id",
+        F.element_at("pos", 1).alias("lat"),
+        F.element_at("pos", 2).alias("lon"),
+    )
+
+
+def q_map_assembly_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    """R3+R4 — key-filtered address-map assembly + residual tag map
+    (openstreet_kolkata.py:497-520): problemchars dropped, addr: prefix
+    stripped, addr:x:y dropped, non-addr keys to the residual map."""
+    df = table(spark, sf, "customer").select(
+        "c_custkey",
+        _pick(F.col("c_custkey"), DIRTY_STREETS).alias("street_in"),
+        _pick(F.col("c_custkey"), DIRTY_CITIES).alias("city_in"),
+        _pick(F.col("c_custkey"), AMENITIES).alias("amenity_in"),
+    )
+    entries = F.array(
+        F.struct(F.lit("addr:street").alias("k"), F.col("street_in").alias("v")),
+        F.struct(F.lit("addr:city").alias("k"), F.col("city_in").alias("v")),
+        F.struct(F.lit("addr:street:name").alias("k"), F.lit("dropme").alias("v")),
+        F.struct(F.lit("amenity").alias("k"), F.col("amenity_in").alias("v")),
+        F.struct(F.lit("bad key").alias("k"), F.lit("dropme").alias("v")),
+    )
+    ok = F.filter(entries, lambda t: ~t["k"].rlike(cleaning.PROBLEMCHARS_RE))
+    addr_entries = F.transform(
+        F.filter(ok, lambda t: t["k"].startswith("addr:")),
+        lambda t: F.struct(
+            F.regexp_replace(t["k"], r"^addr:", "").alias("k"), t["v"].alias("v")
+        ),
+    )
+    address = F.map_from_entries(
+        F.filter(addr_entries, lambda t: ~t["k"].rlike(cleaning.LOWER_COLON_RE))
+    )
+    tags = F.map_from_entries(
+        F.filter(ok, lambda t: ~t["k"].startswith("addr:"))
+    )
+    return df.select(
+        "c_custkey",
+        F.element_at(address, F.lit("street")).alias("street"),
+        F.element_at(address, F.lit("city")).alias("city"),
+        F.element_at(tags, F.lit("amenity")).alias("amenity"),
+    )
+
+
+def q_array_transform(spark: SparkSession, sf: str) -> DataFrame:
+    """R5 — ordered child-array extraction via transform (openstreet_kolkata.py:523-526)."""
+    df = table(spark, sf, "orders")
+    path = F.array_join(
+        F.transform(F.split("o_orderpriority", "-"), lambda x: F.lower(x)), "|"
+    )
+    return df.select("o_orderkey", path.alias("prio_path"))
+
+
+def q_conditional_update(spark: SparkSession, sf: str) -> DataFrame:
+    """R6 — conditional field update, pure column derivation
+    (openstreet_kolkata.py:305-326 intent)."""
+    df = table(spark, sf, "events")
+    etype = F.when(F.col("value") > 50, F.lit("high_value")).otherwise(
+        F.col("event_type")
+    )
+    return df.select("event_id", etype.alias("etype"))
+
+
+# ---------------------------------------------------------------------------
+# EXT — joins, windows, dedup, text, similarity (SURVEY.md §2.6-2.7)
+# ---------------------------------------------------------------------------
+
+
+def q_join_resolve_refs(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-J1 — fact→dim broadcast join + grouped rollup."""
+    return join_ops.orders_by_nation(
+        table(spark, sf, "orders"),
+        table(spark, sf, "customer"),
+        table(spark, sf, "nation"),
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-K1 — top-2 values per group via window row_number."""
+    return topk.topk_per_group(
+        table(spark, sf, "lineitem"), "l_returnflag", "l_linestatus", k=2
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D1 — exact dedup: hash groupBy on normalized text."""
+    return dedup.dedup_exact(table(spark, sf, "documents"))
+
+
+def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-T1 — word count, top-20 with tiebreak."""
+    df = table(spark, sf, "documents")
+    return (
+        df.select(F.explode(text.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.col("tok"))
+        .limit(20)
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D2 — exact n-gram Jaccard similarity join (inverted index)."""
+    return dedup.ngram_jaccard_pairs(
+        table(spark, sf, "documents"), shingle_k=3, threshold=0.2
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-T — deterministic document fingerprint (md5 of normalized text)."""
+    df = table(spark, sf, "documents")
+    return df.select("doc_id", text.fingerprint("text").alias("fp"))
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-T — stopword-hit language ID heuristic."""
+    df = table(spark, sf, "documents")
+    return df.select("doc_id", "lang", text.lang_id("text").alias("pred"))
+
+
+def q_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-T — heuristic document quality scoring."""
+    df = table(spark, sf, "documents")
+    return df.select(
+        "doc_id",
+        text.token_count("text").cast("long").alias("n_tokens"),
+        text.round4(text.punct_ratio("text")).alias("punct_r"),
+        text.round4(text.stopword_ratio("text")).alias("stop_r"),
+        text.quality_score("text").alias("quality"),
+    )
+
+
+def q_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-S — brute-force cosine top-k against the vec_id=0 embedding."""
+    emb = table(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return similarity.cosine_topk(emb, list(qvec), k=10)
+
+
+def q_embedding_knn_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-S — LSH-bucketed approximate top-k (scale path). Approximate →
+    rows-only driver check; recall pinned by tests/test_similarity.py."""
+    emb = table(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return similarity.lsh_bucket_topk(emb, list(qvec), k=10)
+
+
+def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D2 — MinHash+LSH near-dup pairs. Banding is not ANSI-SQL-friendly
+    → rows-only driver check; recall pinned by tests/test_dedup.py."""
+    return dedup.dedup_minhash_lsh(
+        table(spark, sf, "documents"), n_hashes=16, bands=4, threshold=0.5
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D2 — SimHash chunk-join candidates (hamming<=24 shown).
+    xxhash64 signatures are engine-internal → rows-only driver check."""
+    return (
+        dedup.dedup_simhash(table(spark, sf, "documents"))
+        .filter(F.col("hamming") <= 24)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB) — independently written ANSI SQL for each query above.
+# ---------------------------------------------------------------------------
+
+_STREET_SQL = _sql_pick("s_suppkey", DIRTY_STREETS)
+_CITY_SQL = _sql_pick("c_custkey", DIRTY_CITIES)
+_PCODE_SQL = _sql_pick("c_custkey", DIRTY_POSTCODES)
+_AMENITY_SQL = _sql_pick("c_custkey", AMENITIES)
+_STYPE_SQL = r"regexp_extract(street, '\b\S+\.?$', 0)"
+_EXPECTED_SQL = ", ".join(f"'{t}'" for t in cleaning.EXPECTED_STREET_TYPES)
+_STREET_CANON_SQL = _sql_case_map(
+    r"lower(regexp_replace(tok, '\.$', ''))", cleaning.STREET_MAPPING
+)
+_HOUSENUM_MATCH_SQL = (
+    r"regexp_extract(street, '^\s*\d+/?\d*[a-zA-Z]?,?[^a-zA-Z]*', 0)"
+)
+_CITY_FULL_SQL = _sql_case_map("lower(city_in)", cleaning.CITY_MAPPING)
+_CITY_FIRST_SQL = _sql_case_map(
+    "lower(split_part(city_in, ' ', 1))", cleaning.CITY_MAPPING
+)
+_TOKENS_SQL = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+_NORM_TEXT_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+_LANG_SCORE_SQL = {
+    lang: (
+        "len(list_filter({toks}, t -> t IN ({sw})))".format(
+            toks="toks", sw=", ".join(f"'{w}'" for w in sw)
+        )
+    )
+    for lang, sw in text.LANG_STOPWORDS.items()
+}
+_LANG_ORDER = sorted(text.LANG_STOPWORDS)
+_LANG_MAX_SQL = "greatest({})".format(
+    ", ".join(f"s_{la}" for la in _LANG_ORDER)
+)
+_LANG_PRED_SQL = "CASE WHEN {m} = 0 THEN 'und' {whens} END".format(
+    m="m",
+    whens=" ".join(f"WHEN s_{la} = m THEN '{la}'" for la in _LANG_ORDER),
+)
+
+ORACLES: dict[str, str | None] = {
+    "q_topk_group_count": """
+        SELECT event_type, count(*) AS cnt FROM events
+        WHERE event_type IS NOT NULL
+        GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 10
+    """,
+    "q_topk_group_count_ways": """
+        SELECT o_orderpriority, count(*) AS cnt FROM orders
+        WHERE o_orderpriority IS NOT NULL
+        GROUP BY o_orderpriority ORDER BY cnt DESC, o_orderpriority LIMIT 10
+    """,
+    "q_filter_count": "SELECT count(*) AS cnt FROM orders WHERE o_orderstatus = 'O'",
+    "q_amenity_counts": "SELECT "
+    + ", ".join(
+        f"count(*) FILTER (WHERE event_type = '{t}') AS cnt_{t}"
+        for t in EVENT_TYPES
+    )
+    + " FROM events",
+    "q_total_count": "SELECT count(*) AS cnt FROM lineitem",
+    "q_group_count": (
+        "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag"
+    ),
+    "q_group_count_user": (
+        "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id"
+    ),
+    "q_count_distinct": "SELECT count(DISTINCT user_id) AS cnt FROM events",
+    "q_countdistinct_nested": "SELECT count(DISTINCT user_id) AS cnt FROM events",
+    "q_filter_isin": """
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem
+        WHERE l_returnflag IN ('A', 'R') GROUP BY l_returnflag, l_linestatus
+    """,
+    "q_filter_eq": """
+        SELECT o_orderkey, o_orderstatus FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    """,
+    "q_filter_prefix_suffix": """
+        SELECT p_type, count(*) AS cnt FROM part
+        WHERE p_type LIKE 'S%' AND p_type LIKE '%L' GROUP BY p_type
+    """,
+    "q_regex_classify_count": f"""
+        WITH keyed AS (SELECT {DERIVED_KEY_SQL} AS k FROM documents)
+        SELECT {KEY_CLASS_SQL} AS key_class, count(*) AS cnt
+        FROM keyed GROUP BY key_class
+    """,
+    "q_conditional_agg": f"""
+        WITH keyed AS (SELECT {DERIVED_KEY_SQL} AS k FROM documents),
+        classed AS (SELECT {KEY_CLASS_SQL} AS kc FROM keyed)
+        SELECT
+          count(*) FILTER (WHERE kc = 'lower') AS lower,
+          count(*) FILTER (WHERE kc = 'lower_colon') AS lower_colon,
+          count(*) FILTER (WHERE kc = 'problemchars') AS problemchars,
+          count(*) FILTER (WHERE kc = 'other') AS other
+        FROM classed
+    """,
+    "q_filter_notnull": """
+        SELECT count(*) AS cnt FROM events
+        WHERE (CASE WHEN user_id % 10 = 0 THEN NULL ELSE user_id END) IS NOT NULL
+    """,
+    "q_distinct_values": "SELECT DISTINCT o_orderstatus AS status FROM orders",
+    "q_union_types": """
+        SELECT type, count(*) AS cnt FROM (
+          SELECT 'order' AS type FROM orders
+          UNION ALL SELECT 'event' AS type FROM events
+        ) GROUP BY type
+    """,
+    "q_sample_every_10th": """
+        SELECT o_orderkey, o_orderstatus FROM (
+          SELECT o_orderkey, o_orderstatus,
+                 row_number() OVER (ORDER BY o_orderkey) AS rn
+          FROM orders
+        ) WHERE (rn - 1) % 10 = 0
+    """,
+    "q_collect_set_grouped": f"""
+        WITH s AS (SELECT {_STREET_SQL} AS street FROM supplier),
+        typed AS (
+          SELECT street,
+                 CASE WHEN {_STYPE_SQL} = '' THEN 'UNKNOWN'
+                      ELSE {_STYPE_SQL} END AS stype
+          FROM s
+        )
+        SELECT stype,
+               array_to_string(list_sort(list(DISTINCT street)), ',') AS streets_csv,
+               count(*) AS cnt
+        FROM typed WHERE stype NOT IN ({_EXPECTED_SQL})
+        GROUP BY stype
+    """,
+    "q_collect_set_derived_key": rf"""
+        WITH src AS (
+          SELECT CASE WHEN c_custkey % 2 = 0 THEN 'addr:postcode'
+                      ELSE 'addr:postal_code' END AS k,
+                 {_PCODE_SQL} AS v
+          FROM customer
+        ),
+        ext AS (
+          SELECT k, v, regexp_extract(v, '\d+', 0) AS digits FROM src
+        )
+        SELECT k || CAST(length(digits) AS VARCHAR) AS bucket,
+               array_to_string(list_sort(list(DISTINCT
+                 CASE WHEN digits = '' THEN v ELSE digits END)), ',') AS codes_csv,
+               max(length(digits) = 6) AS any_valid
+        FROM ext GROUP BY bucket
+    """,
+    "q_string_normalize_join": f"""
+        WITH s AS (SELECT s_suppkey, {_STREET_SQL} AS street FROM supplier),
+        toks AS (SELECT s_suppkey, street, {_STYPE_SQL} AS tok FROM s),
+        canon AS (SELECT *, {_STREET_CANON_SQL} AS canonical FROM toks)
+        SELECT s_suppkey, street AS street_in,
+               CASE WHEN canonical IS NOT NULL AND tok <> ''
+                    THEN left(street, length(street) - length(tok)) || canonical
+                    ELSE street END AS street_fixed
+        FROM canon
+    """,
+    "q_regex_split_column": rf"""
+        WITH s AS (SELECT s_suppkey, {_STREET_SQL} AS street FROM supplier),
+        m AS (SELECT s_suppkey, street, {_HOUSENUM_MATCH_SQL} AS mat FROM s)
+        SELECT s_suppkey,
+               CASE WHEN mat = '' THEN NULL
+                    ELSE regexp_replace(regexp_replace(regexp_replace(
+                           mat, '\s+$', ''), ',$', ''), '^\s+', '')
+               END AS housenum,
+               CASE WHEN mat = '' THEN street
+                    ELSE substr(street, length(mat) + 1) END AS name_out
+        FROM m
+    """,
+    "q_lookup_normalize": f"""
+        WITH c AS (SELECT c_custkey, {_CITY_SQL} AS city_in FROM customer)
+        SELECT c_custkey, city_in,
+               coalesce({_CITY_FULL_SQL}, {_CITY_FIRST_SQL}, city_in) AS city_fixed
+        FROM c
+    """,
+    "q_struct_assembly": (
+        "SELECT event_id, user_id AS usr, event_type AS etype FROM events"
+    ),
+    "q_array_assembly": (
+        "SELECT event_id, value AS lat, value * 2 AS lon FROM events"
+    ),
+    "q_map_assembly_filtered": f"""
+        SELECT c_custkey,
+               {_STREET_SQL.replace('s_suppkey', 'c_custkey')} AS street,
+               {_CITY_SQL} AS city,
+               {_AMENITY_SQL} AS amenity
+        FROM customer
+    """,
+    "q_array_transform": """
+        SELECT o_orderkey,
+               array_to_string(list_transform(
+                 string_split(o_orderpriority, '-'), x -> lower(x)), '|') AS prio_path
+        FROM orders
+    """,
+    "q_conditional_update": """
+        SELECT event_id,
+               CASE WHEN value > 50 THEN 'high_value' ELSE event_type END AS etype
+        FROM events
+    """,
+    "q_join_resolve_refs": """
+        SELECT n_name, count(*) AS cnt,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "q_topk_per_group": """
+        SELECT l_returnflag, l_linestatus, cnt, rn FROM (
+          SELECT l_returnflag, l_linestatus, cnt,
+                 row_number() OVER (
+                   PARTITION BY l_returnflag ORDER BY cnt DESC, l_linestatus
+                 ) AS rn
+          FROM (
+            SELECT l_returnflag, l_linestatus, count(*) AS cnt
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+          )
+        ) WHERE rn <= 2
+    """,
+    "q_dedup_exact": f"""
+        SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY {_NORM_TEXT_SQL}
+    """,
+    "q_token_count": rf"""
+        SELECT tok, count(*) AS cnt FROM (
+          SELECT unnest({_TOKENS_SQL}) AS tok FROM documents
+        ) GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20
+    """,
+    "q_ngram_jaccard": rf"""
+        WITH toked AS (
+          SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+        ),
+        shingled AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 3 THEN
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> array_to_string(toks[i:i+2], ' ')))
+                 ELSE [array_to_string(toks, ' ')] END AS sh
+          FROM toked
+        ),
+        exploded AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+        sizes AS (SELECT doc_id, count(*) AS n FROM exploded GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+          FROM exploded a JOIN exploded b
+            ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               floor(common / (sa.n + sb.n - common) * 10000 + 0.5) / 10000 AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE floor(common / (sa.n + sb.n - common) * 10000 + 0.5) / 10000 >= 0.2
+    """,
+    "q_doc_fingerprint": f"""
+        SELECT doc_id, substr(md5({_NORM_TEXT_SQL}), 1, 16) AS fp FROM documents
+    """,
+    "q_lang_id": f"""
+        WITH toked AS (
+          SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents
+        ),
+        scored AS (
+          SELECT doc_id, lang,
+                 {', '.join(f"{_LANG_SCORE_SQL[la]} AS s_{la}" for la in _LANG_ORDER)}
+          FROM toked
+        ),
+        maxed AS (SELECT *, {_LANG_MAX_SQL} AS m FROM scored)
+        SELECT doc_id, lang, {_LANG_PRED_SQL} AS pred FROM maxed
+    """,
+    "q_quality_score": rf"""
+        WITH base AS (
+          SELECT doc_id, text, {_TOKENS_SQL} AS toks,
+                 CASE WHEN length(text) > 0 THEN
+                   length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                     / length(text)
+                 ELSE 0.0 END AS punct_ratio
+          FROM documents
+        ),
+        stats AS (
+          SELECT doc_id, len(toks) AS n_tokens, punct_ratio,
+                 CASE WHEN len(toks) > 0 THEN
+                   len(list_filter(toks, t -> t IN ({', '.join(f"'{w}'" for w in text.STOPWORDS_EN)})))
+                     / len(toks)
+                 ELSE 0.0 END AS stop_ratio
+          FROM base
+        )
+        SELECT doc_id, n_tokens,
+               floor(punct_ratio * 10000 + 0.5) / 10000 AS punct_r,
+               floor(stop_ratio * 10000 + 0.5) / 10000 AS stop_r,
+               floor((least(n_tokens / 50.0, 1.0) * 0.4
+                     + (1.0 - least(punct_ratio * 5, 1.0)) * 0.3
+                     + least(stop_ratio * 4, 1.0) * 0.3) * 10000 + 0.5) / 10000 AS quality
+        FROM stats
+    """,
+    "q_embedding_topk": """
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        s AS (
+          SELECT vec_id,
+                 list_sum(list_transform(range(1, len(embedding) + 1),
+                   i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) AS dp,
+                 sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+                 sqrt(list_sum(list_transform(qv,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq
+          FROM embeddings, q
+        )
+        SELECT vec_id, floor(dp / (na * nq) * 10000 + 0.5) / 10000 AS sim
+        FROM s ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+    # approximate / engine-internal-hash operators: rows-only driver check
+    "q_embedding_knn_bucketed": None,
+    "q_dedup_minhash": None,
+    "q_dedup_simhash": None,
+}
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    name: QuerySpec(spark=fn, oracle=ORACLES.get(name), doc=fn.__doc__ or "")
+    for name, fn in sorted(globals().items())
+    if name.startswith("q_") and callable(fn)
+}
+
+
+def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.spark for name, spec in REGISTRY.items()}
+
+
+def oracle_queries() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle
+    }
