@@ -1,0 +1,79 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": sf}.
+
+Each query executes fully (noop sink — no driver collect, no result
+truncation) after a warm-up of the session. Timings are end-to-end per
+query including the parquet scan, which is what matters at scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_wrangle_openstreetmaps_data_spark.plans import queries as Q
+from data_wrangle_openstreetmaps_data_spark.session import get_spark
+
+HEADLINE = [
+    "q_topk_group_count",
+    "q_group_count_user",
+    "q_count_distinct",
+    "q_join_resolve_refs",
+    "q_topk_per_group",
+    "q_sample_every_10th",
+    "q_string_normalize_join",
+    "q_map_assembly_filtered",
+    "q_token_count",
+    "q_dedup_exact",
+    "q_ngram_jaccard",
+    "q_dedup_minhash",
+    "q_doc_fingerprint",
+    "q_quality_score",
+    "q_embedding_topk",
+    "q_embedding_knn_bucketed",
+]
+
+
+def run_query(spark, name: str, sf_dir: str) -> float:
+    fn = Q.REGISTRY[name].spark
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0.1)
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm up the JVM + parquet footer caches with the flagship
+    Q.REGISTRY["q_topk_group_count"].spark(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run_query(spark, name, sf_dir), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

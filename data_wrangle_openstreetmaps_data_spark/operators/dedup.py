@@ -13,8 +13,9 @@ join), which is the property that survives a 100 TB corpus:
 - ngram Jaccard:  inverted-index join on shingles, Jaccard from shared-
                   shingle counts (exact similarity, pruned by the index).
 
-Hashes are md5-based (not Spark-private xxhash) so signatures are portable
-and oracle-checkable; lexicographic min over fixed-width hex == numeric min.
+Signatures are engine-internal (xxhash64 base + universal-hash
+permutations); the externally-checked quantity is the exact Jaccard
+computed on verified candidates, which is hash-free.
 """
 
 from __future__ import annotations
@@ -25,7 +26,7 @@ from pyspark.sql import functions as F
 from data_wrangle_openstreetmaps_data_spark.functions.text import (
     normalize_ws,
     round4,
-    shingles,
+    shingle_table,
     tokens,
 )
 
@@ -45,23 +46,22 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
     )
 
 
-def _minhash_signature(shingle_arr, n_hashes: int):
-    """Array of n minhashes: per salt j, min over shingles of
-    md5(j || '|' || shingle) truncated to 16 hex chars. Fixed-width lowercase
-    hex ⇒ lexicographic array_min == numeric min."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    shingle_arr,
-                    lambda s, j=j: F.substring(
-                        F.md5(F.concat(F.lit(f"{j}|"), s)), 1, 16
-                    ),
-                )
-            )
-            for j in range(n_hashes)
-        ]
-    )
+# Mersenne prime 2^31-1: h_j(x) = (a_j * x + b_j) mod P over a base hash.
+_MINHASH_P = (1 << 31) - 1
+
+
+def _minhash_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal-hash family, derived
+    from md5 so they're reproducible without RNG state."""
+    import hashlib
+
+    params = []
+    for j in range(n_hashes):
+        d = hashlib.md5(f"minhash|{seed}|{j}".encode()).digest()
+        a = (int.from_bytes(d[:4], "big") % (_MINHASH_P - 1)) + 1
+        b = int.from_bytes(d[4:8], "big") % _MINHASH_P
+        params.append((a, b))
+    return params
 
 
 def minhash_signatures(
@@ -71,11 +71,32 @@ def minhash_signatures(
     n_hashes: int = 16,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """(id, shingles, sig) — the reusable first stage of MinHash LSH."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        shingles(text_col, shingle_k).alias("sh"),
-    ).withColumn("sig", _minhash_signature(F.col("sh"), n_hashes))
+    """(id, sig: array<long>) — the reusable first stage of MinHash LSH.
+
+    Relational form: the distinct (id, shingle-hash) table from
+    ``shingle_table`` is min-aggregated per permutation — a single codegen
+    HashAggregate with n min() columns, no interpreted array lambdas."""
+    sh = _shingle_hashes(df, text_col, id_col, shingle_k)
+    h = F.pmod(F.col("s"), F.lit(_MINHASH_P))
+    mins = [
+        F.min((h * a + b) % _MINHASH_P).alias(f"m{j}")
+        for j, (a, b) in enumerate(_minhash_params(n_hashes))
+    ]
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select(
+        "id", F.array(*[F.col(f"m{j}") for j in range(n_hashes)]).alias("sig")
+    )
+
+
+def _shingle_hashes(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int
+) -> DataFrame:
+    """Distinct (id, s) with s = xxhash64(shingle): 8-byte join/agg keys."""
+    return (
+        shingle_table(df, text_col, id_col, shingle_k)
+        .select("id", F.xxhash64("shingle").alias("s"))
+        .distinct()
+    )
 
 
 def dedup_minhash_lsh(
@@ -96,15 +117,20 @@ def dedup_minhash_lsh(
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
 
+    # Band rows carry (id, band, band_sig) ONLY — one 8-byte key per band.
     banded = sigs.select(
         "id",
-        "sh",
         F.posexplode(
             F.array(
                 *[
-                    F.concat_ws(
-                        ",",
-                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                    F.hash(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[b * rows_per_band + i].cast("string")
+                                for i in range(rows_per_band)
+                            ],
+                        )
                     )
                     for b in range(bands)
                 ]
@@ -120,21 +146,42 @@ def dedup_minhash_lsh(
             & (F.col("a.band_sig") == F.col("b.band_sig"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    inter = F.size(F.array_intersect(F.array_distinct("sh_a"), F.array_distinct("sh_b")))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    # verify true Jaccard on candidates only, via shared-shingle counting
+    # (joined to the candidate set — never all pairs)
+    sh = _shingle_hashes(df, text_col, id_col, shingle_k)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        cand.join(sh.select(F.col("id").alias("id_a"), "s"), "id_a")
+        .join(
+            sh.select(F.col("id").alias("id_b"), F.col("s").alias("s")),
+            on=["id_b", "s"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return _jaccard_from_counts(common, sizes, threshold).orderBy("id_a", "id_b")
+
+
+def _jaccard_from_counts(
+    common: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """(id_a, id_b, common) × per-id set sizes → thresholded Jaccard."""
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
     return (
-        cand.withColumn("jaccard", round4(inter / union))
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            round4(
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+            ),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -228,10 +275,9 @@ def ngram_jaccard_pairs(
     a high-entropy corpus is near-linear. Skewed (stop-)shingles are the
     risk at scale: AQE skew-join plus dropping top-frequency shingles
     (not needed on this corpus) are the mitigations."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("s"),
-    )
+    # hashed-long shingle keys: 8-byte shuffle keys instead of ~20-byte
+    # strings (collision odds ~n²/2⁶⁵ — negligible)
+    sh = _shingle_hashes(df, text_col, id_col, shingle_k)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -241,15 +287,4 @@ def ngram_jaccard_pairs(
     )
     # sizes is per-document (same cardinality as the corpus) — NOT broadcast;
     # AQE picks the join strategy, and the pair table is the small side.
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
-    return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            round4(F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _jaccard_from_counts(common, sizes, threshold)
