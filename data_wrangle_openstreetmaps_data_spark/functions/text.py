@@ -66,11 +66,12 @@ def stopword_ratio(text: Column | str) -> Column:
     return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
 
 
-def round4(c: Column) -> Column:
+def round4(c: Column | str) -> Column:
     """Portable half-up 4-dp rounding: floor(x*1e4 + 0.5)/1e4. Unlike
     engine-native round(), this is a pure function of the input double, so
     two engines computing the same double always agree at the boundary."""
-    return F.floor(c * 10000 + F.lit(0.5)) / 10000
+    col = F.col(c) if isinstance(c, str) else c
+    return F.floor(col * 10000 + F.lit(0.5)) / 10000
 
 
 def quality_score(text: Column | str) -> Column:

@@ -1,0 +1,95 @@
+"""Dedup operators on corpora with planted duplicates — this is the
+correctness pin for the approximate (rows-only-checked) operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_wrangle_openstreetmaps_data_spark.operators import dedup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+NEAR = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the yard outside"
+)
+OTHER = (
+    "completely different content about spark query engines and columnar "
+    "execution with vectorized readers shuffling partitioned data frames"
+)
+
+
+def _corpus(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),          # exact dup of 0
+        (2, "  " + BASE.upper() + "  "),  # normalized dup of 0
+        (3, NEAR),          # near dup of 0 (one token differs)
+        (4, OTHER),
+        (5, "tiny doc"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_exact(spark):
+    got = dedup.dedup_exact(_corpus(spark)).collect()
+    by_keep = {r["keep_id"]: r["n_copies"] for r in got}
+    assert by_keep[0] == 3  # docs 0,1,2 collapse (case/whitespace normalize)
+    assert by_keep[3] == 1
+    assert by_keep[4] == 1
+    assert by_keep[5] == 1
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    pairs = dedup.dedup_minhash_lsh(
+        _corpus(spark), n_hashes=16, bands=4, shingle_k=3, threshold=0.5
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    # exact dups must be found with jaccard 1.0; near-dup 0-3 should appear
+    assert (0, 1) in found
+    assert (0, 2) in found
+    assert (0, 3) in found
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert jac[(0, 1)] == 1.0
+    assert 0.5 <= jac[(0, 3)] < 1.0
+    # unrelated docs never pair
+    assert not any(4 in p or 5 in p for p in found)
+
+
+def test_ngram_jaccard_exact_similarity(spark):
+    pairs = dedup.ngram_jaccard_pairs(
+        _corpus(spark), shingle_k=3, threshold=0.5
+    ).collect()
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert jac[(0, 1)] == 1.0
+    assert jac[(0, 2)] == 1.0
+    assert 0.5 <= jac[(0, 3)] < 1.0
+    assert not any(4 in p or 5 in p for p in jac)
+
+
+def test_simhash_near_identical_signatures(spark):
+    sigs = {r["id"]: r["simhash"] for r in dedup.simhash(_corpus(spark)).collect()}
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert hamming(sigs[0], sigs[1]) == 0      # identical text
+    assert hamming(sigs[0], sigs[3]) <= 12     # near dup → close signature
+    assert hamming(sigs[0], sigs[4]) > 12      # unrelated → far
+
+
+def test_simhash_candidate_pairs(spark):
+    pairs = dedup.dedup_simhash(_corpus(spark)).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got[(0, 1)] == 0
+    assert (0, 3) in got and got[(0, 3)] <= 12
+
+
+def test_minhash_lsh_prunes_pairs(spark):
+    # structural: candidate generation must not be O(n^2) — a corpus of
+    # distinct docs yields (near-)zero candidates, not all pairs
+    rows = [(i, f"unique document number {i} with token {i*7} and {i*13}")
+            for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.dedup_minhash_lsh(df, threshold=0.3).count()
+    assert pairs < 50  # far fewer than 50*49/2

@@ -1,0 +1,50 @@
+"""Similarity search: brute-force exactness + LSH recall on real
+embeddings (sf0.001) and structural properties of the bucketed paths."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_wrangle_openstreetmaps_data_spark.catalog import table
+from data_wrangle_openstreetmaps_data_spark.operators import similarity
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return table(spark, SF_SMALL, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+
+
+def test_cosine_topk_self_is_top(emb, qvec):
+    got = similarity.cosine_topk(emb, qvec, k=5).collect()
+    assert got[0]["vec_id"] == 0
+    assert got[0]["sim"] == pytest.approx(1.0, abs=1e-3)
+    sims = [r["sim"] for r in got]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_bucket_contains_query_and_subsets_bruteforce(emb, qvec):
+    brute = {r["vec_id"]: r["sim"] for r in similarity.cosine_topk(emb, qvec, k=50).collect()}
+    approx = similarity.lsh_bucket_topk(emb, qvec, k=10).collect()
+    ids = [r["vec_id"] for r in approx]
+    assert 0 in ids  # the query's own vector is in its own bucket
+    # sims reported by the approx path equal the exact sims
+    for r in approx:
+        if r["vec_id"] in brute:
+            assert r["sim"] == pytest.approx(brute[r["vec_id"]], abs=1e-9)
+
+
+def test_knn_join_respects_k_and_excludes_self(spark, emb):
+    sub = emb.limit(60)
+    got = similarity.knn_join(sub, sub, k=3).collect()
+    assert all(r["lid"] != r["rid"] for r in got)
+    from collections import Counter
+    per_left = Counter(r["lid"] for r in got)
+    assert all(c <= 3 for c in per_left.values())
+    assert all(1 <= r["rn"] <= 3 for r in got)

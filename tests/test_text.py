@@ -1,0 +1,88 @@
+"""Text-analysis function tests: tokenization, shingling equivalence
+(array form vs relational scale form), fingerprint, lang-id, quality."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_wrangle_openstreetmaps_data_spark.functions import text
+
+
+def test_tokens_and_counts(spark):
+    df = spark.createDataFrame([("  The QUICK   brown\tfox ",)], ["t"])
+    row = df.select(
+        text.tokens("t").alias("toks"),
+        text.token_count("t").alias("n"),
+    ).first()
+    assert row["toks"] == ["the", "quick", "brown", "fox"]
+    assert row["n"] == 4
+
+
+def test_shingles_array_vs_table_equivalence(spark):
+    rows = [
+        (1, "a b c d e"),
+        (2, "x y"),          # shorter than k
+        (3, "p p p p"),      # repeated tokens
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    arr = {
+        r["doc_id"]: sorted(r["sh"])
+        for r in df.select(
+            "doc_id", text.shingles("text", 3).alias("sh")
+        ).collect()
+    }
+    tab = (
+        text.shingle_table(df, k=3)
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("shingle")).alias("sh"))
+        .collect()
+    )
+    tab = {r["id"]: list(r["sh"]) for r in tab}
+    assert arr == tab
+    assert arr[1] == ["a b c", "b c d", "c d e"]
+    assert arr[2] == ["x y"]
+    assert arr[3] == ["p p p", "p p p"]
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("Hello  World",), ("  hello world ",), ("different",)], ["t"]
+    )
+    fps = [r["fp"] for r in df.select(text.fingerprint("t").alias("fp")).collect()]
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
+    assert len(fps[0]) == 16
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog of a house",),
+            ("el perro de la casa y que mas",),
+            ("le chat et les oiseaux des bois",),
+            ("der hund und die katze ist gross",),
+            ("zzz qqq www",),
+        ],
+        ["t"],
+    )
+    got = [r["p"] for r in df.select(text.lang_id("t").alias("p")).collect()]
+    assert got == ["en", "es", "fr", "de", "und"]
+
+
+def test_quality_score_bounds(spark):
+    df = spark.createDataFrame(
+        [("the quick brown fox is a good dog and it runs to the park " * 5,),
+         ("!!! ??? ### $$$",),
+         ("",)],
+        ["t"],
+    )
+    got = [r["q"] for r in df.select(text.quality_score("t").alias("q")).collect()]
+    assert 0.0 <= min(got) and max(got) <= 1.0
+    assert got[0] > got[1]  # prose beats punctuation soup
+
+
+def test_round4_half_up(spark):
+    df = spark.createDataFrame([(0.83125,), (0.12344999,), (-0.5,)], ["x"])
+    got = [r["r"] for r in df.select(text.round4("x").alias("r")).collect()]
+    assert got[0] == 0.8312 or got[0] == 0.8313  # depends on double repr; deterministic
+    assert got[1] == 0.1234
