@@ -1,0 +1,135 @@
+"""End-to-end OSM fidelity: generate an OSM XML fixture (G1/G2 content +
+shops/highways), read through the native XML datasource, run the full
+wrangle pipeline, check audits/reshape/queries/sinks."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from data_wrangle_openstreetmaps_data_spark.plans.pipeline import wrangle_maps
+from data_wrangle_openstreetmaps_data_spark.sources import json_sink, osm
+
+TMP = os.path.join(os.path.dirname(__file__), "..", ".tmp")
+
+OSM_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<osm version="0.6">
+  <node id="261114295" visible="true" version="7" changeset="11129782"
+        timestamp="2012-03-28T18:31:23Z" user="bbmiller" uid="451048"
+        lat="41.9730791" lon="-87.6866303"/>
+  <node id="2" lat="22.57" lon="88.36" user="ua" uid="10" version="1"
+        changeset="5" timestamp="2013-01-01T00:00:00Z">
+    <tag k="shop" v="supermarket"/>
+    <tag k="addr:street" v="Park st"/>
+    <tag k="addr:city" v="kolkata"/>
+    <tag k="addr:postcode" v="700091"/>
+  </node>
+  <node id="3" lat="22.58" lon="88.37" user="ua" uid="10" version="1"
+        changeset="5" timestamp="2013-01-01T00:00:00Z">
+    <tag k="shop" v="supermarket"/>
+    <tag k="amenity" v="cafe"/>
+  </node>
+  <node id="4" lat="22.59" lon="88.38" user="ub" uid="11" version="1"
+        changeset="6" timestamp="2013-01-02T00:00:00Z">
+    <tag k="shop" v="bakery"/>
+    <tag k="addr:street:name" v="dropped"/>
+  </node>
+  <node id="5" lat="22.60" lon="88.39" version="1" changeset="7"
+        timestamp="2013-01-03T00:00:00Z"/>
+  <way id="209809850" user="chicago-buildings" uid="674454" version="1"
+       changeset="15353317" timestamp="2013-03-13T15:58:04Z">
+    <nd ref="2199822281"/>
+    <nd ref="2199822390"/>
+    <nd ref="2199822392"/>
+    <nd ref="2199822369"/>
+    <nd ref="2199822370"/>
+    <nd ref="2199822284"/>
+    <nd ref="2199822281"/>
+    <tag k="addr:street" v="West Lexington St."/>
+    <tag k="addr:housenumber" v="1412"/>
+    <tag k="highway" v="residential"/>
+  </way>
+  <way id="7" user="ua" uid="10" version="1" changeset="8"
+       timestamp="2013-01-04T00:00:00Z">
+    <nd ref="2"/>
+    <nd ref="3"/>
+    <tag k="highway" v="service"/>
+  </way>
+  <relation id="8" user="ua" uid="10" version="1" changeset="9"
+            timestamp="2013-01-05T00:00:00Z"/>
+</osm>
+"""
+
+
+@pytest.fixture(scope="module")
+def osm_file():
+    os.makedirs(TMP, exist_ok=True)
+    path = os.path.join(TMP, "example.osm")
+    with open(path, "w") as f:
+        f.write(OSM_XML)
+    return path
+
+
+def test_read_elements_schema(spark, osm_file):
+    nodes = osm.read_elements(spark, osm_file, "node")
+    assert nodes.count() == 5
+    cols = set(nodes.columns)
+    assert {"id", "type", "lat", "lon", "user", "tags", "nds"} <= cols
+    ways = osm.read_elements(spark, osm_file, "way")
+    assert ways.count() == 2
+
+
+def test_wrangle_pipeline_end_to_end(spark, osm_file):
+    out_json = os.path.join(TMP, "docs_json")
+    out_store = os.path.join(TMP, "docs_store")
+    res = wrangle_maps(spark, osm_file, out_json=out_json, out_store=out_store)
+
+    # audit_tags: 5 nodes + 2 ways in the unioned stream
+    tags = {r["type"]: r["cnt"] for r in res.audits["tags"].collect()}
+    assert tags == {"node": 5, "way": 2}
+
+    # audit_users: node 5 has no user → distinct users {ua, ub,
+    # bbmiller, chicago-buildings} + null bucket counted per contribution
+    users = {r["user"]: r["cnt"] for r in res.audits["users"].collect()}
+    assert users["ua"] == 3 and users["ub"] == 1
+
+    # postcode audit
+    pc = {r["bucket"]: r for r in res.audits["postcodes"].collect()}
+    assert pc["addr:postcode6"]["any_valid"] is True
+
+    # reshape: validity gate drops user-less node 5 and keeps 4 nodes + 2 ways
+    docs = {r["id"]: r.asDict(recursive=True) for r in res.docs.collect()}
+    assert len(docs) == 6
+    g1 = docs["261114295"]
+    assert g1["pos"] == [41.9730791, -87.6866303]
+    assert g1["created"]["user"] == "bbmiller"
+    g2 = docs["209809850"]
+    assert g2["address"]["street"] == "West Lexington Street"  # cleaned
+    assert g2["node_refs"][0] == g2["node_refs"][-1] == "2199822281"
+    # cleaning applied through the XML path
+    assert docs["2"]["address"]["street"] == "Park Street"
+    assert docs["2"]["address"]["city"] == "Kolkata"
+    assert docs["4"]["address"] is None  # addr:street:name dropped
+
+    # queries: top shops / highways with golden counts
+    shops = {r["shop"]: r["cnt"] for r in res.queries["top_shops"].collect()}
+    assert shops == {"supermarket": 2, "bakery": 1}
+    hw = {r["highway"]: r["cnt"] for r in res.queries["top_highways"].collect()}
+    assert hw == {"residential": 1, "service": 1}
+    assert res.queries["unique_users"].first()["cnt"] == 4
+
+    # sinks: JSON-lines + parquet store round-trip with same cardinality
+    assert json_sink.read_json(spark, out_json).count() == 6
+    assert json_sink.read_store(spark, out_store).count() == 6
+
+
+def test_bz2_transparent_read(spark, osm_file):
+    # S1: .bz2 is decompressed inside the scan — no extract step
+    import bz2 as bz2lib
+
+    bz_path = os.path.join(TMP, "example_bz.osm.bz2")
+    with open(osm_file, "rb") as f, bz2lib.open(bz_path, "wb") as out:
+        out.write(f.read())
+    nodes = osm.read_elements(spark, bz_path, "node")
+    assert nodes.count() == 5
