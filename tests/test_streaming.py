@@ -1,0 +1,66 @@
+"""Structured Streaming: file-source events stream, watermarked windowed
+counts, results must match the equivalent batch aggregation."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_wrangle_openstreetmaps_data_spark.catalog import table
+from data_wrangle_openstreetmaps_data_spark.streaming import events as se
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def events_dir():
+    # file stream sources need a DIRECTORY; stage the read-only testdata file
+    d = os.path.join(os.path.dirname(__file__), "..", ".tmp", "events_stream")
+    os.makedirs(d, exist_ok=True)
+    shutil.copy(f"{SF_SMALL}/events.parquet", os.path.join(d, "part-0.parquet"))
+    return d
+
+
+def test_windowed_counts_match_batch(spark, events_dir):
+    stream = se.read_events_stream(spark, events_dir)
+    assert stream.isStreaming
+    q = se.run_to_memory(
+        se.windowed_type_counts(stream, window="1 day", watermark="1 day"),
+        "win_counts",
+    )
+    got = spark.table("win_counts")
+    batch = (
+        se.with_event_time(table(spark, SF_SMALL, "events"))
+        .groupBy(F.window("event_time", "1 day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("window.start").alias("ws"),
+            F.col("window.end").alias("we"),
+            "event_type",
+            "cnt",
+        )
+    )
+    s = {(r["ws"], r["event_type"]): r["cnt"] for r in got.collect()}
+    b = {(r["ws"], r["event_type"]): r["cnt"] for r in batch.collect()}
+    # append mode emits a window only once the watermark passes its end —
+    # the final in-flight windows are (correctly) withheld when the stream
+    # drains, so the streamed result is the batch result minus the tail.
+    assert len(s) > 0
+    assert set(s) <= set(b)
+    for k, v in s.items():
+        assert b[k] == v
+    max_emitted = max(ws for ws, _ in s)
+    missing = {ws for ws, _ in set(b) - set(s)}
+    assert all(ws > max_emitted for ws in missing)
+
+
+def test_streaming_user_counts_complete_mode(spark, events_dir):
+    stream = se.read_events_stream(spark, events_dir)
+    se.run_to_memory(
+        se.streaming_user_counts(stream), "user_counts", output_mode="complete"
+    )
+    got = spark.table("user_counts")
+    batch = table(spark, SF_SMALL, "events").groupBy("user_id").count()
+    assert got.count() == batch.count()
