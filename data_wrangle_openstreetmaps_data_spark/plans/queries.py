@@ -420,6 +420,22 @@ def q_map_assembly_filtered(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_map_residual(spark: SparkSession, sf: str) -> DataFrame:
+    """R4 — residual tag map: per-key access, absent key → NULL
+    (openstreet_kolkata.py:519-520; Mongo-style field access)."""
+    df = table(spark, sf, "events")
+    tags = F.map_from_arrays(
+        F.array(F.lit("etype"), F.lit("props")),
+        F.array(F.col("event_type"), F.col("props")),
+    )
+    return df.select(
+        "event_id",
+        F.element_at(tags, F.lit("etype")).alias("etype"),
+        F.element_at(tags, F.lit("props")).alias("props"),
+        F.element_at(tags, F.lit("missing")).alias("missing"),
+    )
+
+
 def q_array_transform(spark: SparkSession, sf: str) -> DataFrame:
     """R5 — ordered child-array extraction via transform (openstreet_kolkata.py:523-526)."""
     df = table(spark, sf, "orders")
@@ -539,6 +555,53 @@ def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("hamming") <= 24)
         .orderBy("id_a", "id_b")
     )
+
+
+def q_embedding_knn_join(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-S — bucketed approximate k-NN self-join over the embeddings
+    table (embedding-cosine near-dup). Approximate → rows-only check;
+    structure pinned by tests/test_similarity.py."""
+    emb = table(spark, sf, "embeddings")
+    return similarity.knn_join(emb, emb, k=3)
+
+
+def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-M — binary media column → Arrow-batched feature extraction
+    (mapInPandas; deterministic stub decoder). Not SQL-expressible →
+    rows-only check; pinned by tests/test_multimodal.py."""
+    from data_wrangle_openstreetmaps_data_spark.multimodal import media
+
+    docs = table(spark, sf, "documents")
+    return media.decode_features(media.attach_fake_media(docs))
+
+
+def q_streaming_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming — watermarked event-time windowed counts over a file-source
+    stream of the events table, drained with availableNow. Stateful
+    streaming → rows-only check; batch-equivalence pinned by
+    tests/test_streaming.py."""
+    import os
+    import shutil
+    import uuid
+
+    from data_wrangle_openstreetmaps_data_spark.streaming import events as se
+
+    stage = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "..", ".tmp",
+        f"stream_{os.path.basename(sf.rstrip('/'))}",
+    )
+    os.makedirs(stage, exist_ok=True)
+    dst = os.path.join(stage, "events.parquet")
+    if not os.path.exists(dst):
+        shutil.copy(os.path.join(sf, "events.parquet"), dst)
+    name = f"wincounts_{uuid.uuid4().hex[:8]}"
+    se.run_to_memory(
+        se.windowed_type_counts(
+            se.read_events_stream(spark, stage), "1 day", "1 day"
+        ),
+        name,
+    )
+    return spark.table(name)
 
 
 # ---------------------------------------------------------------------------
@@ -846,10 +909,19 @@ ORACLES: dict[str, str | None] = {
         SELECT vec_id, floor(dp / (na * nq) * 10000 + 0.5) / 10000 AS sim
         FROM s ORDER BY sim DESC, vec_id LIMIT 10
     """,
-    # approximate / engine-internal-hash operators: rows-only driver check
+    "q_map_residual": """
+        SELECT event_id, event_type AS etype, props,
+               CAST(NULL AS VARCHAR) AS missing
+        FROM events
+    """,
+    # approximate / engine-internal-hash / stateful operators:
+    # rows-only driver check (pinned by unit tests instead)
     "q_embedding_knn_bucketed": None,
+    "q_embedding_knn_join": None,
     "q_dedup_minhash": None,
     "q_dedup_simhash": None,
+    "q_multimodal_features": None,
+    "q_streaming_windowed_counts": None,
 }
 
 
