@@ -70,6 +70,17 @@ def distinct_count(df: DataFrame, col: str | Column) -> DataFrame:
     return df.agg(F.countDistinct(c).alias("cnt"))
 
 
+def approx_distinct_count(df: DataFrame, col: str | Column,
+                          rsd: float = 0.02) -> DataFrame:
+    """Scale variant of A7: HyperLogLog++ approximate distinct. Exact
+    countDistinct shuffles every distinct value; the sketch shuffles a
+    fixed ~1.5KB state per partition — the difference between feasible
+    and not at 100 TB user-id cardinalities. Deterministic for a given
+    input multiset (sketch merge is commutative/associative)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return df.agg(F.approx_count_distinct(c, rsd).alias("cnt"))
+
+
 def audit_street_types(df: DataFrame, street_col: str = "street") -> DataFrame:
     """A4 — collect full street names per non-whitelisted street-type token
     (audit_street_type, openstreet_kolkata.py:175-190). Unmatched names land

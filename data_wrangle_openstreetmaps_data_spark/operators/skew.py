@@ -1,0 +1,59 @@
+"""Skew-handling join (100 TB design tool; no reference analog).
+
+AQE's skew-join splitting handles most skew automatically, but a join
+whose hot keys are KNOWN (e.g. the empty/default user, a mega-city key)
+can be salted explicitly so no single task ever owns a hot key's whole
+partition:
+
+- big side: salt = pmod(xxhash64(whole row id), R) — deterministic,
+  no rand() (reproducible across retries, which rand() is not).
+- small side: replicated R× with an exploded salt column.
+- join on (key, salt) → hot keys spread over R tasks.
+
+R multiplies the small side, so keep it modest (8-32) and only salt
+joins whose build side is genuinely small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join big⋈small on `on`, salted into `salt_buckets` sub-keys.
+
+    Result equals ``big.join(small, on, how)`` exactly; only the physical
+    key distribution changes."""
+    salted_big = big.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)).cast("int"),
+    )
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return salted_big.join(salted_small, on=[on, "_salt"], how=how).drop("_salt")
+
+
+def skewed_group_count(df: DataFrame, key: str,
+                       salt_buckets: int = 16) -> DataFrame:
+    """Two-phase count for a skewed group key: partial count per
+    (key, salt) then final sum per key. Spark's partial aggregation makes
+    this redundant for plain count — included as the explicit pattern for
+    aggregates WITHOUT a map-side partial (e.g. exact distinct lists)."""
+    return (
+        df.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)),
+        )
+        .groupBy(key, "_salt")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(key)
+        .agg(F.sum("c").alias("cnt"))
+    )

@@ -91,6 +91,23 @@ def read_elements(
     return _norm(df, element_type)
 
 
+def write_osm_sample(df: DataFrame, path: str, row_tag: str = "node",
+                     root_tag: str = "osm") -> None:
+    """S3 second half: persist sampled elements back to OSM-shaped XML
+    (the reference wraps every-10th elements in an <osm> envelope,
+    sample_elements openstreet_kolkata.py:67-77). Uses the native XML
+    writer; one file per partition — coalesce(1) upstream for a single
+    sample file if needed."""
+    (
+        df.write.format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .option("attributePrefix", "_")
+        .mode("overwrite")
+        .save(path)
+    )
+
+
 def read_osm(spark: SparkSession, path: str,
              element_types: tuple[str, ...] = ("node", "way")) -> DataFrame:
     """Union of all requested element types in one raw-elements DataFrame —

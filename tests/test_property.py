@@ -1,0 +1,122 @@
+"""Property-based reference-fidelity tests (hypothesis): the Spark column
+expressions must agree with an independent pure-Python model of the
+reference semantics (intent-corrected per SURVEY.md §7) on arbitrary
+inputs, not just the golden fixtures."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from data_wrangle_openstreetmaps_data_spark.functions import cleaning
+
+# --- pure-Python models (written from the reference's spec, not its code) ---
+
+_LOWER = re.compile(r"^([a-z]|_)*$")
+_LOWER_COLON = re.compile(r"^([a-z]|_)*:([a-z]|_)*$")
+_PROBLEM = re.compile(r"""[=\+/&<>;'"\?%#$@,\. \t\r\n]""")
+_STYPE = re.compile(r"\b\S+\.?$", re.IGNORECASE)
+_HOUSENUM = re.compile(r"^\s*\d+/?\d*[a-zA-Z]?,?[^a-zA-Z]*")
+
+
+def py_key_class(k: str) -> str:
+    if _PROBLEM.search(k):
+        return "problemchars"
+    if _LOWER_COLON.search(k):
+        return "lower_colon"
+    if _LOWER.search(k):
+        return "lower"
+    return "other"
+
+
+def py_fix_street(name: str) -> tuple[str | None, str]:
+    fixed = name
+    m = _STYPE.search(name)
+    if m:
+        token = m.group()
+        key = token.rstrip(".").lower()
+        if key in cleaning.STREET_MAPPING:
+            fixed = name[: len(name) - len(token)] + cleaning.STREET_MAPPING[key]
+    housenum = None
+    m = _HOUSENUM.search(fixed)
+    if m:
+        housenum = m.group().rstrip().rstrip(",").lstrip()
+        fixed = fixed[len(m.group()):]
+    return housenum, fixed
+
+
+def py_fix_city(name: str) -> str:
+    full = name.lower()
+    if full in cleaning.CITY_MAPPING:
+        return cleaning.CITY_MAPPING[full]
+    first = name.lower().split(" ", 1)[0]
+    if first in cleaning.CITY_MAPPING:
+        return cleaning.CITY_MAPPING[first]
+    return name
+
+
+# printable-ish strings incl. the interesting characters
+KEY_ALPHABET = st.sampled_from(
+    list("abcdefgh_:XY19 .,=+/&<>;'\"?%#$@\t")
+)
+STREET_ALPHABET = st.sampled_from(list("abcdefgAB 123/,.xyz"))
+
+STREET_WORDS = st.sampled_from(
+    ["st", "st.", "road", "raod", "Rd.", "Ave", "pally", "Sarani", "xyz",
+     "BLVD", "ln", "Street", "41,", "24/j,", "  ", "1a"]
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(alphabet=KEY_ALPHABET, min_size=0, max_size=12),
+                min_size=1, max_size=30))
+def test_key_class_matches_python_model(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    got = [
+        r["c"]
+        for r in df.select("k", cleaning.key_class("k").alias("c"))
+        .orderBy("k").collect()
+    ]
+    want = [py_key_class(k) for k in sorted(keys)]
+    assert got == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(
+    st.lists(STREET_WORDS, min_size=1, max_size=4).map(" ".join),
+    min_size=1, max_size=20,
+))
+def test_fix_street_matches_python_model(spark, streets):
+    df = spark.createDataFrame([(s,) for s in streets], ["street"])
+    hn, fixed = cleaning.fix_street_name("street")
+    got = {
+        r["street"]: (r["hn"], r["out"])
+        for r in df.select("street", hn.alias("hn"), fixed.alias("out"))
+        .collect()
+    }
+    for s in streets:
+        assert got[s] == py_fix_street(s), repr(s)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(
+    st.one_of(
+        st.sampled_from(
+            ["kolkata", "KOLKATA", "salt lake", "Salt Lake", "saltlake x",
+             "dum dum cantt", "dum dum", "Bamangachi", "Paris", ""]
+        ),
+        st.text(alphabet=STREET_ALPHABET, max_size=10),
+    ),
+    min_size=1, max_size=20,
+))
+def test_fix_city_matches_python_model(spark, cities):
+    df = spark.createDataFrame([(c,) for c in cities], ["city"])
+    got = {
+        r["city"]: r["out"]
+        for r in df.select(
+            "city", cleaning.fix_city_name("city").alias("out")
+        ).collect()
+    }
+    for c in cities:
+        assert got[c] == py_fix_city(c), repr(c)

@@ -1,0 +1,90 @@
+"""Scale-tooling tests: salted join equivalence, approximate distinct
+accuracy, bucketed join shuffle elimination, XML sample write-back."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_wrangle_openstreetmaps_data_spark.catalog import table
+from data_wrangle_openstreetmaps_data_spark.operators import audit, skew
+from data_wrangle_openstreetmaps_data_spark.operators.sample import every_nth
+from data_wrangle_openstreetmaps_data_spark.plans import bucketing
+from data_wrangle_openstreetmaps_data_spark.sources import osm
+from tests.conftest import SF_SMALL
+
+TMP = os.path.join(os.path.dirname(__file__), "..", ".tmp")
+
+
+def test_salted_join_equals_plain_join(spark):
+    orders = table(spark, SF_SMALL, "orders").select("o_orderkey", "o_custkey")
+    customer = table(spark, SF_SMALL, "customer").select("c_custkey", "c_nationkey")
+    plain = orders.join(
+        customer.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+    )
+    salted = skew.salted_join(
+        orders, customer.withColumnRenamed("c_custkey", "o_custkey"),
+        on="o_custkey", salt_buckets=8,
+    )
+    assert salted.count() == plain.count()
+    p = {tuple(r) for r in plain.collect()}
+    s = {tuple(r) for r in salted.collect()}
+    assert p == s
+
+
+def test_skewed_group_count_equals_plain(spark):
+    events = table(spark, SF_SMALL, "events")
+    plain = {
+        r["event_type"]: r["cnt"]
+        for r in events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    salted = {
+        r["event_type"]: r["cnt"]
+        for r in skew.skewed_group_count(events, "event_type").collect()
+    }
+    assert plain == salted
+
+
+def test_approx_distinct_within_rsd(spark):
+    events = table(spark, SF_SMALL, "events")
+    exact = audit.distinct_count(events, "user_id").first()["cnt"]
+    approx = audit.approx_distinct_count(events, "user_id", rsd=0.02).first()["cnt"]
+    assert abs(approx - exact) / exact < 0.1
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    orders = table(spark, SF_SMALL, "orders").select("o_orderkey", "o_custkey")
+    lineitem = table(spark, SF_SMALL, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    bucketing.save_bucketed(orders, "b_orders", "o_orderkey", 4)
+    bucketing.save_bucketed(lineitem, "b_lineitem", "o_orderkey", 4)
+    joined = bucketing.join_bucketed(spark, "b_orders", "b_lineitem", "o_orderkey")
+    assert joined.count() > 0
+    # co-located buckets: no shuffle exchange in the physical plan
+    assert not bucketing.plan_has_shuffle(joined)
+    # sanity: the same sort-merge join on unbucketed sources DOES shuffle
+    plain = orders.hint("merge").join(lineitem, "o_orderkey")
+    plain.count()
+    assert bucketing.plan_has_shuffle(plain)
+
+
+def test_xml_sample_roundtrip(spark):
+    orders = table(spark, SF_SMALL, "orders").select(
+        F.col("o_orderkey").cast("string").alias("_id"),
+        F.col("o_orderstatus").alias("_status"),
+    )
+    sampled = every_nth(orders, "_id", 10).coalesce(1)
+    out = os.path.join(TMP, "sample_xml")
+    osm.write_osm_sample(sampled, out, row_tag="order", root_tag="orders")
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .option("attributePrefix", "_")
+        .load(out)
+    )
+    assert back.count() == sampled.count()
