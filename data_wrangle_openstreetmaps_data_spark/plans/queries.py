@@ -557,6 +557,71 @@ def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_rollup_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — grouping-sets surface absent from the reference (SURVEY.md
+    §2.6): ROLLUP subtotals over (returnflag, linestatus)."""
+    df = table(spark, sf, "lineitem")
+    return df.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def q_cube_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — CUBE over (orderstatus, orderpriority)."""
+    df = table(spark, sf, "orders")
+    return df.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def q_intersect_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — INTERSECT (set op surface; reference has only implicit union)."""
+    c = table(spark, sf, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = table(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s)
+
+
+def q_except_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — EXCEPT ALL (multiset difference) then distinct: nation keys
+    whose customer-row count exceeds their supplier-row count."""
+    c = table(spark, sf, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = table(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.exceptAll(s).distinct()
+
+
+def q_time_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — event-time bucketing (reference has no date/time functions):
+    daily event counts from the nanos-as-long ts column."""
+    from data_wrangle_openstreetmaps_data_spark.catalog import nanos_to_ts
+
+    df = table(spark, sf, "events")
+    day = F.date_format(F.date_trunc("day", nanos_to_ts("ts")), "yyyy-MM-dd")
+    return (
+        df.groupBy(day.alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_date_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — date-part extraction + conditional aggregation by month."""
+    from data_wrangle_openstreetmaps_data_spark.catalog import nanos_to_ts
+
+    df = table(spark, sf, "events")
+    ts = nanos_to_ts("ts")
+    return (
+        df.select(
+            F.year(ts).cast("long").alias("y"),
+            F.month(ts).cast("long").alias("m"),
+            F.col("value"),
+        )
+        .groupBy("y", "m")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+
+
 def q_embedding_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-S — bucketed approximate k-NN self-join over the embeddings
     table (embedding-cosine near-dup). Approximate → rows-only check;
@@ -913,6 +978,37 @@ ORACLES: dict[str, str | None] = {
         SELECT event_id, event_type AS etype, props,
                CAST(NULL AS VARCHAR) AS missing
         FROM events
+    """,
+    "q_rollup_counts": """
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "q_cube_counts": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "q_intersect_keys": """
+        SELECT c_nationkey AS nk FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nk FROM supplier
+    """,
+    "q_except_keys": """
+        SELECT DISTINCT nk FROM (
+          SELECT c_nationkey AS nk FROM customer
+          EXCEPT ALL
+          SELECT s_nationkey AS nk FROM supplier
+        )
+    """,
+    "q_time_bucket": """
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               count(*) AS cnt
+        FROM events GROUP BY day
+    """,
+    "q_date_extract": """
+        SELECT CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m,
+               count(*) AS cnt,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM events GROUP BY y, m
     """,
     # approximate / engine-internal-hash / stateful operators:
     # rows-only driver check (pinned by unit tests instead)
