@@ -622,6 +622,53 @@ def q_date_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_SESSION_GAP_NS = 12 * 3600 * 10**9
+_SESSION_GAP_US = _SESSION_GAP_NS // 1000
+
+
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — batch sessionization (window lag + cumulative sum): sessions
+    of events per user with 12h inactivity gap. Timestamps compared at
+    MICROsecond precision (DuckDB surfaces the nanos parquet at µs)."""
+    from data_wrangle_openstreetmaps_data_spark.streaming.sessionize import (
+        sessionize_batch,
+    )
+
+    df = table(spark, sf, "events").withColumn(
+        "ts", F.expr("ts div 1000")
+    )
+    return sessionize_batch(df, _SESSION_GAP_US)
+
+
+def q_sessionize_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — custom stateful streaming sessionization
+    (applyInPandasWithState): emits closed sessions. Stateful streaming →
+    rows-only check; batch equivalence pinned by tests/test_sessionize.py."""
+    import os
+    import shutil
+    import uuid
+
+    from data_wrangle_openstreetmaps_data_spark.streaming import events as se
+    from data_wrangle_openstreetmaps_data_spark.streaming.sessionize import (
+        sessionize_stream,
+    )
+
+    stage = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "..", ".tmp",
+        f"sess_{os.path.basename(sf.rstrip('/'))}",
+    )
+    os.makedirs(stage, exist_ok=True)
+    dst = os.path.join(stage, "events.parquet")
+    if not os.path.exists(dst):
+        shutil.copy(os.path.join(sf, "events.parquet"), dst)
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    se.run_to_memory(
+        sessionize_stream(se.read_events_stream(spark, stage), _SESSION_GAP_NS),
+        name,
+    )
+    return spark.table(name)
+
+
 def q_embedding_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-S — bucketed approximate k-NN self-join over the embeddings
     table (embedding-cosine near-dup). Approximate → rows-only check;
@@ -1010,6 +1057,27 @@ ORACLES: dict[str, str | None] = {
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM events GROUP BY y, m
     """,
+    "q_sessionize": f"""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS tsn FROM events),
+        flagged AS (
+          SELECT user_id, tsn,
+                 CASE WHEN tsn - lag(tsn) OVER (
+                        PARTITION BY user_id ORDER BY tsn
+                      ) > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS new_sess
+          FROM e
+        ),
+        sess AS (
+          SELECT user_id, tsn,
+                 sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY tsn
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS sess_id
+          FROM flagged
+        )
+        SELECT user_id, min(tsn) AS session_start, max(tsn) AS session_end,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, sess_id
+    """,
     # approximate / engine-internal-hash / stateful operators:
     # rows-only driver check (pinned by unit tests instead)
     "q_embedding_knn_bucketed": None,
@@ -1018,6 +1086,7 @@ ORACLES: dict[str, str | None] = {
     "q_dedup_simhash": None,
     "q_multimodal_features": None,
     "q_streaming_windowed_counts": None,
+    "q_sessionize_stream": None,
 }
 
 

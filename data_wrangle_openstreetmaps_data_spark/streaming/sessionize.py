@@ -1,0 +1,103 @@
+"""Custom stateful streaming operator: user sessionization.
+
+A session = consecutive events of one user with gaps < `gap`. Spark has
+no built-in session operator with arbitrary per-group state, so this is
+the ``applyInPandasWithState`` path — per-key state (open session) kept
+by the engine, Arrow-batched user code deciding when to close.
+
+Scale properties:
+- state is O(active users), one small tuple each; closed sessions leave
+  state immediately.
+- the stream shuffles once on user_id (the groupBy key) — same key the
+  downstream per-user analytics need.
+- a batch (non-streaming) equivalent is provided for backfill: the same
+  sessions computed with window lag + cumulative sum, one shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = (
+    "user_id bigint, session_start bigint, session_end bigint, n_events bigint"
+)
+STATE_SCHEMA = "start bigint, last bigint, n bigint"
+
+
+def sessionize_stream(
+    events: DataFrame, gap_ns: int = 30 * 60 * 10**9
+) -> DataFrame:
+    """Streaming sessionization over (user_id, ts-nanos). Emits a row per
+    CLOSED session; the open session per user stays in state."""
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        closed = []
+        ts_all = []
+        for pdf in pdfs:
+            ts_all.extend(pdf["ts"].tolist())
+        for ts in sorted(ts_all):
+            if start is None:
+                start, last, n = ts, ts, 1
+            elif ts - last > gap_ns:
+                closed.append((user_id, start, last, n))
+                start, last, n = ts, ts, 1
+            else:
+                last = ts
+                n += 1
+        state.update((start, last, n))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "session_end", "n_events"],
+            )
+
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=OUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def sessionize_batch(
+    events: DataFrame, gap_ns: int = 30 * 60 * 10**9
+) -> DataFrame:
+    """Backfill equivalent: lag + cumulative-sum session ids, one shuffle
+    on user_id. Produces ALL sessions (including each user's last)."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = events.select("user_id", "ts").withColumn(
+        "new_sess",
+        (F.col("ts") - F.lag("ts").over(w) > gap_ns).cast("int"),
+    )
+    sessioned = flagged.withColumn(
+        "sess_id", F.coalesce(F.sum("new_sess").over(w), F.lit(0))
+    )
+    return (
+        sessioned.groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("sess_id")
+    )

@@ -1,0 +1,74 @@
+"""Stateful streaming sessionization vs its batch backfill equivalent."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from data_wrangle_openstreetmaps_data_spark.catalog import table
+from data_wrangle_openstreetmaps_data_spark.streaming import events as se
+from data_wrangle_openstreetmaps_data_spark.streaming import sessionize as sz
+from tests.conftest import SF_SMALL
+
+GAP_NS = 12 * 3600 * 10**9  # 12h: the sf0.001 events span ~a month
+
+
+@pytest.fixture(scope="module")
+def events_dir():
+    d = os.path.join(os.path.dirname(__file__), "..", ".tmp", "sess_stream")
+    os.makedirs(d, exist_ok=True)
+    shutil.copy(f"{SF_SMALL}/events.parquet", os.path.join(d, "part-0.parquet"))
+    return d
+
+
+def test_streaming_sessions_match_batch_closed_sessions(spark, events_dir):
+    stream = se.read_events_stream(spark, events_dir)
+    sz_stream = sz.sessionize_stream(stream, GAP_NS)
+    se.run_to_memory(sz_stream, "sessions", output_mode="append")
+    streamed = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in spark.table("sessions").collect()
+    }
+
+    batch_all = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in sz.sessionize_batch(
+            table(spark, SF_SMALL, "events"), GAP_NS
+        ).collect()
+    }
+    # the stream emits exactly the CLOSED sessions: every user's final
+    # (still-open) session stays in state — so streamed ⊂ batch and the
+    # difference is exactly one session per user (the last one)
+    assert len(streamed) > 0
+    assert set(streamed) <= set(batch_all)
+    for k, v in streamed.items():
+        assert batch_all[k] == v
+    open_per_user = {}
+    for (uid, start) in set(batch_all) - set(streamed):
+        open_per_user.setdefault(uid, []).append(start)
+    users = {uid for uid, _ in batch_all}
+    assert set(open_per_user) == users
+    for uid, starts in open_per_user.items():
+        assert len(starts) == 1
+        # and it is that user's LAST session
+        last_start = max(s for (u, s) in batch_all if u == uid)
+        assert starts[0] == last_start
+
+
+def test_batch_sessions_properties(spark):
+    df = sz.sessionize_batch(table(spark, SF_SMALL, "events"), GAP_NS)
+    rows = df.collect()
+    assert all(r["session_start"] <= r["session_end"] for r in rows)
+    assert all(r["n_events"] >= 1 for r in rows)
+    # sessions of one user never overlap
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["session_start"], r["session_end"])
+        )
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert e1 < s2
