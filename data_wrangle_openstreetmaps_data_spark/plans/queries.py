@@ -500,6 +500,28 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_similarity_join(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D2 (SURVEY §2.7 name) — near-dup similarity join over document
+    texts: exact n-gram Jaccard via the inverted-index join."""
+    return dedup.ngram_jaccard_pairs(
+        table(spark, sf, "documents"), shingle_k=3, threshold=0.2
+    )
+
+
+def q_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-T — BPE-ish token counting: words / number runs / single
+    punctuation as separate tokens (regexp_extract_all), top-20."""
+    df = table(spark, sf, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(text.BPE_ISH_RE), 0)
+    return (
+        df.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.col("tok"))
+        .limit(20)
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-T — deterministic document fingerprint (md5 of normalized text)."""
     df = table(spark, sf, "documents")
@@ -756,6 +778,34 @@ _LANG_PRED_SQL = "CASE WHEN {m} = 0 THEN 'und' {whens} END".format(
     whens=" ".join(f"WHEN s_{la} = m THEN '{la}'" for la in _LANG_ORDER),
 )
 
+_NGRAM_JACCARD_SQL = rf"""
+    WITH toked AS (
+      SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    shingled AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3 THEN
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> array_to_string(toks[i:i+2], ' ')))
+             ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM toked
+    ),
+    exploded AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+    sizes AS (SELECT doc_id, count(*) AS n FROM exploded GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM exploded a JOIN exploded b
+        ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           floor(common / (sa.n + sb.n - common) * 10000 + 0.5) / 10000 AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE floor(common / (sa.n + sb.n - common) * 10000 + 0.5) / 10000 >= 0.2
+"""
+
 ORACLES: dict[str, str | None] = {
     "q_topk_group_count": """
         SELECT event_type, count(*) AS cnt FROM events
@@ -939,32 +989,14 @@ ORACLES: dict[str, str | None] = {
           SELECT unnest({_TOKENS_SQL}) AS tok FROM documents
         ) GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20
     """,
-    "q_ngram_jaccard": rf"""
-        WITH toked AS (
-          SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
-        ),
-        shingled AS (
-          SELECT doc_id,
-                 CASE WHEN len(toks) >= 3 THEN
-                   list_distinct(list_transform(range(1, len(toks) - 1),
-                     i -> array_to_string(toks[i:i+2], ' ')))
-                 ELSE [array_to_string(toks, ' ')] END AS sh
-          FROM toked
-        ),
-        exploded AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
-        sizes AS (SELECT doc_id, count(*) AS n FROM exploded GROUP BY doc_id),
-        pairs AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-          FROM exploded a JOIN exploded b
-            ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY 1, 2
-        )
-        SELECT id_a, id_b,
-               floor(common / (sa.n + sb.n - common) * 10000 + 0.5) / 10000 AS jaccard
-        FROM pairs
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-        WHERE floor(common / (sa.n + sb.n - common) * 10000 + 0.5) / 10000 >= 0.2
+    "q_ngram_jaccard": _NGRAM_JACCARD_SQL,
+    "q_similarity_join": _NGRAM_JACCARD_SQL,
+    "q_bpe_token_count": rf"""
+        SELECT tok, count(*) AS cnt FROM (
+          SELECT unnest(regexp_extract_all(lower(text),
+            {_sql_regex(text.BPE_ISH_RE)})) AS tok
+          FROM documents
+        ) GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20
     """,
     "q_doc_fingerprint": f"""
         SELECT doc_id, substr(md5({_NORM_TEXT_SQL}), 1, 16) AS fp FROM documents
