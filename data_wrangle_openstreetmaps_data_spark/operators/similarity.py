@@ -15,6 +15,8 @@ from __future__ import annotations
 import hashlib
 import struct
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -49,6 +51,40 @@ def cosine_topk(
     sim = round4(cosine(F.col(vec_col), q))
     return (
         embeddings.select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_topk_arrow(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-vectorized variant of ``cosine_topk``: a pandas_udf computes
+    the whole batch's similarities as one numpy matrix product.
+
+    The built-in-expression fold is a per-element interpreted loop over the
+    array; for wide embeddings (768-4096 dims) the Arrow batch transfer +
+    BLAS dot is the faster path — this is the one hot spot where a
+    (vectorized, batched) UDF beats native expressions. Same plan shape:
+    narrow projection + TakeOrderedAndProject, zero shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+
+    @pandas_udf("double")
+    def _sim(v: pd.Series) -> pd.Series:
+        m = np.vstack(v.map(lambda x: np.asarray(x, dtype=np.float64)).values)
+        dots = m @ q
+        norms = np.sqrt((m * m).sum(axis=1))
+        return pd.Series(np.floor(dots / (norms * qn) * 10000 + 0.5) / 10000)
+
+    return (
+        embeddings.select(F.col(id_col), _sim(F.col(vec_col)).alias("sim"))
         .orderBy(F.desc("sim"), F.col(id_col))
         .limit(k)
     )

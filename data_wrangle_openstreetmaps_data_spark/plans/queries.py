@@ -553,6 +553,15 @@ def q_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_topk(emb, list(qvec), k=10)
 
 
+def q_embedding_topk_arrow(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-S — Arrow/pandas_udf vectorized cosine top-k (the wide-embedding
+    fast path). Numpy sum order ≠ sequential fold at the rounding ulp →
+    rows-only check; equivalence pinned by tests/test_similarity.py."""
+    emb = table(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return similarity.cosine_topk_arrow(emb, list(qvec), k=10)
+
+
 def q_embedding_knn_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-S — LSH-bucketed approximate top-k (scale path). Approximate →
     rows-only driver check; recall pinned by tests/test_similarity.py."""
@@ -1112,6 +1121,7 @@ ORACLES: dict[str, str | None] = {
     """,
     # approximate / engine-internal-hash / stateful operators:
     # rows-only driver check (pinned by unit tests instead)
+    "q_embedding_topk_arrow": None,
     "q_embedding_knn_bucketed": None,
     "q_embedding_knn_join": None,
     "q_dedup_minhash": None,

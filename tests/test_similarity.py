@@ -40,6 +40,18 @@ def test_lsh_bucket_contains_query_and_subsets_bruteforce(emb, qvec):
             assert r["sim"] == pytest.approx(brute[r["vec_id"]], abs=1e-9)
 
 
+def test_arrow_cosine_matches_expression_fold(emb, qvec):
+    expr = similarity.cosine_topk(emb, qvec, k=20).collect()
+    arrow = similarity.cosine_topk_arrow(emb, qvec, k=20).collect()
+    e = {r["vec_id"]: r["sim"] for r in expr}
+    a = {r["vec_id"]: r["sim"] for r in arrow}
+    # same candidates modulo rounding-boundary ties; sims agree to 4dp ± ulp
+    common = set(e) & set(a)
+    assert len(common) >= 18
+    for vid in common:
+        assert a[vid] == pytest.approx(e[vid], abs=2e-4)
+
+
 def test_knn_join_respects_k_and_excludes_self(spark, emb):
     sub = emb.limit(60)
     got = similarity.knn_join(sub, sub, k=3).collect()
