@@ -118,7 +118,11 @@ def shape_elements(
     )
 
     created = F.struct(*[F.col(f).alias(f) for f in CREATED_FIELDS])
-    pos = F.array(F.col("lat").cast("double"), F.col("lon").cast("double"))
+    # try_cast: under ANSI mode (Spark 4 default) a malformed coordinate
+    # would otherwise kill the whole ingest; bad values become NULL
+    pos = F.array(
+        F.col("lat").try_cast("double"), F.col("lon").try_cast("double")
+    )
 
     node_refs = (
         F.transform(F.col(nds_col), lambda n: n["ref"])

@@ -124,6 +124,35 @@ def test_wrangle_pipeline_end_to_end(spark, osm_file):
     assert json_sink.read_store(spark, out_store).count() == 6
 
 
+def test_malformed_rows_do_not_kill_the_scan(spark):
+    # production posture: one bad element must not fail a 100 TB ingest —
+    # the XML datasource's PERMISSIVE mode nulls out malformed rows
+    bad = os.path.join(TMP, "malformed.osm")
+    with open(bad, "w") as f:
+        f.write(
+            """<?xml version="1.0"?>
+<osm>
+  <node id="1" lat="10.0" lon="20.0" user="u" uid="1" version="1"
+        changeset="1" timestamp="2013-01-01T00:00:00Z"/>
+  <node id="2" lat="NOT_A_NUMBER" lon="20.0" user="u" uid="1" version="1"
+        changeset="1" timestamp="2013-01-01T00:00:00Z"/>
+</osm>
+"""
+        )
+    nodes = osm.read_elements(spark, bad, "node")
+    rows = {r["id"]: r for r in nodes.collect()}
+    assert "1" in rows
+    # raw attributes stay strings in our normalized schema — the bad value
+    # survives as data (cast-to-double happens later, yielding NULL pos)
+    assert rows["2"]["lat"] == "NOT_A_NUMBER"
+    from data_wrangle_openstreetmaps_data_spark.operators.reshape import (
+        shape_elements,
+    )
+    shaped = {r["id"]: r for r in shape_elements(nodes).collect()}
+    assert shaped["1"]["pos"] == [10.0, 20.0]
+    assert shaped["2"]["pos"] is None or shaped["2"]["pos"][0] is None
+
+
 def test_bz2_transparent_read(spark, osm_file):
     # S1: .bz2 is decompressed inside the scan — no extract step
     import bz2 as bz2lib

@@ -99,6 +99,37 @@ def test_fix_street_matches_python_model(spark, streets):
         assert got[s] == py_fix_street(s), repr(s)
 
 
+_PCODE = re.compile(r"\d+")
+
+
+def py_postcode(k: str, v: str) -> tuple[str, str, bool]:
+    m = _PCODE.search(v)
+    digits = m.group() if m else ""
+    bucket = k + str(len(digits))
+    return bucket, digits, len(digits) == 6
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(
+    st.tuples(
+        st.sampled_from(["addr:postcode", "addr:postal_code"]),
+        st.text(alphabet=st.sampled_from(list("0123456789 -KolAB,")), max_size=12),
+    ),
+    min_size=1, max_size=25,
+))
+def test_postcode_audit_matches_python_model(spark, kvs):
+    df = spark.createDataFrame(kvs, ["k", "v"])
+    got = df.select(
+        "k", "v",
+        cleaning.postcode_bucket("k", "v").alias("bucket"),
+        cleaning.postcode_digits("v").alias("digits"),
+        cleaning.postcode_valid("v").alias("valid"),
+    ).collect()
+    model = {(k, v): py_postcode(k, v) for k, v in kvs}
+    for r in got:
+        assert (r["bucket"], r["digits"], r["valid"]) == model[(r["k"], r["v"])]
+
+
 @settings(max_examples=20, deadline=None)
 @given(st.lists(
     st.one_of(
