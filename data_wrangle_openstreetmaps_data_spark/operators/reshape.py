@@ -88,6 +88,16 @@ def _clean_tag_entries(tags: Column) -> Column:
     )
 
 
+def clean_tags(df: DataFrame, tags_col: str = "tags") -> DataFrame:
+    """Standalone clean phase (clean_addresses, openstreet_kolkata.py:356-359):
+    returns the frame with its tags column cleaned in place, so audits can
+    run over post-clean values (audit_clean_addresses cleanup=True path)."""
+    tags = F.coalesce(
+        F.col(tags_col), F.array().cast("array<struct<k:string,v:string>>")
+    )
+    return df.withColumn(tags_col, _clean_tag_entries(tags))
+
+
 def shape_elements(
     df: DataFrame,
     clean: bool = True,

@@ -135,6 +135,63 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_index(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """IVF coarse quantizer: KMeans over the corpus; returns
+    (assigned_df with `_list` column, fitted model). At scale you persist
+    ``assigned_df`` partitioned by ``_list`` — a query then scans only its
+    nprobe nearest lists (partition pruning does the index lookup)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = embeddings.withColumn(
+        "_features", array_to_vector(F.transform(vec_col, lambda x: x.cast("double")))
+    )
+    model = KMeans(
+        k=n_lists, seed=seed, featuresCol="_features", predictionCol="_list"
+    ).fit(feats)
+    assigned = model.transform(feats).drop("_features")
+    return assigned, model
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF: rank only vectors in the nprobe
+    centroid lists nearest the query."""
+    assigned, model = ivf_index(embeddings, n_lists, id_col, vec_col, seed)
+    centers = model.clusterCenters()
+    q = [float(x) for x in query_vec]
+
+    def _cos(c) -> float:
+        dp = sum(a * b for a, b in zip(q, c))
+        nq = sum(a * a for a in q) ** 0.5
+        nc = sum(float(b) * float(b) for b in c) ** 0.5
+        return dp / (nq * nc) if nq and nc else 0.0
+
+    probe = sorted(range(len(centers)), key=lambda i: -_cos(centers[i]))[:nprobe]
+    qcol = F.array(*[F.lit(x) for x in q])
+    sim = round4(cosine(F.col(vec_col), qcol))
+    return (
+        assigned.filter(F.col("_list").isin(*[int(p) for p in probe]))
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,

@@ -76,6 +76,25 @@ def wrangle_maps(
         ),
     }
 
+    # clean phase (openstreet_kolkata.py:665): audits re-run over cleaned
+    # values — the reference re-parses + re-cleans; here it's the same
+    # cached scan with the cleaning expression applied
+    from data_wrangle_openstreetmaps_data_spark.operators.reshape import clean_tags
+
+    cleaned_tags = clean_tags(raw).select(
+        "type", F.explode_outer("tags").alias("t")
+    ).select("type", F.col("t.k").alias("k"), F.col("t.v").alias("v"))
+    audits["street_types_after_clean"] = audit_ops.audit_street_types(
+        cleaned_tags.filter(F.col("k") == "addr:street").select(
+            F.col("v").alias("street")
+        )
+    )
+    audits["city_names_after_clean"] = audit_ops.audit_city_names(
+        cleaned_tags.filter(F.col("k") == "addr:city").select(
+            F.col("v").alias("city")
+        )
+    )
+
     docs = shape_elements(raw, clean=True)
 
     if out_json:

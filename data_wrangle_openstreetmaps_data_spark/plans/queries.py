@@ -562,6 +562,14 @@ def q_embedding_topk_arrow(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_topk_arrow(emb, list(qvec), k=10)
 
 
+def q_embedding_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-S — IVF ANN (KMeans coarse quantizer, nprobe list scan).
+    Approximate → rows-only check; recall pinned by tests/test_similarity.py."""
+    emb = table(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return similarity.ivf_topk(emb, list(qvec), k=10, n_lists=8, nprobe=3)
+
+
 def q_embedding_knn_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-S — LSH-bucketed approximate top-k (scale path). Approximate →
     rows-only driver check; recall pinned by tests/test_similarity.py."""
@@ -1122,6 +1130,7 @@ ORACLES: dict[str, str | None] = {
     # approximate / engine-internal-hash / stateful operators:
     # rows-only driver check (pinned by unit tests instead)
     "q_embedding_topk_arrow": None,
+    "q_embedding_topk_ivf": None,
     "q_embedding_knn_bucketed": None,
     "q_embedding_knn_join": None,
     "q_dedup_minhash": None,

@@ -60,12 +60,26 @@ def _norm(df: DataFrame, element_type: str) -> DataFrame:
     else:
         nds = F.lit(None).cast("array<struct<ref:string>>").alias("nds")
 
+    member_type = "array<struct<mtype:string,ref:string,role:string>>"
+    if "member" in cols:
+        members = F.transform(
+            "member",
+            lambda m: F.struct(
+                m["_type"].cast("string").alias("mtype"),
+                m["_ref"].cast("string").alias("ref"),
+                m["_role"].cast("string").alias("role"),
+            ),
+        ).alias("members")
+    else:
+        members = F.lit(None).cast(member_type).alias("members")
+
     return df.select(
         attr("id"),
         F.lit(element_type).alias("type"),
         *[attr(a) for a in ATTRS if a != "id"],
         tags,
         nds,
+        members,
     )
 
 
@@ -83,7 +97,7 @@ def read_elements(
         .load(path)
     )
     # normalize single-child structs to arrays
-    for child in ("tag", "nd"):
+    for child in ("tag", "nd", "member"):
         if child in df.columns:
             dt = dict(df.dtypes)[child]
             if not dt.startswith("array"):

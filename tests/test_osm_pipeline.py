@@ -57,7 +57,11 @@ OSM_XML = """<?xml version="1.0" encoding="UTF-8"?>
     <tag k="highway" v="service"/>
   </way>
   <relation id="8" user="ua" uid="10" version="1" changeset="9"
-            timestamp="2013-01-05T00:00:00Z"/>
+            timestamp="2013-01-05T00:00:00Z">
+    <member type="way" ref="7" role="outer"/>
+    <member type="node" ref="2" role=""/>
+    <tag k="type" v="multipolygon"/>
+  </relation>
 </osm>
 """
 
@@ -78,6 +82,13 @@ def test_read_elements_schema(spark, osm_file):
     assert {"id", "type", "lat", "lon", "user", "tags", "nds"} <= cols
     ways = osm.read_elements(spark, osm_file, "way")
     assert ways.count() == 2
+    rels = osm.read_elements(spark, osm_file, "relation")
+    row = rels.first()
+    members = [m.asDict() for m in row["members"]]
+    assert members == [
+        {"mtype": "way", "ref": "7", "role": "outer"},
+        {"mtype": "node", "ref": "2", "role": ""},
+    ]
 
 
 def test_wrangle_pipeline_end_to_end(spark, osm_file):
@@ -111,6 +122,14 @@ def test_wrangle_pipeline_end_to_end(spark, osm_file):
     assert docs["2"]["address"]["street"] == "Park Street"
     assert docs["2"]["address"]["city"] == "Kolkata"
     assert docs["4"]["address"] is None  # addr:street:name dropped
+
+    # audit-after-clean (cleanup=True path): cleaned street values audited
+    post = {
+        r["stype"]: r for r in res.audits["street_types_after_clean"].collect()
+    }
+    # 'Park st' became 'Park Street' (expected type) and 'West Lexington
+    # St.' became '... Street' → no st/St. buckets remain after cleaning
+    assert "st" not in post and "St." not in post
 
     # queries: top shops / highways with golden counts
     shops = {r["shop"]: r["cnt"] for r in res.queries["top_shops"].collect()}

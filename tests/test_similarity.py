@@ -52,6 +52,17 @@ def test_arrow_cosine_matches_expression_fold(emb, qvec):
         assert a[vid] == pytest.approx(e[vid], abs=2e-4)
 
 
+def test_ivf_topk_recall(emb, qvec):
+    brute = [r["vec_id"] for r in similarity.cosine_topk(emb, qvec, k=10).collect()]
+    ivf = similarity.ivf_topk(emb, qvec, k=10, n_lists=8, nprobe=3).collect()
+    ids = [r["vec_id"] for r in ivf]
+    assert 0 in ids  # query's own vector found
+    # decent recall of the exact top-10 with 3/8 lists probed
+    assert len(set(ids) & set(brute)) >= 5
+    sims = [r["sim"] for r in ivf]
+    assert sims == sorted(sims, reverse=True)
+
+
 def test_knn_join_respects_k_and_excludes_self(spark, emb):
     sub = emb.limit(60)
     got = similarity.knn_join(sub, sub, k=3).collect()
