@@ -92,14 +92,15 @@ def street_type(street: Column | str) -> Column:
 
 
 def _mapping_case(key_col: Column, mapping: dict[str, str]) -> Column:
-    """Chained when() over a literal dict — constant-folded by Catalyst,
-    equivalent to a broadcast-joined lookup table but with zero shuffle."""
-    expr = F.lit(None).cast("string")
-    out = None
+    """Literal-map lookup (NULL on miss) — equivalent to a broadcast-joined
+    lookup table but with zero shuffle, and one compact expression instead
+    of an N-branch CASE chain (smaller codegen, faster first-run compile)."""
+    if not mapping:
+        return F.lit(None).cast("string")
+    entries: list[Column] = []
     for k, v in mapping.items():
-        clause = F.when(key_col == F.lit(k), F.lit(v))
-        out = clause if out is None else out.when(key_col == F.lit(k), F.lit(v))
-    return out.otherwise(expr) if out is not None else expr
+        entries.extend([F.lit(k), F.lit(v)])
+    return F.element_at(F.create_map(*entries), key_col)
 
 
 def normalize_street_type(street: Column | str) -> Column:
