@@ -70,13 +70,16 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n_hashes: int = 16,
     shingle_k: int = 5,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig: array<long>) — the reusable first stage of MinHash LSH.
 
     Relational form: the distinct (id, shingle-hash) table from
     ``shingle_table`` is min-aggregated per permutation — a single codegen
-    HashAggregate with n min() columns, no interpreted array lambdas."""
-    sh = _shingle_hashes(df, text_col, id_col, shingle_k)
+    HashAggregate with n min() columns, no interpreted array lambdas.
+    Pass a precomputed ``sh`` table to share it across pipeline stages."""
+    if sh is None:
+        sh = _shingle_hashes(df, text_col, id_col, shingle_k)
     h = F.pmod(F.col("s"), F.lit(_MINHASH_P))
     mins = [
         F.min((h * a + b) % _MINHASH_P).alias(f"m{j}")
@@ -89,14 +92,27 @@ def minhash_signatures(
 
 
 def _shingle_hashes(
-    df: DataFrame, text_col: str, id_col: str, shingle_k: int
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int,
+    persist: bool = True,
 ) -> DataFrame:
-    """Distinct (id, s) with s = xxhash64(shingle): 8-byte join/agg keys."""
-    return (
+    """Distinct (id, s) with s = xxhash64(shingle): 8-byte join/agg keys.
+
+    Persisted (MEMORY_AND_DISK) by default: the dedup pipelines reference
+    this table 2-4× (self-join sides, sizes, verification) and Spark does
+    NOT reuse identical non-exchange subtrees — without the persist the
+    shingling runs 4× per query (measured: 8 parquet scans / 4 windows in
+    the executed plan). Blocks are LRU-evicted under pressure; at real
+    scale this table is written once as a bronze table instead."""
+    sh = (
         shingle_table(df, text_col, id_col, shingle_k)
         .select("id", F.xxhash64("shingle").alias("s"))
         .distinct()
     )
+    if persist:
+        from pyspark.storagelevel import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    return sh
 
 
 def dedup_minhash_lsh(
@@ -115,7 +131,9 @@ def dedup_minhash_lsh(
     never O(n²)); the true shingle-set Jaccard then filters false positives.
     """
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+    # ONE persisted shingle-hash table feeds signatures AND verification
+    sh = _shingle_hashes(df, text_col, id_col, shingle_k)
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k, sh=sh)
 
     # Band rows carry (id, band, band_sig) ONLY — one 8-byte key per band.
     banded = sigs.select(
@@ -151,7 +169,6 @@ def dedup_minhash_lsh(
     )
     # verify true Jaccard on candidates only, via shared-shingle counting
     # (joined to the candidate set — never all pairs)
-    sh = _shingle_hashes(df, text_col, id_col, shingle_k)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     common = (
         cand.join(sh.select(F.col("id").alias("id_a"), "s"), "id_a")
