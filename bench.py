@@ -35,7 +35,13 @@ HEADLINE = [
     "q_dedup_minhash",
     "q_doc_fingerprint",
     "q_quality_score",
+    "q_lang_id",
+    "q_bpe_token_count",
+    "q_rollup_counts",
+    "q_time_bucket",
+    "q_sessionize",
     "q_embedding_topk",
+    "q_embedding_topk_arrow",
     "q_embedding_knn_bucketed",
 ]
 

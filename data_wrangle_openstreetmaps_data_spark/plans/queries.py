@@ -529,9 +529,11 @@ def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
-    """EXT-T — stopword-hit language ID heuristic."""
+    """EXT-T — stopword-hit language ID heuristic (relational scale form:
+    tokens exploded once, codegen conditional counts)."""
     df = table(spark, sf, "documents")
-    return df.select("doc_id", "lang", text.lang_id("text").alias("pred"))
+    preds = text.lang_id_table(df).withColumnRenamed("id", "doc_id")
+    return df.select("doc_id", "lang").join(preds, "doc_id")
 
 
 def q_quality_score(spark: SparkSession, sf: str) -> DataFrame:

@@ -69,6 +69,26 @@ def test_lang_id(spark):
     assert got == ["en", "es", "fr", "de", "und"]
 
 
+def test_lang_id_table_matches_expression_form(spark):
+    rows = [
+        (1, "the cat and the dog of a house"),
+        (2, "el perro de la casa y que mas"),
+        (3, "zzz qqq www"),
+        (4, ""),
+        (5, "the el le der"),  # 1 hit each → tie → first lang code (de)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    expr = {
+        r["doc_id"]: r["p"]
+        for r in df.select("doc_id", text.lang_id("text").alias("p")).collect()
+    }
+    rel = {
+        r["id"]: r["pred"] for r in text.lang_id_table(df).collect()
+    }
+    assert expr == rel
+    assert rel[5] == "de"
+
+
 def test_quality_score_bounds(spark):
     df = spark.createDataFrame(
         [("the quick brown fox is a good dog and it runs to the park " * 5,),
