@@ -202,6 +202,72 @@ def _jaccard_from_counts(
     )
 
 
+def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → (id, cluster_id) with
+    cluster_id = min doc id in the component. The dedup end-product: keep
+    one representative per cluster, drop the rest.
+
+    Iterative min-label propagation on DataFrames (no GraphFrames
+    dependency): each round every node adopts the smallest label among
+    itself and its neighbours; converges in O(component diameter) rounds —
+    near-dup components are tiny (pairs of rewrites), so a handful of
+    rounds. Each round is one shuffle; lineage is truncated with
+    localCheckpoint so the loop doesn't build an exponential plan."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iters):
+        neighbour_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbour_min, labels["id"] == neighbour_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Final dedup: drop every document whose cluster representative
+    (min id in its near-dup component) is a different document."""
+    clusters = dup_clusters(pairs)
+    drop = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, on=id_col, how="left_anti")
+
+
 def simhash(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """64-bit SimHash per document: per token, a stable hash; signature bit i

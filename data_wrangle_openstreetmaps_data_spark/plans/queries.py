@@ -588,6 +588,16 @@ def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D — end-to-end dedup: minhash near-dup pairs → connected
+    components (iterative min-label propagation) → (id, cluster_id).
+    Iterative algorithm → rows-only check; pinned by tests/test_dedup.py."""
+    pairs = dedup.dedup_minhash_lsh(
+        table(spark, sf, "documents"), n_hashes=16, bands=4, threshold=0.5
+    )
+    return dedup.dup_clusters(pairs).orderBy("id")
+
+
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-D2 — SimHash chunk-join candidates (hamming<=24 shown).
     xxhash64 signatures are engine-internal → rows-only driver check."""
@@ -1136,6 +1146,7 @@ ORACLES: dict[str, str | None] = {
     "q_embedding_knn_bucketed": None,
     "q_embedding_knn_join": None,
     "q_dedup_minhash": None,
+    "q_dedup_clusters": None,
     "q_dedup_simhash": None,
     "q_multimodal_features": None,
     "q_streaming_windowed_counts": None,

@@ -85,6 +85,24 @@ def test_simhash_candidate_pairs(spark):
     assert (0, 3) in got and got[(0, 3)] <= 12
 
 
+def test_dup_clusters_connected_components(spark):
+    # component {1,2,3,7} via chain 1-2, 2-3, 3-7; component {5,6}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 7), (5, 6)], ["id_a", "id_b"]
+    )
+    got = {r["id"]: r["cluster_id"] for r in dedup.dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 6: 5}
+
+
+def test_dedup_keep_representatives(spark):
+    corpus = _corpus(spark)
+    pairs = dedup.ngram_jaccard_pairs(corpus, shingle_k=3, threshold=0.5)
+    kept = dedup.dedup_keep_representatives(corpus, pairs)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # docs 1,2,3 cluster with 0 (rep) and are dropped; 4,5 unaffected
+    assert ids == [0, 4, 5]
+
+
 def test_minhash_lsh_prunes_pairs(spark):
     # structural: candidate generation must not be O(n^2) — a corpus of
     # distinct docs yields (near-)zero candidates, not all pairs
