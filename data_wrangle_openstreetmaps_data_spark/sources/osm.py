@@ -26,9 +26,71 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 ATTRS = ("id", "lat", "lon", "visible", "version", "changeset",
          "timestamp", "user", "uid")
+
+
+def _xml_schema(element_type: str) -> T.StructType:
+    """Explicit read schema per rowTag. Three reasons over inference:
+    1. speed — inference is an extra full scan of every file;
+    2. determinism — inference yields `tag` as struct (not array) when no
+       row has 2 tags, bigint ids, TimestampType timestamps: all
+       data-dependent (exactly the nondeterminism SURVEY.md §1.3 warns on);
+    3. fidelity — the reference keeps ids/versions/timestamps as STRINGS
+       (golden doc openstreet_kolkata.py:541-553); an inferred Timestamp
+       would re-format them."""
+    fields = [
+        T.StructField("_id", T.StringType()),
+        T.StructField("_visible", T.StringType()),
+        T.StructField("_version", T.StringType()),
+        T.StructField("_changeset", T.StringType()),
+        T.StructField("_timestamp", T.StringType()),
+        T.StructField("_user", T.StringType()),
+        T.StructField("_uid", T.StringType()),
+        T.StructField(
+            "tag",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("_k", T.StringType()),
+                        T.StructField("_v", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+    if element_type == "node":
+        fields += [
+            T.StructField("_lat", T.StringType()),
+            T.StructField("_lon", T.StringType()),
+        ]
+    if element_type == "way":
+        fields.append(
+            T.StructField(
+                "nd",
+                T.ArrayType(
+                    T.StructType([T.StructField("_ref", T.StringType())])
+                ),
+            )
+        )
+    if element_type == "relation":
+        fields.append(
+            T.StructField(
+                "member",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("_type", T.StringType()),
+                            T.StructField("_ref", T.StringType()),
+                            T.StructField("_role", T.StringType()),
+                        ]
+                    )
+                ),
+            )
+        )
+    return T.StructType(fields)
 
 
 def _norm(df: DataFrame, element_type: str) -> DataFrame:
@@ -84,19 +146,24 @@ def _norm(df: DataFrame, element_type: str) -> DataFrame:
 
 
 def read_elements(
-    spark: SparkSession, path: str, element_type: str
+    spark: SparkSession, path: str, element_type: str,
+    infer_schema: bool = False,
 ) -> DataFrame:
     """One DataFrame per element type ('node' | 'way' | 'relation').
 
-    A single <tag>/<nd> child arrives as a struct, not array — wrap for a
-    uniform schema via the datasource's schema inference over arrays."""
-    df = (
+    Explicit schema by default (see ``_xml_schema``); pass
+    ``infer_schema=True`` only for exploratory reads of unknown shapes —
+    inference costs an extra full scan and its result is data-dependent
+    (a single <tag> child arrives as struct, not array)."""
+    reader = (
         spark.read.format("xml")
         .option("rowTag", element_type)
         .option("attributePrefix", "_")
-        .load(path)
     )
-    # normalize single-child structs to arrays
+    if not infer_schema:
+        reader = reader.schema(_xml_schema(element_type))
+    df = reader.load(path)
+    # normalize single-child structs to arrays (inference-mode quirk)
     for child in ("tag", "nd", "member"):
         if child in df.columns:
             dt = dict(df.dtypes)[child]

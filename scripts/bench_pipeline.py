@@ -42,6 +42,13 @@ def generate(base: str, n_nodes: int, n_ways: int, shards: int) -> list[str]:
     paths = [os.path.join(base, f"part_{i:02d}.osm") for i in range(shards)]
     if os.path.exists(marker):
         return paths
+    # clear stale artifacts from a different config (they'd match the glob)
+    import glob as globmod
+
+    for old in globmod.glob(os.path.join(base, "part_*.osm")) + globmod.glob(
+        os.path.join(base, "gen_*.done")
+    ):
+        os.remove(old)
     rng = random.Random(42)
     users = [f"user_{i}" for i in range(227)]
     node_per, way_per = n_nodes // shards, n_ways // shards
