@@ -608,6 +608,62 @@ def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_find_one(spark: SparkSession, sf: str) -> DataFrame:
+    """S6 — find_one() analog, made deterministic with an explicit order
+    (openstreet_kolkata.py:593)."""
+    df = table(spark, sf, "orders")
+    return (
+        df.select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+        .limit(1)
+    )
+
+
+def q_pivot_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — pivot: linestatus columns per returnflag row."""
+    df = table(spark, sf, "lineitem")
+    return (
+        df.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "l_returnflag",
+            F.coalesce("O", F.lit(0)).alias("o_cnt"),
+            F.coalesce("F", F.lit(0)).alias("f_cnt"),
+        )
+    )
+
+
+def q_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — exact interpolated percentiles of order value per status."""
+    df = table(spark, sf, "orders")
+    return df.groupBy("o_orderstatus").agg(
+        *[
+            text.round4(F.expr(f"percentile(o_totalprice, {q})")).alias(f"p{int(q*100)}")
+            for q in (0.5, 0.9, 0.99)
+        ]
+    )
+
+
+def q_stats_moments(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — avg/stddev/min/max + correlation, rounded portably."""
+    df = table(spark, sf, "lineitem")
+    return df.agg(
+        text.round4(F.avg("l_quantity")).alias("avg_qty"),
+        text.round4(F.stddev_samp("l_quantity")).alias("sd_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        text.round4(F.corr("l_quantity", "l_extendedprice")).alias("corr_qp"),
+    )
+
+
+def q_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — fixed-width binning histogram of event values."""
+    df = table(spark, sf, "events")
+    bin_ = F.floor(F.col("value") / 10).cast("long")
+    return df.groupBy(bin_.alias("bin")).agg(F.count(F.lit(1)).alias("cnt"))
+
+
 def q_rollup_counts(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — grouping-sets surface absent from the reference (SURVEY.md
     §2.6): ROLLUP subtotals over (returnflag, linestatus)."""
@@ -1086,6 +1142,35 @@ ORACLES: dict[str, str | None] = {
         SELECT event_id, event_type AS etype, props,
                CAST(NULL AS VARCHAR) AS missing
         FROM events
+    """,
+    "q_find_one": """
+        SELECT o_orderkey, o_orderstatus FROM orders
+        ORDER BY o_orderkey LIMIT 1
+    """,
+    "q_pivot_counts": """
+        SELECT l_returnflag,
+               count(*) FILTER (WHERE l_linestatus = 'O') AS o_cnt,
+               count(*) FILTER (WHERE l_linestatus = 'F') AS f_cnt
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_percentiles": """
+        SELECT o_orderstatus,
+               floor(quantile_cont(o_totalprice, 0.5) * 10000 + 0.5) / 10000 AS p50,
+               floor(quantile_cont(o_totalprice, 0.9) * 10000 + 0.5) / 10000 AS p90,
+               floor(quantile_cont(o_totalprice, 0.99) * 10000 + 0.5) / 10000 AS p99
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "q_stats_moments": """
+        SELECT floor(avg(l_quantity) * 10000 + 0.5) / 10000 AS avg_qty,
+               floor(stddev_samp(l_quantity) * 10000 + 0.5) / 10000 AS sd_qty,
+               min(l_quantity) AS min_qty,
+               max(l_quantity) AS max_qty,
+               floor(corr(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000 AS corr_qp
+        FROM lineitem
+    """,
+    "q_histogram": """
+        SELECT CAST(floor(value / 10) AS BIGINT) AS bin, count(*) AS cnt
+        FROM events GROUP BY bin
     """,
     "q_rollup_counts": """
         SELECT l_returnflag, l_linestatus, count(*) AS cnt
