@@ -29,6 +29,100 @@ def resolve_refs(ways: DataFrame, nodes: DataFrame, ref_col: str = "node_refs",
     ).select("way_id", "seq", "ref", "pos")
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_time: str = "ts",
+    right_time: str = "ts",
+    value_cols: tuple[str, ...] = ("state",),
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    right_time <= left_time within the same `by` key.
+
+    Spark has no native as-of join; the scalable composition is the
+    union + last_value(ignorenulls) window trick: tag both sides, sort by
+    (key, time, side) — right rows sort before left rows at equal
+    timestamps so the match is inclusive — and forward-fill the right
+    values. ONE shuffle on the by-key, no range cross-join, state is one
+    row per partition during the window scan. (This is how you as-of join
+    100 TB of trades to quotes.)
+
+    Right side must be unique per (by, right_time) — pre-aggregate if not.
+    """
+    from pyspark.sql import Window
+
+    ltypes = dict(left.dtypes)
+    rtypes = dict(right.dtypes)
+    carry = [c for c in left.columns if c != by]  # left payload columns
+
+    l_tagged = left.select(
+        F.col(by),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in carry],
+        *[F.lit(None).cast(rtypes[v]).alias(f"_r_{v}") for v in value_cols],
+        F.lit(None).cast(rtypes[right_time]).alias("_rt"),
+    )
+    r_tagged = right.select(
+        F.col(by),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in carry],
+        *[F.col(v).alias(f"_r_{v}") for v in value_cols],
+        F.col(right_time).alias("_rt"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(by)
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        F.col(by),
+        "_side",
+        *[F.col(c) for c in carry],
+        *[
+            F.last(f"_r_{v}", ignorenulls=True).over(w).alias(f"matched_{v}")
+            for v in value_cols
+        ],
+        F.last("_rt", ignorenulls=True).over(w).alias("matched_time"),
+    )
+    return filled.filter(F.col("_side") == 1).drop("_side")
+
+
+def range_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_width: float = 10.0,
+) -> DataFrame:
+    """Range join: left rows matched to intervals with lo <= value < hi.
+
+    Naive inequality joins plan as BroadcastNestedLoopJoin (O(n·m)); the
+    scale path buckets the domain: each interval explodes into the
+    buckets it overlaps, the join is EQUALITY on bucket (hash join,
+    shuffle-friendly), and the exact range predicate filters residuals.
+    Cost: O(n + m·avg_buckets_per_interval)."""
+    lb = left.withColumn(
+        "_bucket", F.floor(F.col(value_col) / bucket_width).cast("long")
+    )
+    ib = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bucket_width).cast("long"),
+                F.floor((F.col(hi_col) - 1e-9) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    return lb.join(ib, "_bucket").filter(
+        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    ).drop("_bucket")
+
+
 def orders_by_nation(orders: DataFrame, customer: DataFrame,
                      nation: DataFrame) -> DataFrame:
     """Star join with broadcast dimensions: order count + exact revenue per

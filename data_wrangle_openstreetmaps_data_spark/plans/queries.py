@@ -469,6 +469,63 @@ def q_join_resolve_refs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — as-of join: each purchase matched to the user's latest signup
+    at-or-before it (union + forward-fill window; one shuffle)."""
+    ev = table(spark, sf, "events").withColumn("tsn", F.expr("ts div 1000"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id"), F.col("tsn").alias("ts")
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", F.col("tsn").alias("ts"))
+        .agg(F.max("value").alias("state"))
+    )
+    out = join_ops.asof_join(
+        purchases, signups, by="user_id", left_time="ts", right_time="ts",
+        value_cols=("state",),
+    )
+    return out.select(
+        "user_id", "event_id", "ts", "matched_time", "matched_state"
+    )
+
+
+def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — range join via domain bucketing (equality join on buckets +
+    residual filter; never a nested-loop cross product)."""
+    events = table(spark, sf, "events")
+    intervals = (
+        table(spark, sf, "nation")
+        .select(
+            F.col("n_nationkey").alias("interval_id"),
+            (F.col("n_nationkey") * 4.0).alias("lo"),
+            (F.col("n_nationkey") * 4.0 + 10.0).alias("hi"),
+        )
+    )
+    joined = join_ops.range_join(
+        events.select("event_id", "value"), intervals, "value"
+    )
+    return joined.groupBy("interval_id").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def q_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — unpivot/melt: wide per-status counts back to long form."""
+    df = table(spark, sf, "lineitem")
+    wide = (
+        df.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "l_returnflag",
+            F.coalesce("O", F.lit(0)).alias("o_cnt"),
+            F.coalesce("F", F.lit(0)).alias("f_cnt"),
+        )
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["o_cnt", "f_cnt"], "status", "cnt"
+    )
+
+
 def q_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-K1 — top-2 values per group via window row_number."""
     return topk.topk_per_group(
@@ -1052,6 +1109,45 @@ ORACLES: dict[str, str | None] = {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
+    """,
+    "q_asof_join": """
+        WITH ev AS (SELECT *, epoch_us(ts) AS tsn FROM events),
+        purchases AS (
+          SELECT user_id, event_id, tsn AS ts FROM ev
+          WHERE event_type = 'purchase'
+        ),
+        signups AS (
+          SELECT user_id, tsn AS ts, max(value) AS state FROM ev
+          WHERE event_type = 'signup' GROUP BY user_id, tsn
+        )
+        SELECT p.user_id, p.event_id, p.ts,
+               s.ts AS matched_time, s.state AS matched_state
+        FROM purchases p
+        ASOF LEFT JOIN signups s
+          ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+    "q_range_join": """
+        WITH intervals AS (
+          SELECT n_nationkey AS interval_id,
+                 n_nationkey * 4.0 AS lo,
+                 n_nationkey * 4.0 + 10.0 AS hi
+          FROM nation
+        )
+        SELECT interval_id, count(*) AS cnt
+        FROM events JOIN intervals
+          ON value >= lo AND value < hi
+        GROUP BY interval_id
+    """,
+    "q_unpivot": """
+        WITH wide AS (
+          SELECT l_returnflag,
+                 count(*) FILTER (WHERE l_linestatus = 'O') AS o_cnt,
+                 count(*) FILTER (WHERE l_linestatus = 'F') AS f_cnt
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, 'o_cnt' AS status, o_cnt AS cnt FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'f_cnt' AS status, f_cnt AS cnt FROM wide
     """,
     "q_topk_per_group": """
         SELECT l_returnflag, l_linestatus, cnt, rn FROM (

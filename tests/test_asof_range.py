@@ -1,0 +1,48 @@
+"""As-of join and range join edge semantics."""
+
+from __future__ import annotations
+
+from data_wrangle_openstreetmaps_data_spark.operators import join as join_ops
+
+
+def test_asof_inclusive_and_no_future_match(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 50, "d")],
+        ["k", "ts", "payload"],
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 60, 600.0)],
+        ["k", "ts", "state"],
+    )
+    got = {
+        r["payload"]: (r["matched_time"], r["matched_state"])
+        for r in join_ops.asof_join(left, right, by="k").collect()
+    }
+    assert got["a"] == (10, 100.0)     # inclusive: rt == lt matches
+    assert got["b"] == (15, 150.0)     # latest at-or-before
+    assert got["c"] == (None, None)    # nothing before → null (left join)
+    assert got["d"] == (None, None)    # right exists only in the future
+
+
+def test_range_join_bucketed_equals_naive(spark):
+    left = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0.0, 5.0, 9.99, 10.0, 25.0, 99.0])],
+        ["row_id", "value"],
+    )
+    intervals = spark.createDataFrame(
+        [(0, 0.0, 10.0), (1, 5.0, 30.0), (2, 90.0, 100.0)],
+        ["interval_id", "lo", "hi"],
+    )
+    got = {
+        (r["row_id"], r["interval_id"])
+        for r in join_ops.range_join(left, intervals, "value").collect()
+    }
+    naive = {
+        (l["row_id"], i["interval_id"])
+        for l in left.collect()
+        for i in intervals.collect()
+        if i["lo"] <= l["value"] < i["hi"]
+    }
+    assert got == naive
+    # boundary semantics: lo inclusive, hi exclusive
+    assert (3, 0) not in got and (3, 1) in got
