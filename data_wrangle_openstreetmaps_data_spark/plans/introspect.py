@@ -1,0 +1,36 @@
+"""Plan introspection helpers: summarize an executed physical plan into
+countable facts (scans, shuffles, broadcasts, codegen spans) so tests and
+tuning sessions can assert on plan SHAPE, not string fragments."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def executed_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def plan_summary(df: DataFrame, execute: bool = True) -> dict[str, int]:
+    """Counts of the plan features that matter for scale review.
+
+    With AQE the final plan is only known after execution; ``execute``
+    triggers a count() first. Note AQE plan strings repeat subtrees
+    (initial + final) — counts are upper bounds, useful for equality /
+    zero assertions."""
+    if execute:
+        df.count()
+    plan = executed_plan(df)
+    return {
+        "parquet_scans": plan.count("FileScan parquet"),
+        "shuffles": len(re.findall(r"Exchange (hash|range)partitioning", plan)),
+        "broadcasts": plan.count("BroadcastExchange"),
+        "broadcast_joins": plan.count("BroadcastHashJoin"),
+        "sort_merge_joins": plan.count("SortMergeJoin"),
+        "nested_loop_joins": plan.count("NestedLoopJoin"),
+        "windows": plan.count("Window"),
+        "codegen_spans": len(set(re.findall(r"codegen id : (\d+)", plan))),
+        "reused_exchanges": plan.count("ReusedExchange"),
+    }

@@ -68,6 +68,43 @@ def test_reshape_is_narrow(spark):
     assert "Exchange" not in plan
 
 
+def test_broadcast_mapping_join_equals_literal_form(spark):
+    from data_wrangle_openstreetmaps_data_spark.functions import cleaning
+    from data_wrangle_openstreetmaps_data_spark.plans.introspect import (
+        plan_summary,
+    )
+    from data_wrangle_openstreetmaps_data_spark.plans.queries import (
+        DIRTY_STREETS,
+    )
+
+    df = spark.createDataFrame([(s,) for s in DIRTY_STREETS], ["street"])
+    literal = {
+        r["street"]: r["out"]
+        for r in df.select(
+            "street", cleaning.normalize_street_type("street").alias("out")
+        ).collect()
+    }
+    joined_df = cleaning.normalize_street_type_join(df, "street")
+    joined = {
+        r["street"]: r["street_fixed"] for r in joined_df.collect()
+    }
+    assert literal == joined
+    s = plan_summary(joined_df)
+    assert s["broadcast_joins"] >= 1 and s["shuffles"] == 0
+
+
+def test_plan_summary_flagship(spark):
+    from data_wrangle_openstreetmaps_data_spark.plans.introspect import (
+        plan_summary,
+    )
+
+    df = Q.REGISTRY["q_topk_group_count"].spark(spark, SF_SMALL)
+    s = plan_summary(df)
+    assert s["parquet_scans"] >= 1
+    assert s["nested_loop_joins"] == 0
+    assert s["sort_merge_joins"] == 0
+
+
 def test_partitioned_store_prunes(spark):
     docs = table(spark, SF_SMALL, "orders").select(
         "o_orderkey", F.col("o_orderstatus").alias("type")
