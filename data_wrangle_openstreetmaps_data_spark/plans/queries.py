@@ -721,6 +721,25 @@ def q_histogram(spark: SparkSession, sf: str) -> DataFrame:
     return df.groupBy(bin_.alias("bin")).agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def q_data_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — ingest-gate quality report: null counts, range violations,
+    duplicate keys, and referential-integrity violations in one row."""
+    from data_wrangle_openstreetmaps_data_spark.operators import quality
+
+    orders = table(spark, sf, "orders")
+    customer = table(spark, sf, "customer")
+    report = quality.quality_report(
+        orders,
+        non_null=["o_orderkey", "o_custkey", "o_orderstatus"],
+        ranges={"o_totalprice": (0.0, 1e7)},
+        unique="o_orderkey",
+    )
+    orphans = quality.referential_violations(
+        orders, customer, "o_custkey", "c_custkey"
+    ).agg(F.count(F.lit(1)).alias("orphan_orders"))
+    return report.crossJoin(orphans)
+
+
 def q_rollup_counts(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — grouping-sets surface absent from the reference (SURVEY.md
     §2.6): ROLLUP subtotals over (returnflag, linestatus)."""
@@ -1267,6 +1286,27 @@ ORACLES: dict[str, str | None] = {
     "q_histogram": """
         SELECT CAST(floor(value / 10) AS BIGINT) AS bin, count(*) AS cnt
         FROM events GROUP BY bin
+    """,
+    "q_data_quality": """
+        WITH report AS (
+          SELECT count(*) FILTER (WHERE o_orderkey IS NULL) AS null_o_orderkey,
+                 count(*) FILTER (WHERE o_custkey IS NULL) AS null_o_custkey,
+                 count(*) FILTER (WHERE o_orderstatus IS NULL) AS null_o_orderstatus,
+                 count(*) FILTER (WHERE o_totalprice < 0.0 OR o_totalprice > 1e7)
+                   AS oob_o_totalprice,
+                 count(*) AS n_rows
+          FROM orders
+        ),
+        dups AS (
+          SELECT count(*) AS dup_keys_o_orderkey FROM (
+            SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1
+          )
+        ),
+        orphans AS (
+          SELECT count(*) AS orphan_orders FROM orders
+          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        )
+        SELECT * FROM report, dups, orphans
     """,
     "q_rollup_counts": """
         SELECT l_returnflag, l_linestatus, count(*) AS cnt
