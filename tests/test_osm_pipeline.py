@@ -143,6 +143,30 @@ def test_wrangle_pipeline_end_to_end(spark, osm_file):
     assert json_sink.read_store(spark, out_store).count() == 6
 
 
+def test_resolve_refs_join(spark, osm_file):
+    # EXT-J1 on real OSM-shaped data: way refs resolved to node positions
+    from data_wrangle_openstreetmaps_data_spark.operators.join import resolve_refs
+    from data_wrangle_openstreetmaps_data_spark.operators.reshape import (
+        shape_elements,
+    )
+    from data_wrangle_openstreetmaps_data_spark.sources import osm
+
+    docs = shape_elements(osm.read_osm(spark, osm_file))
+    ways = docs.filter(docs["type"] == "way")
+    nodes = docs.filter(docs["type"] == "node")
+    resolved = resolve_refs(ways, nodes).collect()
+    by_way = {}
+    for r in resolved:
+        by_way.setdefault(r["way_id"], []).append(r)
+    w7 = sorted(by_way["7"], key=lambda r: r["seq"])
+    # way 7 references nodes 2 and 3 — both resolve with positions, in order
+    assert [r["ref"] for r in w7] == ["2", "3"]
+    assert all(r["pos"] is not None for r in w7)
+    # the G2 way references nodes absent from the fixture → left join nulls
+    g2 = by_way["209809850"]
+    assert len(g2) == 7 and all(r["pos"] is None for r in g2)
+
+
 def test_malformed_rows_do_not_kill_the_scan(spark):
     # production posture: one bad element must not fail a 100 TB ingest —
     # the XML datasource's PERMISSIVE mode nulls out malformed rows
