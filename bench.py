@@ -33,6 +33,10 @@ HEADLINE = [
     "q_dedup_exact",
     "q_ngram_jaccard",
     "q_dedup_minhash",
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q6",
     "q_doc_fingerprint",
     "q_quality_score",
     "q_lang_id",

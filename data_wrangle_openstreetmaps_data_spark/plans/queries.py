@@ -721,6 +721,116 @@ def q_histogram(spark: SparkSession, sf: str) -> DataFrame:
     return df.groupBy(bin_.alias("bin")).agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def _ts(date_str: str) -> F.Column:
+    """TIMESTAMP_NTZ literal matching the testdata's naive timestamps."""
+    return F.expr(f"TIMESTAMP_NTZ '{date_str} 00:00:00'")
+
+
+def _dec_sum(expr: F.Column, scale: str = "decimal(20,6)") -> F.Column:
+    """Exact decimal sum of a double expression, surfaced as double."""
+    return F.sum(expr.cast(scale)).cast("double")
+
+
+def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) adapted to the testdata schema —
+    the canonical scan-heavy aggregate; exact decimal arithmetic."""
+    li = table(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    out = (
+        li.filter(F.col("l_shipdate") <= _ts("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+            _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dec_sum(disc_price).alias("sum_disc_price"),
+            _dec_sum(charge).alias("sum_charge"),
+            text.round4(
+                _dec_sum(F.col("l_quantity")) / F.count(F.lit(1))
+            ).alias("avg_qty"),
+            text.round4(
+                _dec_sum(F.col("l_discount")) / F.count(F.lit(1))
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return out
+
+
+def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): selective join + top-10 by revenue."""
+    cust = table(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < _ts("1995-03-15")
+    )
+    li = table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > _ts("1995-03-15")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dec_sum(revenue).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): 6-way join, broadcast dims."""
+    region = table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    nation = table(spark, sf, "nation")
+    cust = table(spark, sf, "customer")
+    supp = table(spark, sf, "supplier")
+    orders = table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-01-01"))
+    )
+    li = table(spark, sf, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(supp),
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg(_dec_sum(revenue).alias("revenue"))
+    )
+
+
+def q_tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue): pure pushdown-filter aggregate."""
+    li = table(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue"
+            )
+        )
+    )
+
+
 def _fake_latlon(df: DataFrame) -> DataFrame:
     """Deterministic lat/lon derived from event fields (testdata has no
     geo columns): Kolkata-ish box, exact double arithmetic."""
@@ -1332,6 +1442,53 @@ ORACLES: dict[str, str | None] = {
     "q_histogram": """
         SELECT CAST(floor(value / 10) AS BIGINT) AS bin, count(*) AS cnt
         FROM events GROUP BY bin
+    """,
+    "q_tpch_q1": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS sum_disc_price,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(20,6))) AS DOUBLE) AS sum_charge,
+               floor(CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_qty,
+               floor(CAST(sum(CAST(l_discount AS DECIMAL(20,6))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q_tpch_q3": """
+        SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate, o_orderpriority,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    "q_tpch_q5": """
+        SELECT n_name,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+    """,
+    "q_tpch_q6": """
+        SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
     """,
     "q_geo_bbox": """
         WITH pts AS (
