@@ -130,10 +130,15 @@ def dedup_minhash_lsh(
     band key — each doc emits `bands` rows, so the join input is O(n·bands),
     never O(n²)); the true shingle-set Jaccard then filters false positives.
     """
+    from pyspark.storagelevel import StorageLevel
+
     rows_per_band = n_hashes // bands
-    # ONE persisted shingle-hash table feeds signatures AND verification
+    # ONE persisted shingle-hash table feeds signatures AND verification;
+    # sigs persisted too — both sides of the band self-join read it
     sh = _shingle_hashes(df, text_col, id_col, shingle_k)
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k, sh=sh)
+    sigs = minhash_signatures(
+        df, text_col, id_col, n_hashes, shingle_k, sh=sh
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     # Band rows carry (id, band, band_sig) ONLY — one 8-byte key per band.
     banded = sigs.select(
