@@ -877,6 +877,23 @@ def q_geo_grid(spark: SparkSession, sf: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — semi-structured JSON column processing: extract props.k and
+    aggregate per event type (get_json_object / JSON path)."""
+    df = table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        df.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("k").isNotNull(), 1)).alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def q_data_quality(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — ingest-gate quality report: null counts, range violations,
     duplicate keys, and referential-integrity violations in one row."""
@@ -1526,6 +1543,18 @@ ORACLES: dict[str, str | None] = {
                CAST(CAST(floor(lat / 0.1) AS BIGINT) AS VARCHAR) AS cell,
                count(*) AS cnt
         FROM pts GROUP BY cell
+    """,
+    "q_json_extract": """
+        WITH k AS (
+          SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events
+        )
+        SELECT event_type,
+               count(*) FILTER (WHERE k IS NOT NULL) AS n_with_k,
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               min(k) AS min_k, max(k) AS max_k
+        FROM k GROUP BY event_type
     """,
     "q_data_quality": """
         WITH report AS (
