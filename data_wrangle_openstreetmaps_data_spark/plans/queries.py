@@ -469,6 +469,47 @@ def q_join_resolve_refs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_window_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — window-function family: lag, rank, running sum per user over
+    event time (deterministic via event_id tiebreak)."""
+    from pyspark.sql import Window
+
+    df = table(spark, sf, "events").withColumn("tsn", F.expr("ts div 1000"))
+    w = Window.partitionBy("user_id").orderBy("tsn", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.select(
+        "event_id",
+        "user_id",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.rank().over(w).alias("rnk"),
+        text.round4(F.sum(F.col("value").cast("decimal(18,2)")).over(wsum).cast("double")).alias("run_sum"),
+    )
+
+
+def q_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — left semi join: customers having at least one order."""
+    cust = table(spark, sf, "customer")
+    orders = table(spark, sf, "orders")
+    return (
+        cust.join(
+            orders, cust["c_custkey"] == orders["o_custkey"], "left_semi"
+        )
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+def q_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — left anti join: customers with no pending ('P') order."""
+    cust = table(spark, sf, "customer")
+    pending = table(spark, sf, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        cust.join(
+            pending, cust["c_custkey"] == pending["o_custkey"], "left_anti"
+        )
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
 def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — as-of join: each purchase matched to the user's latest signup
     at-or-before it (union + forward-fill window; one shuffle)."""
@@ -1301,6 +1342,29 @@ ORACLES: dict[str, str | None] = {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
+    """,
+    "q_window_functions": """
+        WITH e AS (SELECT *, epoch_us(ts) AS tsn FROM events)
+        SELECT event_id, user_id,
+               lag(value, 1) OVER w AS prev_value,
+               rank() OVER w AS rnk,
+               floor(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+                 PARTITION BY user_id ORDER BY tsn, event_id
+                 ROWS UNBOUNDED PRECEDING
+               ) AS DOUBLE) * 10000 + 0.5) / 10000 AS run_sum
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)
+    """,
+    "q_semi_join": """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "q_anti_join": """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderstatus = 'P'
+        )
     """,
     "q_asof_join": """
         WITH ev AS (SELECT *, epoch_us(ts) AS tsn FROM events),
