@@ -44,6 +44,31 @@ def referential_violations(
     )
 
 
+def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Per-column profile in ONE pass: nulls, approx distinct, min/max.
+    Long format (column, metric, value-as-string) so heterogeneous column
+    types coexist; the single agg keeps it one scan regardless of column
+    count (vs one job per column)."""
+    cols = cols or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+            F.approx_count_distinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = []
+    for c in cols:
+        for m in ("nulls", "distinct", "min", "max"):
+            stack_args += [F.lit(f"{c}:{m}"), F.col(f"{c}__{m}").cast("string")]
+    n = len(cols) * 4
+    return wide.select(
+        F.stack(F.lit(n), *stack_args).alias("metric", "value")
+    )
+
+
 def quality_report(
     df: DataFrame,
     non_null: list[str] = (),

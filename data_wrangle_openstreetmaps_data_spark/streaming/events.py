@@ -71,6 +71,47 @@ def streaming_user_counts(stream: DataFrame) -> DataFrame:
     return stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "signup",
+    within: str = "interval 7 days",
+    watermark: str = "30 days",
+) -> DataFrame:
+    """Stream-stream inner join: each left event joined to the same user's
+    right events that happened at-or-before it within `within`.
+
+    Both sides carry watermarks so the join state is bounded: a right-side
+    row can be dropped once the left watermark passes its time + interval
+    (this is the state-cleanup contract that makes stream-stream joins
+    viable over unbounded streams)."""
+    l = (
+        with_event_time(left.filter(F.col("event_type") == left_type))
+        .withWatermark("event_time", watermark)
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("l_event_id"),
+            F.col("event_time").alias("l_time"),
+        )
+    )
+    r = (
+        with_event_time(right.filter(F.col("event_type") == right_type))
+        .withWatermark("event_time", watermark)
+        .select(
+            F.col("user_id").alias("r_user_id"),
+            F.col("event_id").alias("r_event_id"),
+            F.col("event_time").alias("r_time"),
+        )
+    )
+    return l.join(
+        r,
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("r_time") <= F.col("l_time"))
+        & (F.col("r_time") >= F.col("l_time") - F.expr(within)),
+    ).select("user_id", "l_event_id", "r_event_id", "l_time", "r_time")
+
+
 def run_to_memory(
     query_df: DataFrame, name: str, output_mode: str = "append"
 ):
