@@ -1,0 +1,109 @@
+"""Scale-stress check: run headline operators at ~10× sf0.1 (≈6M lineitem
+rows) by replicating the fact tables with shifted keys, plus a skewed-join
+probe (one key owning ~33% of rows) to exercise AQE skew handling.
+
+Prints one JSON line. The thing to look at: wall times should scale
+roughly linearly with the 10× data (shuffle-bound ops), and the skewed
+join should complete without a straggler dominating.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from data_wrangle_openstreetmaps_data_spark.catalog import table
+from data_wrangle_openstreetmaps_data_spark.operators.topk import (
+    topk_group_count,
+    topk_per_group,
+)
+from data_wrangle_openstreetmaps_data_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+FACTOR = int(os.environ.get("STRESS_FACTOR", "10"))
+
+
+def replicate(df, key_cols: list[str], factor: int):
+    """factor× the data with shifted keys (distinct key spaces per copy)."""
+    rep = df.withColumn("_copy", F.explode(F.array(*[F.lit(i) for i in range(factor)])))
+    for k in key_cols:
+        rep = rep.withColumn(k, F.col(k) + F.col("_copy") * 10_000_000)
+    return rep.drop("_copy")
+
+
+def main() -> None:
+    spark = get_spark("stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+
+    li = replicate(
+        table(spark, SF_DIR, "lineitem"), ["l_orderkey"], FACTOR
+    )
+    ev = replicate(table(spark, SF_DIR, "events"), ["event_id"], FACTOR)
+
+    t0 = time.perf_counter()
+    n_li = li.count()
+    timings["materialize_count"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    topk_group_count(ev, "event_type", 10, "event_type").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    timings["topk_group_count"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(20,6)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .write.format("noop").mode("overwrite").save()
+    )
+    timings["tpch_q1_core"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    topk_per_group(li, "l_returnflag", "l_linestatus", 2).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    timings["topk_per_group"] = round(time.perf_counter() - t0, 2)
+
+    # skewed join: hot key owns ~1/3 of the fact side
+    orders = table(spark, SF_DIR, "orders")
+    skewed = li.withColumn(
+        "jk",
+        F.when(F.col("l_linenumber") % 3 == 0, F.lit(1)).otherwise(
+            F.pmod(F.col("l_orderkey"), 15000)
+        ),
+    )
+    dim = orders.select(
+        F.pmod(F.col("o_orderkey"), 15000).alias("jk"), "o_orderpriority"
+    ).dropDuplicates(["jk"])
+    t0 = time.perf_counter()
+    n_join = skewed.join(dim.hint("merge"), "jk").count()
+    timings["skewed_sort_merge_join"] = round(time.perf_counter() - t0, 2)
+
+    print(
+        json.dumps(
+            {
+                "metric": "stress_wall",
+                "unit": "sec",
+                "factor": FACTOR,
+                "lineitem_rows": n_li,
+                "skewed_join_rows": n_join,
+                "timings": timings,
+                "value": round(sum(timings.values()), 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
