@@ -469,6 +469,48 @@ def q_join_resolve_refs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_scalar_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — scalar-subquery pattern: orders above the global average
+    price. Spark-side: the single-row aggregate is broadcast-cross-joined
+    (what Catalyst decorrelates a scalar subquery into)."""
+    orders = table(spark, sf, "orders")
+    avg_row = orders.agg(
+        text.round4(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_price")
+    )
+    return (
+        orders.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            F.max("avg_price").alias("avg_price"),
+        )
+    )
+
+
+def q_correlated_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — correlated-subquery pattern: each customer's most expensive
+    order. Decorrelated form: per-key aggregate joined back on (key, max)."""
+    orders = table(spark, sf, "orders")
+    maxes = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.max("o_totalprice").alias("max_price")
+    )
+    return (
+        orders.join(
+            maxes,
+            (orders["o_custkey"] == maxes["ck"])
+            & (orders["o_totalprice"] == maxes["max_price"]),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.min("o_orderkey").alias("orderkey"),  # dedup exact-tie orders
+            F.max("max_price").alias("max_price"),
+        )
+    )
+
+
 def q_window_functions(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — window-function family: lag, rank, running sum per user over
     event time (deterministic via event_id tiebreak)."""
@@ -1342,6 +1384,25 @@ ORACLES: dict[str, str | None] = {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
+    """,
+    "q_scalar_subquery": """
+        WITH a AS (
+          SELECT floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*) * 10000 + 0.5) / 10000 AS avg_price
+          FROM orders
+        )
+        SELECT count(*) AS n_above, max(avg_price) AS avg_price
+        FROM orders, a WHERE o_totalprice > avg_price
+    """,
+    "q_correlated_subquery": """
+        SELECT o_custkey, min(o_orderkey) AS orderkey,
+               max(o_totalprice) AS max_price
+        FROM orders o
+        WHERE o_totalprice = (
+          SELECT max(o_totalprice) FROM orders i
+          WHERE i.o_custkey = o.o_custkey
+        )
+        GROUP BY o_custkey
     """,
     "q_window_functions": """
         WITH e AS (SELECT *, epoch_us(ts) AS tsn FROM events)
