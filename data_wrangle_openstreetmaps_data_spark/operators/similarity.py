@@ -118,7 +118,6 @@ def lsh_bucket_topk(
     a query a partition-pruned scan instead of a full sweep."""
     planes = _seeded_projections(dim, n_planes, seed)
     bucketed = embeddings.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
-    qdf_bucket = None
     # compute the query's bucket driver-side (tiny, deterministic)
     qb = 0
     for p, plane in enumerate(planes):
