@@ -469,6 +469,62 @@ def q_join_resolve_refs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_null_semantics(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — null-handling family: nullif, coalesce, null-safe equality."""
+    df = table(spark, sf, "orders")
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return (
+        df.select(
+            "o_orderkey",
+            F.coalesce(status_or_null, F.lit("PENDING")).alias("status2"),
+            status_or_null.eqNullSafe(F.lit("O")).alias("is_open_nullsafe"),
+            status_or_null.isNull().alias("was_pending"),
+        )
+    )
+
+
+def q_sort_multi(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — multi-key global sort + limit (TakeOrderedAndProject)."""
+    df = table(spark, sf, "orders")
+    return (
+        df.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy(
+            F.asc("o_orderstatus"), F.desc("o_totalprice"), F.asc("o_orderkey")
+        )
+        .limit(50)
+    )
+
+
+def q_string_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — string-function family with engine-identical semantics."""
+    df = table(spark, sf, "customer")
+    name = F.col("c_name")
+    return df.select(
+        "c_custkey",
+        F.upper(name).alias("up"),
+        F.substring(name, 10, 5).alias("mid"),
+        F.length(name).alias("len"),
+        F.regexp_replace(name, "0", "_").alias("subbed"),
+        F.reverse(name).alias("rev"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.concat_ws("-", F.lit("C"), F.col("c_mktsegment")).alias("tagged"),
+    )
+
+
+def q_array_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — array-function family over a derived token array."""
+    df = table(spark, sf, "orders")
+    arr = F.split("o_orderpriority", "-")
+    return df.select(
+        "o_orderkey",
+        F.size(arr).alias("n"),
+        F.array_contains(arr, "URGENT").alias("has_urgent"),
+        F.element_at(arr, -1).alias("last_el"),
+        F.array_join(F.array_sort(arr), "|").alias("sorted_join"),
+        F.array_join(F.array_sort(F.array_distinct(F.concat(arr, arr))), "|").alias("dedup_join"),
+    )
+
+
 def q_scalar_subquery(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — scalar-subquery pattern: orders above the global average
     price. Spark-side: the single-row aggregate is broadcast-cross-joined
@@ -1384,6 +1440,44 @@ ORACLES: dict[str, str | None] = {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
+    """,
+    "q_null_semantics": """
+        SELECT o_orderkey,
+               coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status2,
+               nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM 'O'
+                 AS is_open_nullsafe,
+               nullif(o_orderstatus, 'P') IS NULL AS was_pending
+        FROM orders
+    """,
+    "q_sort_multi": """
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC
+        LIMIT 50
+    """,
+    "q_string_functions": """
+        SELECT c_custkey,
+               upper(c_name) AS up,
+               substr(c_name, 10, 5) AS mid,
+               CAST(length(c_name) AS INT) AS len,
+               regexp_replace(c_name, '0', '_', 'g') AS subbed,
+               reverse(c_name) AS rev,
+               lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+               'C' || '-' || c_mktsegment AS tagged
+        FROM customer
+    """,
+    "q_array_functions": """
+        WITH a AS (
+          SELECT o_orderkey, string_split(o_orderpriority, '-') AS arr
+          FROM orders
+        )
+        SELECT o_orderkey,
+               CAST(len(arr) AS INT) AS n,
+               list_contains(arr, 'URGENT') AS has_urgent,
+               arr[-1] AS last_el,
+               array_to_string(list_sort(arr), '|') AS sorted_join,
+               array_to_string(list_sort(list_distinct(list_concat(arr, arr))), '|')
+                 AS dedup_join
+        FROM a
     """,
     "q_scalar_subquery": """
         WITH a AS (
