@@ -117,6 +117,68 @@ def decode_features(df: DataFrame, media_type: str = "image") -> DataFrame:
     return df.select("doc_id", "media").mapInPandas(kernel, FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media", T.BinaryType()),
+        T.StructField(
+            "media_meta",
+            T.StructType(
+                [
+                    T.StructField("media_type", T.StringType()),
+                    T.StructField("format", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def resize(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Resize plumbing: blob → smaller blob + updated metadata struct.
+
+    Stub kernel: deterministic byte truncation proportional to the pixel
+    reduction (a real implementation decodes, resamples, re-encodes).
+    Demonstrates the metadata-consistency contract: the output struct
+    reflects the transform, so downstream filters on dimensions stay
+    correct without touching blob bytes."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_media = []
+            out_meta = []
+            for blob, meta in zip(pdf["media"], pdf["media_meta"]):
+                b = bytes(blob)
+                ow = meta["width"] or width
+                oh = meta["height"] or height
+                scale = (width * height) / max(1, ow * oh)
+                n = max(1, int(len(b) * min(1.0, scale)))
+                out_media.append(b[:n])
+                out_meta.append(
+                    {
+                        "media_type": meta["media_type"],
+                        "format": meta["format"],
+                        "width": width,
+                        "height": height,
+                        "duration_ms": meta["duration_ms"],
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": out_media,
+                    "media_meta": out_meta,
+                }
+            )
+
+    return df.select("doc_id", "media", "media_meta").mapInPandas(
+        kernel, RESIZED_SCHEMA
+    )
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 64,
                  max_frames: int = 4) -> DataFrame:
     """'Frame sampling' plumbing: emit up to max_frames byte-slices per

@@ -50,6 +50,17 @@ def test_unknown_media_type_raises(spark):
         media.decode_features(_media_df(spark), media_type="hologram")
 
 
+def test_resize_updates_metadata_and_shrinks_blob(spark):
+    df = _media_df(spark, n=5)
+    before = {r["doc_id"]: len(bytes(r["media"])) for r in df.collect()}
+    out = media.resize(df, width=32, height=32).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["media_meta"]["width"] == 32
+        assert r["media_meta"]["height"] == 32
+        assert len(bytes(r["media"])) <= before[r["doc_id"]]
+
+
 def test_frame_sample_expansion(spark):
     frames = media.frame_sample(_media_df(spark, n=5), every_n_bytes=32,
                                 max_frames=3).collect()
