@@ -54,12 +54,11 @@ def _clean_tag_entries(tags: Column) -> Column:
     tags array: fix street values (type normalize + housenumber split),
     fix city values, and append a lifted addr:housenumber entry when a
     street value contained one."""
-    street_val = F.element_at(
-        F.map_from_entries(
-            F.filter(tags, lambda t: t["k"] == F.lit("addr:street"))
-        ),
-        F.lit("addr:street"),
-    )
+    # last addr:street value (dict last-wins semantics; no map build, so
+    # duplicate keys can't trip the session's mapKeyDedupPolicy)
+    street_val = F.try_element_at(
+        F.filter(tags, lambda t: t["k"] == F.lit("addr:street")), F.lit(-1)
+    )["v"]
     norm_street = normalize_street_type(street_val)
     lifted_housenum, fixed_street = split_housenumber(norm_street)
 
@@ -85,6 +84,21 @@ def _clean_tag_entries(tags: Column) -> Column:
     return (
         F.when(lifted_housenum.isNotNull(), F.concat(without_hn, hn_entry))
         .otherwise(F.concat(without_hn, existing_hn))
+    )
+
+
+def _entries_last_wins(entries: Column) -> Column:
+    """Drop earlier duplicates of a key, keeping the LAST occurrence —
+    the reference's dict-assignment semantics (node[key]=val overwrites,
+    openstreet_kolkata.py:515,520). Explicit, so the reshape does not
+    depend on the session's spark.sql.mapKeyDedupPolicy (default throws).
+    O(tags²) per element, but tag lists are tiny."""
+    return F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(entries, i + 2, F.size(entries)),
+            lambda later: later["k"] == e["k"],
+        ),
     )
 
 
@@ -121,10 +135,10 @@ def shape_elements(
     )
     # drop addr:x:y — remainder still matching lower_colon (:510-515)
     addr_kept = F.filter(addr_stripped, lambda t: ~t["k"].rlike(LOWER_COLON_RE))
-    address = F.map_from_entries(addr_kept)
+    address = F.map_from_entries(_entries_last_wins(addr_kept))
 
     residual = F.map_from_entries(
-        F.filter(ok, lambda t: ~t["k"].startswith("addr:"))
+        _entries_last_wins(F.filter(ok, lambda t: ~t["k"].startswith("addr:")))
     )
 
     created = F.struct(*[F.col(f).alias(f) for f in CREATED_FIELDS])

@@ -156,6 +156,52 @@ def test_validity_gate(spark):
     assert ids == ["1"]
 
 
+def test_duplicate_tag_keys_last_wins(spark):
+    # reference dict semantics: a repeated key overwrites (last wins) —
+    # must hold even under the strict default mapKeyDedupPolicy
+    df = spark.createDataFrame(
+        [
+            _raw(
+                id="1", type="node", user="u",
+                tags=[
+                    Row(k="amenity", v="old"),
+                    Row(k="amenity", v="new"),
+                    Row(k="addr:city", v="first"),
+                    Row(k="addr:city", v="second"),
+                ],
+            )
+        ],
+        RAW_SCHEMA,
+    )
+    prev = spark.conf.get("spark.sql.mapKeyDedupPolicy")
+    try:
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+        row = shape_elements(df, clean=False).collect()[0].asDict(recursive=True)
+    finally:
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", prev)
+    assert row["tags"] == {"amenity": "new"}
+    assert row["address"] == {"city": "second"}
+    # and with cleaning on (street-value extraction path)
+    df2 = spark.createDataFrame(
+        [
+            _raw(
+                id="2", type="node", user="u",
+                tags=[
+                    Row(k="addr:street", v="ignored st"),
+                    Row(k="addr:street", v="Park st"),
+                ],
+            )
+        ],
+        RAW_SCHEMA,
+    )
+    try:
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+        row2 = shape_elements(df2).collect()[0].asDict(recursive=True)
+    finally:
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", prev)
+    assert row2["address"]["street"] == "Park Street"
+
+
 def test_housenumber_lift(spark):
     # R6: street value with a leading house number lifts into the address
     df = spark.createDataFrame(
