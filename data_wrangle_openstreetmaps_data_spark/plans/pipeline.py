@@ -102,7 +102,7 @@ def wrangle_maps(
     if out_store:
         json_sink.write_store(docs, out_store)
 
-    tags_map = F.col("tags")
+    tags_map = F.col("tags")  # noqa: E501  (queries below mirror query_data)
     queries = {
         # query_data (openstreet_kolkata.py:596-655)
         "unique_users": audit_ops.distinct_count(docs, "created.user"),
@@ -128,3 +128,43 @@ def wrangle_maps(
         ),
     }
     return WrangleResult(raw=raw, docs=docs, audits=audits, queries=queries)
+
+
+def main(argv: list[str] | None = None) -> None:
+    """CLI mirroring the reference's __main__ (openstreet_kolkata.py:694-702):
+
+        python -m data_wrangle_openstreetmaps_data_spark.plans.pipeline \\
+            <osm_file_or_glob> [out_dir]
+
+    Prints each audit and query result (the reference pprints its
+    accumulators); writes JSON-lines + parquet store when out_dir given.
+    """
+    import sys
+
+    from data_wrangle_openstreetmaps_data_spark.session import get_spark
+
+    args = sys.argv[1:] if argv is None else argv
+    if not args:
+        print(__doc__)
+        raise SystemExit(2)
+    osm_path = args[0]
+    out_dir = args[1] if len(args) > 1 else None
+    spark = get_spark("wrangle-maps")
+    spark.sparkContext.setLogLevel("ERROR")
+    res = wrangle_maps(
+        spark,
+        osm_path,
+        out_json=f"{out_dir}/docs_json" if out_dir else None,
+        out_store=f"{out_dir}/docs_store" if out_dir else None,
+    )
+    for name, df in res.audits.items():
+        print(f"\n== audit: {name}")
+        df.show(20, truncate=False)
+    for name, df in res.queries.items():
+        print(f"\n== query: {name}")
+        df.show(20, truncate=False)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
