@@ -191,6 +191,50 @@ def ivf_topk(
     )
 
 
+class AnnIndex:
+    """'Index once, query many' ANN session (cf. incremental top-k search
+    in interactive sessions, EDBT 2020): the LSH bucketing is computed and
+    persisted ONCE; each query is a bucket-pruned scan of the cached
+    table. At rest this is a table partitioned by bucket; interactively
+    it's a persisted DataFrame."""
+
+    def __init__(self, embeddings: DataFrame, n_planes: int = 4,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 dim: int = 64, seed: int = 42):
+        from pyspark.storagelevel import StorageLevel
+
+        self.planes = _seeded_projections(dim, n_planes, seed)
+        self.id_col, self.vec_col = id_col, vec_col
+        self.bucketed = embeddings.withColumn(
+            "_bucket", lsh_bucket(F.col(vec_col), self.planes)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def query(self, query_vec: list[float], k: int = 10,
+              probes: int = 1) -> DataFrame:
+        """Top-k from the query's bucket (probes>1 additionally scans the
+        buckets at Hamming distance 1 in bucket-bit space, trading cost
+        for recall)."""
+        qb = 0
+        for p, plane in enumerate(self.planes):
+            d = sum(float(a) * float(b) for a, b in zip(query_vec, plane))
+            if d >= 0:
+                qb |= 2 ** p
+        buckets = {qb}
+        if probes > 1:
+            buckets |= {qb ^ (1 << i) for i in range(len(self.planes))}
+        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        sim = round4(cosine(F.col(self.vec_col), q))
+        return (
+            self.bucketed.filter(F.col("_bucket").isin(*[int(b) for b in buckets]))
+            .select(F.col(self.id_col), sim.alias("sim"))
+            .orderBy(F.desc("sim"), F.col(self.id_col))
+            .limit(k)
+        )
+
+    def unpersist(self) -> None:
+        self.bucketed.unpersist()
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,

@@ -63,6 +63,23 @@ def test_ivf_topk_recall(emb, qvec):
     assert sims == sorted(sims, reverse=True)
 
 
+def test_ann_index_query_many(spark, emb, qvec):
+    idx = similarity.AnnIndex(emb)
+    try:
+        r1 = idx.query(qvec, k=5).collect()
+        assert r1[0]["vec_id"] == 0
+        # a second, different query reuses the same persisted bucketing
+        q2 = list(emb.filter(F.col("vec_id") == 7).first()["embedding"])
+        r2 = idx.query(q2, k=5).collect()
+        assert r2[0]["vec_id"] == 7
+        # multiprobe widens the candidate set monotonically
+        single = {r["vec_id"] for r in idx.query(qvec, k=50, probes=1).collect()}
+        multi = {r["vec_id"] for r in idx.query(qvec, k=50, probes=2).collect()}
+        assert len(multi) >= len(single)
+    finally:
+        idx.unpersist()
+
+
 def test_knn_join_respects_k_and_excludes_self(spark, emb):
     sub = emb.limit(60)
     got = similarity.knn_join(sub, sub, k=3).collect()
