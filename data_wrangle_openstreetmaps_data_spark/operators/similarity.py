@@ -191,6 +191,42 @@ def ivf_topk(
     )
 
 
+def tfidf_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keyword search: rank documents by tf-idf overlap with the query.
+
+    One explode + two aggregations: df(t) counted over the corpus, tf per
+    (doc, term), score = Σ tf · ln(N/df). The per-term idf table is tiny
+    (≤ |query| rows) and broadcast; the corpus is scanned once. This is
+    the inverted-index probe pattern — at rest you'd precompute the
+    (term, doc, tf) table and partition by term."""
+    from data_wrangle_openstreetmaps_data_spark.functions.text import (
+        round4,
+        tokens,
+    )
+
+    n_docs = docs.count()  # scalar corpus size (one cheap job)
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
+    ).filter(F.col("tok").isin(*query_terms))
+    df_t = toks.groupBy("tok").agg(
+        F.countDistinct("id").alias("df")
+    )
+    tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    scored = (
+        tf.join(F.broadcast(df_t), "tok")
+        .withColumn("w", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+        .groupBy("id")
+        .agg(round4(F.sum("w")).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.col("id")).limit(k)
+
+
 class AnnIndex:
     """'Index once, query many' ANN session (cf. incremental top-k search
     in interactive sessions, EDBT 2020): the LSH bucketing is computed and

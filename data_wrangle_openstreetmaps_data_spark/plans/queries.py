@@ -718,6 +718,16 @@ def q_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+SEARCH_TERMS = ["spark", "query", "window"]
+
+
+def q_text_search(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-T — tf-idf keyword search: top-10 documents for a fixed query."""
+    return similarity.tfidf_search(
+        table(spark, sf, "documents"), SEARCH_TERMS, k=10
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-T — deterministic document fingerprint (md5 of normalized text)."""
     df = table(spark, sf, "documents")
@@ -1589,6 +1599,25 @@ ORACLES: dict[str, str | None] = {
             {_sql_regex(text.BPE_ISH_RE)})) AS tok
           FROM documents
         ) GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20
+    """,
+    "q_text_search": f"""
+        WITH toks AS (
+          SELECT doc_id AS id, unnest({_TOKENS_SQL}) AS tok FROM documents
+        ),
+        hits AS (
+          SELECT id, tok FROM toks
+          WHERE tok IN ({', '.join(f"'{t}'" for t in SEARCH_TERMS)})
+        ),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        dft AS (SELECT tok, count(DISTINCT id) AS df FROM hits GROUP BY tok),
+        tf AS (SELECT id, tok, count(*) AS tf FROM hits GROUP BY id, tok),
+        scored AS (
+          SELECT id,
+                 floor(sum(tf * ln(n_docs / df)) * 10000 + 0.5) / 10000 AS score
+          FROM tf JOIN dft USING (tok), n
+          GROUP BY id
+        )
+        SELECT id, score FROM scored ORDER BY score DESC, id LIMIT 10
     """,
     "q_doc_fingerprint": f"""
         SELECT doc_id, substr(md5({_NORM_TEXT_SQL}), 1, 16) AS fp FROM documents
