@@ -44,6 +44,10 @@ HEADLINE = [
     "q_rollup_counts",
     "q_time_bucket",
     "q_sessionize",
+    "q_asof_join",
+    "q_range_join",
+    "q_window_functions",
+    "q_text_search",
     "q_embedding_topk",
     "q_embedding_topk_arrow",
     "q_embedding_knn_bucketed",
