@@ -156,7 +156,9 @@ def q_filter_count(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_amenity_counts(spark: SparkSession, sf: str) -> DataFrame:
-    """A8 multi — the 7 amenity counts in one pass (openstreet_kolkata.py:610-616)."""
+    """A8 multi — the per-amenity counts in ONE pass instead of the
+    reference's 7 separate find().count() round-trips
+    (openstreet_kolkata.py:610-616); one count-if column per category."""
     df = table(spark, sf, "events")
     return df.agg(
         *[
