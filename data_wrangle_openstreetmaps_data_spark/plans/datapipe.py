@@ -1,0 +1,90 @@
+"""End-to-end training-data curation pipeline.
+
+The EXT operators composed the way a real LLM-data pipeline runs them::
+
+    ingest → quality gate → language filter → exact dedup
+           → near-dup clustering → keep representatives
+           → quality scoring → fingerprint → curated store
+
+Every stage is a DataFrame transformation; the only actions are the
+optional store write and the stats report. Stage order matters at scale:
+exact dedup (cheap hash groupBy) BEFORE near-dup detection (candidate
+joins) so the expensive stage sees the smallest corpus.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_wrangle_openstreetmaps_data_spark.functions import text
+from data_wrangle_openstreetmaps_data_spark.operators import dedup
+
+
+@dataclass
+class CurationResult:
+    curated: DataFrame
+    stats: dict[str, int]
+
+
+def curate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    languages: tuple[str, ...] = ("en",),
+    min_quality: float = 0.3,
+    near_dup_threshold: float = 0.7,
+    minhash_n: int = 16,
+    minhash_bands: int = 8,
+    shingle_k: int = 3,
+    out_store: str | None = None,
+) -> CurationResult:
+    """Run the curation pipeline; returns the curated frame + per-stage
+    retention counts (the numbers every data card reports)."""
+    stats: dict[str, int] = {"input": docs.count()}
+
+    # language filter (predicted, not trusted metadata)
+    preds = text.lang_id_table(docs, text_col, id_col).withColumnRenamed(
+        "id", id_col
+    )
+    docs = docs.join(preds, id_col).filter(F.col("pred").isin(*languages))
+    stats["after_lang_filter"] = docs.count()
+
+    # quality gate
+    docs = docs.withColumn("quality", text.quality_score(text_col)).filter(
+        F.col("quality") >= min_quality
+    )
+    stats["after_quality"] = docs.count()
+
+    # exact dedup: keep min-id representative per normalized text
+    keep_exact = dedup.dedup_exact(docs, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    docs = docs.join(keep_exact, id_col)
+    stats["after_exact_dedup"] = docs.count()
+
+    # near-dup: minhash candidates → connected components → keep reps.
+    # More, narrower bands than the standalone query default: recall of
+    # the banding step rises steeply with band count (1-(1-j^r)^b), and
+    # the verified-Jaccard filter removes the extra false candidates.
+    pairs = dedup.dedup_minhash_lsh(
+        docs,
+        text_col,
+        id_col,
+        n_hashes=minhash_n,
+        bands=minhash_bands,
+        shingle_k=shingle_k,
+        threshold=near_dup_threshold,
+    )
+    docs = dedup.dedup_keep_representatives(docs, pairs, id_col)
+    stats["after_near_dedup"] = docs.count()
+
+    curated = docs.withColumn("fp", text.fingerprint(text_col)).select(
+        id_col, text_col, "pred", "quality", "fp"
+    )
+    if out_store:
+        curated.write.mode("overwrite").parquet(out_store)
+    stats["curated"] = curated.count()
+    return CurationResult(curated=curated, stats=stats)
