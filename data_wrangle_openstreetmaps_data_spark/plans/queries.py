@@ -806,6 +806,19 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.dup_clusters(pairs).orderBy("id")
 
 
+def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — the full training-data curation pipeline (lang filter →
+    quality gate → exact dedup → near-dup clustering → fingerprint).
+    Contains the iterative clustering loop → rows-only check; stage
+    semantics pinned by tests/test_datapipe.py."""
+    from data_wrangle_openstreetmaps_data_spark.plans.datapipe import curate
+
+    res = curate(table(spark, sf, "documents"), near_dup_threshold=0.5)
+    return res.curated.select("doc_id", "pred", "quality", "fp").orderBy(
+        "doc_id"
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-D2 — SimHash chunk-join candidates (hamming<=24 shown).
     xxhash64 signatures are engine-internal → rows-only driver check."""
@@ -1887,6 +1900,7 @@ ORACLES: dict[str, str | None] = {
     "q_embedding_knn_join": None,
     "q_dedup_minhash": None,
     "q_dedup_clusters": None,
+    "q_curation_pipeline": None,
     "q_dedup_simhash": None,
     "q_multimodal_features": None,
     "q_streaming_windowed_counts": None,
