@@ -123,12 +123,18 @@ def dedup_minhash_lsh(
     bands: int = 4,
     shingle_k: int = 5,
     threshold: float = 0.7,
+    caches: list | None = None,
 ) -> DataFrame:
     """EXT-D2 — MinHash+LSH near-dup pairs (id_a < id_b, jaccard >= threshold).
 
     Candidates come from equality on any band signature (shuffle join on the
     band key — each doc emits `bands` rows, so the join input is O(n·bands),
     never O(n²)); the true shingle-set Jaccard then filters false positives.
+
+    Two intermediates are persisted (each referenced 2-3× downstream). Pass
+    a ``caches`` list to receive them so the caller can ``unpersist()``
+    once the result has been fully consumed; otherwise they stay cached
+    until LRU eviction.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -139,6 +145,8 @@ def dedup_minhash_lsh(
     sigs = minhash_signatures(
         df, text_col, id_col, n_hashes, shingle_k, sh=sh
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    if caches is not None:
+        caches.extend([sh, sigs])
 
     # Band rows carry (id, band, band_sig) ONLY — one 8-byte key per band.
     banded = sigs.select(

@@ -2,14 +2,16 @@
 
 The EXT operators composed the way a real LLM-data pipeline runs them::
 
-    ingest → quality gate → language filter → exact dedup
+    ingest → language filter → quality gate → exact dedup
            → near-dup clustering → keep representatives
-           → quality scoring → fingerprint → curated store
+           → fingerprint → curated store
 
-Every stage is a DataFrame transformation; the only actions are the
-optional store write and the stats report. Stage order matters at scale:
-exact dedup (cheap hash groupBy) BEFORE near-dup detection (candidate
-joins) so the expensive stage sees the smallest corpus.
+Stage order matters at scale: the cheap row-wise filters (language,
+quality) and the cheap hash-groupBy exact dedup run BEFORE near-dup
+detection, so the expensive candidate joins see the smallest corpus.
+Note the near-dup clustering stage is inherently EAGER (iterative
+connected components with per-round checkpoints) — everything before it
+stays lazy, everything after it is a narrow projection.
 """
 
 from __future__ import annotations
@@ -45,14 +47,19 @@ def curate(
     """Run the curation pipeline; returns the curated frame + per-stage
     retention counts (the numbers every data card reports).
 
-    ``collect_stats=False`` skips the per-stage count() actions — the
-    pipeline then executes as ONE lazy plan at write time (roughly half
-    the wall time; use for production runs, stats for data cards)."""
+    ``collect_stats=False`` skips the per-stage count() actions (use for
+    production runs, stats for data cards). The clustering stage still
+    executes eagerly either way — see the module docstring."""
 
     def _n(df):
         return df.count() if collect_stats else -1
 
     stats: dict[str, int] = {"input": _n(docs)}
+
+    # internal output columns must not collide with caller columns
+    for col in ("pred", "quality", "fp"):
+        if col in docs.columns:
+            docs = docs.drop(col)
 
     # language filter (predicted, not trusted metadata)
     preds = text.lang_id_table(docs, text_col, id_col).withColumnRenamed(
@@ -78,6 +85,7 @@ def curate(
     # More, narrower bands than the standalone query default: recall of
     # the banding step rises steeply with band count (1-(1-j^r)^b), and
     # the verified-Jaccard filter removes the extra false candidates.
+    caches: list = []
     pairs = dedup.dedup_minhash_lsh(
         docs,
         text_col,
@@ -86,8 +94,18 @@ def curate(
         bands=minhash_bands,
         shingle_k=shingle_k,
         threshold=near_dup_threshold,
+        caches=caches,
     )
-    docs = dedup.dedup_keep_representatives(docs, pairs, id_col)
+    # dup_clusters inside is eager (checkpointed label propagation), so the
+    # drop-list is materialized here; localCheckpoint it so the persisted
+    # minhash intermediates can be released immediately
+    clusters = dedup.dup_clusters(pairs)
+    drop = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    ).localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    docs = docs.join(drop, on=id_col, how="left_anti")
     stats["after_near_dedup"] = _n(docs)
 
     curated = docs.withColumn("fp", text.fingerprint(text_col)).select(
@@ -95,5 +113,7 @@ def curate(
     )
     if out_store:
         curated.write.mode("overwrite").parquet(out_store)
-    stats["curated"] = _n(curated)
+    # a narrow projection cannot change the row count — reuse the stage
+    # count instead of re-executing the whole plan
+    stats["curated"] = stats["after_near_dedup"]
     return CurationResult(curated=curated, stats=stats)

@@ -813,7 +813,11 @@ def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     semantics pinned by tests/test_datapipe.py."""
     from data_wrangle_openstreetmaps_data_spark.plans.datapipe import curate
 
-    res = curate(table(spark, sf, "documents"), near_dup_threshold=0.5)
+    res = curate(
+        table(spark, sf, "documents"),
+        near_dup_threshold=0.5,
+        collect_stats=False,  # the gate discards stats — skip 6 count() jobs
+    )
     return res.curated.select("doc_id", "pred", "quality", "fp").orderBy(
         "doc_id"
     )

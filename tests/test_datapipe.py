@@ -15,6 +15,9 @@ GOOD = (
 NEAR = GOOD.replace("garden", "yard")
 SPANISH = "el perro de la casa y que mas cosas de la vida y el sol"
 JUNK = "$$$ ### !!! ???"
+# passes the language filter (has stopwords) but drowns in punctuation →
+# exercises the quality gate as a DROPPING stage
+LOW_QUALITY = "the #### $$$$ %%%% of @@@@ ???? !!!! ^^^^ &&&& **** ((((("
 
 
 def test_curate_stages(spark):
@@ -24,19 +27,20 @@ def test_curate_stages(spark):
         (3, "  " + GOOD.upper()),  # normalized dup → dropped
         (4, NEAR),              # near dup of 1 → dropped by clustering
         (5, SPANISH),           # wrong language → dropped
-        (6, JUNK),              # low quality → dropped
+        (6, JUNK),              # no stopwords → 'und' → dropped at lang
         (7, "the small house of the old man is near the lake and the hills "
             "where a good dog barks at the moon and the stars at night"),
+        (8, LOW_QUALITY),       # English but low quality → quality gate
     ]
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     res = curate(docs, near_dup_threshold=0.5, out_store=TMP)
     ids = sorted(r["doc_id"] for r in res.curated.collect())
     assert ids == [1, 7]
     s = res.stats
-    assert s["input"] == 7
+    assert s["input"] == 8
     # spanish AND junk out here: no recognizable stopwords → pred 'und'
-    assert s["after_lang_filter"] == 5
-    assert s["after_quality"] == 5
+    assert s["after_lang_filter"] == 6
+    assert s["after_quality"] == 5            # LOW_QUALITY dropped HERE
     assert s["after_exact_dedup"] == 3        # 2,3 out
     assert s["after_near_dedup"] == 2         # 4 out
     assert s["curated"] == 2
@@ -45,3 +49,17 @@ def test_curate_stages(spark):
     assert back.count() == 2
     cols = set(back.columns)
     assert {"doc_id", "text", "pred", "quality", "fp"} <= cols
+
+
+def test_curate_tolerates_conflicting_input_columns(spark):
+    # caller frames may already carry pred/quality columns — curate must
+    # not crash (AMBIGUOUS_REFERENCE) or silently mix them in
+    docs = spark.createDataFrame(
+        [(1, GOOD, "xx", -1.0), (2, SPANISH, "yy", -2.0)],
+        ["doc_id", "text", "pred", "quality"],
+    )
+    res = curate(docs, near_dup_threshold=0.9)
+    rows = res.curated.collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    assert rows[0]["pred"] == "en"        # recomputed, not the stale 'xx'
+    assert rows[0]["quality"] > 0.0
