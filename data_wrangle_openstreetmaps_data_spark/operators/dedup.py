@@ -138,6 +138,12 @@ def dedup_minhash_lsh(
     """
     from pyspark.storagelevel import StorageLevel
 
+    if bands <= 0 or n_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide n_hashes={n_hashes}: a zero-width "
+            "band would give every document the same signature (O(n²) "
+            "candidates); a non-divisor silently discards minhashes"
+        )
     rows_per_band = n_hashes // bands
     # ONE persisted shingle-hash table feeds signatures AND verification;
     # sigs persisted too — both sides of the band self-join read it
@@ -215,7 +221,8 @@ def _jaccard_from_counts(
     )
 
 
-def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def dup_clusters(pairs: DataFrame, max_iters: int = 20,
+                 strict: bool = True) -> DataFrame:
     """Connected components over near-dup pairs → (id, cluster_id) with
     cluster_id = min doc id in the component. The dedup end-product: keep
     one representative per cluster, drop the rest.
@@ -264,6 +271,14 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # loop exhausted without a fixpoint: labels are NOT component minima
+        if strict:
+            raise RuntimeError(
+                f"dup_clusters did not converge within max_iters={max_iters} "
+                "(a component's diameter exceeds the round budget); raise "
+                "max_iters or pass strict=False to accept partial labels"
+            )
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
@@ -288,13 +303,18 @@ def simhash(df: DataFrame, text_col: str = "text",
 
     Expressed as a sum over exploded (doc, token) pairs — partial aggregation
     makes it one shuffle keyed by doc id at any scale."""
+    # explode_outer: empty/whitespace-only docs keep a (id, null) row, get
+    # the all-zero signature, and still pair with each other downstream
     tok = df.select(
-        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
+        F.col(id_col).alias("id"),
+        F.explode_outer(tokens(text_col)).alias("tok"),
     )
     h = F.xxhash64("tok")  # signature is internal-only → fast hash is fine
     bit_votes = [
         F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(F.col("tok").isNull(), 0)
+            .when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
         ).alias(f"b{i}")
         for i in range(bits)
     ]
@@ -362,6 +382,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.5,
+    caches: list | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join via an inverted index:
     explode distinct shingles, self-join on shingle (the index lookup),
@@ -374,6 +395,8 @@ def ngram_jaccard_pairs(
     # hashed-long shingle keys: 8-byte shuffle keys instead of ~20-byte
     # strings (collision odds ~n²/2⁶⁵ — negligible)
     sh = _shingle_hashes(df, text_col, id_col, shingle_k)
+    if caches is not None:
+        caches.append(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

@@ -52,6 +52,10 @@ def asof_join(
     """
     from pyspark.sql import Window
 
+    reserved = {"_t", "_side", "_rt"} | {f"_r_{v}" for v in value_cols}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(f"asof_join reserved working columns in input: {clash}")
     ltypes = dict(left.dtypes)
     rtypes = dict(right.dtypes)
     carry = [c for c in left.columns if c != by]  # left payload columns
@@ -106,6 +110,8 @@ def range_join(
     buckets it overlaps, the join is EQUALITY on bucket (hash join,
     shuffle-friendly), and the exact range predicate filters residuals.
     Cost: O(n + m·avg_buckets_per_interval)."""
+    if "_bucket" in left.columns or "_bucket" in intervals.columns:
+        raise ValueError("range_join reserved working column _bucket in input")
     lb = left.withColumn(
         "_bucket", F.floor(F.col(value_col) / bucket_width).cast("long")
     )

@@ -29,8 +29,16 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join big⋈small on `on`, salted into `salt_buckets` sub-keys.
 
-    Result equals ``big.join(small, on, how)`` exactly; only the physical
-    key distribution changes."""
+    Result equals ``big.join(small, on, how)`` exactly for inner/left
+    joins; right/full outer are rejected — the replicated small side
+    would emit one row per salt bucket for unmatched keys."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got how={how!r}: "
+            "unmatched small-side rows would be duplicated per salt bucket"
+        )
+    if "_salt" in big.columns or "_salt" in small.columns:
+        raise ValueError("input already has a _salt column")
     salted_big = big.withColumn(
         "_salt",
         F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)).cast("int"),

@@ -29,6 +29,9 @@ from data_wrangle_openstreetmaps_data_spark.operators import dedup
 class CurationResult:
     curated: DataFrame
     stats: dict[str, int]
+    # persisted intermediates still referenced by `curated` — callers that
+    # are done with the result can unpersist them
+    caches: list = None
 
 
 def curate(
@@ -72,6 +75,14 @@ def curate(
     docs = docs.withColumn("quality", text.quality_score(text_col)).filter(
         F.col("quality") >= min_quality
     )
+    held: list = []
+    if collect_stats:
+        # each stage count would otherwise re-execute the whole prefix
+        # (lang explode + joins) from the source scan
+        from pyspark.storagelevel import StorageLevel
+
+        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+        held.append(docs)
     stats["after_quality"] = _n(docs)
 
     # exact dedup: keep min-id representative per normalized text
@@ -116,4 +127,4 @@ def curate(
     # a narrow projection cannot change the row count — reuse the stage
     # count instead of re-executing the whole plan
     stats["curated"] = stats["after_near_dedup"]
-    return CurationResult(curated=curated, stats=stats)
+    return CurationResult(curated=curated, stats=stats, caches=held)

@@ -1168,8 +1168,6 @@ def q_sessionize_stream(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — custom stateful streaming sessionization
     (applyInPandasWithState): emits closed sessions. Stateful streaming →
     rows-only check; batch equivalence pinned by tests/test_sessionize.py."""
-    import os
-    import shutil
     import uuid
 
     from data_wrangle_openstreetmaps_data_spark.streaming import events as se
@@ -1177,17 +1175,11 @@ def q_sessionize_stream(spark: SparkSession, sf: str) -> DataFrame:
         sessionize_stream,
     )
 
-    stage = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "..", "..", ".tmp",
-        f"sess_{os.path.basename(sf.rstrip('/'))}",
-    )
-    os.makedirs(stage, exist_ok=True)
-    dst = os.path.join(stage, "events.parquet")
-    if not os.path.exists(dst):
-        shutil.copy(os.path.join(sf, "events.parquet"), dst)
     name = f"sessions_{uuid.uuid4().hex[:8]}"
     se.run_to_memory(
-        sessionize_stream(se.read_events_stream(spark, stage), _SESSION_GAP_NS),
+        sessionize_stream(
+            se.stage_events_stream(spark, sf, "sess"), _SESSION_GAP_NS
+        ),
         name,
     )
     return spark.table(name)
@@ -1216,24 +1208,14 @@ def q_streaming_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
     stream of the events table, drained with availableNow. Stateful
     streaming → rows-only check; batch-equivalence pinned by
     tests/test_streaming.py."""
-    import os
-    import shutil
     import uuid
 
     from data_wrangle_openstreetmaps_data_spark.streaming import events as se
 
-    stage = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "..", "..", ".tmp",
-        f"stream_{os.path.basename(sf.rstrip('/'))}",
-    )
-    os.makedirs(stage, exist_ok=True)
-    dst = os.path.join(stage, "events.parquet")
-    if not os.path.exists(dst):
-        shutil.copy(os.path.join(sf, "events.parquet"), dst)
     name = f"wincounts_{uuid.uuid4().hex[:8]}"
     se.run_to_memory(
         se.windowed_type_counts(
-            se.read_events_stream(spark, stage), "1 day", "1 day"
+            se.stage_events_stream(spark, sf, "stream"), "1 day", "1 day"
         ),
         name,
     )

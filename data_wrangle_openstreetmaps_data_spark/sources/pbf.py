@@ -175,6 +175,9 @@ def _decode_dense_nodes(dense: bytes, strings: list[str], gran: int,
         else:
             cur.append((strings[keys_vals[i]], strings[keys_vals[i + 1]]))
             i += 2
+    if cur:
+        # lenient encoders may omit the final 0 sentinel — flush, don't drop
+        tag_lists.append(cur)
     while len(tag_lists) < len(ids_a):
         tag_lists.append([])
 

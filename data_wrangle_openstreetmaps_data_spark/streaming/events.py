@@ -42,9 +42,9 @@ def read_events_stream(spark: SparkSession, path_glob: str,
 
 
 def with_event_time(df: DataFrame) -> DataFrame:
-    return df.withColumn(
-        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    from data_wrangle_openstreetmaps_data_spark.catalog import nanos_to_ts
+
+    return df.withColumn("event_time", nanos_to_ts("ts"))
 
 
 def windowed_type_counts(
@@ -110,6 +110,30 @@ def stream_stream_join(
         & (F.col("r_time") <= F.col("l_time"))
         & (F.col("r_time") >= F.col("l_time") - F.expr(within)),
     ).select("user_id", "l_event_id", "r_event_id", "l_time", "r_time")
+
+
+def stage_events_stream(spark: SparkSession, sf_dir: str, prefix: str):
+    """Stage the read-only sf events parquet into a .tmp DIRECTORY (file
+    stream sources require one) and return a stream over it. Shared by
+    every streaming queries() entry."""
+    import os
+    import shutil
+
+    stage = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "..", ".tmp", f"{prefix}_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    os.makedirs(stage, exist_ok=True)
+    src = os.path.join(sf_dir, "events.parquet")
+    dst = os.path.join(stage, "events.parquet")
+    # refresh if the source changed (mtime/size), not only if missing
+    if (
+        not os.path.exists(dst)
+        or os.path.getmtime(dst) < os.path.getmtime(src)
+        or os.path.getsize(dst) != os.path.getsize(src)
+    ):
+        shutil.copy(src, dst)
+    return read_events_stream(spark, stage)
 
 
 def run_to_memory(
