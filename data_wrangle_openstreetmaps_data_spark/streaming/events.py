@@ -8,8 +8,8 @@ Design points for a real cluster:
   older than the watermark, so state size is O(windows in flight), not
   O(stream length).
 - the top-k query is NOT expressible incrementally with limits inside
-  streaming; the supported pattern is windowed counts to a sink +
-  batch top-k over the sink — wired here via ``foreachBatch``.
+  streaming; the supported pattern is windowed counts to a durable sink +
+  batch top-k over the sink — ``counts_to_store`` + ``topk_over_store``.
 """
 
 from __future__ import annotations
@@ -110,6 +110,36 @@ def stream_stream_join(
         & (F.col("r_time") <= F.col("l_time"))
         & (F.col("r_time") >= F.col("l_time") - F.expr(within)),
     ).select("user_id", "l_event_id", "r_event_id", "l_time", "r_time")
+
+
+def counts_to_store(windowed: DataFrame, store_path: str,
+                    checkpoint_path: str):
+    """Stream the watermarked windowed counts into a parquet store
+    (append mode: each window row lands once its watermark closes it).
+    Drains available input then stops (availableNow)."""
+    q = (
+        windowed.writeStream.format("parquet")
+        .option("path", store_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def topk_over_store(spark: SparkSession, store_path: str,
+                    k: int = 10) -> DataFrame:
+    """The batch half of the streaming top-k pattern: rank event types by
+    total count over every closed window in the store."""
+    store = spark.read.parquet(store_path)
+    return (
+        store.groupBy("event_type")
+        .agg(F.sum("cnt").alias("total"))
+        .orderBy(F.desc("total"), F.col("event_type"))
+        .limit(k)
+    )
 
 
 def stage_events_stream(spark: SparkSession, sf_dir: str, prefix: str):

