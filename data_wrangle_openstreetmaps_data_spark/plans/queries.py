@@ -806,6 +806,16 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.dup_clusters(pairs).orderBy("id")
 
 
+def q_dedup_clusters_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D — connected components over the DETERMINISTIC ngram-jaccard
+    pairs, so the iterative label propagation is cross-checked against a
+    recursive-CTE transitive closure in the oracle."""
+    pairs = dedup.ngram_jaccard_pairs(
+        table(spark, sf, "documents"), shingle_k=3, threshold=0.2
+    )
+    return dedup.dup_clusters(pairs).orderBy("id")
+
+
 def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — the full training-data curation pipeline (lang filter →
     quality gate → exact dedup → near-dup clustering → fingerprint).
@@ -1877,6 +1887,20 @@ ORACLES: dict[str, str | None] = {
         SELECT user_id, min(tsn) AS session_start, max(tsn) AS session_end,
                count(*) AS n_events
         FROM sess GROUP BY user_id, sess_id
+    """,
+    "q_dedup_clusters_exact": f"""
+        WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_SQL}),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach(id, label) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+        )
+        SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
     """,
     # approximate / engine-internal-hash / stateful operators:
     # rows-only driver check (pinned by unit tests instead)
