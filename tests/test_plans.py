@@ -105,6 +105,27 @@ def test_plan_summary_flagship(spark):
     assert s["sort_merge_joins"] == 0
 
 
+def test_tpch_q5_all_broadcast(spark):
+    from data_wrangle_openstreetmaps_data_spark.plans.introspect import (
+        plan_summary,
+    )
+
+    s = plan_summary(Q.REGISTRY["q_tpch_q5"].spark(spark, SF_SMALL))
+    assert s["broadcast_joins"] == 5      # every dimension broadcast
+    assert s["sort_merge_joins"] == 0
+    assert s["nested_loop_joins"] == 0
+    assert s["shuffles"] <= 2             # grouped aggregate only (AQE dup)
+
+
+def test_range_join_is_hash_not_nested_loop(spark):
+    from data_wrangle_openstreetmaps_data_spark.plans.introspect import (
+        plan_summary,
+    )
+
+    s = plan_summary(Q.REGISTRY["q_range_join"].spark(spark, SF_SMALL))
+    assert s["nested_loop_joins"] == 0    # bucketed equality join
+
+
 def test_partitioned_store_prunes(spark):
     docs = table(spark, SF_SMALL, "orders").select(
         "o_orderkey", F.col("o_orderstatus").alias("type")
