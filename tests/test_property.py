@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import re
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import given, strategies as st
 
 from data_wrangle_openstreetmaps_data_spark.functions import cleaning
 
@@ -68,7 +68,6 @@ STREET_WORDS = st.sampled_from(
 )
 
 
-@settings(max_examples=30, deadline=None)
 @given(st.lists(st.text(alphabet=KEY_ALPHABET, min_size=0, max_size=12),
                 min_size=1, max_size=30))
 def test_key_class_matches_python_model(spark, keys):
@@ -82,7 +81,6 @@ def test_key_class_matches_python_model(spark, keys):
     assert got == want
 
 
-@settings(max_examples=30, deadline=None)
 @given(st.lists(
     st.lists(STREET_WORDS, min_size=1, max_size=4).map(" ".join),
     min_size=1, max_size=20,
@@ -109,7 +107,6 @@ def py_postcode(k: str, v: str) -> tuple[str, str, bool]:
     return bucket, digits, len(digits) == 6
 
 
-@settings(max_examples=25, deadline=None)
 @given(st.lists(
     st.tuples(
         st.sampled_from(["addr:postcode", "addr:postal_code"]),
@@ -130,7 +127,6 @@ def test_postcode_audit_matches_python_model(spark, kvs):
         assert (r["bucket"], r["digits"], r["valid"]) == model[(r["k"], r["v"])]
 
 
-@settings(max_examples=20, deadline=None)
 @given(st.lists(
     st.one_of(
         st.sampled_from(
