@@ -53,6 +53,8 @@ def asof_join(
     from pyspark.sql import Window
 
     reserved = {"_t", "_side", "_rt"} | {f"_r_{v}" for v in value_cols}
+    # output names clash too: the result adds matched_<value> / matched_time
+    reserved |= {"matched_time"} | {f"matched_{v}" for v in value_cols}
     clash = reserved & (set(left.columns) | set(right.columns))
     if clash:
         raise ValueError(f"asof_join reserved working columns in input: {clash}")
@@ -115,6 +117,10 @@ def range_join(
     lb = left.withColumn(
         "_bucket", F.floor(F.col(value_col) / bucket_width).cast("long")
     )
+    # hi <= lo would make F.sequence count DOWN (default step -1), exploding
+    # the interval across every bucket between the two values; empty is the
+    # correct match set for an inverted/empty interval, so drop them first.
+    intervals = intervals.filter(F.col(hi_col) > F.col(lo_col))
     ib = intervals.withColumn(
         "_bucket",
         F.explode(

@@ -26,12 +26,19 @@ def salted_join(
     on: str,
     salt_buckets: int = 16,
     how: str = "inner",
+    salt_cols: "list[str] | None" = None,
 ) -> DataFrame:
     """Equi-join big⋈small on `on`, salted into `salt_buckets` sub-keys.
 
     Result equals ``big.join(small, on, how)`` exactly for inner/left
     joins; right/full outer are rejected — the replicated small side
-    would emit one row per salt bucket for unmatched keys."""
+    would emit one row per salt bucket for unmatched keys.
+
+    `salt_cols` picks which big-side columns seed the per-row salt hash
+    (pass a stable row-id column when you have one). Default: every
+    hashable column — map columns are excluded because xxhash64 rejects
+    them, and hashing a narrow stable subset beats hashing wide payloads
+    anyway."""
     if how not in ("inner", "left", "left_outer", "leftouter"):
         raise ValueError(
             f"salted_join supports inner/left joins only, got how={how!r}: "
@@ -39,9 +46,17 @@ def salted_join(
         )
     if "_salt" in big.columns or "_salt" in small.columns:
         raise ValueError("input already has a _salt column")
+    if salt_cols is None:
+        salt_cols = [c for c, t in big.dtypes if not t.startswith("map")]
+        if not salt_cols:
+            salt_cols = [on]
+    else:
+        missing = set(salt_cols) - set(big.columns)
+        if missing:
+            raise ValueError(f"salt_cols not in big frame: {sorted(missing)}")
     salted_big = big.withColumn(
         "_salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)).cast("int"),
+        F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt_buckets)).cast("int"),
     )
     salted_small = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))

@@ -94,6 +94,11 @@ def iter_blocks(data: bytes) -> Iterator[tuple[str, bytes]]:
     while pos + 4 <= n:
         (hlen,) = struct.unpack_from(">I", data, pos)
         pos += 4
+        if pos + hlen > n:
+            raise ValueError(
+                f"truncated PBF: BlobHeader of {hlen} bytes at offset {pos} "
+                f"exceeds file size {n}"
+            )
         header = data[pos:pos + hlen]
         pos += hlen
         btype, datasize = "", 0
@@ -102,6 +107,11 @@ def iter_blocks(data: bytes) -> Iterator[tuple[str, bytes]]:
                 btype = val.decode()
             elif field == 3:
                 datasize = val
+        if pos + datasize > n:
+            raise ValueError(
+                f"truncated PBF: blob of {datasize} bytes at offset {pos} "
+                f"exceeds file size {n}"
+            )
         blob = data[pos:pos + datasize]
         pos += datasize
         raw = None

@@ -29,6 +29,27 @@ OUT_SCHEMA = (
 STATE_SCHEMA = "start bigint, last bigint, n bigint"
 
 
+def _advance_sessions(user_id, start, last, n, ts_sorted, gap_ns):
+    """Fold sorted timestamps into the open session (start, last, n),
+    returning (closed_sessions, new_state).
+
+    Events are sorted within a micro-batch only; across batches we assume
+    roughly-ordered arrival (no watermark). A late event with ts <= last
+    must NOT regress last — max() keeps the session's last-seen monotone
+    so an on-time follow-up can't incorrectly split the session."""
+    closed = []
+    for ts in ts_sorted:
+        if start is None:
+            start, last, n = ts, ts, 1
+        elif ts - last > gap_ns:
+            closed.append((user_id, start, last, n))
+            start, last, n = ts, ts, 1
+        else:
+            last = max(last, ts)
+            n += 1
+    return closed, (start, last, n)
+
+
 def sessionize_stream(
     events: DataFrame, gap_ns: int = 30 * 60 * 10**9
 ) -> DataFrame:
@@ -46,20 +67,13 @@ def sessionize_stream(
         else:
             start = last = None
             n = 0
-        closed = []
         ts_all = []
         for pdf in pdfs:
             ts_all.extend(pdf["ts"].tolist())
-        for ts in sorted(ts_all):
-            if start is None:
-                start, last, n = ts, ts, 1
-            elif ts - last > gap_ns:
-                closed.append((user_id, start, last, n))
-                start, last, n = ts, ts, 1
-            else:
-                last = ts
-                n += 1
-        state.update((start, last, n))
+        closed, new_state = _advance_sessions(
+            user_id, start, last, n, sorted(ts_all), gap_ns
+        )
+        state.update(new_state)
         if closed:
             yield pd.DataFrame(
                 closed,

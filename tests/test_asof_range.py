@@ -24,6 +24,30 @@ def test_asof_inclusive_and_no_future_match(spark):
     assert got["d"] == (None, None)    # right exists only in the future
 
 
+def test_asof_rejects_reserved_output_names(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 10, 0)], ["k", "ts", "matched_time"])
+    right = spark.createDataFrame([(1, 10, 1.0)], ["k", "ts", "state"])
+    with pytest.raises(ValueError, match="matched_time"):
+        join_ops.asof_join(left, right, by="k")
+    left2 = spark.createDataFrame([(1, 10, 0.0)], ["k", "ts", "matched_state"])
+    with pytest.raises(ValueError, match="matched_state"):
+        join_ops.asof_join(left2, right, by="k")
+
+
+def test_range_join_inverted_interval_is_empty(spark):
+    """hi <= lo describes an empty interval; it must match nothing and must
+    NOT explode into a descending bucket sequence."""
+    left = spark.createDataFrame([(0, 5.0), (1, 500.0)], ["row_id", "value"])
+    intervals = spark.createDataFrame(
+        [(0, 1000.0, 0.0), (1, 7.0, 7.0), (2, 0.0, 10.0)],
+        ["interval_id", "lo", "hi"],
+    )
+    rows = join_ops.range_join(left, intervals, "value").collect()
+    assert {(r["row_id"], r["interval_id"]) for r in rows} == {(0, 2)}
+
+
 def test_range_join_bucketed_equals_naive(spark):
     left = spark.createDataFrame(
         [(i, float(v)) for i, v in enumerate([0.0, 5.0, 9.99, 10.0, 25.0, 99.0])],

@@ -78,6 +78,17 @@ def test_pure_decoder_roundtrip(pbf_file):
     ]
 
 
+def test_truncated_pbf_raises_clear_error(pbf_file):
+    with open(pbf_file, "rb") as f:
+        data = f.read()
+    # cut mid-blob: framing must fail loudly, not silently drop bytes
+    with pytest.raises(ValueError, match="truncated PBF"):
+        pbf.decode_pbf_bytes(data[: len(data) - 10])
+    # cut mid-BlobHeader
+    with pytest.raises(ValueError, match="truncated PBF"):
+        pbf.decode_pbf_bytes(data[:6])
+
+
 def test_spark_read_pbf(spark, pbf_file):
     df = pbf.read_pbf(spark, pbf_file, ("node", "way", "relation"))
     assert df.count() == 4

@@ -34,6 +34,21 @@ def test_salted_join_equals_plain_join(spark):
     assert p == s
 
 
+def test_salted_join_map_column_and_salt_cols(spark):
+    """Default salt source skips unhashable map columns; explicit salt_cols
+    are validated against the big frame."""
+    big = spark.createDataFrame(
+        [(1, {"a": "x"}), (1, {"b": "y"}), (2, {"c": "z"})], ["k", "tags"]
+    )
+    small = spark.createDataFrame([(1, "one"), (2, "two")], ["k", "name"])
+    got = skew.salted_join(big, small, on="k", salt_buckets=4)
+    assert got.count() == 3  # map column didn't break the salt hash
+    got2 = skew.salted_join(big, small, on="k", salt_buckets=4, salt_cols=["k"])
+    assert got2.count() == 3
+    with pytest.raises(ValueError, match="salt_cols"):
+        skew.salted_join(big, small, on="k", salt_cols=["nope"])
+
+
 def test_skewed_group_count_equals_plain(spark):
     events = table(spark, SF_SMALL, "events")
     plain = {

@@ -57,6 +57,24 @@ def test_streaming_sessions_match_batch_closed_sessions(spark, events_dir):
         assert starts[0] == last_start
 
 
+def test_cross_batch_late_event_does_not_regress_session():
+    """A late event from a later micro-batch (ts < state.last) must not pull
+    the session's last-seen time backwards: an on-time follow-up within gap
+    of the true last must stay in the same session."""
+    gap = 100
+    # batch 1: events at 0, 50, 120, 200 → one open session [0..200]
+    closed, state = sz._advance_sessions(
+        "u", None, None, 0, [0, 50, 120, 200], gap
+    )
+    assert closed == [] and state == (0, 200, 4)
+    # batch 2: late event at 150 (within session), then on-time 290.
+    # 290 - 200 = 90 < gap → same session. With the old `last = ts` bug,
+    # last would regress to 150 and 290 would wrongly open a new session.
+    closed, state = sz._advance_sessions("u", *state, [150, 290], gap)
+    assert closed == []
+    assert state == (0, 290, 6)
+
+
 def test_batch_sessions_properties(spark):
     df = sz.sessionize_batch(table(spark, SF_SMALL, "events"), GAP_NS)
     rows = df.collect()
