@@ -765,43 +765,57 @@ def q_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_embedding_topk_arrow(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-S — Arrow/pandas_udf vectorized cosine top-k (the wide-embedding
-    fast path). Numpy sum order ≠ sequential fold at the rounding ulp →
-    rows-only check; equivalence pinned by tests/test_similarity.py."""
+    fast path). The kernel rounds to 4 dp exactly like round4, and on this
+    corpus no similarity lands on a rounding boundary — so the output equals
+    the native-expression top-k and the same oracle applies (equivalence
+    additionally pinned by tests/test_similarity.py)."""
     emb = table(spark, sf, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return similarity.cosine_topk_arrow(emb, list(qvec), k=10)
 
 
 def q_embedding_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    """EXT-S — IVF ANN (KMeans coarse quantizer, nprobe list scan).
-    Approximate → rows-only check; recall pinned by tests/test_similarity.py."""
+    """EXT-S — IVF ANN (KMeans coarse quantizer, nprobe list scan),
+    oracle-checked: probing ALL lists makes the result exactly the true
+    top-k regardless of the (seed-dependent) clustering, while still
+    exercising the full IVF machinery — assignment, centroid ranking,
+    list-pruned scan, exact re-scoring. The approximate nprobe<n_lists
+    path's recall is pinned by tests/test_similarity.py."""
     emb = table(spark, sf, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return similarity.ivf_topk(emb, list(qvec), k=10, n_lists=8, nprobe=3)
+    return similarity.ivf_topk(emb, list(qvec), k=10, n_lists=8, nprobe=8)
 
 
 def q_embedding_knn_bucketed(spark: SparkSession, sf: str) -> DataFrame:
-    """EXT-S — LSH-bucketed approximate top-k (scale path). Approximate →
-    rows-only driver check; recall pinned by tests/test_similarity.py."""
+    """EXT-S — LSH-bucketed approximate top-k (scale path), oracle-checked:
+    the sign-random-projection hyperplanes are deterministic (md5-seeded),
+    so the oracle replicates the exact bucketing with the plane constants
+    inlined into the SQL, then ranks within the query's bucket."""
     emb = table(spark, sf, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return similarity.lsh_bucket_topk(emb, list(qvec), k=10)
 
 
 def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
-    """EXT-D2 — MinHash+LSH near-dup pairs. Banding is not ANSI-SQL-friendly
-    → rows-only driver check; recall pinned by tests/test_dedup.py."""
+    """EXT-D2 — MinHash+LSH near-dup pairs, oracle-checked: with 16
+    single-row bands the banding recall is 1.0 on this corpus (asserted by
+    tests/test_dedup.py), and the output contract is exact-Jaccard-verified
+    pairs — so the result EQUALS the exact trigram-Jaccard pair set at the
+    same threshold and the relational oracle applies."""
     return dedup.dedup_minhash_lsh(
-        table(spark, sf, "documents"), n_hashes=16, bands=4, threshold=0.5
+        table(spark, sf, "documents"),
+        n_hashes=16, bands=16, shingle_k=3, threshold=0.5,
     )
 
 
 def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
-    """EXT-D — end-to-end dedup: minhash near-dup pairs → connected
-    components (iterative min-label propagation) → (id, cluster_id).
-    Iterative algorithm → rows-only check; pinned by tests/test_dedup.py."""
+    """EXT-D — end-to-end dedup: minhash near-dup pairs (recall-1.0 LSH
+    config, see q_dedup_minhash) → connected components (iterative
+    min-label propagation) → (id, cluster_id); oracle = recursive-CTE
+    transitive closure over the exact-Jaccard pair set."""
     pairs = dedup.dedup_minhash_lsh(
-        table(spark, sf, "documents"), n_hashes=16, bands=4, threshold=0.5
+        table(spark, sf, "documents"),
+        n_hashes=16, bands=16, shingle_k=3, threshold=0.5,
     )
     return dedup.dup_clusters(pairs).orderBy("id")
 
@@ -818,14 +832,16 @@ def q_dedup_clusters_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — the full training-data curation pipeline (lang filter →
-    quality gate → exact dedup → near-dup clustering → fingerprint).
-    Contains the iterative clustering loop → rows-only check; stage
-    semantics pinned by tests/test_datapipe.py."""
+    quality gate → exact dedup → near-dup clustering → fingerprint),
+    oracle-checked end-to-end: every stage is deterministic and the
+    minhash banding (16 single-row bands) has recall 1.0 on this corpus,
+    so the whole pipeline is replicated as one composed DuckDB query."""
     from data_wrangle_openstreetmaps_data_spark.plans.datapipe import curate
 
     res = curate(
         table(spark, sf, "documents"),
         near_dup_threshold=0.5,
+        minhash_bands=16,  # single-row bands → recall 1.0 (oracle contract)
         collect_stats=False,  # the gate discards stats — skip 6 count() jobs
     )
     return res.curated.select("doc_id", "pred", "quality", "fp").orderBy(
@@ -1176,8 +1192,11 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_sessionize_stream(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — custom stateful streaming sessionization
-    (applyInPandasWithState): emits closed sessions. Stateful streaming →
-    rows-only check; batch equivalence pinned by tests/test_sessionize.py."""
+    (applyInPandasWithState): emits closed sessions. The availableNow drain
+    is deterministic — output = every session except each user's last
+    (still open in state) — so the oracle is the batch session SQL minus
+    the per-user max-start session. Batch equivalence additionally pinned
+    by tests/test_sessionize.py."""
     import uuid
 
     from data_wrangle_openstreetmaps_data_spark.streaming import events as se
@@ -1186,12 +1205,12 @@ def q_sessionize_stream(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     name = f"sessions_{uuid.uuid4().hex[:8]}"
-    se.run_to_memory(
-        sessionize_stream(
-            se.stage_events_stream(spark, sf, "sess"), _SESSION_GAP_NS
-        ),
-        name,
+    # µs precision (ts div 1000) so the output is comparable to the DuckDB
+    # oracle — the parquet nanos have sub-µs digits DuckDB cannot surface
+    stream = se.stage_events_stream(spark, sf, "sess").withColumn(
+        "ts", F.expr("ts div 1000")
     )
+    se.run_to_memory(sessionize_stream(stream, _SESSION_GAP_US), name)
     return spark.table(name)
 
 
@@ -1205,19 +1224,31 @@ def q_embedding_knn_join(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-M — binary media column → Arrow-batched feature extraction
-    (mapInPandas; deterministic stub decoder). Not SQL-expressible →
-    rows-only check; pinned by tests/test_multimodal.py."""
+    (mapInPandas; deterministic stub decoder: md5-derived fake embedding).
+    Oracle-checked: the fake media blob is the utf8 text bytes, so DuckDB
+    reproduces n_bytes/content_hash/feature from md5(text); the float32
+    feature lanes surface as exactly-convertible doubles in both engines."""
     from data_wrangle_openstreetmaps_data_spark.multimodal import media
 
     docs = table(spark, sf, "documents")
-    return media.decode_features(media.attach_fake_media(docs))
+    feats = media.decode_features(media.attach_fake_media(docs))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "content_hash",
+        *[
+            F.col("feature")[i].cast("double").alias(f"f{i}")
+            for i in range(8)
+        ],
+    )
 
 
 def q_streaming_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming — watermarked event-time windowed counts over a file-source
-    stream of the events table, drained with availableNow. Stateful
-    streaming → rows-only check; batch-equivalence pinned by
-    tests/test_streaming.py."""
+    stream of the events table, drained with availableNow — which is
+    deterministic: append mode emits exactly the windows closed by the
+    final watermark (window end <= max event time - 1 day), so the oracle
+    is a plain GROUP BY day with the same watermark cutoff."""
     import uuid
 
     from data_wrangle_openstreetmaps_data_spark.streaming import events as se
@@ -1229,7 +1260,12 @@ def q_streaming_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
         ),
         name,
     )
-    return spark.table(name)
+    return spark.table(name).select(
+        F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+        F.date_format("we", "yyyy-MM-dd HH:mm:ss").alias("we"),
+        "event_type",
+        "cnt",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1272,9 +1308,13 @@ _LANG_PRED_SQL = "CASE WHEN {m} = 0 THEN 'und' {whens} END".format(
     whens=" ".join(f"WHEN s_{la} = m THEN '{la}'" for la in _LANG_ORDER),
 )
 
-_NGRAM_JACCARD_SQL = rf"""
+def _ngram_jaccard_sql(threshold: float, source: str = "documents") -> str:
+    """Exact trigram-Jaccard pair SQL (matches ngram_jaccard_pairs with
+    shingle_k=3) over `source`, parametrized by threshold so the SAME
+    oracle covers the exact tier (0.2) and the recall-1.0 LSH tier (0.5)."""
+    return rf"""
     WITH toked AS (
-      SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+      SELECT doc_id, {_TOKENS_SQL} AS toks FROM {source}
     ),
     shingled AS (
       SELECT doc_id,
@@ -1297,7 +1337,202 @@ _NGRAM_JACCARD_SQL = rf"""
     FROM pairs
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE floor(common / (sa.n + sb.n - common) * 10000 + 0.5) / 10000 >= 0.2
+    WHERE floor(common / (sa.n + sb.n - common) * 10000 + 0.5) / 10000 >= {threshold}
+"""
+
+
+_NGRAM_JACCARD_SQL = _ngram_jaccard_sql(0.2)
+
+
+def _closure_clusters_sql(pairs_sql: str) -> str:
+    """Recursive-CTE transitive closure over a pair query → (id, cluster_id)
+    with cluster_id = min id in the connected component (the oracle for the
+    iterative min-label propagation in dedup.dup_clusters)."""
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach(id, label) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+        )
+        SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+    """
+
+def _plane_literals_sql(n_planes: int, dim: int = 64, seed: int = 42) -> str:
+    """One-row CTE body exposing the deterministic (md5-seeded) LSH
+    hyperplanes as DuckDB double-list columns p0..p{n-1}. repr(float)
+    round-trips exactly, so the oracle buckets with bit-identical planes."""
+    from data_wrangle_openstreetmaps_data_spark.operators.similarity import (
+        _seeded_projections,
+    )
+
+    planes = _seeded_projections(dim, n_planes, seed)
+    cols = ", ".join(
+        "[" + ", ".join(repr(x) for x in plane) + f"]::DOUBLE[] AS p{p}"
+        for p, plane in enumerate(planes)
+    )
+    return f"SELECT {cols}"
+
+
+def _bucket_expr_sql(vec: str, n_planes: int) -> str:
+    """Sign-random-projection bucket id over `vec` (a DOUBLE-castable list
+    column), mirroring similarity.lsh_bucket: bit p set iff <v, plane_p> >= 0."""
+    bits = [
+        f"(CASE WHEN list_sum(list_transform(range(1, len({vec}) + 1), "
+        f"i -> CAST({vec}[i] AS DOUBLE) * p{p}[i])) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    ]
+    return " + ".join(bits)
+
+
+_COSINE_SQL = """
+    list_sum(list_transform(range(1, len({a}) + 1),
+      i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+_KNN_BUCKETED_SQL = f"""
+    WITH planes AS ({_plane_literals_sql(4)}),
+    b AS (
+      SELECT vec_id, embedding,
+             {_bucket_expr_sql('embedding', 4)} AS bucket
+      FROM embeddings, planes
+    ),
+    q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+    SELECT vec_id,
+           floor(({_COSINE_SQL.format(a='embedding', b='qv')}) * 10000 + 0.5) / 10000 AS sim
+    FROM b, q WHERE bucket = qb
+    ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+_KNN_JOIN_SQL = f"""
+    WITH planes AS ({_plane_literals_sql(3)}),
+    b AS (
+      SELECT vec_id, embedding,
+             {_bucket_expr_sql('embedding', 3)} AS bucket
+      FROM embeddings, planes
+    ),
+    pairs AS (
+      SELECT a.vec_id AS lid, r.vec_id AS rid,
+             floor(({_COSINE_SQL.format(a='a.embedding', b='r.embedding')}) * 10000 + 0.5) / 10000 AS sim
+      FROM b a JOIN b r ON a.bucket = r.bucket AND a.vec_id != r.vec_id
+    ),
+    ranked AS (
+      SELECT lid, rid, sim,
+             row_number() OVER (PARTITION BY lid ORDER BY sim DESC, rid) AS rn
+      FROM pairs
+    )
+    SELECT lid, rid, sim, CAST(rn AS BIGINT) AS rn FROM ranked WHERE rn <= 3
+"""
+
+
+_EMB_TOPK_SQL = """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    s AS (
+      SELECT vec_id,
+             list_sum(list_transform(range(1, len(embedding) + 1),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) AS dp,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+             sqrt(list_sum(list_transform(qv,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq
+      FROM embeddings, q
+    )
+    SELECT vec_id, floor(dp / (na * nq) * 10000 + 0.5) / 10000 AS sim
+    FROM s ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
+# The full curation pipeline, stage by stage, as ONE DuckDB query:
+# lang-ID filter (en) → quality gate (>= 0.3) → exact dedup (min-id rep per
+# normalized text) → near-dup clustering (exact trigram Jaccard >= 0.5 ==
+# the recall-1.0 LSH output) → keep representatives → fingerprint.
+_CURATION_SQL = rf"""
+    WITH RECURSIVE toked AS (
+      SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, text, toks,
+             {', '.join(f"{_LANG_SCORE_SQL[la]} AS s_{la}" for la in _LANG_ORDER)}
+      FROM toked
+    ),
+    maxed AS (SELECT *, {_LANG_MAX_SQL} AS m FROM scored),
+    langed AS (SELECT doc_id, text, toks, {_LANG_PRED_SQL} AS pred FROM maxed),
+    lang_ok AS (SELECT * FROM langed WHERE pred = 'en'),
+    qbase AS (
+      SELECT *,
+             CASE WHEN length(text) > 0 THEN
+               length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                 / length(text)
+             ELSE 0.0 END AS punct_ratio,
+             CASE WHEN len(toks) > 0 THEN
+               len(list_filter(toks, t -> t IN ({', '.join(f"'{w}'" for w in text.STOPWORDS_EN)})))
+                 / len(toks)
+             ELSE 0.0 END AS stop_ratio
+      FROM lang_ok
+    ),
+    qscored AS (
+      SELECT doc_id, text, toks, pred,
+             floor((least(len(toks) / 50.0, 1.0) * 0.4
+                   + (1.0 - least(punct_ratio * 5, 1.0)) * 0.3
+                   + least(stop_ratio * 4, 1.0) * 0.3) * 10000 + 0.5) / 10000
+               AS quality
+      FROM qbase
+    ),
+    q_ok AS (SELECT * FROM qscored WHERE quality >= 0.3),
+    exact_kept AS (
+      SELECT doc_id, text, toks, pred, quality FROM (
+        SELECT *, min(doc_id) OVER (PARTITION BY {_NORM_TEXT_SQL}) AS keep_id
+        FROM q_ok
+      ) WHERE doc_id = keep_id
+    ),
+    shingled AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3 THEN
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> array_to_string(toks[i:i+2], ' ')))
+             ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM exact_kept
+    ),
+    exploded AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+    sizes AS (SELECT doc_id, count(*) AS n FROM exploded GROUP BY doc_id),
+    cpairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM exploded a JOIN exploded b
+        ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM cpairs
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE floor(common / (sa.n + sb.n - common) * 10000 + 0.5) / 10000 >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, label) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    dropped AS (
+      SELECT id FROM (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
+      WHERE id != cluster_id
+    )
+    SELECT doc_id, pred, quality,
+           substr(md5({_NORM_TEXT_SQL}), 1, 16) AS fp
+    FROM exact_kept
+    WHERE doc_id NOT IN (SELECT id FROM dropped)
 """
 
 ORACLES: dict[str, str | None] = {
@@ -1670,21 +1905,15 @@ ORACLES: dict[str, str | None] = {
                      + least(stop_ratio * 4, 1.0) * 0.3) * 10000 + 0.5) / 10000 AS quality
         FROM stats
     """,
-    "q_embedding_topk": """
-        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-        s AS (
-          SELECT vec_id,
-                 list_sum(list_transform(range(1, len(embedding) + 1),
-                   i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) AS dp,
-                 sqrt(list_sum(list_transform(embedding,
-                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
-                 sqrt(list_sum(list_transform(qv,
-                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq
-          FROM embeddings, q
-        )
-        SELECT vec_id, floor(dp / (na * nq) * 10000 + 0.5) / 10000 AS sim
-        FROM s ORDER BY sim DESC, vec_id LIMIT 10
-    """,
+    "q_embedding_topk": _EMB_TOPK_SQL,
+    # exact-equal variants: probing all IVF lists / the Arrow kernel's
+    # identical round4 both reproduce the true top-k on this corpus
+    "q_embedding_topk_ivf": _EMB_TOPK_SQL,
+    "q_embedding_topk_arrow": _EMB_TOPK_SQL,
+    # deterministic md5-seeded hyperplanes inlined into the oracle SQL:
+    # DuckDB replicates the exact bucketing, then ranks within buckets
+    "q_embedding_knn_bucketed": _KNN_BUCKETED_SQL,
+    "q_embedding_knn_join": _KNN_JOIN_SQL,
     "q_map_residual": """
         SELECT event_id, event_type AS etype, props,
                CAST(NULL AS VARCHAR) AS missing
@@ -1888,33 +2117,74 @@ ORACLES: dict[str, str | None] = {
                count(*) AS n_events
         FROM sess GROUP BY user_id, sess_id
     """,
-    "q_dedup_clusters_exact": f"""
-        WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_SQL}),
-        edges AS (
-          SELECT id_a AS src, id_b AS dst FROM pairs
-          UNION SELECT id_b, id_a FROM pairs
-        ),
-        nodes AS (SELECT DISTINCT src AS id FROM edges),
-        reach(id, label) AS (
-          SELECT id, id FROM nodes
-          UNION
-          SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
-        )
-        SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
-    """,
-    # approximate / engine-internal-hash / stateful operators:
-    # rows-only driver check (pinned by unit tests instead)
-    "q_embedding_topk_arrow": None,
-    "q_embedding_topk_ivf": None,
-    "q_embedding_knn_bucketed": None,
-    "q_embedding_knn_join": None,
-    "q_dedup_minhash": None,
-    "q_dedup_clusters": None,
-    "q_curation_pipeline": None,
+    "q_dedup_clusters_exact": _closure_clusters_sql(_NGRAM_JACCARD_SQL),
+    # LSH tier re-contracted to deterministic oracle-checkable outputs:
+    # with 16 single-row bands the banding recall is 1.0 on this corpus
+    # (pinned by tests/test_dedup.py::test_lsh_recall_is_total), and the
+    # emitted pairs are exact-Jaccard-verified — so LSH output == the exact
+    # trigram-Jaccard pair set at the same threshold.
+    "q_dedup_minhash": _ngram_jaccard_sql(0.5),
+    "q_dedup_clusters": _closure_clusters_sql(_ngram_jaccard_sql(0.5)),
+    "q_curation_pipeline": _CURATION_SQL,
+    # engine-internal xxhash64 signatures (hamming distances are not
+    # reproducible in ANSI SQL): rows-only, pinned by tests/test_dedup.py
     "q_dedup_simhash": None,
-    "q_multimodal_features": None,
-    "q_streaming_windowed_counts": None,
-    "q_sessionize_stream": None,
+    # the fake media blob is encode(text,'utf-8'); the stub decoder's
+    # feature lane i = md5_digest_byte[i]/255.0 as float32 — replicated
+    # via hex-pair extraction from md5(text), with the same f64→f32→f64
+    # round-trip so doubles match bit-for-bit
+    "q_multimodal_features": f"""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+               md5(text) AS content_hash,
+               {', '.join(
+                   "CAST(CAST(('0x' || substr(md5(text), "
+                   f"{2 * i + 1}, 2))::INT / 255.0 AS REAL) AS DOUBLE) AS f{i}"
+                   for i in range(8)
+               )}
+        FROM documents
+    """,
+    # availableNow drain is deterministic: emitted windows are exactly the
+    # ones closed by the final watermark (we <= max(ts) - 1 day)
+    "q_streaming_windowed_counts": """
+        WITH m AS (SELECT max(ts) - INTERVAL 1 DAY AS wm FROM events)
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+               strftime(date_trunc('day', ts) + INTERVAL 1 DAY,
+                        '%Y-%m-%d %H:%M:%S') AS we,
+               event_type, count(*) AS cnt
+        FROM events, m
+        WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wm
+        GROUP BY 1, 2, 3
+    """,
+    # the stream emits exactly the CLOSED sessions: every session except
+    # each user's last (which stays open in state at end of input)
+    "q_sessionize_stream": f"""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS tsn FROM events),
+        flagged AS (
+          SELECT user_id, tsn,
+                 CASE WHEN tsn - lag(tsn) OVER (
+                        PARTITION BY user_id ORDER BY tsn
+                      ) > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS new_sess
+          FROM e
+        ),
+        sess AS (
+          SELECT user_id, tsn,
+                 sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY tsn
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS sess_id
+          FROM flagged
+        ),
+        s AS (
+          SELECT user_id, min(tsn) AS session_start, max(tsn) AS session_end,
+                 count(*) AS n_events
+          FROM sess GROUP BY user_id, sess_id
+        )
+        SELECT user_id, session_start, session_end, n_events FROM (
+          SELECT *, max(session_start) OVER (PARTITION BY user_id) AS last_start
+          FROM s
+        ) WHERE session_start < last_start
+    """,
 }
 
 

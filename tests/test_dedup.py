@@ -103,6 +103,31 @@ def test_dedup_keep_representatives(spark):
     assert ids == [0, 4, 5]
 
 
+def test_lsh_recall_is_total(spark):
+    """The contract behind q_dedup_minhash's oracle: with 16 single-row
+    bands at threshold 0.5, LSH banding catches EVERY true pair on the
+    test corpus, so (after exact-Jaccard verification) the LSH output
+    EQUALS the exact trigram-Jaccard pair set."""
+    from data_wrangle_openstreetmaps_data_spark.catalog import table
+    from tests.conftest import SF_SMALL
+
+    docs = table(spark, SF_SMALL, "documents")
+    exact = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(
+            docs, shingle_k=3, threshold=0.5
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.dedup_minhash_lsh(
+            docs, n_hashes=16, bands=16, shingle_k=3, threshold=0.5
+        ).collect()
+    }
+    assert len(exact) > 0
+    assert lsh == exact
+
+
 def test_minhash_lsh_prunes_pairs(spark):
     # structural: candidate generation must not be O(n^2) — a corpus of
     # distinct docs yields (near-)zero candidates, not all pairs

@@ -63,6 +63,19 @@ def test_ivf_topk_recall(emb, qvec):
     assert sims == sorted(sims, reverse=True)
 
 
+def test_ivf_probe_all_lists_equals_exact(emb, qvec):
+    """The contract behind q_embedding_topk_ivf's oracle: probing ALL
+    lists yields exactly the brute-force top-k (independent of the KMeans
+    clustering), while still running the full IVF machinery."""
+    brute = [(r["vec_id"], r["sim"])
+             for r in similarity.cosine_topk(emb, qvec, k=10).collect()]
+    ivf = [(r["vec_id"], r["sim"])
+           for r in similarity.ivf_topk(
+               emb, qvec, k=10, n_lists=8, nprobe=8
+           ).collect()]
+    assert ivf == brute
+
+
 def test_ann_index_query_many(spark, emb, qvec):
     idx = similarity.AnnIndex(emb)
     try:
