@@ -383,27 +383,60 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     caches: list | None = None,
+    max_df: float | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join via an inverted index:
     explode distinct shingles, self-join on shingle (the index lookup),
     count shared shingles per pair, then Jaccard = |∩| / (|a|+|b|-|∩|).
 
     Never materializes all pairs — only pairs sharing >= 1 shingle, which for
-    a high-entropy corpus is near-linear. Skewed (stop-)shingles are the
-    risk at scale: AQE skew-join plus dropping top-frequency shingles
-    (not needed on this corpus) are the mitigations."""
+    a high-entropy corpus is near-linear. Skewed (stop-)shingles degenerate
+    the self-join toward all-pairs (a shingle in d docs contributes d²/2
+    candidate rows): pass ``max_df`` to drop shingles appearing in more
+    than ``max_df · n_docs`` documents from CANDIDATE GENERATION only —
+    verification then recounts commons from the full shingle sets, so every
+    emitted pair still carries its exact Jaccard. The (documented) recall
+    trade: a pair similar ONLY through stop-shingles is not emitted —
+    which is precisely the boilerplate-match class dedup wants to ignore."""
     # hashed-long shingle keys: 8-byte shuffle keys instead of ~20-byte
     # strings (collision odds ~n²/2⁶⁵ — negligible)
     sh = _shingle_hashes(df, text_col, id_col, shingle_k)
     if caches is not None:
         caches.append(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
+    if max_df is None:
+        a, b = sh.alias("a"), sh.alias("b")
+        common = (
+            a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+        # sizes is per-document (corpus cardinality) — NOT broadcast; AQE
+        # picks the join strategy, and the pair table is the small side.
+        return _jaccard_from_counts(common, sizes, threshold)
+    # DF-cut path: hot shingles (df > max_df · n_docs) are few by
+    # construction — broadcast anti-join strips them from the join input,
+    # bounding candidate rows at O(n · max_df · n_docs) instead of O(n²).
+    n_docs = df.count()
+    cutoff = max(1, int(max_df * n_docs))
+    hot = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df_s"))
+        .filter(F.col("df_s") > cutoff)
+        .select("s")
+    )
+    cold = sh.join(F.broadcast(hot), "s", "left_anti")
+    a, b = cold.alias("a"), cold.alias("b")
+    cand = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # verify with FULL shingle sets so jaccard is exact despite the cut
+    common = (
+        cand.join(sh.select(F.col("id").alias("id_a"), "s"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "s"), on=["id_b", "s"])
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    # sizes is per-document (same cardinality as the corpus) — NOT broadcast;
-    # AQE picks the join strategy, and the pair table is the small side.
     return _jaccard_from_counts(common, sizes, threshold)

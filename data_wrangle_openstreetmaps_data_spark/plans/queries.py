@@ -706,6 +706,17 @@ def q_similarity_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_similarity_join_maxdf(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D2 — ngram-Jaccard join with the stop-shingle document-frequency
+    cut (max_df=0.1): shingles present in >10% of docs are dropped from
+    candidate generation (bounding the inverted-index self-join on skewed
+    corpora), while verification recounts commons from full shingle sets so
+    emitted jaccard stays exact. Oracle replicates the cut relationally."""
+    return dedup.ngram_jaccard_pairs(
+        table(spark, sf, "documents"), shingle_k=3, threshold=0.2, max_df=0.1
+    )
+
+
 def q_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-T — BPE-ish token counting: words / number runs / single
     punctuation as separate tokens (regexp_extract_all), top-20."""
@@ -797,14 +808,14 @@ def q_embedding_knn_bucketed(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
-    """EXT-D2 — MinHash+LSH near-dup pairs, oracle-checked: with 16
-    single-row bands the banding recall is 1.0 on this corpus (asserted by
+    """EXT-D2 — MinHash+LSH near-dup pairs, oracle-checked: with 8
+    two-row bands the banding recall is 1.0 on this corpus (asserted by
     tests/test_dedup.py), and the output contract is exact-Jaccard-verified
     pairs — so the result EQUALS the exact trigram-Jaccard pair set at the
     same threshold and the relational oracle applies."""
     return dedup.dedup_minhash_lsh(
         table(spark, sf, "documents"),
-        n_hashes=16, bands=16, shingle_k=3, threshold=0.5,
+        n_hashes=16, bands=8, shingle_k=3, threshold=0.5,
     )
 
 
@@ -815,7 +826,7 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     transitive closure over the exact-Jaccard pair set."""
     pairs = dedup.dedup_minhash_lsh(
         table(spark, sf, "documents"),
-        n_hashes=16, bands=16, shingle_k=3, threshold=0.5,
+        n_hashes=16, bands=8, shingle_k=3, threshold=0.5,
     )
     return dedup.dup_clusters(pairs).orderBy("id")
 
@@ -834,14 +845,13 @@ def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — the full training-data curation pipeline (lang filter →
     quality gate → exact dedup → near-dup clustering → fingerprint),
     oracle-checked end-to-end: every stage is deterministic and the
-    minhash banding (16 single-row bands) has recall 1.0 on this corpus,
+    minhash banding (16 hashes / 8 bands) has recall 1.0 on this corpus,
     so the whole pipeline is replicated as one composed DuckDB query."""
     from data_wrangle_openstreetmaps_data_spark.plans.datapipe import curate
 
     res = curate(
         table(spark, sf, "documents"),
         near_dup_threshold=0.5,
-        minhash_bands=16,  # single-row bands → recall 1.0 (oracle contract)
         collect_stats=False,  # the gate discards stats — skip 6 count() jobs
     )
     return res.curated.select("doc_id", "pred", "quality", "fp").orderBy(
@@ -1344,6 +1354,52 @@ def _ngram_jaccard_sql(threshold: float, source: str = "documents") -> str:
 _NGRAM_JACCARD_SQL = _ngram_jaccard_sql(0.2)
 
 
+def _ngram_jaccard_maxdf_sql(threshold: float, max_df: float) -> str:
+    """ngram-Jaccard with the stop-shingle DF cut: hot shingles (document
+    frequency > max_df · n_docs) excluded from candidate generation; the
+    jaccard of surviving candidates recounted from FULL shingle sets."""
+    return rf"""
+    WITH toked AS (
+      SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    shingled AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3 THEN
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> array_to_string(toks[i:i+2], ' ')))
+             ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM toked
+    ),
+    exploded AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+    ndocs AS (SELECT count(*) AS n FROM documents),
+    hot AS (
+      SELECT s FROM exploded, ndocs GROUP BY s, n
+      HAVING count(*) > greatest(1, CAST(floor({max_df} * n) AS BIGINT))
+    ),
+    cold AS (
+      SELECT doc_id, s FROM exploded WHERE s NOT IN (SELECT s FROM hot)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM cold a JOIN cold b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM exploded GROUP BY doc_id),
+    common AS (
+      SELECT c.id_a, c.id_b, count(*) AS common
+      FROM cand c
+      JOIN exploded ea ON ea.doc_id = c.id_a
+      JOIN exploded eb ON eb.doc_id = c.id_b AND eb.s = ea.s
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           floor(common / (sa.n + sb.n - common) * 10000 + 0.5) / 10000 AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE floor(common / (sa.n + sb.n - common) * 10000 + 0.5) / 10000 >= {threshold}
+"""
+
+
 def _closure_clusters_sql(pairs_sql: str) -> str:
     """Recursive-CTE transitive closure over a pair query → (id, cluster_id)
     with cluster_id = min id in the connected component (the oracle for the
@@ -1839,6 +1895,7 @@ ORACLES: dict[str, str | None] = {
     """,
     "q_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "q_similarity_join": _NGRAM_JACCARD_SQL,
+    "q_similarity_join_maxdf": _ngram_jaccard_maxdf_sql(0.2, 0.1),
     "q_bpe_token_count": rf"""
         SELECT tok, count(*) AS cnt FROM (
           SELECT unnest(regexp_extract_all(lower(text),
@@ -2119,7 +2176,7 @@ ORACLES: dict[str, str | None] = {
     """,
     "q_dedup_clusters_exact": _closure_clusters_sql(_NGRAM_JACCARD_SQL),
     # LSH tier re-contracted to deterministic oracle-checkable outputs:
-    # with 16 single-row bands the banding recall is 1.0 on this corpus
+    # with 16 hashes / 8 bands the banding recall is 1.0 on this corpus
     # (pinned by tests/test_dedup.py::test_lsh_recall_is_total), and the
     # emitted pairs are exact-Jaccard-verified — so LSH output == the exact
     # trigram-Jaccard pair set at the same threshold.

@@ -103,10 +103,50 @@ def test_dedup_keep_representatives(spark):
     assert ids == [0, 4, 5]
 
 
+def test_max_df_cut_bounds_hot_shingle_candidates(spark):
+    """Planted stop-shingle: every doc shares one boilerplate prefix, so the
+    uncut inverted-index join degenerates toward all-pairs. The max_df cut
+    must (1) keep candidates O(n), (2) still find genuinely-similar pairs
+    through their non-hot shingles, (3) report EXACT jaccard (full sets)."""
+    n = 60
+    boiler = "standard legal disclaimer header"
+    rows = [
+        (i, f"{boiler} unique content token{i} alpha{i} beta{i} gamma{i}")
+        for i in range(n)
+    ]
+    # plant one true near-dup pair (docs n, n+1) sharing unique content
+    rows.append((n, f"{boiler} shared payload words here one two three"))
+    rows.append((n + 1, f"{boiler} shared payload words here one two four"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # without the cut, at threshold 0 every doc pairs with every other
+    # through the boilerplate shingles: ~n²/2 pairs
+    uncut = dedup.ngram_jaccard_pairs(df, shingle_k=3, threshold=0.0).count()
+    assert uncut > n * 10
+
+    cut = dedup.ngram_jaccard_pairs(
+        df, shingle_k=3, threshold=0.0, max_df=0.2
+    )
+    rows_cut = cut.collect()
+    # candidate blow-up suppressed: output stays O(n), not O(n²)
+    assert len(rows_cut) < n
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows_cut}
+    # the planted pair survives via its cold shingles…
+    assert (n, n + 1) in jac
+    # …and its jaccard is the EXACT full-set value, not the cut-set value
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            df, shingle_k=3, threshold=0.0
+        ).collect()
+    }
+    assert jac[(n, n + 1)] == exact[(n, n + 1)]
+
+
 def test_lsh_recall_is_total(spark):
-    """The contract behind q_dedup_minhash's oracle: with 16 single-row
-    bands at threshold 0.5, LSH banding catches EVERY true pair on the
-    test corpus, so (after exact-Jaccard verification) the LSH output
+    """The contract behind q_dedup_minhash's oracle: with 16 hashes in 8
+    two-row bands at threshold 0.5, LSH banding catches EVERY true pair on
+    the test corpus, so (after exact-Jaccard verification) the LSH output
     EQUALS the exact trigram-Jaccard pair set."""
     from data_wrangle_openstreetmaps_data_spark.catalog import table
     from tests.conftest import SF_SMALL
@@ -121,7 +161,7 @@ def test_lsh_recall_is_total(spark):
     lsh = {
         (r["id_a"], r["id_b"], r["jaccard"])
         for r in dedup.dedup_minhash_lsh(
-            docs, n_hashes=16, bands=16, shingle_k=3, threshold=0.5
+            docs, n_hashes=16, bands=8, shingle_k=3, threshold=0.5
         ).collect()
     }
     assert len(exact) > 0
