@@ -84,6 +84,31 @@ def _packed_varints(buf: bytes, signed: bool = False) -> list[int]:
     return out
 
 
+def _packed_varints_np(buf: bytes, signed: bool = False):
+    """Vectorized packed-varint decode → int64 ndarray (the dense-node hot
+    path: ids/lats/lons/timestamps are millions of packed varints per
+    block). Fully array-parallel: continuation-bit mask finds varint
+    boundaries, per-byte 7-bit payloads are shifted by their position
+    within the varint and summed per group with add.reduceat. uint64
+    arithmetic wraps modulo 2^64 — exactly protobuf's 64-bit semantics."""
+    import numpy as np
+
+    a = np.frombuffer(buf, dtype=np.uint8)
+    if a.size == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = np.empty(a.size, dtype=bool)
+    starts[0] = True
+    np.logical_not(a[:-1] >= 0x80, out=starts[1:])
+    start_idx = np.flatnonzero(starts)
+    gid = np.cumsum(starts) - 1
+    pos_in_group = np.arange(a.size, dtype=np.int64) - start_idx[gid]
+    payload = (a & 0x7F).astype(np.uint64) << (7 * pos_in_group).astype(np.uint64)
+    vals = np.add.reduceat(payload, start_idx)
+    if signed:
+        vals = (vals >> np.uint64(1)) ^ (np.uint64(0) - (vals & np.uint64(1)))
+    return vals.view(np.int64)
+
+
 # --- PBF blob framing -------------------------------------------------------
 
 
@@ -129,85 +154,121 @@ def iter_blocks(data: bytes) -> Iterator[tuple[str, bytes]]:
 
 def _decode_dense_nodes(dense: bytes, strings: list[str], gran: int,
                         lat_off: int, lon_off: int, date_gran: int) -> list[dict]:
-    ids: list[int] = []
-    lats: list[int] = []
-    lons: list[int] = []
-    keys_vals: list[int] = []
-    info: dict[int, list[int]] = {}
+    """Vectorized dense-node decode: packed varints → numpy arrays,
+    delta chains → cumsum, coordinate/timestamp/string formatting →
+    array ops. Only the per-node dict assembly stays in Python (the output
+    is a dict per element, same as the XML source)."""
+    import numpy as np
+
+    empty = np.empty(0, dtype=np.int64)
+    ids = lats = lons = keys_vals = empty
+    info: dict[str, object] = {}
     for field, _, val in _fields(dense):
         if field == 1:
-            ids = _packed_varints(val, signed=True)
+            ids = _packed_varints_np(val, signed=True)
         elif field == 5:
             for f2, _, v2 in _fields(val):
                 if f2 == 1:
-                    info["version"] = _packed_varints(v2)
+                    info["version"] = _packed_varints_np(v2)
                 elif f2 == 2:
-                    info["timestamp"] = _packed_varints(v2, signed=True)
+                    info["timestamp"] = _packed_varints_np(v2, signed=True)
                 elif f2 == 3:
-                    info["changeset"] = _packed_varints(v2, signed=True)
+                    info["changeset"] = _packed_varints_np(v2, signed=True)
                 elif f2 == 4:
-                    info["uid"] = _packed_varints(v2, signed=True)
+                    info["uid"] = _packed_varints_np(v2, signed=True)
                 elif f2 == 5:
-                    info["user_sid"] = _packed_varints(v2, signed=True)
+                    info["user_sid"] = _packed_varints_np(v2, signed=True)
         elif field == 8:
-            lats = _packed_varints(val, signed=True)
+            lats = _packed_varints_np(val, signed=True)
         elif field == 9:
-            lons = _packed_varints(val, signed=True)
+            lons = _packed_varints_np(val, signed=True)
         elif field == 10:
-            keys_vals = _packed_varints(val)
+            keys_vals = _packed_varints_np(val)
 
-    # undelta
-    def undelta(xs):
-        out, acc = [], 0
-        for x in xs:
-            acc += x
-            out.append(acc)
-        return out
+    n = int(ids.size)
+    none_col = [None] * n
 
-    ids_a = undelta(ids)
-    lats_a = undelta(lats)
-    lons_a = undelta(lons)
-    ts_a = undelta(info.get("timestamp", []))
-    cs_a = undelta(info.get("changeset", []))
-    uid_a = undelta(info.get("uid", []))
-    usid_a = undelta(info.get("user_sid", []))
-    ver_a = info.get("version", [])
+    def _pad(lst):
+        return lst + [None] * (n - len(lst)) if len(lst) < n else lst
 
-    # split interleaved keys_vals on 0 sentinels
-    tag_lists: list[list[tuple[str, str]]] = []
-    cur: list[tuple[str, str]] = []
-    i = 0
-    while i < len(keys_vals):
-        if keys_vals[i] == 0:
-            tag_lists.append(cur)
-            cur = []
-            i += 1
-        else:
-            cur.append((strings[keys_vals[i]], strings[keys_vals[i + 1]]))
-            i += 2
-    if cur:
-        # lenient encoders may omit the final 0 sentinel — flush, don't drop
-        tag_lists.append(cur)
-    while len(tag_lists) < len(ids_a):
-        tag_lists.append([])
+    ids_a = np.cumsum(ids)
+    # numpy float64 str() is the same shortest-round-trip repr CPython uses,
+    # so these strings parse back to the identical doubles
+    lat_l = _pad((1e-9 * (lat_off + gran * np.cumsum(lats))).astype("U32").tolist())
+    lon_l = _pad((1e-9 * (lon_off + gran * np.cumsum(lons))).astype("U32").tolist())
+    id_l = ids_a.astype("U24").tolist()
 
-    out = []
-    for i, nid in enumerate(ids_a):
-        out.append(
-            _element(
-                "node",
-                nid,
-                lat=1e-9 * (lat_off + gran * lats_a[i]),
-                lon=1e-9 * (lon_off + gran * lons_a[i]),
-                version=ver_a[i] if i < len(ver_a) else None,
-                timestamp=ts_a[i] * date_gran if i < len(ts_a) else None,
-                changeset=cs_a[i] if i < len(cs_a) else None,
-                uid=uid_a[i] if i < len(uid_a) else None,
-                user=strings[usid_a[i]] if i < len(usid_a) else None,
-                tags=tag_lists[i],
-            )
+    def _str_col(key, delta=True):
+        arr = info.get(key)
+        if arr is None or arr.size == 0:
+            return none_col
+        vals = np.cumsum(arr) if delta else arr
+        return _pad(vals.astype("U24").tolist())
+
+    ver_l = _str_col("version", delta=False)
+    cs_l = _str_col("changeset")
+    uid_l = _str_col("uid")
+    ts = info.get("timestamp")
+    if ts is not None and ts.size:
+        ms = np.cumsum(ts) * date_gran
+        iso = np.datetime_as_string(
+            ms.astype("datetime64[ms]").astype("datetime64[s]"), unit="s"
         )
-    return out
+        ts_l = _pad(np.char.add(iso, "Z").tolist())
+    else:
+        ts_l = none_col
+    usid = info.get("user_sid")
+    user_l = (
+        _pad([strings[i] for i in np.cumsum(usid).tolist()])
+        if usid is not None and usid.size
+        else none_col
+    )
+
+    # split interleaved keys_vals on 0 sentinels (vectorized boundaries,
+    # per-node slices only where a node actually has tags)
+    tag_lists: list = [None] * n
+    if keys_vals.size:
+        kv = keys_vals
+        zeros = np.flatnonzero(kv == 0)
+        seg_start = 0
+        node_i = 0
+        for z in zeros:
+            if z > seg_start:
+                seg = kv[seg_start:z]
+                tag_lists[node_i] = [
+                    {"k": strings[seg[j]], "v": strings[seg[j + 1]]}
+                    for j in range(0, len(seg), 2)
+                ]
+            node_i += 1
+            seg_start = z + 1
+        if seg_start < kv.size and node_i < n:
+            # lenient encoders may omit the final 0 sentinel — flush
+            seg = kv[seg_start:]
+            tag_lists[node_i] = [
+                {"k": strings[seg[j]], "v": strings[seg[j + 1]]}
+                for j in range(0, len(seg), 2)
+            ]
+
+    return [
+        {
+            "id": i_id,
+            "type": "node",
+            "lat": i_lat,
+            "lon": i_lon,
+            "visible": None,
+            "version": i_ver,
+            "changeset": i_cs,
+            "timestamp": i_ts,
+            "user": i_user,
+            "uid": i_uid,
+            "tags": i_tags,
+            "nds": None,
+            "members": None,
+        }
+        for i_id, i_lat, i_lon, i_ver, i_cs, i_ts, i_user, i_uid, i_tags in zip(
+            id_l, lat_l, lon_l, ver_l, cs_l, ts_l, user_l, uid_l, tag_lists
+        )
+    ]
 
 
 def _decode_info(buf: bytes, strings: list[str], date_gran: int) -> dict:
