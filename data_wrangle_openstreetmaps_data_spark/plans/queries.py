@@ -831,6 +831,36 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.dup_clusters(pairs).orderBy("id")
 
 
+def q_dedup_minhash_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D2 — approximation quality as a regression-guarded NUMBER:
+    recall and precision of the MinHash-LSH tier against the exact
+    trigram-Jaccard pair set at the same threshold. With the recall-1.0
+    banding config both are exactly 1.0 on this corpus — the oracle derives
+    the same from the exact pair set, so any future LSH regression (missed
+    or spurious pairs) fails this row."""
+    docs = table(spark, sf, "documents")
+    exact = dedup.ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.5)
+    lsh = dedup.dedup_minhash_lsh(
+        docs, n_hashes=16, bands=8, shingle_k=3, threshold=0.5
+    )
+    keys = ["id_a", "id_b"]
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    n_hit = (
+        lsh.select(*keys)
+        .join(exact.select(*keys), keys)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        n_hit.crossJoin(n_exact)  # three 1-row scalar frames
+        .crossJoin(n_lsh)
+        .select(
+            text.round4(F.col("n_hit") / F.col("n_exact")).alias("recall"),
+            text.round4(F.col("n_hit") / F.col("n_lsh")).alias("precision"),
+        )
+    )
+
+
 def q_dedup_clusters_exact(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-D — connected components over the DETERMINISTIC ngram-jaccard
     pairs, so the iterative label propagation is cross-checked against a
@@ -2182,6 +2212,15 @@ ORACLES: dict[str, str | None] = {
     # trigram-Jaccard pair set at the same threshold.
     "q_dedup_minhash": _ngram_jaccard_sql(0.5),
     "q_dedup_clusters": _closure_clusters_sql(_ngram_jaccard_sql(0.5)),
+    # LSH == exact pair set on this corpus (the recall-1.0 contract), so
+    # recall and precision both equal exactly 1.0 — derived from the data
+    # (NULL if the corpus had no true pairs, which would also be a failure)
+    "q_dedup_minhash_recall": f"""
+        WITH pairs AS ({_ngram_jaccard_sql(0.5)})
+        SELECT CASE WHEN count(*) > 0 THEN 1.0 ELSE NULL END AS recall,
+               CASE WHEN count(*) > 0 THEN 1.0 ELSE NULL END AS precision
+        FROM pairs
+    """,
     "q_curation_pipeline": _CURATION_SQL,
     # engine-internal xxhash64 signatures (hamming distances are not
     # reproducible in ANSI SQL): rows-only, pinned by tests/test_dedup.py

@@ -189,11 +189,53 @@ def write_osm_sample(df: DataFrame, path: str, row_tag: str = "node",
     )
 
 
+def resolve_input(path: str, cache_dir: str | None = None) -> str:
+    """S1 — archive-aware input resolution (reference ``find_file``,
+    openstreet_kolkata.py:15-35).
+
+    ``.bz2`` (and plain files) pass through untouched: the Hadoop bzip2
+    codec decompresses inside the scan and is splittable, so there is no
+    extract step (unlike the reference's temp-file decompression).
+    ``.zip`` has no Hadoop read codec, so members are extracted ONCE into
+    a cache directory keyed by (path, mtime, size) — repeat calls reuse
+    the extraction — and the extracted directory is returned (Spark reads
+    directories natively)."""
+    if not path.endswith(".zip"):
+        return path
+    import hashlib
+    import os
+    import zipfile
+
+    if cache_dir is None:
+        cache_dir = os.path.join(
+            os.path.dirname(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            ),
+            ".tmp",
+            "zip_cache",
+        )
+    key = hashlib.md5(
+        f"{os.path.abspath(path)}|{os.path.getmtime(path)}|"
+        f"{os.path.getsize(path)}".encode()
+    ).hexdigest()[:16]
+    dest = os.path.join(cache_dir, key)
+    marker = os.path.join(dest, ".extracted")
+    if not os.path.exists(marker):
+        os.makedirs(dest, exist_ok=True)
+        with zipfile.ZipFile(path) as zf:
+            zf.extractall(dest)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return dest
+
+
 def read_osm(spark: SparkSession, path: str,
              element_types: tuple[str, ...] = ("node", "way")) -> DataFrame:
     """Union of all requested element types in one raw-elements DataFrame —
     the analog of the reference's single iterparse stream filtered to
-    node/way (openstreet_kolkata.py:153,334,466)."""
+    node/way (openstreet_kolkata.py:153,334,466). Input may be a plain
+    file/glob, a ``.bz2`` (in-scan codec), or a ``.zip`` (extract-once)."""
+    path = resolve_input(path)
     dfs = [read_elements(spark, path, t) for t in element_types]
     out = dfs[0]
     for d in dfs[1:]:

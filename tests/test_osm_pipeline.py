@@ -196,6 +196,26 @@ def test_malformed_rows_do_not_kill_the_scan(spark):
     assert shaped["2"]["pos"] is None or shaped["2"]["pos"][0] is None
 
 
+def test_zip_resolve_extract_once(spark, osm_file):
+    # S1 second half (reference find_file, openstreet_kolkata.py:15-35):
+    # .zip is extracted once into a cache and reads go through the cache
+    import zipfile
+
+    zip_path = os.path.join(TMP, "example_zip.osm.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        zf.write(osm_file, arcname="example.osm")
+    resolved = osm.resolve_input(zip_path)
+    assert resolved != zip_path and os.path.isdir(resolved)
+    # second resolve reuses the same extraction (same cache key)
+    assert osm.resolve_input(zip_path) == resolved
+    nodes = osm.read_osm(spark, zip_path, ("node",))
+    assert nodes.count() == 5
+    # non-archives pass through untouched
+    assert osm.resolve_input(osm_file) == osm_file
+    bz = os.path.join(TMP, "x.osm.bz2")
+    assert osm.resolve_input(bz) == bz
+
+
 def test_bz2_transparent_read(spark, osm_file):
     # S1: .bz2 is decompressed inside the scan — no extract step
     import bz2 as bz2lib

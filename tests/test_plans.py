@@ -126,6 +126,55 @@ def test_range_join_is_hash_not_nested_loop(spark):
     assert s["nested_loop_joins"] == 0    # bucketed equality join
 
 
+def test_minhash_band_join_skew_split(spark):
+    """Planted hot band signature: a block of identical documents all land
+    in the same LSH band buckets, so the band self-join has one dominant
+    key. AQE's skew-join splitting must activate (skew=true in the final
+    plan) instead of leaving one straggler task with the whole hot key."""
+    from data_wrangle_openstreetmaps_data_spark.operators import dedup
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.shuffle.partitions",
+        )
+    }
+    try:
+        # force SMJ (no broadcast) and scale the skew thresholds down to
+        # fixture size so the detector can fire
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2k"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "1k"
+        )
+        # enough partitions that the hot band key dominates its partition
+        # (the conftest session uses 4, where every partition looks equal)
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        hot = "identical boilerplate document body repeated verbatim " * 3
+        rows = [(i, hot) for i in range(300)]
+        rows += [(1000 + i, f"filler doc {i} unique tokens {i * 3}")
+                 for i in range(50)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        pairs = dedup.dedup_minhash_lsh(
+            df, n_hashes=16, bands=4, shingle_k=3, threshold=0.9
+        )
+        plan = _executed_plan(pairs)
+        assert "skew=true" in plan, plan[:4000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_partitioned_store_prunes(spark):
     docs = table(spark, SF_SMALL, "orders").select(
         "o_orderkey", F.col("o_orderstatus").alias("type")

@@ -57,6 +57,46 @@ def test_streaming_sessions_match_batch_closed_sessions(spark, events_dir):
         assert starts[0] == last_start
 
 
+@pytest.mark.slow
+def test_stream_matches_batch_at_sf01(spark):
+    """Batch↔stream sessionization parity at sf0.1 (the bench scale —
+    ~20× the sf0.001 equivalence test): every streamed closed session must
+    equal its batch twin, and the difference must be exactly each user's
+    final (still-open) session."""
+    from tests.conftest import SF_MID
+
+    sf_big = SF_MID.replace("0.01", "0.1")
+    d = os.path.join(os.path.dirname(__file__), "..", ".tmp", "sess_stream_01")
+    os.makedirs(d, exist_ok=True)
+    shutil.copy(f"{sf_big}/events.parquet", os.path.join(d, "part-0.parquet"))
+    stream = se.read_events_stream(spark, d)
+    sz_stream = sz.sessionize_stream(stream, GAP_NS)
+    se.run_to_memory(sz_stream, "sessions_01", output_mode="append")
+    streamed = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in spark.table("sessions_01").collect()
+    }
+    batch_all = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in sz.sessionize_batch(
+            table(spark, sf_big, "events"), GAP_NS
+        ).collect()
+    }
+    assert len(streamed) > 0
+    assert set(streamed) <= set(batch_all)
+    for k, v in streamed.items():
+        assert batch_all[k] == v
+    only_batch = set(batch_all) - set(streamed)
+    users = {uid for uid, _ in batch_all}
+    # exactly one missing session per user, and it is that user's last
+    assert {uid for uid, _ in only_batch} == users
+    assert len(only_batch) == len(users)
+    last_start = {}
+    for uid, start in batch_all:
+        last_start[uid] = max(last_start.get(uid, start), start)
+    assert only_batch == {(u, s) for u, s in last_start.items()}
+
+
 def test_cross_batch_late_event_does_not_regress_session():
     """A late event from a later micro-batch (ts < state.last) must not pull
     the session's last-seen time backwards: an on-time follow-up within gap
