@@ -296,29 +296,63 @@ def dedup_keep_representatives(
     return df.join(drop, on=id_col, how="left_anti")
 
 
+def portable_token_hash(col) -> "F.Column":
+    """60-bit md5-derived token hash, reproducible in any engine with md5
+    (15 hex chars → bigint): the cross-engine-checkable alternative to
+    xxhash64 for signature pipelines whose outputs leave the engine."""
+    return F.conv(F.substring(F.md5(F.col(col).cast("binary")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id", bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document: per token, a stable hash; signature bit i
+            id_col: str = "doc_id", bits: int = 60,
+            token_hash: str = "md5") -> DataFrame:
+    """SimHash per document: per token, a stable hash; signature bit i
     is the sign of the sum over tokens of (+1 if bit set else -1).
 
     Expressed as a sum over exploded (doc, token) pairs — partial aggregation
-    makes it one shuffle keyed by doc id at any scale."""
+    makes it one shuffle keyed by doc id at any scale.
+
+    ``token_hash='md5'`` (default) uses the portable 60-bit hash so the
+    whole signature — and therefore candidate pairs and hamming distances —
+    is reproducible by an external SQL oracle; pass ``'xxhash'`` (64-bit)
+    for maximum throughput when signatures stay engine-internal."""
+    if token_hash == "md5":
+        if bits > 60:
+            raise ValueError("md5 portable hash provides 60 bits")
+        hash_expr = portable_token_hash("tok")
+    elif token_hash == "xxhash":
+        hash_expr = F.xxhash64("tok")
+    else:
+        raise ValueError(f"unknown token_hash {token_hash!r}")
     # explode_outer: empty/whitespace-only docs keep a (id, null) row, get
-    # the all-zero signature, and still pair with each other downstream
+    # the all-zero signature, and still pair with each other downstream.
+    # The hash is evaluated ONCE per token as the grouping key of a
+    # (id, h)→weight pre-aggregation: projection collapse would otherwise
+    # inline the hash expression into every one of the `bits` vote
+    # aggregates (md5+conv codegen × 60 — measured 16.5s cold vs 3s).
+    # The weight also preserves duplicate-token votes while shrinking the
+    # wide-aggregate input to unique tokens per doc.
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode_outer(tokens(text_col)).alias("tok"),
     )
-    h = F.xxhash64("tok")  # signature is internal-only → fast hash is fine
+    counted = (
+        tok.select("id", hash_expr.alias("h"))
+        .groupBy("id", "h")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    h = F.col("h")
     bit_votes = [
         F.sum(
-            F.when(F.col("tok").isNull(), 0)
-            .when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
+            F.when(h.isNull(), 0)
+            .when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.col("w"))
+            .otherwise(-F.col("w"))
         ).alias(f"b{i}")
         for i in range(bits)
     ]
-    votes = tok.groupBy("id").agg(*bit_votes)
+    votes = counted.groupBy("id").agg(*bit_votes)
     sig = None
     for i in range(bits):
         # shiftleft, not lit(2**i): bit 63 overflows a long literal

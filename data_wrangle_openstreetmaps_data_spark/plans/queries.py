@@ -890,8 +890,10 @@ def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """EXT-D2 — SimHash chunk-join candidates (hamming<=24 shown).
-    xxhash64 signatures are engine-internal → rows-only driver check."""
+    """EXT-D2 — SimHash chunk-join candidates (hamming<=24 shown),
+    oracle-checked: the portable md5-60-bit token hash makes the whole
+    signature pipeline — votes, sign assembly, chunk-equality candidates,
+    hamming distances — reproducible by the DuckDB oracle."""
     return (
         dedup.dedup_simhash(table(spark, sf, "documents"))
         .filter(F.col("hamming") <= 24)
@@ -1516,6 +1518,55 @@ _KNN_JOIN_SQL = f"""
       FROM pairs
     )
     SELECT lid, rid, sim, CAST(rn AS BIGINT) AS rn FROM ranked WHERE rn <= 3
+"""
+
+
+def _simhash_pairs_sql(max_hamming: int = 24, bits: int = 60,
+                       chunks: int = 4) -> str:
+    """Full SimHash replication in DuckDB: portable md5-60-bit token hash,
+    per-bit majority votes, sign-assembled signature, 16-bit chunk-equality
+    candidate join, exact hamming ranking — mirrors dedup.simhash +
+    dedup.dedup_simhash bit for bit."""
+    h = "(('0x' || substr(md5(tok), 1, 15))::BIGINT)"
+    votes = ",\n             ".join(
+        f"sum(CASE WHEN tok IS NULL THEN 0 "
+        f"WHEN (({h} >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    )
+    chunk_bits = 64 // chunks
+    mask = (1 << chunk_bits) - 1
+    return f"""
+    WITH toked AS (
+      SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    exploded AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) = 0 THEN [NULL] ELSE toks END) AS tok
+      FROM toked
+    ),
+    votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM exploded GROUP BY doc_id
+    ),
+    sigs AS (SELECT doc_id, {sig} AS sig FROM votes),
+    chunked AS (
+      SELECT doc_id, sig, c AS chunk, (sig >> (c * {chunk_bits})) & {mask} AS chunk_val
+      FROM sigs, range({chunks}) t(c)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM chunked a JOIN chunked b
+        ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(sig_a, sig_b)) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
 """
 
 
@@ -2222,9 +2273,9 @@ ORACLES: dict[str, str | None] = {
         FROM pairs
     """,
     "q_curation_pipeline": _CURATION_SQL,
-    # engine-internal xxhash64 signatures (hamming distances are not
-    # reproducible in ANSI SQL): rows-only, pinned by tests/test_dedup.py
-    "q_dedup_simhash": None,
+    # portable md5-60-bit token hash → the SimHash signature, candidate
+    # join, and hamming distances are fully reproducible in DuckDB
+    "q_dedup_simhash": _simhash_pairs_sql(24),
     # the fake media blob is encode(text,'utf-8'); the stub decoder's
     # feature lane i = md5_digest_byte[i]/255.0 as float32 — replicated
     # via hex-pair extraction from md5(text), with the same f64→f32→f64

@@ -78,6 +78,24 @@ def test_simhash_near_identical_signatures(spark):
     assert hamming(sigs[0], sigs[4]) > 12      # unrelated → far
 
 
+def test_simhash_xxhash_variant(spark):
+    # the engine-internal fast path (64-bit xxhash) keeps the same
+    # near-dup structure as the portable md5 default
+    sigs = {
+        r["id"]: r["simhash"]
+        for r in dedup.simhash(
+            _corpus(spark), bits=64, token_hash="xxhash"
+        ).collect()
+    }
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert hamming(sigs[0], sigs[1]) == 0
+    assert hamming(sigs[0], sigs[3]) < hamming(sigs[0], sigs[4])
+    import pytest
+    with pytest.raises(ValueError, match="60 bits"):
+        dedup.simhash(_corpus(spark), bits=64, token_hash="md5")
+
+
 def test_simhash_candidate_pairs(spark):
     pairs = dedup.dedup_simhash(_corpus(spark)).collect()
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
