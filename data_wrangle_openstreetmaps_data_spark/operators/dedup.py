@@ -296,6 +296,70 @@ def dedup_keep_representatives(
     return df.join(drop, on=id_col, how="left_anti")
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    caches: list | None = None,
+) -> DataFrame:
+    """Exact Jaccard similarity join with PPJoin-style prefix filtering
+    (Xiao et al., WWW 2008): provably LOSSLESS candidate pruning.
+
+    Order each document's shingles by global document frequency (rarest
+    first); with prefix length p = |d| - ⌈t·|d|⌉ + 1, any pair with
+    Jaccard >= t MUST share a prefix shingle (if the prefixes were
+    disjoint, the overlap is at most min(|a|,|b|) - p < t-required).
+    The inverted-index self-join therefore runs on PREFIXES only:
+
+    - candidate volume ~ (1-t)² of the full-index join at equal sizes;
+    - df-ascending ordering pushes stop-shingles OUT of prefixes, so the
+      hot-key skew of the naive index join largely disappears *without*
+      a recall trade (unlike ``max_df``, this cut is exact).
+
+    Verification recounts commons from full shingle sets — the output is
+    exactly ``ngram_jaccard_pairs(threshold)``, which is what the oracle
+    asserts. Cost: one extra shuffle to rank shingles (df join + window).
+    """
+    from pyspark.sql import Window
+
+    sh = _shingle_hashes(df, text_col, id_col, shingle_k)
+    if caches is not None:
+        caches.append(sh)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
+    ranked = (
+        sh.join(dfreq, "s")
+        .join(sizes, "id")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("df_s", "s")
+            ),
+        )
+        # p = n - ceil(t·n) + 1 prefix shingles per doc
+        .filter(
+            F.col("rk")
+            <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        )
+        .select("id", "s")
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    common = (
+        cand.join(sh.select(F.col("id").alias("id_a"), "s"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "s"), on=["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return _jaccard_from_counts(common, sizes, threshold)
+
+
 def portable_token_hash(col) -> "F.Column":
     """60-bit md5-derived token hash, reproducible in any engine with md5
     (15 hex chars → bigint): the cross-engine-checkable alternative to

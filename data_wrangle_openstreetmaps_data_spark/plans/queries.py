@@ -717,6 +717,17 @@ def q_similarity_join_maxdf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_similarity_join_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D2 — exact Jaccard join with PPJoin prefix filtering: lossless
+    candidate pruning (rarest-first prefixes must intersect for any pair
+    at >= threshold), so the output EQUALS the full inverted-index join
+    and shares its oracle. The scale-preferred exact tier: ~(1-t)² the
+    candidates, stop-shingles naturally excluded from prefixes."""
+    return dedup.prefix_filter_jaccard_pairs(
+        table(spark, sf, "documents"), shingle_k=3, threshold=0.5
+    )
+
+
 def q_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-T — BPE-ish token counting: words / number runs / single
     punctuation as separate tokens (regexp_extract_all), top-20."""
@@ -1977,6 +1988,8 @@ ORACLES: dict[str, str | None] = {
     "q_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "q_similarity_join": _NGRAM_JACCARD_SQL,
     "q_similarity_join_maxdf": _ngram_jaccard_maxdf_sql(0.2, 0.1),
+    # prefix filtering is lossless → same result as the full index join
+    "q_similarity_join_prefix": _ngram_jaccard_sql(0.5),
     "q_bpe_token_count": rf"""
         SELECT tok, count(*) AS cnt FROM (
           SELECT unnest(regexp_extract_all(lower(text),

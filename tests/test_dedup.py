@@ -161,6 +161,58 @@ def test_max_df_cut_bounds_hot_shingle_candidates(spark):
     assert jac[(n, n + 1)] == exact[(n, n + 1)]
 
 
+def test_prefix_filter_join_equals_full_index(spark):
+    """PPJoin prefix filtering is LOSSLESS: its output must equal the full
+    inverted-index join exactly — on the planted corpus and on real
+    testdata documents."""
+    from data_wrangle_openstreetmaps_data_spark.catalog import table
+    from tests.conftest import SF_SMALL
+
+    for corpus in (_corpus(spark), table(spark, SF_SMALL, "documents")):
+        full = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in dedup.ngram_jaccard_pairs(
+                corpus, shingle_k=3, threshold=0.5
+            ).collect()
+        }
+        pref = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in dedup.prefix_filter_jaccard_pairs(
+                corpus, shingle_k=3, threshold=0.5
+            ).collect()
+        }
+        assert pref == full and len(full) > 0
+
+
+def test_prefix_filter_prunes_boilerplate(spark):
+    """On a corpus where every doc shares boilerplate, the rarest-first
+    prefixes exclude the hot shingles, so candidates stay near-linear
+    while the result is still exact (no max_df-style recall trade)."""
+    n = 60
+    boiler = "standard legal disclaimer header"
+    rows = [
+        (i, f"{boiler} unique content token{i} alpha{i} beta{i} gamma{i}")
+        for i in range(n)
+    ]
+    rows.append((n, f"{boiler} shared payload words here one two three"))
+    rows.append((n + 1, f"{boiler} shared payload words here one two four"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.prefix_filter_jaccard_pairs(
+            df, shingle_k=3, threshold=0.5
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            df, shingle_k=3, threshold=0.5
+        ).collect()
+    }
+    assert got == exact
+    assert (n, n + 1) in got
+
+
 def test_lsh_recall_is_total(spark):
     """The contract behind q_dedup_minhash's oracle: with 16 hashes in 8
     two-row bands at threshold 0.5, LSH banding catches EVERY true pair on
