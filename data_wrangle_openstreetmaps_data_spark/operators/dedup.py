@@ -360,6 +360,119 @@ def prefix_filter_jaccard_pairs(
     return _jaccard_from_counts(common, sizes, threshold)
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """EXT-D2 (fifth tier) — embedding-cosine near-dup: all pairs with
+    cosine similarity >= threshold, found via banded sign-random-projection
+    LSH (Charikar, STOC 2002) candidates + exact cosine verification.
+
+    Candidate generation is a key-equality self-join on (band, bucket)
+    where bucket = the ``rows_per_band`` sign bits of seeded hyperplane
+    projections — O(n·bands) join input, never an O(n²) cross join, and
+    SRP buckets over near-isotropic embeddings are balanced (no hot key).
+    At 100 TB the bucketed frame is what you persist, partitioned by
+    (band, bucket); candidate volume per band is Σ_buckets C(size, 2).
+
+    A pair at cosine c survives banding with p = 1-(1-(1-θ/π)^r)^b,
+    θ = acos(c): sharp near 1.0 for true duplicates (c >= 0.9 → p > 0.9999
+    at r=4, b=8); the measured number on a corpus is pinned by
+    ``q_dedup_embedding_recall``. Verification computes the exact cosine
+    on candidates only (double-precision sequential fold, matching the
+    DuckDB oracle bit-for-bit), so precision is 1.0 by construction.
+
+    Hyperplanes are md5-seeded (similarity._seeded_projections) — fully
+    deterministic, replicated literally in the oracle SQL.
+    """
+    from data_wrangle_openstreetmaps_data_spark.functions.vectors import cosine
+    from data_wrangle_openstreetmaps_data_spark.operators.similarity import (
+        _seeded_projections,
+    )
+
+    planes = _seeded_projections(dim, bands * rows_per_band, seed)
+    # all band buckets in ONE codegen projection over a pre-cast double
+    # array (materialized column, so the cast runs once, not per plane)
+    vd = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_vd"),
+    )
+    band_buckets = []
+    for b in range(bands):
+        bucket = None
+        for j in range(rows_per_band):
+            pv = F.array(
+                *[F.lit(float(x)) for x in planes[b * rows_per_band + j]]
+            )
+            d = F.aggregate(
+                F.zip_with(F.col("_vd"), pv, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bit = F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        band_buckets.append(bucket.cast("int"))
+    bucketed = vd.select(
+        "id", F.posexplode(F.array(*band_buckets)).alias("band", "bucket")
+    )
+    a, b_ = bucketed.alias("a"), bucketed.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_ea"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_eb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            round4(cosine(F.col("_ea"), F.col("_eb"))).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def exact_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """All-pairs exact cosine join — the ground-truth baseline for recall
+    measurement. DELIBERATELY quadratic (crossJoin): run it only at
+    fixture/sample scale; at 100 TB you estimate recall on a sampled
+    subset against this, never on the full corpus. The near-dup OPERATOR
+    is ``embedding_near_dup_pairs``; this is its diagnostic."""
+    from data_wrangle_openstreetmaps_data_spark.functions.vectors import cosine
+
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_ea"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_eb"))
+    return (
+        va.crossJoin(vb)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            round4(cosine(F.col("_ea"), F.col("_eb"))).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def portable_token_hash(col) -> "F.Column":
     """60-bit md5-derived token hash, reproducible in any engine with md5
     (15 hex chars → bigint): the cross-engine-checkable alternative to

@@ -872,6 +872,51 @@ def q_dedup_minhash_recall(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D2 (fifth tier) — embedding-cosine near-dup over the embeddings
+    table: banded sign-random-projection LSH candidates (key-equality join
+    on (band, bucket), O(n·bands) input) + exact cosine verify at
+    threshold 0.4. Deterministic md5-seeded hyperplanes; the oracle
+    replicates the bucketing plane-by-plane, so this checks the actual
+    approximate algorithm, not a weaker rows-only contract."""
+    return dedup.embedding_near_dup_pairs(
+        table(spark, sf, "embeddings"),
+        threshold=0.4,
+        bands=8,
+        rows_per_band=4,
+    )
+
+
+def q_dedup_embedding_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D2 — approximation quality of the embedding LSH tier as a
+    regression-guarded number: (recall, precision) vs the exact all-pairs
+    cosine join at the same threshold. Precision is 1.0 by construction
+    (candidates are exact-verified); recall is the banding survival rate,
+    which the oracle recomputes exactly. The exact baseline is quadratic —
+    a fixture/sample-scale diagnostic, not a production operator."""
+    emb = table(spark, sf, "embeddings")
+    exact = dedup.exact_cosine_pairs(emb, threshold=0.4)
+    lsh = dedup.embedding_near_dup_pairs(
+        emb, threshold=0.4, bands=8, rows_per_band=4
+    )
+    keys = ["id_a", "id_b"]
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    n_hit = (
+        lsh.select(*keys)
+        .join(exact.select(*keys), keys)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        n_hit.crossJoin(n_exact)  # three 1-row scalar frames
+        .crossJoin(n_lsh)
+        .select(
+            text.round4(F.col("n_hit") / F.col("n_exact")).alias("recall"),
+            text.round4(F.col("n_hit") / F.col("n_lsh")).alias("precision"),
+        )
+    )
+
+
 def q_dedup_clusters_exact(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-D — connected components over the DETERMINISTIC ngram-jaccard
     pairs, so the iterative label propagation is cross-checked against a
