@@ -1577,6 +1577,85 @@ _KNN_JOIN_SQL = f"""
 """
 
 
+def _embedding_pairs_sql(
+    threshold: float = 0.4, bands: int = 8, rows_per_band: int = 4
+) -> str:
+    """Full replication of dedup.embedding_near_dup_pairs in DuckDB: the
+    md5-seeded hyperplanes are inlined as double literals (repr round-trips
+    exactly), each band's bucket is the rows_per_band sign bits of the
+    plane dot products (same sequential double arithmetic as the Spark
+    fold), candidates come from the per-band (band, bucket) equality join,
+    and the verify step recomputes the exact cosine with round4 doubles —
+    so the oracle checks the actual approximate algorithm end to end."""
+    n = bands * rows_per_band
+    band_exprs = []
+    for b in range(bands):
+        bits = [
+            "(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * p{b * rows_per_band + j}[i])) >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(rows_per_band)
+        ]
+        band_exprs.append(" + ".join(bits))
+    cos = _COSINE_SQL.format(a="x.embedding", b="y.embedding")
+    return f"""
+    WITH planes AS ({_plane_literals_sql(n)}),
+    bk AS (
+      SELECT vec_id AS id, [{", ".join(band_exprs)}] AS bks
+      FROM embeddings, planes
+    ),
+    bucketed AS (
+      SELECT id, t.band AS band, bks[t.band + 1] AS bucket
+      FROM bk, range({bands}) t(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bucketed a JOIN bucketed b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             floor(({cos}) * 10000 + 0.5) / 10000 AS cos_sim
+      FROM cand c
+      JOIN embeddings x ON x.vec_id = c.id_a
+      JOIN embeddings y ON y.vec_id = c.id_b
+    )
+    SELECT id_a, id_b, cos_sim FROM verified WHERE cos_sim >= {threshold}
+    """
+
+
+def _embedding_recall_sql(
+    threshold: float = 0.4, bands: int = 8, rows_per_band: int = 4
+) -> str:
+    """(recall, precision) of the embedding LSH tier derived entirely in
+    SQL: the LSH pair set is the full plane-inlined replication above, the
+    exact baseline is the all-pairs cosine join at the same threshold, and
+    both ratios use the same portable round4."""
+    cos = _COSINE_SQL.format(a="a.embedding", b="b.embedding")
+    return f"""
+    WITH lsh AS ({_embedding_pairs_sql(threshold, bands, rows_per_band)}),
+    exact AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               floor(({cos}) * 10000 + 0.5) / 10000 AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      ) WHERE cos_sim >= {threshold}
+    ),
+    hit AS (
+      SELECT l.id_a, l.id_b FROM lsh l JOIN exact e
+        ON l.id_a = e.id_a AND l.id_b = e.id_b
+    ),
+    n AS (
+      SELECT (SELECT count(*) FROM hit) AS n_hit,
+             (SELECT count(*) FROM exact) AS n_exact,
+             (SELECT count(*) FROM lsh) AS n_lsh
+    )
+    SELECT floor((CAST(n_hit AS DOUBLE) / n_exact) * 10000 + 0.5) / 10000 AS recall,
+           floor((CAST(n_hit AS DOUBLE) / n_lsh) * 10000 + 0.5) / 10000 AS precision
+    FROM n
+    """
+
+
 def _simhash_pairs_sql(max_hamming: int = 24, bits: int = 60,
                        chunks: int = 4) -> str:
     """Full SimHash replication in DuckDB: portable md5-60-bit token hash,
@@ -2330,6 +2409,13 @@ ORACLES: dict[str, str | None] = {
                CASE WHEN count(*) > 0 THEN 1.0 ELSE NULL END AS precision
         FROM pairs
     """,
+    # embedding LSH tier: planes inlined as double literals, band/bucket
+    # sign assembly + candidate join + exact-cosine verify replicated in
+    # DuckDB — checks the actual approximate algorithm, not rows-only
+    "q_dedup_embedding": _embedding_pairs_sql(0.4, bands=8, rows_per_band=4),
+    "q_dedup_embedding_recall": _embedding_recall_sql(
+        0.4, bands=8, rows_per_band=4
+    ),
     "q_curation_pipeline": _CURATION_SQL,
     # portable md5-60-bit token hash → the SimHash signature, candidate
     # join, and hamming distances are fully reproducible in DuckDB

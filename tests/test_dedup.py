@@ -246,3 +246,67 @@ def test_minhash_lsh_prunes_pairs(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     pairs = dedup.dedup_minhash_lsh(df, threshold=0.3).count()
     assert pairs < 50  # far fewer than 50*49/2
+
+
+def _planted_embeddings(spark, n_base=80, n_dups=15, dim=64):
+    """Deterministic corpus: n_base random unit-ish vectors plus n_dups
+    near-duplicates of the first n_dups bases (tiny perturbation, so each
+    planted pair has cosine >= 0.99)."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StructField, StructType,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((n_base, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    dup = base[:n_dups] + 0.02 * rng.standard_normal((n_dups, dim))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    rows += [
+        (n_base + i, [float(x) for x in v]) for i, v in enumerate(dup)
+    ]
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def test_embedding_lsh_planted_near_dups_all_surface(spark):
+    """The recall contract behind q_dedup_embedding: every planted
+    near-duplicate pair (cosine >= 0.99; banding survival p > 1 - 1e-9 at
+    bands=8/rows_per_band=4) must surface. Deterministic end to end:
+    seeded corpus, md5-seeded hyperplanes."""
+    df = _planted_embeddings(spark)
+    pairs = dedup.embedding_near_dup_pairs(
+        df, threshold=0.9, bands=8, rows_per_band=4
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for i in range(15):
+        assert (i, 80 + i) in got, f"planted pair ({i}, {80 + i}) missed"
+
+
+def test_embedding_lsh_subset_of_exact(spark):
+    """Precision is 1.0 by construction (candidates are exact-cosine
+    verified), so the LSH pair set is a subset of the exact all-pairs join
+    at the same threshold — with identical round4 cos_sim values — and on
+    the fixture corpus every high-cosine (>= 0.9) exact pair survives
+    banding."""
+    from data_wrangle_openstreetmaps_data_spark.catalog import table
+    from tests.conftest import SF_SMALL
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    lsh = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in dedup.embedding_near_dup_pairs(
+            emb, threshold=0.4, bands=8, rows_per_band=4
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in dedup.exact_cosine_pairs(emb, threshold=0.4).collect()
+    }
+    assert len(lsh) > 0
+    assert lsh <= exact
+    high = {t for t in exact if t[2] >= 0.9}
+    assert high <= lsh
