@@ -20,6 +20,8 @@ computed on verified candidates, which is hash-free.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -360,6 +362,74 @@ def prefix_filter_jaccard_pairs(
     return _jaccard_from_counts(common, sizes, threshold)
 
 
+def _srp_bucketed_native(
+    df: DataFrame, id_col: str, vec_col: str,
+    planes: list[list[float]], bands: int, rows_per_band: int,
+) -> DataFrame:
+    """(id, band, bucket) via native column expressions: one codegen
+    projection holding bands×rows_per_band zip_with/aggregate folds.
+    Deterministic sequential double arithmetic (matches the DuckDB oracle's
+    list_sum fold literally), but interpreted HOFs — the slow path at
+    scale. Kept for arithmetic-equivalence testing and as the no-Arrow
+    fallback."""
+    vd = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_vd"),
+    )
+    band_buckets = []
+    for b in range(bands):
+        bucket = None
+        for j in range(rows_per_band):
+            pv = F.array(
+                *[F.lit(float(x)) for x in planes[b * rows_per_band + j]]
+            )
+            d = F.aggregate(
+                F.zip_with(F.col("_vd"), pv, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bit = F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        band_buckets.append(bucket.cast("int"))
+    return vd.select(
+        "id", F.posexplode(F.array(*band_buckets)).alias("band", "bucket")
+    )
+
+
+def _srp_bucketed_arrow(
+    df: DataFrame, id_col: str, vec_col: str,
+    planes: list[list[float]], bands: int, rows_per_band: int,
+) -> DataFrame:
+    """(id, band, bucket) via one Arrow-batched pandas_udf: the whole
+    batch's plane projections are a single (n × dim) @ (dim × n_planes)
+    BLAS matmul, then sign bits are packed per band vectorized. ~10× the
+    native-HOF path (PERF.md §srp) — the scale default.
+
+    BLAS may sum a dot product in a different order than the sequential
+    fold, so a projection lying within ~1e-13 of zero could flip sign vs
+    the oracle; embeddings are continuous, so exact-zero projections have
+    measure zero (equivalence on real corpora is pinned by
+    tests/test_dedup.py::test_srp_arrow_matches_native)."""
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64).T  # (dim, bands*r)
+    weights = (1 << np.arange(rows_per_band)).astype(np.int64)
+
+    @pandas_udf("array<int>")
+    def _bk(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        m = np.vstack(v.map(lambda x: np.asarray(x, dtype=np.float64)).values)
+        signs = (m @ P) >= 0  # (n, bands*rows_per_band)
+        bks = signs.reshape(len(m), -1, rows_per_band) @ weights  # (n, bands)
+        return pd.Series(list(bks.astype(np.int32)))
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_bk(F.col(vec_col))).alias("band", "bucket"),
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -369,6 +439,7 @@ def embedding_near_dup_pairs(
     rows_per_band: int = 4,
     dim: int = 64,
     seed: int = 42,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """EXT-D2 (fifth tier) — embedding-cosine near-dup: all pairs with
     cosine similarity >= threshold, found via banded sign-random-projection
@@ -397,30 +468,8 @@ def embedding_near_dup_pairs(
     )
 
     planes = _seeded_projections(dim, bands * rows_per_band, seed)
-    # all band buckets in ONE codegen projection over a pre-cast double
-    # array (materialized column, so the cast runs once, not per plane)
-    vd = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(vec_col, lambda x: x.cast("double")).alias("_vd"),
-    )
-    band_buckets = []
-    for b in range(bands):
-        bucket = None
-        for j in range(rows_per_band):
-            pv = F.array(
-                *[F.lit(float(x)) for x in planes[b * rows_per_band + j]]
-            )
-            d = F.aggregate(
-                F.zip_with(F.col("_vd"), pv, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bit = F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-            bucket = bit if bucket is None else bucket + bit
-        band_buckets.append(bucket.cast("int"))
-    bucketed = vd.select(
-        "id", F.posexplode(F.array(*band_buckets)).alias("band", "bucket")
-    )
+    bucketer = _srp_bucketed_arrow if use_arrow else _srp_bucketed_native
+    bucketed = bucketer(df, id_col, vec_col, planes, bands, rows_per_band)
     a, b_ = bucketed.alias("a"), bucketed.alias("b")
     cand = (
         a.join(

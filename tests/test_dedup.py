@@ -310,3 +310,32 @@ def test_embedding_lsh_subset_of_exact(spark):
     assert lsh <= exact
     high = {t for t in exact if t[2] >= 0.9}
     assert high <= lsh
+
+
+def test_srp_arrow_matches_native(spark):
+    """The Arrow matmul bucketer and the native sequential-fold bucketer
+    assign identical (band, bucket) to every vector — the summation-order
+    difference never crosses a sign boundary on real (continuous)
+    embeddings — so both paths produce the same near-dup pair set."""
+    from data_wrangle_openstreetmaps_data_spark.catalog import table
+    from data_wrangle_openstreetmaps_data_spark.operators.similarity import (
+        _seeded_projections,
+    )
+    from tests.conftest import SF_SMALL
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    planes = _seeded_projections(64, 32, 42)
+    native = {
+        (r["id"], r["band"], r["bucket"])
+        for r in dedup._srp_bucketed_native(
+            emb, "vec_id", "embedding", planes, 8, 4
+        ).collect()
+    }
+    arrow = {
+        (r["id"], r["band"], r["bucket"])
+        for r in dedup._srp_bucketed_arrow(
+            emb, "vec_id", "embedding", planes, 8, 4
+        ).collect()
+    }
+    assert len(native) == 500 * 8
+    assert arrow == native
