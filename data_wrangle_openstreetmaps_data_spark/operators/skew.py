@@ -47,7 +47,9 @@ def salted_join(
     if "_salt" in big.columns or "_salt" in small.columns:
         raise ValueError("input already has a _salt column")
     if salt_cols is None:
-        salt_cols = [c for c, t in big.dtypes if not t.startswith("map")]
+        # xxhash64 rejects maps at ANY nesting depth (array<map<...>>,
+        # struct with a map field), so exclude any dtype mentioning map
+        salt_cols = [c for c, t in big.dtypes if "map" not in t]
         if not salt_cols:
             salt_cols = [on]
     else:

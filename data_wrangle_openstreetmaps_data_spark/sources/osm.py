@@ -221,11 +221,31 @@ def resolve_input(path: str, cache_dir: str | None = None) -> str:
     dest = os.path.join(cache_dir, key)
     marker = os.path.join(dest, ".extracted")
     if not os.path.exists(marker):
-        os.makedirs(dest, exist_ok=True)
-        with zipfile.ZipFile(path) as zf:
-            zf.extractall(dest)
-        with open(marker, "w") as f:
-            f.write("ok")
+        # extract into a private temp dir, then rename atomically: a
+        # concurrent resolver can never observe (or scan) a
+        # partially-extracted directory — whichever rename lands first
+        # wins and the loser's copy is discarded
+        import shutil
+        import tempfile
+
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix=f".{key}.", dir=cache_dir)
+        try:
+            with zipfile.ZipFile(path) as zf:
+                zf.extractall(tmp)
+            with open(os.path.join(tmp, ".extracted"), "w") as f:
+                f.write("ok")
+            try:
+                os.rename(tmp, dest)
+            except OSError:
+                # lost the race (dest exists): the winner's extraction is
+                # complete (rename is atomic), so just use it
+                if not os.path.exists(marker):
+                    raise
+                shutil.rmtree(tmp, ignore_errors=True)
+        except Exception:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
     return dest
 
 

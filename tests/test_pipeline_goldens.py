@@ -38,13 +38,15 @@ def test_pipeline_reproduces_generator_goldens():
     assert out["docs"] == 4400
 
 
-def test_check_goldens_detects_violation():
+def test_check_goldens_detects_violation(tmp_path):
     """check_goldens must actually FAIL on a wrong result, not vacuously
-    pass: feed it a doctored query output."""
+    pass: feed it a doctored query output. Self-contained — generates its
+    own tiny corpus instead of depending on the other test's artifacts."""
     sys.path.insert(0, os.path.join(REPO, "scripts"))
     import bench_pipeline as bp
 
-    base = os.path.join(REPO, ".tmp", "pipeline_bench_test")
+    base = str(tmp_path / "goldens_corpus")
+    bp.generate(base, 200, 20, 1)
     golden = json.load(open(os.path.join(base, "goldens.json")))
     qout = {
         "unique_users": [{"cnt": golden["distinct_users"] + 1}],

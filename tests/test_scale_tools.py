@@ -49,6 +49,19 @@ def test_salted_join_map_column_and_salt_cols(spark):
         skew.salted_join(big, small, on="k", salt_cols=["nope"])
 
 
+def test_salted_join_nested_map_column(spark):
+    """Maps at any nesting depth (array<map>, struct<...map...>) are
+    excluded from the default salt hash — xxhash64 rejects them at
+    analysis time, not just top-level map columns."""
+    big = spark.createDataFrame(
+        [(1, [{"a": "x"}]), (1, [{"b": "y"}]), (2, [{"c": "z"}])],
+        ["k", "tag_list"],
+    )
+    small = spark.createDataFrame([(1, "one"), (2, "two")], ["k", "name"])
+    got = skew.salted_join(big, small, on="k", salt_buckets=4)
+    assert got.count() == 3
+
+
 def test_skewed_group_count_equals_plain(spark):
     events = table(spark, SF_SMALL, "events")
     plain = {
