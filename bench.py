@@ -54,32 +54,43 @@ HEADLINE = [
 ]
 
 
-def run_query(spark, name: str, sf_dir: str, runs: int = 2) -> float:
-    """Best of `runs` executions: the first run pays whole-stage-codegen
+def run_query(spark, name: str, sf_dir: str, runs: int = 5) -> list[float]:
+    """All `runs` execution times. The first run pays whole-stage-codegen
     JIT compile (~1-4s for wide CASE/regex expressions), which amortizes to
-    zero on a long-lived cluster — the steady-state number is the honest
-    per-query cost."""
+    zero on a long-lived cluster — steady-state (median after warm-up) is
+    the honest per-query cost, and the min/max spread distinguishes a real
+    regression from shared-sandbox noise (sub-second queries have shown
+    2-3× run-to-run drift, see PERF.md §variance)."""
     fn = Q.REGISTRY[name].spark
-    best = float("inf")
+    times = []
     for _ in range(runs):
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        best = min(best, time.perf_counter() - t0)
-    return best
+        times.append(time.perf_counter() - t0)
+    return times
 
 
 def main() -> None:
+    import statistics
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0.1)
+    runs = int(os.environ.get("BENCH_RUNS", "5"))
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm up the JVM + parquet footer caches with the flagship
     Q.REGISTRY["q_topk_group_count"].spark(spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
+    timings: dict[str, float] = {}      # median: the headline number
+    t_min: dict[str, float] = {}
+    t_max: dict[str, float] = {}
     for name in HEADLINE:
-        timings[name] = round(run_query(spark, name, sf_dir, runs=int(os.environ.get("BENCH_RUNS", "2"))), 3)
+        ts = run_query(spark, name, sf_dir, runs=runs)
+        steady = ts[1:] if len(ts) > 1 else ts  # drop the JIT-compile run
+        timings[name] = round(statistics.median(steady), 3)
+        t_min[name] = round(min(steady), 3)
+        t_max[name] = round(max(steady), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -89,6 +100,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": t_min,
+                "queries_max": t_max,
+                "runs": runs,
+                "total_min": round(sum(t_min.values()), 3),
                 "sf": sf,
             }
         )

@@ -15,14 +15,45 @@ inserts into MongoDB (insert_maps, :587-593). Spark-side:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
-def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    df.write.mode(mode).option("ignoreNullFields", "true").json(path)
+def write_json(df: DataFrame, path: str, mode: str = "overwrite",
+               pretty: bool = False) -> None:
+    """JSON output. ``pretty=True`` mirrors the reference's
+    ``reshape_data(pretty=True)`` (openstreet_kolkata.py:576-579,
+    ``json.dumps(elem, indent=2)`` per element): indented multi-line
+    objects written back to back — a human-inspection format, not the
+    machine path. Implemented with ``to_json``'s Jackson pretty printer,
+    still fully distributed (each task writes its partition as text);
+    null fields are omitted in both modes (R7)."""
+    if not pretty:
+        df.write.mode(mode).option("ignoreNullFields", "true").json(path)
+        return
+    out = df.select(
+        F.to_json(F.struct(*df.columns), {"pretty": "true"}).alias("value")
+    )
+    out.write.mode(mode).text(path)
 
 
-def read_json(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.json(path)
+def read_json(spark: SparkSession, path: str, pretty: bool = False) -> DataFrame:
+    """Readback. ``pretty=True`` parses the concatenated indented-object
+    format: records are delimited by a column-0 ``}`` followed by a
+    column-0 ``{`` (nested braces are always indented by the writer, so
+    the boundary is unambiguous). Fixture/inspection-scale path — the
+    scale format is JSON-lines (``pretty=False``)."""
+    if not pretty:
+        return spark.read.json(path)
+    whole = spark.read.text(path, wholetext=True)
+    objs = (
+        whole.select(
+            F.explode(
+                F.split("value", r"(?m)(?<=^\})\n(?=\{)")
+            ).alias("value")
+        )
+        .filter(F.trim("value") != "")
+    )
+    return spark.read.json(objs.rdd.map(lambda r: r.value))
 
 
 def write_store(df: DataFrame, path: str, partition_by: str | None = "type",

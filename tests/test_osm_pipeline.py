@@ -225,3 +225,37 @@ def test_bz2_transparent_read(spark, osm_file):
         out.write(f.read())
     nodes = osm.read_elements(spark, bz_path, "node")
     assert nodes.count() == 5
+
+
+def test_pretty_json_roundtrip(spark):
+    """Reference parity for reshape_data(pretty=True)
+    (openstreet_kolkata.py:576-579): indented multi-line objects back to
+    back, null fields omitted, and read_json(pretty=True) recovers the
+    same rows — including a nested struct, whose indented braces must not
+    confuse the record-boundary split."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", 1, ("x", "y"), None), ("b", 2, ("p", "q"), "keep")],
+        ["id", "n", "created", "opt"],
+    ).select("id", "n", F.struct("created._1", "created._2").alias("created"), "opt")
+    out = os.path.join(TMP, "pretty_json")
+    json_sink.write_json(df, out, pretty=True)
+
+    # file content is the reference's shape: records open/close at column
+    # 0, body lines are indented, null fields dropped
+    import glob
+    import re
+    text = "".join(open(f).read() for f in sorted(glob.glob(out + "/part-*")))
+    assert len(re.findall(r"(?m)^\{", text)) == 2  # two records
+    assert len(re.findall(r"(?m)^\}", text)) == 2
+    assert text.count('"opt"') == 1  # a's null opt dropped, b's kept
+    assert '  "created"' in text     # nested struct is indented, not col-0
+
+    back = json_sink.read_json(spark, out, pretty=True)
+    rows = {r["id"]: r.asDict(recursive=True) for r in back.collect()}
+    assert len(rows) == 2
+    assert rows["b"]["opt"] == "keep"
+    assert rows["a"].get("opt") is None
+    assert rows["a"]["created"]["_1"] == "x"
+    assert rows["b"]["created"]["_2"] == "q"
