@@ -1,0 +1,299 @@
+"""Corpus-curation operators for LLM training-data pipelines (EXT).
+
+The reference repo stops at audit/clean/reshape; a 100 TB pretraining
+pipeline additionally needs the standard curation battery — repetition
+and quality heuristics (Gopher/C4-style), PII redaction, benchmark
+decontamination, stratified source sampling, mixture weighting, and
+sequence packing. Everything here is relational (explode → aggregate →
+join), shuffles only on document/stratum keys, and is replicated in
+DuckDB oracle SQL (plans/queries.py) — no rows-only contracts.
+
+Scale posture per operator is documented on each function; the common
+theme: per-document metrics are ONE explode + ONE (or two chained)
+hash aggregations keyed by doc id, so partial aggregation keeps the
+shuffle linear in distinct keys, never in token volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_wrangle_openstreetmaps_data_spark.functions.text import (
+    round4,
+    shingle_table,
+    tokens,
+)
+
+# ---------------------------------------------------------------------------
+# Gopher/C4-style quality heuristics
+# ---------------------------------------------------------------------------
+
+_STOPWORDS_EN = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "with",
+)
+
+# a token is "symbolic" if it contains any character that is not a latin
+# letter or digit (RE2- and Java-regex-identical character class)
+_SYMBOL_RE = "[^a-z0-9]"
+
+
+def gopher_quality_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Gopher-style quality signals (Rae et al. 2021, §A1.1
+    MassiveText filters, adapted to single-line corpora):
+
+    - ``n_tokens``          whitespace token count
+    - ``mean_word_len``     average token length (round4)
+    - ``symbol_word_frac``  fraction of tokens containing non-alphanumerics
+    - ``stopword_frac``     fraction of tokens in a small English stop list
+    - ``top_token_share``   most frequent token's share of all tokens
+    - ``dup_token_frac``    1 - distinct/total tokens (repetition signal)
+
+    Two chained aggregations, both keyed by document: (id, token) counts,
+    then per-id weighted rollup — partial aggregation map-side-combines
+    each, so the shuffle carries distinct (id, token) pairs, not token
+    occurrences. Empty documents survive (explode_outer) with zeroed
+    metrics rather than disappearing."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(tokens(text_col)).alias("tok"),
+    )
+    per_tok = tok.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # guard the null-token row of empty docs out of every numerator AND
+    # the totals: an empty doc has n = 0 and all fractions null→0
+    is_tok = F.col("tok").isNotNull()
+    n = F.sum(F.when(is_tok, F.col("cnt")).otherwise(0))
+    agg = per_tok.groupBy("id").agg(
+        n.alias("n_tokens"),
+        F.sum(F.when(is_tok, F.length("tok") * F.col("cnt")).otherwise(0)).alias("_len_sum"),
+        F.sum(
+            F.when(is_tok & F.col("tok").rlike(_SYMBOL_RE), F.col("cnt")).otherwise(0)
+        ).alias("_sym"),
+        F.sum(
+            F.when(F.col("tok").isin(*_STOPWORDS_EN), F.col("cnt")).otherwise(0)
+        ).alias("_stop"),
+        F.max(F.when(is_tok, F.col("cnt")).otherwise(0)).alias("_top"),
+        F.count(F.when(is_tok, 1)).alias("_distinct"),
+    )
+    nz = F.col("n_tokens") > 0
+    return agg.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        round4(F.when(nz, F.col("_len_sum") / F.col("n_tokens")).otherwise(0.0)).alias("mean_word_len"),
+        round4(F.when(nz, F.col("_sym") / F.col("n_tokens")).otherwise(0.0)).alias("symbol_word_frac"),
+        round4(F.when(nz, F.col("_stop") / F.col("n_tokens")).otherwise(0.0)).alias("stopword_frac"),
+        round4(F.when(nz, F.col("_top") / F.col("n_tokens")).otherwise(0.0)).alias("top_token_share"),
+        round4(F.when(nz, 1 - F.col("_distinct") / F.col("n_tokens")).otherwise(0.0)).alias("dup_token_frac"),
+    )
+
+
+def repeated_ngram_stats(
+    df: DataFrame, k: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document duplicate-k-gram fractions (the Gopher "fraction of
+    characters in duplicate n-grams" signal, computed over token k-grams):
+
+    - ``n_ngrams``        total k-gram occurrences
+    - ``dup_ngram_frac``  1 - distinct/total (share of repeated occurrences)
+    - ``top_ngram_share`` most frequent k-gram's share
+
+    Built on ``shingle_table`` (posexplode + window lead — codegen, one
+    tokenize per doc); same two-level aggregation shape as
+    ``gopher_quality_stats``. Documents shorter than k tokens contribute
+    their whole token string as one shingle (shingle_table contract), so
+    every document appears in the output."""
+    sh = shingle_table(df, text_col=text_col, id_col=id_col, k=k)
+    per = sh.groupBy("id", "shingle").agg(F.count(F.lit(1)).alias("cnt"))
+    agg = per.groupBy("id").agg(
+        F.sum("cnt").alias("n_ngrams"),
+        F.count(F.lit(1)).alias("_distinct"),
+        F.max("cnt").alias("_top"),
+    )
+    return agg.select(
+        F.col("id").alias(id_col),
+        "n_ngrams",
+        round4(1 - F.col("_distinct") / F.col("n_ngrams")).alias("dup_ngram_frac"),
+        round4(F.col("_top") / F.col("n_ngrams")).alias("top_ngram_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Deliberately RE2-safe (no lookaround, no backrefs) so the exact same
+# pattern strings run in Java regex (Spark) and RE2 (DuckDB oracle).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", out_col: str = "scrubbed"
+) -> DataFrame:
+    """Redact emails, IPv4 addresses, and NNN-NNN-NNNN phone numbers,
+    appending per-kind match counts (``n_email``/``n_ip``/``n_phone``)
+    and the redacted text as ``out_col``.
+
+    Application order matters and is part of the contract: email first
+    (their dotted domains must not be half-eaten by the IP rule), then IP,
+    then phone (whose dotted form is a sub-pattern of IPs). Pure
+    regexp_count/regexp_replace column expressions — codegen, no UDF, no
+    shuffle; at 100 TB this is a free rider on any existing scan."""
+    out = df
+    col = F.col(text_col)
+    for name, pat, _ in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.regexp_count(col, F.lit(pat)))
+    red = col
+    for _, pat, tag in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, tag)
+    return out.withColumn(out_col, red)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate_overlap(
+    train: DataFrame,
+    bench: DataFrame,
+    k: int = 5,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train↔benchmark k-gram overlap (the n-gram decontamination check
+    used for pretraining corpora vs eval sets): (train_id, bench_id,
+    n_shared) for every pair sharing >= ``min_shared`` DISTINCT k-gram
+    shingles.
+
+    Inverted-index join on xxhash64(shingle) longs — identical scale shape
+    to the exact Jaccard join (dedup.py): candidate volume is keyed by
+    shared shingles, never |train|×|bench|. The benchmark side is tiny by
+    nature (eval sets), so Catalyst broadcasts it; at 100 TB the train
+    side streams through one shuffle-free broadcast join + one
+    (train_id, bench_id) count aggregation."""
+    t = (
+        shingle_table(train, text_col=text_col, id_col=id_col, k=k)
+        .select(F.col("id").alias("train_id"), F.xxhash64("shingle").alias("h"))
+        .dropDuplicates(["train_id", "h"])
+    )
+    b = (
+        shingle_table(bench, text_col=text_col, id_col=id_col, k=k)
+        .select(F.col("id").alias("bench_id"), F.xxhash64("shingle").alias("h"))
+        .dropDuplicates(["bench_id", "h"])
+    )
+    return (
+        t.join(F.broadcast(b), "h")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling / mixture weights
+# ---------------------------------------------------------------------------
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample: keep a row iff
+    ``portable_hash(id) % buckets < rate[stratum] * buckets``.
+
+    Hash-based (not rand()): reproducible across runs/retries/engines —
+    the DuckDB oracle replicates the md5-derived hash literally. No
+    shuffle at all: sampling is a filter riding the scan, which is the
+    only acceptable cost for a 100 TB down-sampling pass."""
+    from data_wrangle_openstreetmaps_data_spark.operators.dedup import (
+        portable_token_hash,
+    )
+
+    df = df.withColumn(
+        "_bucket",
+        F.pmod(
+            portable_token_hash(F.col(id_col).cast("string")), F.lit(buckets)
+        ),
+    )
+    rate = F.lit(default_rate)
+    for s, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == s, F.lit(r)).otherwise(rate)
+    return df.filter(F.col("_bucket") < rate * buckets).drop("_bucket")
+
+
+def mixture_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    weight_col: str = "n_tokens",
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Temperature-scaled mixture weights per source (the multinomial
+    sampling weights used to mix pretraining domains): weight_s ∝
+    (tokens_s)^alpha, normalized to sum 1. alpha=1 is proportional,
+    alpha→0 is uniform — 0.7 is the common de-facto default.
+
+    One aggregation to per-source totals (tiny) + a scalar normalization
+    via a window over the single-row-per-source frame — no data-sized
+    shuffle."""
+    per = df.groupBy(source_col).agg(F.sum(weight_col).alias("total_tokens"))
+    w = F.pow(F.col("total_tokens").cast("double"), F.lit(alpha))
+    win = Window.partitionBy()
+    return per.select(
+        source_col,
+        "total_tokens",
+        round4(w / F.sum(w).over(win)).alias("mix_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+def pack_sequences(
+    df: DataFrame,
+    ctx_len: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the standard pretraining
+    tokenizer feed): documents are laid out in ``id_col`` order into one
+    token stream sliced into fixed ``ctx_len`` windows. Per document:
+
+    - ``n_tokens``        token count
+    - ``start_offset``    position of the doc's first token in the stream
+    - ``pack_id``         window index containing the first token
+    - ``spans_boundary``  whether the doc crosses a window edge
+
+    The running offset is a prefix sum over a global ordering — Spark
+    executes it as a range-partitioned sort + per-partition scan, the
+    same mechanism as any global orderBy, so it scales (one sort-shuffle
+    on the id; at 100 TB you'd order by a (shard, id) composite that is
+    already the storage order, making the sort a no-op)."""
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    n_tok = F.size(tokens(text_col))
+    out = df.select(F.col(id_col), n_tok.alias("n_tokens"))
+    out = out.withColumn(
+        "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / ctx_len).alias("pack_id"),
+        (
+            (F.col("n_tokens") > 0)
+            & (
+                F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / ctx_len)
+                > F.floor(F.col("start_offset") / ctx_len)
+            )
+        ).alias("spans_boundary"),
+    )

@@ -525,8 +525,10 @@ def exact_cosine_pairs(
 def portable_token_hash(col) -> "F.Column":
     """60-bit md5-derived token hash, reproducible in any engine with md5
     (15 hex chars → bigint): the cross-engine-checkable alternative to
-    xxhash64 for signature pipelines whose outputs leave the engine."""
-    return F.conv(F.substring(F.md5(F.col(col).cast("binary")), 1, 15), 16, 10).cast(
+    xxhash64 for signature pipelines whose outputs leave the engine.
+    Accepts a column name or a Column expression."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10).cast(
         "long"
     )
 

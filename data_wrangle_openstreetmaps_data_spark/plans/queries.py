@@ -25,6 +25,7 @@ from data_wrangle_openstreetmaps_data_spark.catalog import table
 from data_wrangle_openstreetmaps_data_spark.functions import cleaning, text
 from data_wrangle_openstreetmaps_data_spark.operators import (
     audit,
+    curation,
     dedup,
     join as join_ops,
     sample,
@@ -917,6 +918,104 @@ def q_dedup_embedding_recall(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-Q — Gopher/MassiveText-style per-document quality signals
+    (token count, mean word length, symbol-word / stopword fractions,
+    top-token share, duplicate-token fraction) as two chained hash
+    aggregations keyed by doc id. Oracle replicates tokenization,
+    the symbol regex, and both aggregation levels."""
+    return curation.gopher_quality_stats(table(spark, sf, "documents"))
+
+
+def q_repetition_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-Q — duplicate-bigram fraction and top-bigram share per
+    document (the Gopher repetition filter's n-gram signal), built on the
+    codegen shingle table. Short docs contribute their whole token string
+    as one shingle (shingle_table contract, mirrored in the oracle)."""
+    return curation.repeated_ngram_stats(table(spark, sf, "documents"), k=2)
+
+
+def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-P — PII redaction (emails, IPv4s, phone numbers) with per-kind
+    match counts. The corpus is synthetic word soup with no PII, so a
+    deterministic planted suffix (every 3rd doc gets an email + phone +
+    IP derived from its id) makes the check non-vacuous: both engines
+    must find and redact exactly the planted strings, in the same
+    email→IP→phone order. RE2-safe patterns = identical semantics in
+    Java regex and DuckDB."""
+    docs = table(spark, sf, "documents")
+    planted = docs.withColumn(
+        "t",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-867-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" at 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return curation.pii_scrub(planted, text_col="t", out_col="scrubbed").select(
+        "doc_id",
+        "n_email",
+        "n_ip",
+        "n_phone",
+        F.md5("scrubbed").alias("scrub_hash"),
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-P — benchmark decontamination: 5-gram overlap between the
+    training split and a held-out "benchmark" split (doc_id % 29 == 0
+    stands in for an eval set), emitting (train_id, bench_id, n_shared
+    distinct shingles). Inverted-index join on hashed shingles with the
+    bench side broadcast — the contamination check shape that survives a
+    100 TB train corpus."""
+    docs = table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 29 == 0)
+    train = docs.filter(F.col("doc_id") % 29 != 0)
+    return curation.decontaminate_overlap(train, bench, k=5, min_shared=1)
+
+
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-S — deterministic per-language Bernoulli sampling (en 50%,
+    fr 25%, zh 10%, rest kept): keep iff portable md5 hash of the id
+    lands under the stratum's rate. No shuffle — a filter riding the
+    scan; the oracle replicates the hash arithmetic literally."""
+    sampled = curation.stratified_sample(
+        table(spark, sf, "documents"),
+        rates={"en": 0.5, "fr": 0.25, "zh": 0.1},
+        strata_col="lang",
+    )
+    return sampled.select("doc_id", "lang")
+
+
+def q_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-S — temperature-scaled domain-mixture weights (w_s ∝
+    tokens_s^0.7, normalized): the per-source sampling distribution used
+    to mix pretraining sources. One agg to per-source token totals plus a
+    scalar normalization."""
+    docs = table(spark, sf, "documents")
+    with_tok = docs.select("source", text.token_count("text").alias("n_tok"))
+    return curation.mixture_weights(
+        with_tok, source_col="source", weight_col="n_tok", alpha=0.7
+    )
+
+
+def q_seq_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-S — concat-and-chunk sequence packing at ctx_len=512: global
+    token-stream offsets per document (prefix sum over id order), the
+    pack window holding the doc's first token, and whether it crosses a
+    window boundary. The prefix sum is a range-partitioned sort +
+    running sum — the standard scalable global-window shape."""
+    return curation.pack_sequences(table(spark, sf, "documents"), ctx_len=512)
+
+
 def q_dedup_clusters_exact(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-D — connected components over the DETERMINISTIC ngram-jaccard
     pairs, so the iterative label propagation is cross-checked against a
@@ -1654,6 +1753,171 @@ def _embedding_recall_sql(
            floor((CAST(n_hit AS DOUBLE) / n_lsh) * 10000 + 0.5) / 10000 AS precision
     FROM n
     """
+
+
+def _gopher_quality_sql() -> str:
+    """Replicates curation.gopher_quality_stats: same tokenization, same
+    two-level (id,tok)→id aggregation, same null-token guard for empty
+    docs, same round4. HUGEINT sums are cast back to BIGINT."""
+    stop = ", ".join(f"'{s}'" for s in curation._STOPWORDS_EN)
+    return rf"""
+    WITH toked AS (
+      SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    exploded AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) = 0 THEN [NULL] ELSE toks END) AS tok
+      FROM toked
+    ),
+    per_tok AS (
+      SELECT doc_id, tok, count(*) AS cnt FROM exploded GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN tok IS NOT NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN tok IS NOT NULL THEN len(tok) * cnt ELSE 0 END) AS BIGINT) AS len_sum,
+             CAST(sum(CASE WHEN tok IS NOT NULL AND regexp_matches(tok, '{curation._SYMBOL_RE}')
+                      THEN cnt ELSE 0 END) AS BIGINT) AS sym,
+             CAST(sum(CASE WHEN tok IN ({stop}) THEN cnt ELSE 0 END) AS BIGINT) AS stop,
+             max(CASE WHEN tok IS NOT NULL THEN cnt ELSE 0 END) AS top,
+             count(CASE WHEN tok IS NOT NULL THEN 1 END) AS dst
+      FROM per_tok GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CASE WHEN n_tokens > 0
+                THEN floor(len_sum / CAST(n_tokens AS DOUBLE) * 10000 + 0.5) / 10000
+                ELSE 0.0 END AS mean_word_len,
+           CASE WHEN n_tokens > 0
+                THEN floor(sym / CAST(n_tokens AS DOUBLE) * 10000 + 0.5) / 10000
+                ELSE 0.0 END AS symbol_word_frac,
+           CASE WHEN n_tokens > 0
+                THEN floor(stop / CAST(n_tokens AS DOUBLE) * 10000 + 0.5) / 10000
+                ELSE 0.0 END AS stopword_frac,
+           CASE WHEN n_tokens > 0
+                THEN floor(top / CAST(n_tokens AS DOUBLE) * 10000 + 0.5) / 10000
+                ELSE 0.0 END AS top_token_share,
+           CASE WHEN n_tokens > 0
+                THEN floor((1 - dst / CAST(n_tokens AS DOUBLE)) * 10000 + 0.5) / 10000
+                ELSE 0.0 END AS dup_token_frac
+    FROM agg
+    """
+
+
+def _kgram_occurrences_sql(k: int, source: str = "documents") -> str:
+    """All k-gram occurrences (id, s) WITH duplicates — the DuckDB twin of
+    shingle_table (short docs yield their whole token string once)."""
+    return rf"""
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= {k} THEN
+               list_transform(range(1, len(toks) - {k - 2}),
+                 i -> array_to_string(toks[i:i+{k - 1}], ' '))
+             ELSE [array_to_string(toks, ' ')] END) AS s
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS toks FROM {source})
+    """
+
+
+def _repetition_ngrams_sql(k: int = 2) -> str:
+    return rf"""
+    WITH occ AS ({_kgram_occurrences_sql(k)}),
+    per AS (SELECT doc_id, s, count(*) AS cnt FROM occ GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(cnt) AS BIGINT) AS n_ngrams,
+             count(*) AS dst,
+             max(cnt) AS top
+      FROM per GROUP BY doc_id
+    )
+    SELECT doc_id, n_ngrams,
+           floor((1 - dst / CAST(n_ngrams AS DOUBLE)) * 10000 + 0.5) / 10000 AS dup_ngram_frac,
+           floor(top / CAST(n_ngrams AS DOUBLE) * 10000 + 0.5) / 10000 AS top_ngram_share
+    FROM agg
+    """
+
+
+def _pii_scrub_sql() -> str:
+    """Replicates q_pii_scrub: same planted suffix, same RE2-safe
+    patterns, same email→IP→phone application order ('g' = global,
+    matching Spark's replace-all)."""
+    pats = {name: pat for name, pat, _ in curation.PII_PATTERNS}
+    red = "t"
+    for name, pat, tag in curation.PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{tag}', 'g')"
+    return rf"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or 555-867-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+             ELSE text END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{pats["email"]}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(t, '{pats["ip"]}')) AS INT) AS n_ip,
+           CAST(len(regexp_extract_all(t, '{pats["phone"]}')) AS INT) AS n_phone,
+           md5({red}) AS scrub_hash
+    FROM planted
+    """
+
+
+def _decontaminate_sql(k: int = 5, min_shared: int = 1, modulus: int = 29) -> str:
+    """Replicates q_decontaminate: distinct k-gram shingles per doc, the
+    train/bench split by id modulus, equality join + pair count."""
+    return rf"""
+    WITH occ AS ({_kgram_occurrences_sql(k)}),
+    dis AS (SELECT DISTINCT doc_id, s FROM occ),
+    t AS (SELECT doc_id AS train_id, s FROM dis WHERE doc_id % {modulus} <> 0),
+    b AS (SELECT doc_id AS bench_id, s FROM dis WHERE doc_id % {modulus} = 0)
+    SELECT train_id, bench_id, count(*) AS n_shared
+    FROM t JOIN b USING (s)
+    GROUP BY 1, 2
+    HAVING count(*) >= {min_shared}
+    """
+
+
+_STRATIFIED_SAMPLE_SQL = """
+    SELECT doc_id, lang FROM documents
+    WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000)
+          < (CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.25
+                       WHEN 'zh' THEN 0.1 ELSE 1.0 END) * 10000
+"""
+
+_DOMAIN_MIX_SQL = f"""
+    WITH per AS (
+      SELECT source, CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS total_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, total_tokens,
+             pow(CAST(total_tokens AS DOUBLE), 0.7) AS pw
+      FROM per
+    )
+    SELECT source, total_tokens,
+           floor(pw / sum(pw) OVER () * 10000 + 0.5) / 10000 AS mix_weight
+    FROM w
+"""
+
+_SEQ_PACKING_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(sum(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS start_offset
+      FROM t
+    )
+    SELECT doc_id, n_tokens, start_offset,
+           CAST(floor(start_offset / 512.0) AS BIGINT) AS pack_id,
+           (n_tokens > 0 AND
+            floor((start_offset + n_tokens - 1) / 512.0)
+              > floor(start_offset / 512.0)) AS spans_boundary
+    FROM o
+"""
 
 
 def _simhash_pairs_sql(max_hamming: int = 24, bits: int = 60,
@@ -2409,6 +2673,15 @@ ORACLES: dict[str, str | None] = {
                CASE WHEN count(*) > 0 THEN 1.0 ELSE NULL END AS precision
         FROM pairs
     """,
+    # curation battery: every approximate/heuristic step replicated
+    # literally (tokenization, regexes, hash arithmetic, window frames)
+    "q_gopher_quality": _gopher_quality_sql(),
+    "q_repetition_ngrams": _repetition_ngrams_sql(2),
+    "q_pii_scrub": _pii_scrub_sql(),
+    "q_decontaminate": _decontaminate_sql(5, 1, 29),
+    "q_stratified_sample": _STRATIFIED_SAMPLE_SQL,
+    "q_domain_mix": _DOMAIN_MIX_SQL,
+    "q_seq_packing": _SEQ_PACKING_SQL,
     # embedding LSH tier: planes inlined as double literals, band/bucket
     # sign assembly + candidate join + exact-cosine verify replicated in
     # DuckDB — checks the actual approximate algorithm, not rows-only

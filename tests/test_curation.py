@@ -1,0 +1,129 @@
+"""Unit tests for the corpus-curation operators (operators/curation.py)
+with hand-computed planted expectations; cross-engine value equality is
+separately enforced by the DuckDB oracles (test_queries_oracle.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_wrangle_openstreetmaps_data_spark.operators import curation
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_gopher_quality_hand_computed(spark):
+    df = _docs(spark, [
+        (1, "the cat the cat x-ray"),   # 5 toks, top 'the'×2, 1 symbol word
+        (2, ""),                         # empty doc must survive with zeros
+    ])
+    got = {r["doc_id"]: r.asDict() for r in curation.gopher_quality_stats(df).collect()}
+    g1 = got[1]
+    assert g1["n_tokens"] == 5
+    # lengths: the(3) cat(3) the(3) cat(3) x-ray(5) → 17/5 = 3.4
+    assert g1["mean_word_len"] == 3.4
+    assert g1["symbol_word_frac"] == 0.2          # x-ray only
+    assert g1["stopword_frac"] == 0.4             # 'the' twice
+    assert g1["top_token_share"] == 0.4           # the×2 / 5
+    assert g1["dup_token_frac"] == 0.4            # 3 distinct of 5
+    g2 = got[2]
+    assert g2["n_tokens"] == 0
+    assert g2["mean_word_len"] == 0.0 and g2["dup_token_frac"] == 0.0
+
+
+def test_repeated_ngram_stats_hand_computed(spark):
+    # bigrams of 'a b a b a': (a b)(b a)(a b)(b a) → 4 occ, 2 distinct
+    df = _docs(spark, [(1, "a b a b a"), (2, "x")])
+    got = {r["doc_id"]: r.asDict() for r in curation.repeated_ngram_stats(df, k=2).collect()}
+    assert got[1]["n_ngrams"] == 4
+    assert got[1]["dup_ngram_frac"] == 0.5
+    assert got[1]["top_ngram_share"] == 0.5
+    # short doc: whole token string as one shingle
+    assert got[2]["n_ngrams"] == 1 and got[2]["dup_ngram_frac"] == 0.0
+
+
+def test_pii_scrub_planted_and_order(spark):
+    df = _docs(spark, [
+        (1, "mail a.b+c@sub.example.org now"),
+        (2, "server 192.168.1.250 and call 555-123-4567"),
+        (3, "clean text with no pii at all"),
+        (4, "x@y.io 10.0.0.1 111-222-3333"),
+    ])
+    got = {r["doc_id"]: r.asDict()
+           for r in curation.pii_scrub(df, text_col="text").collect()}
+    assert got[1]["n_email"] == 1 and got[1]["scrubbed"] == "mail <EMAIL> now"
+    assert got[2]["n_ip"] == 1 and got[2]["n_phone"] == 1
+    assert got[2]["scrubbed"] == "server <IP> and call <PHONE>"
+    assert got[3]["n_email"] == got[3]["n_ip"] == got[3]["n_phone"] == 0
+    assert got[3]["scrubbed"] == got[3]["text"]
+    assert got[4]["scrubbed"] == "<EMAIL> <IP> <PHONE>"
+    # the phone rule must NOT eat IP octets (dotted 4-group is IP's)
+    assert got[2]["n_phone"] == 1
+
+
+def test_decontaminate_overlap_planted(spark):
+    train = _docs(spark, [
+        (1, "alpha beta gamma delta epsilon zeta"),   # shares 5-grams w/ bench 100
+        (2, "one two three four five six seven"),
+        (3, "totally unrelated words in this document"),
+    ])
+    bench = _docs(spark, [
+        (100, "alpha beta gamma delta epsilon"),       # one 5-gram, shared
+        (101, "nothing matches here at all friend"),
+    ])
+    got = {(r["train_id"], r["bench_id"]): r["n_shared"]
+           for r in curation.decontaminate_overlap(train, bench, k=5).collect()}
+    assert got == {(1, 100): 1}
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    rows = [(i, "t", "en" if i % 2 == 0 else "fr") for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    kept = curation.stratified_sample(
+        df, rates={"en": 0.0, "fr": 1.0}, strata_col="lang"
+    )
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == {i for i in range(400) if i % 2 == 1}  # en dropped, fr kept
+    half = curation.stratified_sample(df, rates={"en": 0.5, "fr": 0.5})
+    n1 = half.count()
+    assert 100 < n1 < 300  # ~200 expected; deterministic hash, loose bound
+    assert half.count() == n1  # re-execution identical (no rand())
+
+
+def test_mixture_weights_hand_computed(spark):
+    df = spark.createDataFrame(
+        [("a", 16), ("a", 16), ("b", 32)], ["source", "n_tok"]
+    )
+    got = {r["source"]: r.asDict()
+           for r in curation.mixture_weights(df, weight_col="n_tok", alpha=0.5).collect()}
+    # totals 32 both → equal weights 0.5
+    assert got["a"]["total_tokens"] == 32 and got["b"]["total_tokens"] == 32
+    assert got["a"]["mix_weight"] == 0.5 and got["b"]["mix_weight"] == 0.5
+    # alpha→1 recovers proportional weights
+    prop = {r["source"]: r["mix_weight"]
+            for r in curation.mixture_weights(df, weight_col="n_tok", alpha=1.0).collect()}
+    assert prop["a"] == 0.5 and prop["b"] == 0.5
+    skew = spark.createDataFrame([("a", 10), ("b", 1000)], ["source", "n_tok"])
+    w = {r["source"]: r["mix_weight"]
+         for r in curation.mixture_weights(skew, weight_col="n_tok", alpha=0.0).collect()}
+    assert w["a"] == 0.5 and w["b"] == 0.5  # alpha=0 is uniform
+
+
+def test_pack_sequences_hand_computed(spark):
+    df = _docs(spark, [
+        (1, "a b c"),        # 3 toks, offset 0, pack 0
+        (2, "d e f g"),      # offset 3, spans 4-token boundary? ctx=4: 3..6 → packs 0..1
+        (3, ""),             # 0 toks, offset 7, pack 1, no span
+        (4, "h"),            # offset 7, pack 1
+    ])
+    got = {r["doc_id"]: r.asDict()
+           for r in curation.pack_sequences(df, ctx_len=4).collect()}
+    assert got[1] == {"doc_id": 1, "n_tokens": 3, "start_offset": 0,
+                      "pack_id": 0, "spans_boundary": False}
+    assert got[2] == {"doc_id": 2, "n_tokens": 4, "start_offset": 3,
+                      "pack_id": 0, "spans_boundary": True}
+    assert got[3]["n_tokens"] == 0 and got[3]["spans_boundary"] is False
+    assert got[4] == {"doc_id": 4, "n_tokens": 1, "start_offset": 7,
+                      "pack_id": 1, "spans_boundary": False}
