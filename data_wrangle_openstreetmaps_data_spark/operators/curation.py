@@ -254,6 +254,67 @@ def mixture_weights(
     )
 
 
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    quality_col,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data selection under a token budget: rank documents by quality
+    (descending, ties broken by id) and keep the maximal prefix whose
+    cumulative token count fits within ``budget`` (whole documents only —
+    the first doc that would overflow is dropped, as are all below it).
+
+    Output: (id, quality, n_tokens, cum_tokens) for the kept set.
+    The ranking is a global window — a range-partitioned sort at scale
+    (same machinery as any orderBy); the budget cut is then a filter on
+    the running sum. ``quality_col`` is any numeric Column expression
+    (e.g. ``text.quality_score``), evaluated once."""
+    w = (
+        Window.orderBy(F.col("quality").desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scored = df.select(
+        F.col(id_col),
+        quality_col.alias("quality"),
+        F.size(tokens(text_col)).alias("n_tokens"),
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+    )
+
+
+def quantile_filter(
+    df: DataFrame,
+    quality_col,
+    min_quantile: float = 0.25,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum quality-quantile cut: keep documents whose quality
+    sits at or above the stratum's ``min_quantile`` (e.g. drop each
+    language's bottom quartile — quota-style filtering that cannot be
+    done with one global threshold when strata have different score
+    distributions).
+
+    Implemented with ``percent_rank`` over (stratum → quality asc, id):
+    fully relational, one shuffle keyed by the stratum, identical
+    semantics in the DuckDB oracle. Output: (id, stratum, quality,
+    q_rank)."""
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("quality").asc(), F.col(id_col).asc()
+    )
+    scored = df.select(
+        F.col(id_col), F.col(strata_col), quality_col.alias("quality")
+    )
+    return (
+        scored.withColumn("q_rank", round4(F.percent_rank().over(w)))
+        .filter(F.col("q_rank") >= min_quantile)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing
 # ---------------------------------------------------------------------------

@@ -31,3 +31,35 @@ def probabilistic_sample(df: DataFrame, key_col: str, n: int = 10) -> DataFrame:
     """Scale path: keep rows whose stable key hashes into 1/n of the space.
     No shuffle, no global ordering, identical results on any cluster size."""
     return df.filter(F.pmod(F.xxhash64(F.col(key_col)), F.lit(n)) == 0)
+
+
+def sample_per_group(
+    df: DataFrame,
+    n: int,
+    strata_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact-n deterministic sample per stratum: rank rows inside each
+    stratum by the portable md5 hash of their id (tie-broken by id) and
+    keep the first n — a fixed-size stratified sample that is
+    reproducible across runs, engines, and cluster sizes (no rand(), no
+    reservoir state).
+
+    One shuffle keyed by the stratum; the per-stratum sort is the cost.
+    At 100 TB with huge strata, swap the full window sort for the
+    two-phase top-n pattern (per-partition top-n, then merge — see
+    operators/topk.py): the semantics stay identical because the ranking
+    key is a pure function of the row."""
+    from pyspark.sql import Window
+
+    from data_wrangle_openstreetmaps_data_spark.operators.dedup import (
+        portable_token_hash,
+    )
+
+    h = portable_token_hash(F.col(id_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )

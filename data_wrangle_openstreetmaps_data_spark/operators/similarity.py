@@ -302,3 +302,69 @@ def knn_join(
         .filter(F.col("rn") <= k)
         .select("lid", "rid", "sim", "rn")
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    rounded: bool = True,
+) -> DataFrame:
+    """Per-label embedding centroid in LONG form — (label, pos, centroid)
+    with one row per vector dimension. Element-wise mean via posexplode +
+    (label, pos) aggregation: fully relational, partial aggregation
+    map-side-combines each partition, and the shuffle carries
+    labels × dim rows regardless of corpus size — the semantic-cluster
+    profile pass of an embedding-curation pipeline at any scale.
+
+    Long form deliberately: array re-assembly needs an order-sensitive
+    collect, while downstream consumers (centroid similarity, nearest-
+    centroid assignment) all want the long form anyway."""
+    long = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("pos", "x"),
+    )
+    c = F.avg(F.col("x").cast("double"))
+    agg = long.groupBy("label", "pos").agg(
+        (round4(c) if rounded else c).alias("centroid")
+    )
+    return agg
+
+
+def centroid_similarity(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairwise cosine similarity between label centroids — the
+    inter-cluster separation diagnostic (labels whose centroids are too
+    close are candidates for merging / semantic dedup across sources).
+
+    Works on the long-form centroids: dot products via a (pos)-equality
+    self-join over labels² × dim rows (tiny — label count is bounded),
+    norms from one more aggregation. Output (label_a, label_b, cos_sim),
+    a < b."""
+    cent = label_centroids(df, label_col, vec_col, rounded=False)
+    a, b = cent.alias("a"), cent.alias("b")
+    dots = (
+        a.join(b, (F.col("a.pos") == F.col("b.pos"))
+               & (F.col("a.label") < F.col("b.label")))
+        .groupBy(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+        )
+        .agg(F.sum(F.col("a.centroid") * F.col("b.centroid")).alias("dot"))
+    )
+    norms = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("centroid") * F.col("centroid"))).alias("nrm")
+    )
+    return (
+        dots.join(norms.select(F.col("label").alias("label_a"),
+                               F.col("nrm").alias("na")), "label_a")
+        .join(norms.select(F.col("label").alias("label_b"),
+                           F.col("nrm").alias("nb")), "label_b")
+        .select(
+            "label_a", "label_b",
+            round4(F.col("dot") / (F.col("na") * F.col("nb"))).alias("cos_sim"),
+        )
+    )

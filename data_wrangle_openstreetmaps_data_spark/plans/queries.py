@@ -1016,6 +1016,73 @@ def q_seq_packing(spark: SparkSession, sf: str) -> DataFrame:
     return curation.pack_sequences(table(spark, sf, "documents"), ctx_len=512)
 
 
+def q_sample_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-S — exact-n stratified sample (20 docs per language) by
+    portable-hash ranking inside each stratum: fixed-size, reproducible
+    across engines and cluster sizes, replicated literally in the
+    oracle's window."""
+    return sample.sample_per_group(
+        table(spark, sf, "documents").select("doc_id", "lang"),
+        n=20, strata_col="lang", id_col="doc_id",
+    )
+
+
+def q_token_budget_select(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-S — data selection under a token budget: quality-ranked
+    greedy prefix whose cumulative token count fits 5000 tokens. Ranking
+    uses the ROUNDED quality score (deterministic cross-engine ordering)
+    with id tiebreak; the oracle re-derives the same running sum."""
+    docs = table(spark, sf, "documents")
+    return curation.token_budget_select(
+        docs, budget=5000, quality_col=text.quality_score("text")
+    )
+
+
+def q_quantile_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-Q — per-language quality-quantile cut: drop each language's
+    bottom quartile by percent_rank over (quality, id). Quota-style
+    filtering a global threshold cannot express when strata have
+    different score distributions."""
+    return curation.quantile_filter(
+        table(spark, sf, "documents"),
+        quality_col=text.quality_score("text"),
+        min_quantile=0.25,
+        strata_col="lang",
+    )
+
+
+def q_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-E — per-label embedding centroids in long form (label, pos,
+    centroid): posexplode + (label,pos) aggregation, shuffle size bounded
+    by labels × dim regardless of corpus size."""
+    return similarity.label_centroids(table(spark, sf, "embeddings"))
+
+
+def q_centroid_similarity(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-E — pairwise cosine between label centroids (inter-cluster
+    separation diagnostic; near-identical centroids flag semantic overlap
+    between sources). Long-form dot products via a pos-equality join."""
+    return similarity.centroid_similarity(table(spark, sf, "embeddings"))
+
+
+def q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming — exact first-occurrence dedup keyed by content
+    fingerprint (applyInPandasWithState). The availableNow drain over the
+    single staged file is one micro-batch, so first-occurrence ≡ global
+    min id per fingerprint — which is exactly the oracle's GROUP BY."""
+    import uuid
+
+    from data_wrangle_openstreetmaps_data_spark.streaming import events as se
+    from data_wrangle_openstreetmaps_data_spark.streaming.dedup_stream import (
+        dedup_stream,
+    )
+
+    name = f"streamdedup_{uuid.uuid4().hex[:8]}"
+    stream = se.stage_documents_stream(spark, sf, "docdedup")
+    se.run_to_memory(dedup_stream(stream), name)
+    return spark.table(name)
+
+
 def q_dedup_clusters_exact(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-D — connected components over the DETERMINISTIC ngram-jaccard
     pairs, so the iterative label propagation is cross-checked against a
@@ -1920,6 +1987,117 @@ _SEQ_PACKING_SQL = f"""
 """
 
 
+_PORTABLE_ID_HASH_SQL = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)"
+)
+
+
+def _quality_doc_sql() -> str:
+    """Per-document (doc_id, lang, n_tokens, quality) with the ROUNDED
+    composite quality score — the shared scoring CTE body for the
+    budget-selection and quantile-filter oracles (mirrors
+    text.quality_score exactly, same shape as the q_quality_score
+    oracle)."""
+    stop = ", ".join(f"'{w}'" for w in text.STOPWORDS_EN)
+    return rf"""
+      SELECT doc_id, lang, CAST(len(toks) AS INT) AS n_tokens,
+             floor((least(len(toks) / 50.0, 1.0) * 0.4
+                   + (1.0 - least(punct_ratio * 5, 1.0)) * 0.3
+                   + least(stop_ratio * 4, 1.0) * 0.3) * 10000 + 0.5) / 10000 AS quality
+      FROM (
+        SELECT doc_id, lang, toks, punct_ratio,
+               CASE WHEN len(toks) > 0 THEN
+                 len(list_filter(toks, t -> t IN ({stop}))) / len(toks)
+               ELSE 0.0 END AS stop_ratio
+        FROM (
+          SELECT doc_id, lang, {_TOKENS_SQL} AS toks,
+                 CASE WHEN length(text) > 0 THEN
+                   length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                     / length(text)
+                 ELSE 0.0 END AS punct_ratio
+          FROM documents
+        )
+      )
+    """
+
+
+_SAMPLE_PER_GROUP_SQL = f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {_PORTABLE_ID_HASH_SQL}, doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 20
+"""
+
+
+def _token_budget_sql(budget: int = 5000) -> str:
+    return f"""
+    WITH q AS ({_quality_doc_sql()}),
+    r AS (
+      SELECT doc_id, quality, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM q
+    )
+    SELECT doc_id, quality, n_tokens, cum_tokens
+    FROM r WHERE cum_tokens <= {budget}
+    """
+
+
+def _quantile_filter_sql(min_quantile: float = 0.25) -> str:
+    return f"""
+    WITH q AS ({_quality_doc_sql()}),
+    r AS (
+      SELECT doc_id, lang, quality,
+             floor(percent_rank() OVER (
+               PARTITION BY lang ORDER BY quality ASC, doc_id ASC
+             ) * 10000 + 0.5) / 10000 AS q_rank
+      FROM q
+    )
+    SELECT doc_id, lang, quality, q_rank
+    FROM r WHERE q_rank >= {min_quantile}
+    """
+
+
+_CENTROID_LONG_SQL = """
+      SELECT label,
+             unnest(range(len(embedding))) AS pos,
+             unnest(embedding) AS x
+      FROM embeddings
+"""
+
+_LABEL_CENTROIDS_SQL = f"""
+    SELECT label, CAST(pos AS INT) AS pos,
+           floor(avg(CAST(x AS DOUBLE)) * 10000 + 0.5) / 10000 AS centroid
+    FROM ({_CENTROID_LONG_SQL})
+    GROUP BY label, pos
+"""
+
+_CENTROID_SIMILARITY_SQL = f"""
+    WITH e AS ({_CENTROID_LONG_SQL}),
+    c AS (
+      SELECT label, pos, avg(CAST(x AS DOUBLE)) AS c
+      FROM e GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT a.label AS label_a, b.label AS label_b, sum(a.c * b.c) AS dot
+      FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+      GROUP BY 1, 2
+    ),
+    n AS (SELECT label, sqrt(sum(c * c)) AS nrm FROM c GROUP BY label)
+    SELECT label_a, label_b,
+           floor(dot / (na.nrm * nb.nrm) * 10000 + 0.5) / 10000 AS cos_sim
+    FROM d
+    JOIN n na ON na.label = d.label_a
+    JOIN n nb ON nb.label = d.label_b
+"""
+
+
 def _simhash_pairs_sql(max_hamming: int = 24, bits: int = 60,
                        chunks: int = 4) -> str:
     """Full SimHash replication in DuckDB: portable md5-60-bit token hash,
@@ -2682,6 +2860,18 @@ ORACLES: dict[str, str | None] = {
     "q_stratified_sample": _STRATIFIED_SAMPLE_SQL,
     "q_domain_mix": _DOMAIN_MIX_SQL,
     "q_seq_packing": _SEQ_PACKING_SQL,
+    "q_sample_per_group": _SAMPLE_PER_GROUP_SQL,
+    "q_token_budget_select": _token_budget_sql(5000),
+    "q_quantile_filter": _quantile_filter_sql(0.25),
+    "q_label_centroids": _LABEL_CENTROIDS_SQL,
+    "q_centroid_similarity": _CENTROID_SIMILARITY_SQL,
+    # single staged file + availableNow ⇒ one micro-batch ⇒ streaming
+    # first-occurrence = global min id per fingerprint
+    "q_streaming_dedup": f"""
+        SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+               substr(md5({_NORM_TEXT_SQL}), 1, 16) AS fp
+        FROM documents GROUP BY fp
+    """,
     # embedding LSH tier: planes inlined as double literals, band/bucket
     # sign assembly + candidate join + exact-cosine verify replicated in
     # DuckDB — checks the actual approximate algorithm, not rows-only

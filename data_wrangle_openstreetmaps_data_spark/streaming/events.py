@@ -142,10 +142,10 @@ def topk_over_store(spark: SparkSession, store_path: str,
     )
 
 
-def stage_events_stream(spark: SparkSession, sf_dir: str, prefix: str):
-    """Stage the read-only sf events parquet into a .tmp DIRECTORY (file
-    stream sources require one) and return a stream over it. Shared by
-    every streaming queries() entry."""
+def _stage_dir(sf_dir: str, table_name: str, prefix: str) -> str:
+    """Copy one read-only sf parquet into a .tmp DIRECTORY (file stream
+    sources require one) and return the directory path. Refreshes if the
+    source changed (mtime/size), not only if missing."""
     import os
     import shutil
 
@@ -154,16 +154,45 @@ def stage_events_stream(spark: SparkSession, sf_dir: str, prefix: str):
         "..", ".tmp", f"{prefix}_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     os.makedirs(stage, exist_ok=True)
-    src = os.path.join(sf_dir, "events.parquet")
-    dst = os.path.join(stage, "events.parquet")
-    # refresh if the source changed (mtime/size), not only if missing
+    src = os.path.join(sf_dir, f"{table_name}.parquet")
+    dst = os.path.join(stage, f"{table_name}.parquet")
     if (
         not os.path.exists(dst)
         or os.path.getmtime(dst) < os.path.getmtime(src)
         or os.path.getsize(dst) != os.path.getsize(src)
     ):
         shutil.copy(src, dst)
-    return read_events_stream(spark, stage)
+    return stage
+
+
+def stage_events_stream(spark: SparkSession, sf_dir: str, prefix: str):
+    """Events stream over a staged copy — shared by the streaming
+    queries() entries."""
+    return read_events_stream(spark, _stage_dir(sf_dir, "events", prefix))
+
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def stage_documents_stream(spark: SparkSession, sf_dir: str, prefix: str):
+    """Documents stream over a staged copy: ONE staged file +
+    maxFilesPerTrigger=1 ⇒ the availableNow drain is a single
+    micro-batch, which makes per-key first-occurrence semantics
+    deterministic (= global min id per key)."""
+    stage = _stage_dir(sf_dir, "documents", prefix)
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
 
 
 def run_to_memory(

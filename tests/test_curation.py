@@ -127,3 +127,90 @@ def test_pack_sequences_hand_computed(spark):
     assert got[3]["n_tokens"] == 0 and got[3]["spans_boundary"] is False
     assert got[4] == {"doc_id": 4, "n_tokens": 1, "start_offset": 7,
                       "pack_id": 1, "spans_boundary": False}
+
+
+def test_sample_per_group_exact_n_and_deterministic(spark):
+    from data_wrangle_openstreetmaps_data_spark.operators import sample
+
+    rows = [(i, "t", "en" if i < 300 else "fr") for i in range(350)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = sample.sample_per_group(df, n=10, strata_col="lang", id_col="doc_id")
+    by_lang = {r["lang"] for r in got.collect()}
+    counts = {r["lang"]: r["cnt"] for r in
+              got.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert by_lang == {"en", "fr"}
+    assert counts == {"en": 10, "fr": 10}  # exact n, even from 300 and 50
+    again = {tuple(r) for r in sample.sample_per_group(
+        df, n=10, strata_col="lang", id_col="doc_id").collect()}
+    assert again == {tuple(r) for r in got.collect()}  # hash-stable
+    # a stratum smaller than n yields all its rows
+    tiny = spark.createDataFrame([(1, "t", "de")], ["doc_id", "text", "lang"])
+    assert sample.sample_per_group(tiny, n=10, strata_col="lang",
+                                   id_col="doc_id").count() == 1
+
+
+def test_token_budget_select_greedy_prefix(spark):
+    # quality ~ token count here (len_score dominates): doc 1 has 50+
+    # tokens (quality caps), docs descend; budget cuts mid-list
+    rows = [
+        (1, " ".join(["the"] * 60)),   # 60 toks, top quality
+        (2, " ".join(["the"] * 50)),   # 50 toks
+        (3, " ".join(["the"] * 40)),   # 40 toks
+        (4, "a b"),                    # low quality
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from data_wrangle_openstreetmaps_data_spark.functions import text as T
+
+    got = {r["doc_id"]: r.asDict() for r in curation.token_budget_select(
+        df, budget=115, quality_col=T.quality_score("text")).collect()}
+    # 1 and 2 tie on quality (both cap len_score) → id ties break: 1 then 2
+    # cumsum: 60, 110; doc 3 would hit 150 > 115 → cut
+    assert set(got) == {1, 2}
+    assert got[1]["cum_tokens"] == 60 and got[2]["cum_tokens"] == 110
+
+
+def test_quantile_filter_drops_bottom_quartile_per_stratum(spark):
+    from data_wrangle_openstreetmaps_data_spark.functions import text as T
+
+    # 4 docs per lang with strictly increasing quality (token count)
+    rows = []
+    for lang_i, lang in enumerate(("en", "fr")):
+        for j in range(4):
+            rows.append((lang_i * 10 + j, " ".join(["the"] * (5 + 10 * j)), lang))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = curation.quantile_filter(
+        df, quality_col=T.quality_score("text"), min_quantile=0.25,
+        strata_col="lang",
+    )
+    kept = {r["doc_id"] for r in got.collect()}
+    # percent_rank of 4 rows = 0, 1/3, 2/3, 1 → the rank-0 (lowest) doc
+    # of EACH stratum is dropped
+    assert kept == {1, 2, 3, 11, 12, 13}
+
+
+def test_label_centroids_and_similarity_hand_computed(spark):
+    from pyspark.sql.types import (
+        ArrayType, FloatType, IntegerType, LongType, StructField, StructType,
+    )
+
+    from data_wrangle_openstreetmaps_data_spark.operators import similarity
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ])
+    df = spark.createDataFrame([
+        (1, [1.0, 0.0], 0), (2, [3.0, 0.0], 0),   # centroid (2, 0)
+        (3, [0.0, 2.0], 1),                        # centroid (0, 2)
+        (4, [2.0, 2.0], 2),                        # centroid (2, 2)
+    ], schema)
+    cent = {(r["label"], r["pos"]): r["centroid"]
+            for r in similarity.label_centroids(df).collect()}
+    assert cent == {(0, 0): 2.0, (0, 1): 0.0, (1, 0): 0.0, (1, 1): 2.0,
+                    (2, 0): 2.0, (2, 1): 2.0}
+    sim = {(r["label_a"], r["label_b"]): r["cos_sim"]
+           for r in similarity.centroid_similarity(df).collect()}
+    assert sim[(0, 1)] == 0.0          # orthogonal
+    assert sim[(0, 2)] == 0.7071       # 45°
+    assert sim[(1, 2)] == 0.7071
