@@ -189,3 +189,33 @@ def test_partitioned_store_prunes(spark):
     n_all = json_sink.read_store(spark, store).count()
     n_o = read.count()
     assert 0 < n_o < n_all
+
+
+def test_decontaminate_broadcasts_bench_side(spark):
+    """The contamination check must stream the (huge) train side through a
+    broadcast join against the (small) bench side — a sort-merge join here
+    would shuffle the full train shingle table."""
+    df = Q.REGISTRY["q_decontaminate"].spark(spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_stratified_sample_is_shuffle_free(spark):
+    """Hash-Bernoulli sampling must ride the scan: a filter, no Exchange."""
+    df = Q.REGISTRY["q_stratified_sample"].spark(spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "Exchange" not in plan
+    assert "Filter" in plan
+
+
+def test_gopher_quality_two_keyed_aggregations(spark):
+    """Quality stats = exactly the two planned doc-keyed shuffles
+    ((id,tok) counts → per-id rollup) — no joins, no extra exchanges."""
+    df = Q.REGISTRY["q_gopher_quality"].spark(spark, SF_SMALL)
+    # AQE plan strings repeat the tree under "== Initial Plan ==" —
+    # assert on the final section only
+    plan = _executed_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+    assert "partial" in plan  # map-side combine on the first aggregation
