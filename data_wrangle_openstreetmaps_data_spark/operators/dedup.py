@@ -26,11 +26,92 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from data_wrangle_openstreetmaps_data_spark.functions.text import (
+    fingerprint,
     normalize_ws,
     round4,
     shingle_table,
     tokens,
 )
+
+
+def dedup_incremental(
+    new: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXT-D1 (incremental form) — novel documents of an incoming batch
+    against an already-ingested corpus: the merge step every continuously
+    growing corpus needs (batch analog of ``streaming/dedup_stream``).
+
+    Two stages, both keyed by the content fingerprint:
+    1. within-batch exact dedup (min id per fingerprint wins —
+       deterministic, like ``dedup_exact``);
+    2. left-anti join against the corpus's distinct fingerprint set.
+
+    Output: (id, fp) of the batch's genuinely new documents.
+
+    100 TB posture: only fingerprints of the corpus cross the wire —
+    16-char strings, not documents; in production you persist that
+    fingerprint set once as a bronze sidecar instead of recomputing it
+    per merge, and a bloom filter on fp pre-filters the anti-join so
+    only probable-duplicate rows shuffle at all."""
+    fp = fingerprint(text_col)
+    reps = (
+        new.select(F.col(id_col), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    seen = corpus.select(fp.alias("fp")).dropDuplicates(["fp"])
+    return reps.join(seen, "fp", "left_anti").select(id_col, "fp")
+
+
+def minhash_lsh_join(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXT-D2 (cross-corpus form) — near-duplicate pairs BETWEEN two
+    corpora (left_id, right_id, jaccard): the merge-time companion of
+    ``dedup_incremental`` for fuzzy duplicates, and the same shape as a
+    train-vs-eval fuzzy decontamination pass.
+
+    Requires globally unique ids across the two frames (the usual case:
+    one id space, two subsets). Implemented by tagging sides, running the
+    banded self-join machinery once over the union — identical scale
+    properties to ``dedup_minhash_lsh`` (O(n·bands) candidate input) —
+    then keeping only cross-side pairs, oriented left→right. Reusing the
+    self-join beats two separate signature pipelines: one shingle table,
+    one band shuffle, and within-side pairs are dropped post-verify where
+    they are already scarce."""
+    lt = left.select(F.col(id_col), F.col(text_col))
+    rt = right.select(F.col(id_col), F.col(text_col))
+    union = lt.unionByName(rt)
+    pairs = dedup_minhash_lsh(
+        union, text_col, id_col, n_hashes, bands, shingle_k, threshold
+    )
+    l_ids = left.select(F.col(id_col).alias("_lid"))
+    # cross-side only: exactly one endpoint in the left id set
+    a_in_l = pairs.join(
+        l_ids, pairs["id_a"] == l_ids["_lid"], "left"
+    ).select("id_a", "id_b", "jaccard", F.col("_lid").isNotNull().alias("_a_l"))
+    both = a_in_l.join(
+        l_ids, a_in_l["id_b"] == l_ids["_lid"], "left"
+    ).select("id_a", "id_b", "jaccard", "_a_l",
+             F.col("_lid").isNotNull().alias("_b_l"))
+    return (
+        both.filter(F.col("_a_l") != F.col("_b_l"))
+        .select(
+            F.when(F.col("_a_l"), F.col("id_a")).otherwise(F.col("id_b")).alias("left_id"),
+            F.when(F.col("_a_l"), F.col("id_b")).otherwise(F.col("id_a")).alias("right_id"),
+            "jaccard",
+        )
+    )
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text",

@@ -1083,6 +1083,32 @@ def q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D1 — incremental corpus merge: the 20% of documents with
+    doc_id % 10 >= 8 play the incoming batch, the other 80% the existing
+    corpus; emit the batch docs that are genuinely new (within-batch
+    min-id dedup, then anti-join on the corpus fingerprint set)."""
+    docs = table(spark, sf, "documents")
+    new = docs.filter(F.col("doc_id") % 10 >= 8)
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    return dedup.dedup_incremental(new, corpus)
+
+
+def q_dedup_minhash_join(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D2 — cross-corpus near-dup join (batch doc_id%10>=8 vs corpus):
+    banded MinHash candidates + exact-Jaccard verify, cross-side pairs
+    only, oriented (left_id, right_id). With the recall-1.0 banding
+    config the output EQUALS the exact cross-side trigram-Jaccard pair
+    set, so the relational oracle applies (same contract as
+    q_dedup_minhash)."""
+    docs = table(spark, sf, "documents")
+    new = docs.filter(F.col("doc_id") % 10 >= 8)
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    return dedup.minhash_lsh_join(
+        new, corpus, n_hashes=16, bands=8, shingle_k=3, threshold=0.5
+    )
+
+
 def q_dedup_clusters_exact(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-D — connected components over the DETERMINISTIC ngram-jaccard
     pairs, so the iterative label propagation is cross-checked against a
@@ -2871,6 +2897,49 @@ ORACLES: dict[str, str | None] = {
         SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
                substr(md5({_NORM_TEXT_SQL}), 1, 16) AS fp
         FROM documents GROUP BY fp
+    """,
+    # cross-side exact trigram-Jaccard pairs (recall-1.0 LSH contract,
+    # same as q_dedup_minhash), oriented batch→corpus
+    "q_dedup_minhash_join": rf"""
+        WITH toked AS (
+          SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+        ),
+        shingled AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 3 THEN
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> array_to_string(toks[i:i+2], ' ')))
+                 ELSE [array_to_string(toks, ' ')] END AS sh
+          FROM toked
+        ),
+        exploded AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+        sizes AS (SELECT doc_id, count(*) AS n FROM exploded GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS common
+          FROM exploded a JOIN exploded b ON a.s = b.s
+          WHERE a.doc_id % 10 >= 8 AND b.doc_id % 10 < 8
+          GROUP BY 1, 2
+        )
+        SELECT left_id, right_id,
+               floor(common / (sa.n + sb.n - common) * 10000 + 0.5) / 10000 AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = left_id
+        JOIN sizes sb ON sb.doc_id = right_id
+        WHERE floor(common / (sa.n + sb.n - common) * 10000 + 0.5) / 10000 >= 0.5
+    """,
+    "q_dedup_incremental": f"""
+        WITH fps AS (
+          SELECT doc_id, substr(md5({_NORM_TEXT_SQL}), 1, 16) AS fp
+          FROM documents
+        ),
+        reps AS (
+          SELECT fp, min(doc_id) AS doc_id FROM fps
+          WHERE doc_id % 10 >= 8 GROUP BY fp
+        ),
+        seen AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 10 < 8)
+        SELECT r.doc_id, r.fp FROM reps r
+        LEFT JOIN seen s ON r.fp = s.fp
+        WHERE s.fp IS NULL
     """,
     # embedding LSH tier: planes inlined as double literals, band/bucket
     # sign assembly + candidate join + exact-cosine verify replicated in

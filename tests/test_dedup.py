@@ -339,3 +339,49 @@ def test_srp_arrow_matches_native(spark):
     }
     assert len(native) == 500 * 8
     assert arrow == native
+
+
+def test_dedup_incremental_planted(spark):
+    """Batch-vs-corpus merge: duplicates of corpus docs are dropped,
+    within-batch duplicates collapse to the min id, novel docs survive."""
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "existing corpus document two")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "THE  QUICK   brown fox"),   # dup of corpus 1 (normalized)
+            (11, "a genuinely new document"),
+            (12, "a genuinely  NEW document"), # within-batch dup of 11
+            (13, "another novel text"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"] for r in dedup.dedup_incremental(new, corpus).collect()}
+    assert got == {11, 13}
+
+
+def test_minhash_lsh_join_cross_side_only(spark):
+    """Cross-corpus near-dup join: finds the planted batch↔corpus near-dup,
+    orients it (left, right), and suppresses within-side pairs."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different corpus text about spark plans"),
+            (3, "completely different corpus text about spark planning"),  # near-dup of 2 (within-side)
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog tonight"),  # near-dup of 1
+            (11, "entirely novel content with no relatives anywhere"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {(r["left_id"], r["right_id"])
+           for r in dedup.minhash_lsh_join(
+               new, corpus, n_hashes=16, bands=8, shingle_k=3, threshold=0.5
+           ).collect()}
+    assert (10, 1) in got
+    assert all(left in (10, 11) and right in (1, 2, 3) for left, right in got)
