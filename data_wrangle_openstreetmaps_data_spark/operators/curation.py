@@ -254,6 +254,50 @@ def mixture_weights(
     )
 
 
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-unigram-LM score per document — the relational stand-in for
+    perplexity filtering (CCNet-style: documents whose tokens are
+    collectively improbable under a background LM are boilerplate/noise
+    candidates): avg log10 P(token) over the doc's token occurrences,
+    with P from the corpus's own unigram counts.
+
+    Two aggregations + one join, all keyed by token or doc id: (token →
+    corpus count) is vocabulary-sized (broadcastable — at 100 TB you'd
+    persist the vocab of a reference corpus once and broadcast it, with
+    an OOV floor), then each token occurrence looks up its probability
+    and a per-doc avg folds it back. Empty docs survive with NULL score
+    (no tokens to judge ≠ score 0)."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(tokens(text_col)).alias("tok"),
+    )
+    vocab = (
+        tok.filter(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    total = vocab.agg(F.sum("tf").alias("n")).select(
+        F.col("n").cast("double").alias("_total")
+    )
+    scored = (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(total))  # one scalar row
+        .select(
+            "id",
+            F.when(
+                F.col("tok").isNotNull(),
+                F.log10(F.col("tf") / F.col("_total")),
+            ).alias("logp"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count("logp").alias("n_tokens"),
+        round4(F.avg("logp")).alias("avg_logp"),
+    ).select(F.col("id").alias(id_col), "n_tokens", "avg_logp")
+
+
 def token_budget_select(
     df: DataFrame,
     budget: int,

@@ -368,3 +368,51 @@ def centroid_similarity(
             round4(F.col("dot") / (F.col("na") * F.col("nb"))).alias("cos_sim"),
         )
     )
+
+
+def quantize_stats(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Per-vector symmetric int quantization summary — (id, scale,
+    max_abs_err): scale = max|x|, each component quantized to
+    round(x/scale * (2^(bits-1)-1)), and the reconstruction error
+    reported. The storage-sizing diagnostic you run before deciding to
+    keep a 100 TB embedding column as int8 instead of float32 (4×
+    smaller, cache-friendlier ANN scans).
+
+    Column-expression HOFs over the array — one pass, no shuffle, no
+    UDF; rounding is the portable floor(x+0.5) so an external engine
+    reproduces the arithmetic bit-for-bit. Zero vectors quantize to zero
+    error by convention."""
+    qmax = float((1 << (bits - 1)) - 1)
+    # materialize the double array and its scale as COLUMNS first: a
+    # captured expression inside a later lambda re-evaluates per element
+    # (PERF.md §1) — a captured column reference is free
+    staged = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_xd"),
+    ).withColumn(
+        "_scale",
+        F.array_max(F.transform(F.col("_xd"), lambda x: F.abs(x))),
+    )
+    # err_i = |x_i - round(x_i/scale*qmax) * scale/qmax|
+    err = F.array_max(
+        F.transform(
+            F.col("_xd"),
+            lambda x: F.abs(
+                x
+                - F.floor(x / F.col("_scale") * qmax + 0.5)
+                * F.col("_scale") / qmax
+            ),
+        )
+    )
+    return staged.select(
+        F.col(id_col),
+        round4(F.col("_scale")).alias("scale"),
+        round4(
+            F.when(F.col("_scale") > 0, err).otherwise(F.lit(0.0))
+        ).alias("max_abs_err"),
+    )

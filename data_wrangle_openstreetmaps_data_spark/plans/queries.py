@@ -1109,6 +1109,21 @@ def q_dedup_minhash_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-Q — corpus-unigram-LM score per doc (the perplexity-filter
+    stand-in): avg log10 P(token) with P from the corpus's own unigram
+    counts. Vocabulary-sized broadcast lookup + one doc-keyed avg."""
+    return curation.unigram_logprob(table(spark, sf, "documents"))
+
+
+def q_embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-E — int8 symmetric quantization summary per embedding
+    (scale = max|x|, max reconstruction error at 8 bits): the storage
+    diagnostic for float32→int8 embedding columns. Portable
+    floor(x+0.5) rounding, replicated in the oracle."""
+    return similarity.quantize_stats(table(spark, sf, "embeddings"), bits=8)
+
+
 def q_dedup_clusters_exact(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-D — connected components over the DETERMINISTIC ngram-jaccard
     pairs, so the iterative label propagation is cross-checked against a
@@ -2926,6 +2941,42 @@ ORACLES: dict[str, str | None] = {
         JOIN sizes sa ON sa.doc_id = left_id
         JOIN sizes sb ON sb.doc_id = right_id
         WHERE floor(common / (sa.n + sb.n - common) * 10000 + 0.5) / 10000 >= 0.5
+    """,
+    "q_unigram_logprob": f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(toks) = 0 THEN [NULL] ELSE toks END) AS tok
+          FROM (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)
+        ),
+        vocab AS (
+          SELECT tok, count(*) AS tf FROM tok WHERE tok IS NOT NULL GROUP BY tok
+        ),
+        total AS (SELECT CAST(sum(tf) AS DOUBLE) AS n FROM vocab),
+        scored AS (
+          SELECT doc_id,
+                 CASE WHEN tok IS NOT NULL THEN log10(tf / n) END AS logp
+          FROM tok LEFT JOIN vocab USING (tok) CROSS JOIN total
+        )
+        SELECT doc_id, CAST(count(logp) AS BIGINT) AS n_tokens,
+               floor(avg(logp) * 10000 + 0.5) / 10000 AS avg_logp
+        FROM scored GROUP BY doc_id
+    """,
+    "q_embedding_quantize": """
+        WITH s AS (
+          SELECT vec_id,
+                 list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) AS scale,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+          FROM embeddings
+        )
+        SELECT vec_id,
+               floor(scale * 10000 + 0.5) / 10000 AS scale,
+               CASE WHEN scale > 0 THEN
+                 floor(list_max(list_transform(xd,
+                   x -> abs(x - floor(x / scale * 127.0 + 0.5)
+                            * scale / 127.0))) * 10000 + 0.5) / 10000
+               ELSE 0.0 END AS max_abs_err
+        FROM s
     """,
     "q_dedup_incremental": f"""
         WITH fps AS (

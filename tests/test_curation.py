@@ -214,3 +214,42 @@ def test_label_centroids_and_similarity_hand_computed(spark):
     assert sim[(0, 1)] == 0.0          # orthogonal
     assert sim[(0, 2)] == 0.7071       # 45°
     assert sim[(1, 2)] == 0.7071
+
+
+def test_unigram_logprob_hand_computed(spark):
+    # corpus: 'a a a b' → P(a)=3/4, P(b)=1/4
+    df = _docs(spark, [(1, "a a"), (2, "a b"), (3, "")])
+    import math
+    got = {r["doc_id"]: r.asDict()
+           for r in curation.unigram_logprob(df).collect()}
+    r4 = lambda x: math.floor(x * 10000 + 0.5) / 10000
+    assert got[1]["n_tokens"] == 2
+    assert got[1]["avg_logp"] == r4(math.log10(0.75))
+    assert got[2]["avg_logp"] == r4((math.log10(0.75) + math.log10(0.25)) / 2)
+    assert got[3]["n_tokens"] == 0 and got[3]["avg_logp"] is None
+
+
+def test_quantize_stats_hand_computed(spark):
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StructField, StructType,
+    )
+
+    from data_wrangle_openstreetmaps_data_spark.operators import similarity
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ])
+    df = spark.createDataFrame(
+        [(1, [127.0, -127.0, 0.0]),   # exactly representable → err 0
+         (2, [1.0, 0.005]),           # 0.005/1*127 = 0.635 → q=1 → recon 1/127
+         (3, [0.0, 0.0])],            # zero vector → scale 0, err 0
+        schema,
+    )
+    got = {r["vec_id"]: r.asDict()
+           for r in similarity.quantize_stats(df, bits=8).collect()}
+    assert got[1]["scale"] == 127.0 and got[1]["max_abs_err"] == 0.0
+    assert got[2]["scale"] == 1.0
+    # err for 0.005: |0.005 - 1/127| = 0.002874...; round4 → 0.0029
+    assert got[2]["max_abs_err"] == 0.0029
+    assert got[3]["scale"] == 0.0 and got[3]["max_abs_err"] == 0.0
