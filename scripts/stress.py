@@ -89,6 +89,39 @@ def main() -> None:
     n_join = skewed.join(dim.hint("merge"), "jk").count()
     timings["skewed_sort_merge_join"] = round(time.perf_counter() - t0, 2)
 
+    # curation ops at 100× documents (~500k docs) / 100× embeddings
+    # (~500k vectors): per-doc aggregations and the Arrow SRP projection
+    # must stay linear — these are the text-pipeline hot paths
+    from data_wrangle_openstreetmaps_data_spark.operators import (
+        curation,
+        dedup,
+    )
+    from data_wrangle_openstreetmaps_data_spark.operators.similarity import (
+        _seeded_projections,
+    )
+
+    docs = replicate(table(spark, SF_DIR, "documents"), ["doc_id"], 100)
+    t0 = time.perf_counter()
+    curation.gopher_quality_stats(docs).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    timings["gopher_quality_100x_docs"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    dedup.dedup_exact(docs).write.format("noop").mode("overwrite").save()
+    timings["dedup_exact_100x_docs"] = round(time.perf_counter() - t0, 2)
+
+    emb = replicate(table(spark, SF_DIR, "embeddings"), ["vec_id"], 100)
+    planes = _seeded_projections(64, 32, 42)
+    t0 = time.perf_counter()
+    (
+        dedup._srp_bucketed_arrow(emb, "vec_id", "embedding", planes, 8, 4)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .write.format("noop").mode("overwrite").save()
+    )
+    timings["srp_bucket_100x_embeddings"] = round(time.perf_counter() - t0, 2)
+
     print(
         json.dumps(
             {
