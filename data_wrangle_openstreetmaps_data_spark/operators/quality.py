@@ -44,17 +44,25 @@ def referential_violations(
     )
 
 
-def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
-    """Per-column profile in ONE pass: nulls, approx distinct, min/max.
+def profile(df: DataFrame, cols: list[str] | None = None,
+            exact: bool = False) -> DataFrame:
+    """Per-column profile in ONE pass: nulls, distinct, min/max.
     Long format (column, metric, value-as-string) so heterogeneous column
     types coexist; the single agg keeps it one scan regardless of column
-    count (vs one job per column)."""
+    count (vs one job per column).
+
+    ``exact=False`` (default) uses approx_count_distinct — the 100 TB
+    path (HLL sketch, no distinct-expand). ``exact=True`` swaps in exact
+    count(DISTINCT) for cross-engine-checkable output (the oracle path);
+    Spark plans multiple distincts via one Expand, acceptable at audit
+    scale."""
     cols = cols or df.columns
+    distinct = F.countDistinct if exact else F.approx_count_distinct
     aggs = []
     for c in cols:
         aggs += [
             F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
-            F.approx_count_distinct(c).alias(f"{c}__distinct"),
+            distinct(c).alias(f"{c}__distinct"),
             F.min(c).cast("string").alias(f"{c}__min"),
             F.max(c).cast("string").alias(f"{c}__max"),
         ]

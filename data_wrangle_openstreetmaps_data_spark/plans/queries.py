@@ -1124,6 +1124,72 @@ def q_embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.quantize_stats(table(spark, sf, "embeddings"), bits=8)
 
 
+def q_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — one-pass column profiler over documents (nulls, distinct,
+    min/max per column, long format). exact=True swaps the HLL sketch
+    for count(DISTINCT) so the output is cross-engine-checkable; the
+    default approx path is the 100 TB shape (same plan minus Expand)."""
+    from data_wrangle_openstreetmaps_data_spark.operators import quality
+
+    return quality.profile(
+        table(spark, sf, "documents"),
+        cols=["doc_id", "lang", "source", "n_chars"],
+        exact=True,
+    )
+
+
+def q_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming — watermarked stream-stream inner join (purchase ↔ same
+    user's signups within the prior 7 days). The availableNow drain over
+    one staged file is a single micro-batch with both sides complete, so
+    the emitted matches are exactly the batch join at the same time
+    predicate — watermarks only bound state, never results, for inner
+    joins. Times emitted as epoch-µs longs (ts div 1000 ≡ epoch_us)."""
+    import uuid
+
+    from data_wrangle_openstreetmaps_data_spark.streaming import events as se
+
+    name = f"ssjoin_{uuid.uuid4().hex[:8]}"
+    left = se.stage_events_stream(spark, sf, "ssj_l")
+    right = se.stage_events_stream(spark, sf, "ssj_r")
+    joined = se.stream_stream_join(left, right).select(
+        "user_id",
+        "l_event_id",
+        "r_event_id",
+        F.unix_micros("l_time").alias("l_us"),
+        F.unix_micros("r_time").alias("r_us"),
+    )
+    se.run_to_memory(joined, name)
+    return spark.table(name)
+
+
+def q_ann_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-S — AnnIndex multiprobe query: top-k scanned from the query's
+    LSH bucket plus all buckets at Hamming distance 1 (recall/cost
+    trade). Deterministic md5-seeded planes ⇒ the oracle inlines them
+    and probes the same 5-bucket set."""
+    emb = table(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    idx = similarity.AnnIndex(emb, n_planes=4)
+    out = idx.query(list(qvec), k=10, probes=2)
+    return out
+
+
+def q_dedup_representatives(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D — the dedup pipeline's FINAL action: drop every document
+    whose near-dup cluster representative (min id in its component) is a
+    different document; emit surviving ids. Composes the recall-1.0
+    minhash pair set with connected components, so the oracle is the
+    recursive-CTE closure's keep-set."""
+    docs = table(spark, sf, "documents")
+    pairs = dedup.dedup_minhash_lsh(
+        docs, n_hashes=16, bands=8, shingle_k=3, threshold=0.5
+    )
+    return dedup.dedup_keep_representatives(docs, pairs).select(
+        "doc_id"
+    ).orderBy("doc_id")
+
+
 def q_dedup_clusters_exact(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-D — connected components over the DETERMINISTIC ngram-jaccard
     pairs, so the iterative label propagation is cross-checked against a
@@ -2941,6 +3007,56 @@ ORACLES: dict[str, str | None] = {
         JOIN sizes sa ON sa.doc_id = left_id
         JOIN sizes sb ON sb.doc_id = right_id
         WHERE floor(common / (sa.n + sb.n - common) * 10000 + 0.5) / 10000 >= 0.5
+    """,
+    # exact-distinct profiler: 4 metrics × 4 columns as UNION ALL rows,
+    # min/max stringified identically (bigints/varchars only)
+    "q_profile": " UNION ALL ".join(
+        part
+        for c in ["doc_id", "lang", "source", "n_chars"]
+        for part in [
+            f"SELECT '{c}:nulls' AS metric, "
+            f"CAST(count(CASE WHEN {c} IS NULL THEN 1 END) AS VARCHAR) AS value "
+            "FROM documents",
+            f"SELECT '{c}:distinct', CAST(count(DISTINCT {c}) AS VARCHAR) "
+            "FROM documents",
+            f"SELECT '{c}:min', CAST(min({c}) AS VARCHAR) FROM documents",
+            f"SELECT '{c}:max', CAST(max({c}) AS VARCHAR) FROM documents",
+        ]
+    ),
+    # inner stream-stream join: single-batch availableNow drain emits
+    # exactly the batch join (watermarks bound state, not inner-join
+    # results); µs precision on both sides (ts div 1000 ≡ epoch_us)
+    "q_stream_stream_join": """
+        WITH e AS (SELECT *, epoch_us(ts) AS us FROM events)
+        SELECT l.user_id, l.event_id AS l_event_id, r.event_id AS r_event_id,
+               l.us AS l_us, r.us AS r_us
+        FROM e l JOIN e r ON l.user_id = r.user_id
+        WHERE l.event_type = 'purchase' AND r.event_type = 'signup'
+          AND r.us <= l.us AND r.us >= l.us - CAST(604800000000 AS BIGINT)
+    """,
+    # multiprobe = query bucket + the 4 Hamming-1 buckets, planes inlined
+    "q_ann_multiprobe": f"""
+        WITH planes AS ({_plane_literals_sql(4)}),
+        b AS (
+          SELECT vec_id, embedding,
+                 {_bucket_expr_sql('embedding', 4)} AS bucket
+          FROM embeddings, planes
+        ),
+        q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+        SELECT vec_id,
+               floor(({_COSINE_SQL.format(a='embedding', b='qv')}) * 10000 + 0.5) / 10000 AS sim
+        FROM b, q
+        WHERE bucket IN (qb, xor(qb, 1), xor(qb, 2), xor(qb, 4), xor(qb, 8))
+        ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+    # survivors of cluster dedup: everything except non-representative
+    # members of the exact-pair-set closure (recall-1.0 LSH contract)
+    "q_dedup_representatives": f"""
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (
+          SELECT id FROM ({_closure_clusters_sql(_ngram_jaccard_sql(0.5))})
+          WHERE id <> cluster_id
+        )
     """,
     "q_unigram_logprob": f"""
         WITH tok AS (
