@@ -141,17 +141,19 @@ def pii_scrub(
 
     Application order matters and is part of the contract: email first
     (their dotted domains must not be half-eaten by the IP rule), then IP,
-    then phone (whose dotted form is a sub-pattern of IPs). Pure
+    then phone (whose dotted form is a sub-pattern of IPs). Each kind's
+    count is taken on the text AS THAT STAGE SEES IT (post prior
+    redactions), so ``n_*`` always equals the number of ``<TAG>``s the
+    stage actually inserted — a phone-shaped substring consumed by the
+    email pass is counted as email, not double-counted as phone. Pure
     regexp_count/regexp_replace column expressions — codegen, no UDF, no
     shuffle; at 100 TB this is a free rider on any existing scan."""
     out = df
-    col = F.col(text_col)
-    for name, pat, _ in PII_PATTERNS:
-        out = out.withColumn(f"n_{name}", F.regexp_count(col, F.lit(pat)))
-    red = col
-    for _, pat, tag in PII_PATTERNS:
-        red = F.regexp_replace(red, pat, tag)
-    return out.withColumn(out_col, red)
+    cur = F.col(text_col)
+    for name, pat, tag in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.regexp_count(cur, F.lit(pat)))
+        cur = F.regexp_replace(cur, pat, tag)
+    return out.withColumn(out_col, cur)
 
 
 # ---------------------------------------------------------------------------
@@ -218,6 +220,8 @@ def stratified_sample(
         portable_token_hash,
     )
 
+    if "_bucket" in df.columns:
+        raise ValueError("input already has a _bucket column")
     df = df.withColumn(
         "_bucket",
         F.pmod(
@@ -255,7 +259,8 @@ def mixture_weights(
 
 
 def unigram_logprob(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    caches: list | None = None,
 ) -> DataFrame:
     """Corpus-unigram-LM score per document — the relational stand-in for
     perplexity filtering (CCNet-style: documents whose tokens are
@@ -268,11 +273,20 @@ def unigram_logprob(
     persist the vocab of a reference corpus once and broadcast it, with
     an OOV floor), then each token occurrence looks up its probability
     and a per-doc avg folds it back. Empty docs survive with NULL score
-    (no tokens to judge ≠ score 0)."""
+    (no tokens to judge ≠ score 0).
+
+    The exploded token table feeds BOTH the vocab aggregation and the
+    scoring join; Spark does not reuse identical non-exchange subtrees,
+    so it is persisted (same reason dedup persists its shingle table —
+    pass ``caches`` to receive it for unpersisting)."""
+    from pyspark.storagelevel import StorageLevel
+
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode_outer(tokens(text_col)).alias("tok"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if caches is not None:
+        caches.append(tok)
     vocab = (
         tok.filter(F.col("tok").isNotNull())
         .groupBy("tok")
@@ -298,6 +312,43 @@ def unigram_logprob(
     ).select(F.col("id").alias(id_col), "n_tokens", "avg_logp")
 
 
+def _blocked_prefix_sum(
+    df: DataFrame, block_col: str, order_cols: list, val_col: str,
+    out_col: str,
+) -> DataFrame:
+    """EXCLUSIVE prefix sum of ``val_col`` over a global ordering, the
+    scalable two-phase way: ``block_col`` must be a monotone function of
+    the global order (contiguous order ranges per block). Phase 1 is a
+    per-block running sum (shuffle keyed by block, parallel); phase 2
+    cumulates only the per-block TOTALS — a window over #blocks rows,
+    not #rows — and broadcasts the block offsets back. A naive
+    ``Window.orderBy`` with no partition funnels every row through one
+    task (Exchange SinglePartition — see every_nth's scale note); this
+    keeps the row-scale work partitioned."""
+    w_in = (
+        Window.partitionBy(block_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = df.withColumn(
+        "_within", F.coalesce(F.sum(val_col).over(w_in), F.lit(0))
+    )
+    totals = df.groupBy(block_col).agg(F.sum(val_col).alias("_bt"))
+    w_blk = (
+        Window.orderBy(block_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        block_col,
+        F.coalesce(F.sum("_bt").over(w_blk), F.lit(0)).alias("_boff"),
+    )
+    return (
+        within.join(F.broadcast(offsets), block_col)
+        .withColumn(out_col, F.col("_within") + F.col("_boff"))
+        .drop("_within", "_boff")
+    )
+
+
 def token_budget_select(
     df: DataFrame,
     budget: int,
@@ -311,22 +362,27 @@ def token_budget_select(
     the first doc that would overflow is dropped, as are all below it).
 
     Output: (id, quality, n_tokens, cum_tokens) for the kept set.
-    The ranking is a global window — a range-partitioned sort at scale
-    (same machinery as any orderBy); the budget cut is then a filter on
-    the running sum. ``quality_col`` is any numeric Column expression
-    (e.g. ``text.quality_score``), evaluated once."""
-    w = (
-        Window.orderBy(F.col("quality").desc(), F.col(id_col).asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    The running sum uses the two-phase blocked prefix sum
+    (``_blocked_prefix_sum``): quality is 4-dp rounded, so
+    ``floor(-quality·10⁴)`` is a monotone block key over the descending
+    quality order — per-block cumsums stay partitioned and only the
+    ≤10⁴ block totals pass through a single-task window.
+    ``quality_col`` is any numeric Column expression (e.g.
+    ``text.quality_score``), evaluated once."""
     scored = df.select(
         F.col(id_col),
         quality_col.alias("quality"),
         F.size(tokens(text_col)).alias("n_tokens"),
+    ).withColumn("_blk", F.floor(F.col("quality") * -10000))
+    pref = _blocked_prefix_sum(
+        scored, "_blk",
+        [F.col("quality").desc(), F.col(id_col).asc()],
+        "n_tokens", "_before",
     )
     return (
-        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        pref.withColumn("cum_tokens", F.col("_before") + F.col("n_tokens"))
         .filter(F.col("cum_tokens") <= budget)
+        .select(id_col, "quality", "n_tokens", "cum_tokens")
     )
 
 
@@ -378,16 +434,17 @@ def pack_sequences(
     - ``pack_id``         window index containing the first token
     - ``spans_boundary``  whether the doc crosses a window edge
 
-    The running offset is a prefix sum over a global ordering — Spark
-    executes it as a range-partitioned sort + per-partition scan, the
-    same mechanism as any global orderBy, so it scales (one sort-shuffle
-    on the id; at 100 TB you'd order by a (shard, id) composite that is
-    already the storage order, making the sort a no-op)."""
-    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    The running offset is the two-phase blocked prefix sum
+    (``_blocked_prefix_sum``) with ``floor(id / 100k)`` as the monotone
+    block key: per-block cumsums shuffle by block and run parallel;
+    only the per-block totals cross a single-task window. (A bare
+    ``Window.orderBy`` would funnel every row through one task.)"""
     n_tok = F.size(tokens(text_col))
-    out = df.select(F.col(id_col), n_tok.alias("n_tokens"))
-    out = out.withColumn(
-        "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    out = df.select(F.col(id_col), n_tok.alias("n_tokens")).withColumn(
+        "_blk", F.floor(F.col(id_col) / 100_000)
+    )
+    out = _blocked_prefix_sum(
+        out, "_blk", [F.col(id_col).asc()], "n_tokens", "start_offset"
     )
     return out.select(
         id_col,

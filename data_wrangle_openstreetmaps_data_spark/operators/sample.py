@@ -56,6 +56,8 @@ def sample_per_group(
         portable_token_hash,
     )
 
+    if "_rk" in df.columns:
+        raise ValueError("input already has a _rk column")
     h = portable_token_hash(F.col(id_col).cast("string"))
     w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
     return (

@@ -236,14 +236,20 @@ class AnnIndex:
 
     def __init__(self, embeddings: DataFrame, n_planes: int = 4,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 dim: int = 64, seed: int = 42):
+                 dim: int = 64, seed: int = 42, persist: bool = True):
+        """``persist=True`` (default) caches the bucketed table — the
+        index-once/query-many shape. Pass ``persist=False`` for a
+        one-shot query so nothing outlives the call (callers that keep
+        the default own calling ``unpersist()``)."""
         from pyspark.storagelevel import StorageLevel
 
         self.planes = _seeded_projections(dim, n_planes, seed)
         self.id_col, self.vec_col = id_col, vec_col
         self.bucketed = embeddings.withColumn(
             "_bucket", lsh_bucket(F.col(vec_col), self.planes)
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if persist:
+            self.bucketed = self.bucketed.persist(StorageLevel.MEMORY_AND_DISK)
 
     def query(self, query_vec: list[float], k: int = 10,
               probes: int = 1) -> DataFrame:
@@ -343,8 +349,16 @@ def centroid_similarity(
     Works on the long-form centroids: dot products via a (pos)-equality
     self-join over labels² × dim rows (tiny — label count is bounded),
     norms from one more aggregation. Output (label_a, label_b, cos_sim),
-    a < b."""
-    cent = label_centroids(df, label_col, vec_col, rounded=False)
+    a < b.
+
+    The centroid frame feeds three plan branches (both join sides and the
+    norms agg); Spark does not reuse identical non-exchange subtrees, so
+    it is persisted — it is labels × dim rows, i.e. tiny."""
+    from pyspark.storagelevel import StorageLevel
+
+    cent = label_centroids(df, label_col, vec_col, rounded=False).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a, b = cent.alias("a"), cent.alias("b")
     dots = (
         a.join(b, (F.col("a.pos") == F.col("b.pos"))

@@ -48,8 +48,10 @@ def salted_join(
         raise ValueError("input already has a _salt column")
     if salt_cols is None:
         # xxhash64 rejects maps at ANY nesting depth (array<map<...>>,
-        # struct with a map field), so exclude any dtype mentioning map
-        salt_cols = [c for c, t in big.dtypes if "map" not in t]
+        # struct with a map field) — match the type token "map<" exactly
+        # so struct FIELD NAMES containing "map" (remap:string) stay
+        # hashable
+        salt_cols = [c for c, t in big.dtypes if "map<" not in t]
         if not salt_cols:
             salt_cols = [on]
     else:

@@ -1170,9 +1170,10 @@ def q_ann_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
     and probes the same 5-bucket set."""
     emb = table(spark, sf, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    idx = similarity.AnnIndex(emb, n_planes=4)
-    out = idx.query(list(qvec), k=10, probes=2)
-    return out
+    # persist=False: this is a one-shot registry query — the default
+    # index-once cache would leak a persisted frame per invocation
+    idx = similarity.AnnIndex(emb, n_planes=4, persist=False)
+    return idx.query(list(qvec), k=10, probes=2)
 
 
 def q_dedup_representatives(spark: SparkSession, sf: str) -> DataFrame:
@@ -1940,7 +1941,7 @@ def _gopher_quality_sql() -> str:
     ),
     exploded AS (
       SELECT doc_id,
-             unnest(CASE WHEN len(toks) = 0 THEN [NULL] ELSE toks END) AS tok
+             unnest(CASE WHEN toks IS NULL OR len(toks) = 0 THEN [NULL] ELSE toks END) AS tok
       FROM toked
     ),
     per_tok AS (
@@ -2011,10 +2012,15 @@ def _repetition_ngrams_sql(k: int = 2) -> str:
 def _pii_scrub_sql() -> str:
     """Replicates q_pii_scrub: same planted suffix, same RE2-safe
     patterns, same email→IP→phone application order ('g' = global,
-    matching Spark's replace-all)."""
-    pats = {name: pat for name, pat, _ in curation.PII_PATTERNS}
+    matching Spark's replace-all), and — matching pii_scrub's staged
+    contract — each kind counted on the text as that stage sees it
+    (post prior redactions)."""
+    counts = []
     red = "t"
     for name, pat, tag in curation.PII_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all({red}, '{pat}')) AS INT) AS n_{name}"
+        )
         red = f"regexp_replace({red}, '{pat}', '{tag}', 'g')"
     return rf"""
     WITH planted AS (
@@ -2028,9 +2034,7 @@ def _pii_scrub_sql() -> str:
       FROM documents
     )
     SELECT doc_id,
-           CAST(len(regexp_extract_all(t, '{pats["email"]}')) AS INT) AS n_email,
-           CAST(len(regexp_extract_all(t, '{pats["ip"]}')) AS INT) AS n_ip,
-           CAST(len(regexp_extract_all(t, '{pats["phone"]}')) AS INT) AS n_phone,
+           {", ".join(counts)},
            md5({red}) AS scrub_hash
     FROM planted
     """
@@ -2228,7 +2232,7 @@ def _simhash_pairs_sql(max_hamming: int = 24, bits: int = 60,
     ),
     exploded AS (
       SELECT doc_id,
-             unnest(CASE WHEN len(toks) = 0 THEN [NULL] ELSE toks END) AS tok
+             unnest(CASE WHEN toks IS NULL OR len(toks) = 0 THEN [NULL] ELSE toks END) AS tok
       FROM toked
     ),
     votes AS (
@@ -3061,7 +3065,7 @@ ORACLES: dict[str, str | None] = {
     "q_unigram_logprob": f"""
         WITH tok AS (
           SELECT doc_id,
-                 unnest(CASE WHEN len(toks) = 0 THEN [NULL] ELSE toks END) AS tok
+                 unnest(CASE WHEN toks IS NULL OR len(toks) = 0 THEN [NULL] ELSE toks END) AS tok
           FROM (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)
         ),
         vocab AS (

@@ -38,18 +38,18 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite",
 
 def read_json(spark: SparkSession, path: str, pretty: bool = False) -> DataFrame:
     """Readback. ``pretty=True`` parses the concatenated indented-object
-    format: records are delimited by a column-0 ``}`` followed by a
-    column-0 ``{`` (nested braces are always indented by the writer, so
-    the boundary is unambiguous). Fixture/inspection-scale path — the
-    scale format is JSON-lines (``pretty=False``)."""
+    format: a record starts at every column-0 ``{`` (the writer indents
+    all nested openings, and a record-final ``}`` — including the
+    single-line ``{ }`` an all-null record collapses to — always ends
+    its line), so splitting at each newline followed by a column-0 ``{``
+    is unambiguous. Fixture/inspection-scale path — the scale format is
+    JSON-lines (``pretty=False``)."""
     if not pretty:
         return spark.read.json(path)
     whole = spark.read.text(path, wholetext=True)
     objs = (
         whole.select(
-            F.explode(
-                F.split("value", r"(?m)(?<=^\})\n(?=\{)")
-            ).alias("value")
+            F.explode(F.split("value", r"\n(?=\{)")).alias("value")
         )
         .filter(F.trim("value") != "")
     )

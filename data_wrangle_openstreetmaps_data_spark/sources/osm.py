@@ -238,11 +238,18 @@ def resolve_input(path: str, cache_dir: str | None = None) -> str:
             try:
                 os.rename(tmp, dest)
             except OSError:
-                # lost the race (dest exists): the winner's extraction is
-                # complete (rename is atomic), so just use it
-                if not os.path.exists(marker):
+                if os.path.exists(marker):
+                    # lost the race: the winner's extraction is complete
+                    # (rename is atomic), so just use it
+                    shutil.rmtree(tmp, ignore_errors=True)
+                elif os.path.isdir(dest):
+                    # stale marker-less dest (interrupted legacy extract):
+                    # replace it with the fresh complete copy instead of
+                    # failing forever
+                    shutil.rmtree(dest, ignore_errors=True)
+                    os.rename(tmp, dest)
+                else:
                     raise
-                shutil.rmtree(tmp, ignore_errors=True)
         except Exception:
             shutil.rmtree(tmp, ignore_errors=True)
             raise

@@ -63,6 +63,18 @@ def test_pii_scrub_planted_and_order(spark):
     assert got[2]["n_phone"] == 1
 
 
+def test_pii_scrub_staged_counts_on_overlap(spark):
+    """Counts are taken per stage on the already-redacted text, so a
+    phone-shaped substring consumed by the email pass is counted as
+    email, not double-counted: n_* always equals inserted <TAG>s."""
+    df = _docs(spark, [(1, "call 555-123-4567@mail.com now")])
+    got = curation.pii_scrub(df, text_col="text").collect()[0].asDict()
+    assert got["n_email"] == 1
+    assert got["n_phone"] == 0          # consumed by the email pass
+    assert got["scrubbed"] == "call <EMAIL> now"
+    assert got["scrubbed"].count("<PHONE>") == got["n_phone"]
+
+
 def test_decontaminate_overlap_planted(spark):
     train = _docs(spark, [
         (1, "alpha beta gamma delta epsilon zeta"),   # shares 5-grams w/ bench 100

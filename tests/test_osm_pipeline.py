@@ -236,24 +236,28 @@ def test_pretty_json_roundtrip(spark):
     from pyspark.sql import functions as F
 
     df = spark.createDataFrame(
-        [("a", 1, ("x", "y"), None), ("b", 2, ("p", "q"), "keep")],
+        [("a", 1, ("x", "y"), None), ("b", 2, ("p", "q"), "keep"),
+         (None, None, None, None)],   # all-null record → '{ }' single line
         ["id", "n", "created", "opt"],
     ).select("id", "n", F.struct("created._1", "created._2").alias("created"), "opt")
     out = os.path.join(TMP, "pretty_json")
     json_sink.write_json(df, out, pretty=True)
 
-    # file content is the reference's shape: records open/close at column
-    # 0, body lines are indented, null fields dropped
+    # file content is the reference's shape: records open at column 0,
+    # body lines are indented, null fields dropped; the all-null record
+    # collapses to a single-line '{ }'
     import glob
     import re
     text = "".join(open(f).read() for f in sorted(glob.glob(out + "/part-*")))
-    assert len(re.findall(r"(?m)^\{", text)) == 2  # two records
-    assert len(re.findall(r"(?m)^\}", text)) == 2
+    assert len(re.findall(r"(?m)^\{", text)) == 3  # three records
     assert text.count('"opt"') == 1  # a's null opt dropped, b's kept
     assert '  "created"' in text     # nested struct is indented, not col-0
 
     back = json_sink.read_json(spark, out, pretty=True)
-    rows = {r["id"]: r.asDict(recursive=True) for r in back.collect()}
+    collected = back.collect()
+    assert len(collected) == 3       # incl. the all-null '{ }' record
+    rows = {r["id"]: r.asDict(recursive=True)
+            for r in collected if r["id"] is not None}
     assert len(rows) == 2
     assert rows["b"]["opt"] == "keep"
     assert rows["a"].get("opt") is None
