@@ -66,6 +66,36 @@ def dedup_incremental(
     return reps.join(seen, "fp", "left_anti").select(id_col, "fp")
 
 
+def _orient_cross_pairs(
+    pairs: DataFrame, left_ids: DataFrame, value_col: str
+) -> DataFrame:
+    """Keep only pairs with exactly one endpoint in ``left_ids`` (a
+    one-column frame named ``_lid``) and orient them as
+    (left_id, right_id, value). Shared by the cross-corpus join forms of
+    the minhash and embedding tiers."""
+    a_in_l = pairs.join(
+        left_ids, pairs["id_a"] == left_ids["_lid"], "left"
+    ).select(
+        "id_a", "id_b", value_col, F.col("_lid").isNotNull().alias("_a_l")
+    )
+    both = a_in_l.join(
+        left_ids, a_in_l["id_b"] == left_ids["_lid"], "left"
+    ).select(
+        "id_a", "id_b", value_col, "_a_l",
+        F.col("_lid").isNotNull().alias("_b_l"),
+    )
+    return (
+        both.filter(F.col("_a_l") != F.col("_b_l"))
+        .select(
+            F.when(F.col("_a_l"), F.col("id_a"))
+            .otherwise(F.col("id_b")).alias("left_id"),
+            F.when(F.col("_a_l"), F.col("id_b"))
+            .otherwise(F.col("id_a")).alias("right_id"),
+            value_col,
+        )
+    )
+
+
 def minhash_lsh_join(
     left: DataFrame,
     right: DataFrame,
@@ -95,22 +125,39 @@ def minhash_lsh_join(
     pairs = dedup_minhash_lsh(
         union, text_col, id_col, n_hashes, bands, shingle_k, threshold
     )
-    l_ids = left.select(F.col(id_col).alias("_lid"))
-    # cross-side only: exactly one endpoint in the left id set
-    a_in_l = pairs.join(
-        l_ids, pairs["id_a"] == l_ids["_lid"], "left"
-    ).select("id_a", "id_b", "jaccard", F.col("_lid").isNotNull().alias("_a_l"))
-    both = a_in_l.join(
-        l_ids, a_in_l["id_b"] == l_ids["_lid"], "left"
-    ).select("id_a", "id_b", "jaccard", "_a_l",
-             F.col("_lid").isNotNull().alias("_b_l"))
-    return (
-        both.filter(F.col("_a_l") != F.col("_b_l"))
-        .select(
-            F.when(F.col("_a_l"), F.col("id_a")).otherwise(F.col("id_b")).alias("left_id"),
-            F.when(F.col("_a_l"), F.col("id_b")).otherwise(F.col("id_a")).alias("right_id"),
-            "jaccard",
-        )
+    return _orient_cross_pairs(
+        pairs, left.select(F.col(id_col).alias("_lid")), "jaccard"
+    )
+
+
+def embedding_near_dup_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """EXT-D2 (cross-corpus embedding form) — cosine near-duplicates
+    BETWEEN two embedding corpora, oriented (left_id, right_id,
+    cos_sim): the semantic companion of ``minhash_lsh_join`` — e.g.
+    embedding-level decontamination of a train set against an eval set.
+
+    Same contract and scale shape as ``embedding_near_dup_pairs`` (one
+    banded SRP bucketing over the tagged union, key-equality candidate
+    join, exact-cosine verify), requiring globally unique ids across the
+    two frames."""
+    lv = left.select(F.col(id_col), F.col(vec_col))
+    rv = right.select(F.col(id_col), F.col(vec_col))
+    union = lv.unionByName(rv)
+    pairs = embedding_near_dup_pairs(
+        union, id_col, vec_col, threshold, bands, rows_per_band, dim, seed
+    )
+    return _orient_cross_pairs(
+        pairs, left.select(F.col(id_col).alias("_lid")), "cos_sim"
     )
 
 

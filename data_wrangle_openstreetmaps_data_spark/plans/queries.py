@@ -1191,6 +1191,20 @@ def q_dedup_representatives(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_dedup_embedding_join(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D2 — cross-corpus embedding near-dup join (vectors with
+    vec_id%10>=8 as the incoming batch vs the rest as corpus): banded
+    SRP candidates + exact-cosine verify, cross-side pairs oriented
+    (left_id, right_id). Plane-inlined oracle replicates the bucketing
+    and the split."""
+    emb = table(spark, sf, "embeddings")
+    new = emb.filter(F.col("vec_id") % 10 >= 8)
+    corpus = emb.filter(F.col("vec_id") % 10 < 8)
+    return dedup.embedding_near_dup_join(
+        new, corpus, threshold=0.4, bands=8, rows_per_band=4
+    )
+
+
 def q_dedup_clusters_exact(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-D — connected components over the DETERMINISTIC ngram-jaccard
     pairs, so the iterative label propagation is cross-checked against a
@@ -1895,6 +1909,51 @@ def _embedding_pairs_sql(
       JOIN embeddings y ON y.vec_id = c.id_b
     )
     SELECT id_a, id_b, cos_sim FROM verified WHERE cos_sim >= {threshold}
+    """
+
+
+def _embedding_join_sql(
+    threshold: float = 0.4, bands: int = 8, rows_per_band: int = 4,
+    modulus: int = 10, batch_min: int = 8,
+) -> str:
+    """Cross-corpus variant of _embedding_pairs_sql: same plane-inlined
+    bucketing, but candidates pair the batch split (id % modulus >=
+    batch_min) against the corpus split, oriented (left_id, right_id)."""
+    n = bands * rows_per_band
+    band_exprs = []
+    for b in range(bands):
+        bits = [
+            "(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * p{b * rows_per_band + j}[i])) >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(rows_per_band)
+        ]
+        band_exprs.append(" + ".join(bits))
+    cos = _COSINE_SQL.format(a="x.embedding", b="y.embedding")
+    return f"""
+    WITH planes AS ({_plane_literals_sql(n)}),
+    bk AS (
+      SELECT vec_id AS id, [{", ".join(band_exprs)}] AS bks
+      FROM embeddings, planes
+    ),
+    bucketed AS (
+      SELECT id, t.band AS band, bks[t.band + 1] AS bucket
+      FROM bk, range({bands}) t(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS left_id, b.id AS right_id
+      FROM bucketed a JOIN bucketed b
+        ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.id % {modulus} >= {batch_min} AND b.id % {modulus} < {batch_min}
+    ),
+    verified AS (
+      SELECT c.left_id, c.right_id,
+             floor(({cos}) * 10000 + 0.5) / 10000 AS cos_sim
+      FROM cand c
+      JOIN embeddings x ON x.vec_id = c.left_id
+      JOIN embeddings y ON y.vec_id = c.right_id
+    )
+    SELECT left_id, right_id, cos_sim FROM verified WHERE cos_sim >= {threshold}
     """
 
 
@@ -3117,6 +3176,9 @@ ORACLES: dict[str, str | None] = {
     # DuckDB — checks the actual approximate algorithm, not rows-only
     "q_dedup_embedding": _embedding_pairs_sql(0.4, bands=8, rows_per_band=4),
     "q_dedup_embedding_recall": _embedding_recall_sql(
+        0.4, bands=8, rows_per_band=4
+    ),
+    "q_dedup_embedding_join": _embedding_join_sql(
         0.4, bands=8, rows_per_band=4
     ),
     "q_curation_pipeline": _CURATION_SQL,

@@ -385,3 +385,34 @@ def test_minhash_lsh_join_cross_side_only(spark):
            ).collect()}
     assert (10, 1) in got
     assert all(left in (10, 11) and right in (1, 2, 3) for left, right in got)
+
+
+def test_embedding_near_dup_join_cross_side(spark):
+    """Cross-corpus embedding join: a planted batch vector nearly equal
+    to a corpus vector surfaces oriented (batch, corpus); within-side
+    near-dups are suppressed."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StructField, StructType,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((4, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ])
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(3)], schema
+    )
+    near = base[0] + 0.02 * rng.standard_normal(64)
+    new = spark.createDataFrame(
+        [(10, [float(x) for x in near]),
+         (11, [float(x) for x in base[3]])],
+        schema,
+    )
+    got = {(r["left_id"], r["right_id"])
+           for r in dedup.embedding_near_dup_join(
+               new, corpus, threshold=0.9).collect()}
+    assert got == {(10, 0)}
