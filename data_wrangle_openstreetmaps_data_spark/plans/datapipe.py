@@ -128,3 +128,106 @@ def curate(
     # count instead of re-executing the whole plan
     stats["curated"] = stats["after_near_dedup"]
     return CurationResult(curated=curated, stats=stats, caches=held)
+
+
+def curate_v2(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    max_dup_token_frac: float = 0.65,
+    min_quality_quantile: float = 0.25,
+    decontam_k: int = 5,
+    bench_modulus: int = 29,
+    collect_stats: bool = True,
+) -> CurationResult:
+    """Round-3 curation pipeline — the data-release shape::
+
+        ingest → benchmark split-off → PII scrub
+               → repetition cut (dup-token fraction)
+               → per-language quality-quantile cut
+               → exact dedup → decontaminate vs benchmark
+               → (id, lang, quality, fp)
+
+    Everything is lazy and relational (no eager clustering stage — the
+    near-dup path is pipeline v1); each stage is replicated in the
+    composed DuckDB oracle of ``q_curation_pipeline_v2``, so the WHOLE
+    pipeline — not just its pieces — is value-checked cross-engine.
+
+    Stage order at scale: the benchmark split and scrub ride the scan;
+    the repetition/quality stats are doc-keyed aggregations over the
+    already-reduced corpus; exact dedup is one hash groupBy; the
+    decontamination join (broadcast bench shingles) runs LAST, on the
+    smallest surviving corpus."""
+    from data_wrangle_openstreetmaps_data_spark.operators import curation
+
+    def _n(df):
+        return df.count() if collect_stats else -1
+
+    stats: dict[str, int] = {"input": _n(docs)}
+
+    bench = docs.filter(F.col(id_col) % bench_modulus == 0)
+    train = docs.filter(F.col(id_col) % bench_modulus != 0)
+    stats["train_split"] = _n(train)
+
+    # PII scrub: release the scrubbed text; counts not carried forward
+    scrubbed = curation.pii_scrub(train, text_col, out_col="_sc").select(
+        F.col(id_col), F.col(lang_col), F.col("_sc").alias(text_col)
+    )
+
+    held: list = []
+    if collect_stats:
+        from pyspark.storagelevel import StorageLevel
+
+        # every later stage count re-executes the prefix otherwise
+        scrubbed = scrubbed.persist(StorageLevel.MEMORY_AND_DISK)
+        held.append(scrubbed)
+
+    # repetition cut: drop boilerplate-heavy docs
+    rep = curation.gopher_quality_stats(scrubbed, text_col, id_col).select(
+        F.col(id_col), "dup_token_frac"
+    )
+    kept = scrubbed.join(
+        rep.filter(F.col("dup_token_frac") <= max_dup_token_frac).select(id_col),
+        id_col,
+    )
+    stats["after_repetition_cut"] = _n(kept)
+
+    # per-language quality-quantile cut (keeps quality + q_rank columns)
+    qf = curation.quantile_filter(
+        kept,
+        quality_col=text.quality_score(text_col),
+        min_quantile=min_quality_quantile,
+        strata_col=lang_col,
+        id_col=id_col,
+    ).select(F.col(id_col), "quality")
+    kept = kept.join(qf, id_col)
+    stats["after_quality_quantile"] = _n(kept)
+
+    # exact dedup: min-id representative per normalized scrubbed text
+    keep_exact = dedup.dedup_exact(kept, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    kept = kept.join(keep_exact, id_col)
+    stats["after_exact_dedup"] = _n(kept)
+
+    # decontaminate: drop anything sharing a k-gram with the benchmark
+    contaminated = (
+        curation.decontaminate_overlap(
+            kept, bench, k=decontam_k, min_shared=1,
+            text_col=text_col, id_col=id_col,
+        )
+        .select(F.col("train_id").alias(id_col))
+        .dropDuplicates([id_col])
+    )
+    kept = kept.join(contaminated, on=id_col, how="left_anti")
+    stats["after_decontamination"] = _n(kept)
+
+    curated = kept.select(
+        F.col(id_col),
+        F.col(lang_col),
+        "quality",
+        text.fingerprint(text_col).alias("fp"),
+    )
+    stats["curated"] = stats["after_decontamination"]
+    return CurationResult(curated=curated, stats=stats, caches=held)

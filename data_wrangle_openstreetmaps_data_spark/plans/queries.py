@@ -1205,6 +1205,20 @@ def q_dedup_embedding_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_curation_pipeline_v2(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — the round-3 data-release pipeline END TO END (benchmark
+    split-off → PII scrub → repetition cut → per-language quality
+    quantile → exact dedup → k-gram decontamination → id/lang/quality/
+    fingerprint), value-checked against ONE composed DuckDB statement —
+    the whole pipeline's semantics, not just its stages."""
+    from data_wrangle_openstreetmaps_data_spark.plans.datapipe import curate_v2
+
+    res = curate_v2(
+        table(spark, sf, "documents"), collect_stats=False
+    )
+    return res.curated
+
+
 def q_dedup_clusters_exact(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-D — connected components over the DETERMINISTIC ngram-jaccard
     pairs, so the iterative label propagation is cross-checked against a
@@ -2162,12 +2176,12 @@ _PORTABLE_ID_HASH_SQL = (
 )
 
 
-def _quality_doc_sql() -> str:
+def _quality_doc_sql(source: str = "documents") -> str:
     """Per-document (doc_id, lang, n_tokens, quality) with the ROUNDED
     composite quality score — the shared scoring CTE body for the
-    budget-selection and quantile-filter oracles (mirrors
+    budget-selection, quantile-filter, and pipeline-v2 oracles (mirrors
     text.quality_score exactly, same shape as the q_quality_score
-    oracle)."""
+    oracle). ``source`` must expose doc_id, lang, text."""
     stop = ", ".join(f"'{w}'" for w in text.STOPWORDS_EN)
     return rf"""
       SELECT doc_id, lang, CAST(len(toks) AS INT) AS n_tokens,
@@ -2185,7 +2199,7 @@ def _quality_doc_sql() -> str:
                    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
                      / length(text)
                  ELSE 0.0 END AS punct_ratio
-          FROM documents
+          FROM {source}
         )
       )
     """
@@ -2231,6 +2245,82 @@ def _quantile_filter_sql(min_quantile: float = 0.25) -> str:
     )
     SELECT doc_id, lang, quality, q_rank
     FROM r WHERE q_rank >= {min_quantile}
+    """
+
+
+def _curation_v2_sql(
+    max_dup: float = 0.65, min_quantile: float = 0.25,
+    k: int = 5, modulus: int = 29,
+) -> str:
+    """Composed oracle for the v2 curation pipeline: PII scrub chain,
+    round4'd dup-token-fraction cut, per-language percent_rank quality
+    cut, min-id exact dedup on the scrubbed text, and k-gram
+    decontamination vs the benchmark split — one SQL statement, so the
+    WHOLE pipeline is value-checked, not just its stages."""
+    red = "text"
+    for _, pat, tag in curation.PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{tag}', 'g')"
+    return rf"""
+    WITH train AS (
+      SELECT doc_id, lang, {red} AS text
+      FROM documents WHERE doc_id % {modulus} <> 0
+    ),
+    benchdocs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % {modulus} = 0
+    ),
+    toked AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM train),
+    ex AS (
+      SELECT doc_id,
+             unnest(CASE WHEN toks IS NULL OR len(toks) = 0
+                    THEN [NULL] ELSE toks END) AS tok
+      FROM toked
+    ),
+    pt AS (SELECT doc_id, tok, count(*) AS cnt FROM ex GROUP BY 1, 2),
+    rep AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN tok IS NOT NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_tok,
+             count(CASE WHEN tok IS NOT NULL THEN 1 END) AS dst
+      FROM pt GROUP BY doc_id
+    ),
+    repkeep AS (
+      SELECT doc_id FROM rep
+      WHERE (CASE WHEN n_tok > 0 THEN
+               floor((1 - dst / CAST(n_tok AS DOUBLE)) * 10000 + 0.5) / 10000
+             ELSE 0.0 END) <= {max_dup}
+    ),
+    stage2 AS (SELECT t.* FROM train t JOIN repkeep USING (doc_id)),
+    q AS ({_quality_doc_sql("stage2")}),
+    qr AS (
+      SELECT doc_id, quality,
+             floor(percent_rank() OVER (
+               PARTITION BY lang ORDER BY quality ASC, doc_id ASC
+             ) * 10000 + 0.5) / 10000 AS q_rank
+      FROM q
+    ),
+    stage3 AS (
+      SELECT t.doc_id, t.lang, r.quality, t.text
+      FROM stage2 t JOIN qr r USING (doc_id)
+      WHERE r.q_rank >= {min_quantile}
+    ),
+    exact AS (
+      SELECT min(doc_id) AS keep_id FROM stage3
+      GROUP BY {_NORM_TEXT_SQL}
+    ),
+    survivors AS (
+      SELECT s.* FROM stage3 s JOIN exact ON s.doc_id = exact.keep_id
+    ),
+    bench_sh AS (
+      SELECT DISTINCT s FROM ({_kgram_occurrences_sql(k, "benchdocs")})
+    ),
+    contaminated AS (
+      SELECT DISTINCT doc_id
+      FROM ({_kgram_occurrences_sql(k, "survivors")})
+      WHERE s IN (SELECT s FROM bench_sh)
+    )
+    SELECT doc_id, lang, quality,
+           substr(md5({_NORM_TEXT_SQL}), 1, 16) AS fp
+    FROM survivors
+    WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
     """
 
 
@@ -3182,6 +3272,7 @@ ORACLES: dict[str, str | None] = {
         0.4, bands=8, rows_per_band=4
     ),
     "q_curation_pipeline": _CURATION_SQL,
+    "q_curation_pipeline_v2": _curation_v2_sql(0.65, 0.25, 5, 29),
     # portable md5-60-bit token hash → the SimHash signature, candidate
     # join, and hamming distances are fully reproducible in DuckDB
     "q_dedup_simhash": _simhash_pairs_sql(24),

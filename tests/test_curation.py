@@ -265,3 +265,23 @@ def test_quantize_stats_hand_computed(spark):
     # err for 0.005: |0.005 - 1/127| = 0.002874...; round4 → 0.0029
     assert got[2]["max_abs_err"] == 0.0029
     assert got[3]["scale"] == 0.0 and got[3]["max_abs_err"] == 0.0
+
+
+def test_curate_v2_stats_monotone_and_schema(spark):
+    from data_wrangle_openstreetmaps_data_spark.catalog import table
+    from data_wrangle_openstreetmaps_data_spark.plans.datapipe import curate_v2
+    from tests.conftest import SF_SMALL
+
+    res = curate_v2(table(spark, SF_SMALL, "documents"))
+    s = res.stats
+    # each stage can only shrink the corpus
+    assert (s["input"] >= s["train_split"] >= s["after_repetition_cut"]
+            >= s["after_quality_quantile"] >= s["after_exact_dedup"]
+            >= s["after_decontamination"] == s["curated"])
+    assert s["curated"] > 0
+    assert res.curated.columns == ["doc_id", "lang", "quality", "fp"]
+    # benchmark docs never leak into the release
+    ids = [r["doc_id"] for r in res.curated.collect()]
+    assert all(i % 29 != 0 for i in ids)
+    for c in res.caches or []:
+        c.unpersist()
