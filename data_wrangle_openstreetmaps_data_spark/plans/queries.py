@@ -1219,6 +1219,31 @@ def q_curation_pipeline_v2(spark: SparkSession, sf: str) -> DataFrame:
     return res.curated
 
 
+def q_streaming_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming — MinHash-LSH near-dup pairs as documents arrive
+    (applyInPandasWithState keyed by band bucket, exact-Jaccard verify
+    against the bucket's history). Single-batch availableNow drain ⇒
+    emissions = the batch LSH pair set = the exact trigram-Jaccard pair
+    set at the recall-1.0 config, so the relational oracle applies.
+    Bands agreeing on a pair each emit it — deduped batch-side here."""
+    import uuid
+
+    from data_wrangle_openstreetmaps_data_spark.streaming import events as se
+    from data_wrangle_openstreetmaps_data_spark.streaming.minhash_stream import (
+        minhash_pairs_stream,
+    )
+
+    name = f"streamminhash_{uuid.uuid4().hex[:8]}"
+    stream = se.stage_documents_stream(spark, sf, "minhashstream")
+    se.run_to_memory(
+        minhash_pairs_stream(
+            stream, n_hashes=16, bands=8, shingle_k=3, threshold=0.5
+        ),
+        name,
+    )
+    return spark.table(name).dropDuplicates(["id_a", "id_b"])
+
+
 def q_dedup_clusters_exact(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-D — connected components over the DETERMINISTIC ngram-jaccard
     pairs, so the iterative label propagation is cross-checked against a
@@ -3101,6 +3126,9 @@ ORACLES: dict[str, str | None] = {
     # emitted pairs are exact-Jaccard-verified — so LSH output == the exact
     # trigram-Jaccard pair set at the same threshold.
     "q_dedup_minhash": _ngram_jaccard_sql(0.5),
+    # streaming form: same recall-1.0 contract as q_dedup_minhash (see
+    # the query docstring for the single-batch drain argument)
+    "q_streaming_minhash": _ngram_jaccard_sql(0.5),
     "q_dedup_clusters": _closure_clusters_sql(_ngram_jaccard_sql(0.5)),
     # LSH == exact pair set on this corpus (the recall-1.0 contract), so
     # recall and precision both equal exactly 1.0 — derived from the data
