@@ -628,14 +628,35 @@ def exact_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
+    max_rows: int = 100_000,
+    strict: bool = True,
 ) -> DataFrame:
     """All-pairs exact cosine join — the ground-truth baseline for recall
     measurement. DELIBERATELY quadratic (crossJoin): run it only at
     fixture/sample scale; at 100 TB you estimate recall on a sampled
     subset against this, never on the full corpus. The near-dup OPERATOR
-    is ``embedding_near_dup_pairs``; this is its diagnostic."""
+    is ``embedding_near_dup_pairs``; this is its diagnostic.
+
+    Because an unguarded cartesian product is THE textbook scale-killer,
+    the input size is checked against ``max_rows`` (one cheap count):
+    above it, ``strict=True`` (default) raises — same posture as
+    ``dup_clusters(strict=True)`` — and ``strict=False`` falls back to a
+    deterministic hash-sample of ≤ max_rows rows, which is exactly the
+    sampled-recall protocol the docstring above prescribes."""
     from data_wrangle_openstreetmaps_data_spark.functions.vectors import cosine
 
+    n = df.count()
+    if n > max_rows:
+        if strict:
+            raise ValueError(
+                f"exact_cosine_pairs: input has {n} rows > max_rows="
+                f"{max_rows}; the all-pairs cross join is quadratic. "
+                "Estimate recall on a sample (strict=False) or raise "
+                "max_rows explicitly if you really mean it."
+            )
+        # keep ~max_rows rows deterministically: hash-mod on the id
+        k = -(-n // max_rows)  # ceil
+        df = df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(k)) == 0)
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_ea"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_eb"))
     return (

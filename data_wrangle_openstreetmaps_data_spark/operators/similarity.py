@@ -158,6 +158,27 @@ def ivf_index(
     return assigned, model
 
 
+def ivf_probe_lists(
+    centers, query_vec: list[float], nprobe: int
+) -> list[int]:
+    """The IVF probe set: indices of the ``nprobe`` centroids nearest
+    the query by cosine. Driver-side on purpose — centroids are tiny
+    (n_lists × dim floats) regardless of corpus size; this list is what
+    partition pruning keys on when the assigned table is stored
+    partitioned by ``_list``."""
+    q = [float(x) for x in query_vec]
+
+    def _cos(c) -> float:
+        dp = sum(a * b for a, b in zip(q, c))
+        nq = sum(a * a for a in q) ** 0.5
+        nc = sum(float(b) * float(b) for b in c) ** 0.5
+        return dp / (nq * nc) if nq and nc else 0.0
+
+    return sorted(range(len(centers)), key=lambda i: -_cos(centers[i]))[
+        :nprobe
+    ]
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -169,19 +190,11 @@ def ivf_topk(
     seed: int = 42,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF: rank only vectors in the nprobe
-    centroid lists nearest the query."""
+    centroid lists nearest the query (``nprobe == n_lists`` degrades to
+    exact brute force — the oracle-checkable configuration)."""
     assigned, model = ivf_index(embeddings, n_lists, id_col, vec_col, seed)
-    centers = model.clusterCenters()
-    q = [float(x) for x in query_vec]
-
-    def _cos(c) -> float:
-        dp = sum(a * b for a, b in zip(q, c))
-        nq = sum(a * a for a in q) ** 0.5
-        nc = sum(float(b) * float(b) for b in c) ** 0.5
-        return dp / (nq * nc) if nq and nc else 0.0
-
-    probe = sorted(range(len(centers)), key=lambda i: -_cos(centers[i]))[:nprobe]
-    qcol = F.array(*[F.lit(x) for x in q])
+    probe = ivf_probe_lists(model.clusterCenters(), query_vec, nprobe)
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = round4(cosine(F.col(vec_col), qcol))
     return (
         assigned.filter(F.col("_list").isin(*[int(p) for p in probe]))
@@ -231,8 +244,8 @@ class AnnIndex:
     """'Index once, query many' ANN session (cf. incremental top-k search
     in interactive sessions, EDBT 2020): the LSH bucketing is computed and
     persisted ONCE; each query is a bucket-pruned scan of the cached
-    table. At rest this is a table partitioned by bucket; interactively
-    it's a persisted DataFrame."""
+    table. At rest this is a table partitioned by bucket (``write_store``
+    / ``from_store``); interactively it's a persisted DataFrame."""
 
     def __init__(self, embeddings: DataFrame, n_planes: int = 4,
                  id_col: str = "vec_id", vec_col: str = "embedding",
@@ -245,11 +258,50 @@ class AnnIndex:
 
         self.planes = _seeded_projections(dim, n_planes, seed)
         self.id_col, self.vec_col = id_col, vec_col
+        self._meta = {
+            "n_planes": n_planes, "dim": dim, "seed": seed,
+            "id_col": id_col, "vec_col": vec_col,
+        }
         self.bucketed = embeddings.withColumn(
             "_bucket", lsh_bucket(F.col(vec_col), self.planes)
         )
         if persist:
             self.bucketed = self.bucketed.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def write_store(self, path: str) -> None:
+        """Materialize the index as a parquet table PARTITIONED BY the
+        bucket id — the at-rest form of index-once/query-many: a query
+        against ``from_store`` becomes a partition-pruned scan of its
+        probe buckets' directories (no full sweep, no recompute). A
+        ``_ann_meta.json`` sidecar pins the plane parameters so a loaded
+        index can never silently disagree with the stored bucketing."""
+        import json
+        import os
+
+        self.bucketed.write.mode("overwrite").partitionBy("_bucket").parquet(
+            path
+        )
+        with open(os.path.join(path, "_ann_meta.json"), "w") as fh:
+            json.dump(self._meta, fh)
+
+    @classmethod
+    def from_store(cls, spark, path: str) -> "AnnIndex":
+        """Reopen a ``write_store`` index: bucketing read from disk
+        (never recomputed), planes regenerated from the sidecar params —
+        queries are partition-pruned reads of the probe buckets."""
+        import json
+        import os
+
+        with open(os.path.join(path, "_ann_meta.json")) as fh:
+            meta = json.load(fh)
+        idx = cls.__new__(cls)
+        idx.planes = _seeded_projections(
+            meta["dim"], meta["n_planes"], meta["seed"]
+        )
+        idx.id_col, idx.vec_col = meta["id_col"], meta["vec_col"]
+        idx._meta = meta
+        idx.bucketed = spark.read.parquet(path)
+        return idx
 
     def query(self, query_vec: list[float], k: int = 10,
               probes: int = 1) -> DataFrame:

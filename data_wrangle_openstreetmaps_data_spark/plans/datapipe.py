@@ -231,3 +231,76 @@ def curate_v2(
     )
     stats["curated"] = stats["after_decontamination"]
     return CurationResult(curated=curated, stats=stats, caches=held)
+
+
+def ingest_batch(
+    spark,
+    batch: DataFrame,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental curation driver — one batch against the accumulated
+    corpus state, the batch-over-batches orchestration of
+    ``dedup_incremental`` + ``minhash_lsh_join``::
+
+        state (parquet: id, text, fp of every accepted doc)
+        batch in → within-batch exact dedup (min id per fingerprint)
+                 → exact anti-join vs state fingerprints
+                 → near-dup drop vs state docs (banded MinHash join,
+                   exact-Jaccard verified)
+        accepted docs out → appended to state
+
+    Returns the accepted (id, fp) rows. The FIRST batch (empty state)
+    gets exact dedup only — near-dups WITHIN a batch are deliberately
+    kept (the corpus-vs-batch contract; run ``curate``'s clustering
+    stage per batch first if within-batch near-dedup is wanted), which
+    is what makes N sequential calls exactly equal to the composed
+    one-shot semantics the ``q_curation_incremental`` oracle states.
+
+    100 TB posture: state is an at-rest parquet table that only ever
+    APPENDS; the exact stage moves fingerprints (16-char strings), the
+    fuzzy stage is the banded key-equality join over the tagged union —
+    never all-pairs. The accepted frame is localCheckpointed before the
+    state append so the returned DataFrame does not depend on the files
+    it is about to extend (and survives state-dir cleanup)."""
+    import os
+
+    from data_wrangle_openstreetmaps_data_spark.operators import dedup
+
+    docs_path = os.path.join(state_dir, "docs")
+    fp = text.fingerprint(text_col)
+    tagged = batch.select(F.col(id_col), F.col(text_col), fp.alias("fp"))
+    reps = tagged.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    novel = tagged.join(reps, [id_col, "fp"])
+
+    corpus = None
+    if os.path.isdir(docs_path):
+        corpus = spark.read.parquet(docs_path)
+        novel = novel.join(
+            corpus.select("fp").dropDuplicates(["fp"]), "fp", "left_anti"
+        )
+        near = dedup.minhash_lsh_join(
+            novel,
+            corpus,
+            text_col=text_col,
+            id_col=id_col,
+            n_hashes=n_hashes,
+            bands=bands,
+            shingle_k=shingle_k,
+            threshold=threshold,
+        )
+        drop = near.select(
+            F.col("left_id").alias(id_col)
+        ).dropDuplicates([id_col])
+        novel = novel.join(drop, id_col, "left_anti")
+
+    accepted = novel.select(id_col, text_col, "fp").localCheckpoint(
+        eager=True
+    )
+    accepted.write.mode("append").parquet(docs_path)
+    return accepted.select(id_col, "fp")

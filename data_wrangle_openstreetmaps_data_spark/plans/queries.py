@@ -1109,6 +1109,39 @@ def q_dedup_minhash_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_curation_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — the incremental curation ORCHESTRATION (datapipe.ingest_batch)
+    run for real over two batches with on-disk parquet state: batch 1
+    (doc_id%10<8) seeds the corpus state, batch 2 (doc_id%10>=8) is then
+    exact-deduped against the state fingerprints AND near-dup-dropped
+    against the state docs (recall-1.0 MinHash join). The oracle states
+    the composed one-shot semantics of the same two steps."""
+    import os
+    import shutil
+    import uuid
+
+    from data_wrangle_openstreetmaps_data_spark.plans.datapipe import (
+        ingest_batch,
+    )
+
+    docs = table(spark, sf, "documents").select("doc_id", "text")
+    state = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)
+        ))),
+        ".tmp", f"incr_{uuid.uuid4().hex[:8]}",
+    )
+    a1 = ingest_batch(spark, docs.filter(F.col("doc_id") % 10 < 8), state)
+    a2 = ingest_batch(spark, docs.filter(F.col("doc_id") % 10 >= 8), state)
+    # accepted frames are localCheckpointed — the state files can go
+    shutil.rmtree(state, ignore_errors=True)
+    return (
+        a1.select(F.lit(1).alias("batch_no"), "doc_id", "fp")
+        .unionByName(a2.select(F.lit(2).alias("batch_no"), "doc_id", "fp"))
+        .orderBy("batch_no", "doc_id")
+    )
+
+
 def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-Q — corpus-unigram-LM score per doc (the perplexity-filter
     stand-in): avg log10 P(token) with P from the corpus's own unigram
@@ -3274,6 +3307,61 @@ ORACLES: dict[str, str | None] = {
                             * scale / 127.0))) * 10000 + 0.5) / 10000
                ELSE 0.0 END AS max_abs_err
         FROM s
+    """,
+    # composed one-shot semantics of two sequential ingest_batch calls:
+    # batch1 = exact min-id reps; batch2 = min-id reps whose fp is unseen
+    # AND with no trigram-Jaccard >= 0.5 match against a batch1-accepted
+    # doc (the recall-1.0 MinHash-join contract, as q_dedup_minhash_join)
+    "q_curation_incremental": rf"""
+        WITH fps AS (
+          SELECT doc_id, substr(md5({_NORM_TEXT_SQL}), 1, 16) AS fp
+          FROM documents
+        ),
+        b1_acc AS (
+          SELECT fp, min(doc_id) AS doc_id FROM fps
+          WHERE doc_id % 10 < 8 GROUP BY fp
+        ),
+        b2_reps AS (
+          SELECT fp, min(doc_id) AS doc_id FROM fps
+          WHERE doc_id % 10 >= 8 GROUP BY fp
+        ),
+        b2_novel AS (
+          SELECT r.doc_id, r.fp FROM b2_reps r
+          LEFT JOIN b1_acc s ON r.fp = s.fp WHERE s.fp IS NULL
+        ),
+        toked AS (
+          SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+        ),
+        shingled AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 3 THEN
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> array_to_string(toks[i:i+2], ' ')))
+                 ELSE [array_to_string(toks, ' ')] END AS sh
+          FROM toked
+        ),
+        exploded AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+        sizes AS (SELECT doc_id, count(*) AS n FROM exploded GROUP BY doc_id),
+        cand AS (
+          SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                 count(*) AS common
+          FROM exploded a JOIN exploded b ON a.s = b.s
+          WHERE a.doc_id IN (SELECT doc_id FROM b2_novel)
+            AND b.doc_id IN (SELECT doc_id FROM b1_acc)
+          GROUP BY 1, 2
+        ),
+        contaminated AS (
+          SELECT DISTINCT left_id FROM cand
+          JOIN sizes sa ON sa.doc_id = left_id
+          JOIN sizes sb ON sb.doc_id = right_id
+          WHERE floor(common / (sa.n + sb.n - common) * 10000 + 0.5) / 10000
+                >= 0.5
+        )
+        SELECT 1 AS batch_no, doc_id, fp FROM b1_acc
+        UNION ALL
+        SELECT 2 AS batch_no, doc_id, fp FROM b2_novel
+        WHERE doc_id NOT IN (SELECT left_id FROM contaminated)
+        ORDER BY batch_no, doc_id
     """,
     "q_dedup_incremental": f"""
         WITH fps AS (

@@ -18,10 +18,24 @@ Design:
   (id, shingle-hash set) of every seen member of the bucket; a new
   arrival is exact-Jaccard-verified against them (candidates only —
   never across buckets), emitted if >= threshold, then appended.
-- State is bounded by bucket occupancy. Production streams put a
-  TTL on it (GroupStateTimeout.ProcessingTimeTimeout) so cold buckets
-  age out — kept NoTimeout here because the drain contract below needs
-  full history.
+- State is bounded two ways (both OFF by default so the oracle's
+  full-history drain contract holds):
+  * ``max_bucket`` caps bucket occupancy — the streaming analog of the
+    batch tier's max-df stop-shingle cut. A boilerplate-heavy stream
+    concentrates thousands of docs in one band bucket; without a cap
+    that is O(members) state and O(members) Python work PER ARRIVAL.
+    Arrivals into a saturated bucket are neither verified nor stored;
+    each emits one saturation marker row ``(id, -1, NULL)`` so the
+    caller can count what the cap skipped (and e.g. route those ids
+    to a batch reconciliation pass).
+  * ``ttl_minutes`` ages cold buckets out via
+    GroupStateTimeout.ProcessingTimeTimeout — the production posture
+    for unbounded streams where bucket keys keep arriving forever.
+    Only for REAL triggers (processing-time/continuous ingest): an
+    availableNow drain never terminates under a processing-time
+    timeout — after the data is drained the engine keeps a "cleaning
+    up state" trigger alive waiting for timers — so the oracle /
+    drain path must keep the NoTimeout default.
 
 Determinism contract (what the oracle checks): an availableNow drain
 over ONE staged file is a single micro-batch, so every bucket sees all
@@ -51,6 +65,46 @@ from data_wrangle_openstreetmaps_data_spark.operators.dedup import (
 
 OUT_SCHEMA = "id_a bigint, id_b bigint, jaccard double"
 STATE_SCHEMA = "ids array<bigint>, sets array<array<bigint>>"
+
+#: id_b of a saturation marker row (max_bucket reached; arrival skipped)
+SATURATED = -1
+
+
+def _bucket_step(
+    ids: list,
+    sets: list,
+    arrivals: list,
+    threshold: float,
+    max_bucket: int | None = None,
+):
+    """One micro-batch's worth of arrivals folded into a bucket's state.
+
+    ``arrivals`` is a list of (id, shingle-hash set) sorted by id;
+    mutates ``ids``/``sets`` in place and returns the emission rows
+    (id_a, id_b, jaccard). Saturated arrivals emit (id, SATURATED, None)
+    and leave state untouched — O(1) instead of O(members). Module-level
+    (not a closure) so the cap/evict logic is unit-testable without a
+    streaming harness."""
+    out = []
+    for nid, nset in arrivals:
+        if max_bucket is not None and len(ids) >= max_bucket:
+            out.append((nid, SATURATED, None))
+            continue
+        for oid, oset in zip(ids, sets):
+            if oid == nid:
+                continue
+            inter = len(nset & oset)
+            union = len(nset) + len(oset) - inter
+            jac = (
+                math.floor(inter / union * 10000 + 0.5) / 10000
+                if union
+                else 0.0
+            )
+            if jac >= threshold:
+                out.append((min(oid, nid), max(oid, nid), jac))
+        ids.append(nid)
+        sets.append(nset)
+    return out
 
 
 def _row_band_sigs(text_col: str, n_hashes: int, bands: int,
@@ -99,13 +153,21 @@ def minhash_pairs_stream(
     bands: int = 8,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
+    ttl_minutes: float | None = None,
 ) -> DataFrame:
     """Streaming near-dup pairs (id_a < id_b, jaccard >= threshold, the
     jaccard exact) — each micro-batch's documents verified against their
     band buckets' full history. May emit the same pair once per agreeing
-    band: dedup after the sink (see module docstring)."""
+    band: dedup after the sink (see module docstring).
+
+    ``max_bucket`` / ``ttl_minutes`` bound hot/cold bucket state — see
+    the module docstring; both default OFF, which is the oracle-checked
+    full-history configuration."""
     if bands <= 0 or n_hashes % bands != 0:
         raise ValueError(f"bands={bands} must divide n_hashes={n_hashes}")
+    if max_bucket is not None and max_bucket < 1:
+        raise ValueError(f"max_bucket={max_bucket} must be >= 1")
     hs, band_sigs = _row_band_sigs(text_col, n_hashes, bands, shingle_k)
     keyed = docs.select(
         F.col(id_col).alias("id"),
@@ -118,38 +180,30 @@ def minhash_pairs_stream(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if ttl_minutes is not None and state.hasTimedOut:
+            # cold bucket aged out: drop its member history entirely
+            state.remove()
+            return
         if state.exists:
             ids, sets = state.get
             ids = list(ids)
             sets = [set(s) for s in sets]
         else:
             ids, sets = [], []
-        out_a, out_b, out_j = [], [], []
+        rows = []
         for pdf in pdfs:
             # id order makes multi-row batches deterministic
             for _, row in pdf.sort_values("id").iterrows():
-                nid = int(row["id"])
-                nset = set(int(x) for x in row["hs"])
-                for oid, oset in zip(ids, sets):
-                    if oid == nid:
-                        continue
-                    inter = len(nset & oset)
-                    union = len(nset) + len(oset) - inter
-                    jac = (
-                        math.floor(inter / union * 10000 + 0.5) / 10000
-                        if union
-                        else 0.0
-                    )
-                    if jac >= threshold:
-                        out_a.append(min(oid, nid))
-                        out_b.append(max(oid, nid))
-                        out_j.append(jac)
-                ids.append(nid)
-                sets.append(nset)
+                rows.append(
+                    (int(row["id"]), set(int(x) for x in row["hs"]))
+                )
+        out = _bucket_step(ids, sets, rows, threshold, max_bucket)
         state.update((ids, [list(s) for s in sets]))
-        if out_a:
+        if ttl_minutes is not None:
+            state.setTimeoutDuration(int(ttl_minutes * 60_000))
+        if out:
             yield pd.DataFrame(
-                {"id_a": out_a, "id_b": out_b, "jaccard": out_j}
+                out, columns=["id_a", "id_b", "jaccard"]
             )
 
     return keyed.groupBy("band", "band_sig").applyInPandasWithState(
@@ -157,5 +211,9 @@ def minhash_pairs_stream(
         outputStructType=OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_minutes is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

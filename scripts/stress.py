@@ -111,6 +111,39 @@ def main() -> None:
     dedup.dedup_exact(docs).write.format("noop").mode("overwrite").save()
     timings["dedup_exact_100x_docs"] = round(time.perf_counter() - t0, 2)
 
+    # round-3 curation-wave stages at the same 100× (~500k docs): each
+    # must stay roughly linear — they are scan + doc-keyed aggregation
+    # shapes with no all-pairs or single-partition stage
+    t0 = time.perf_counter()
+    curation.pii_scrub(docs).select(
+        "doc_id", "n_email", "n_ip", "n_phone", "scrubbed"
+    ).write.format("noop").mode("overwrite").save()
+    timings["pii_scrub_100x_docs"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    from data_wrangle_openstreetmaps_data_spark.functions import text as tx
+
+    curation.quantile_filter(
+        docs, quality_col=tx.quality_score("text"),
+        min_quantile=0.25, strata_col="lang",
+    ).write.format("noop").mode("overwrite").save()
+    timings["quantile_filter_100x_docs"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    bench_docs = table(spark, SF_DIR, "documents").filter(
+        F.col("doc_id") % 29 == 0
+    )
+    curation.decontaminate_overlap(
+        docs, bench_docs, k=5, min_shared=1
+    ).write.format("noop").mode("overwrite").save()
+    timings["decontaminate_100x_train"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    curation.pack_sequences(docs, ctx_len=2048).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    timings["pack_sequences_100x_docs"] = round(time.perf_counter() - t0, 2)
+
     emb = replicate(table(spark, SF_DIR, "embeddings"), ["vec_id"], 100)
     planes = _seeded_projections(64, 32, 42)
     t0 = time.perf_counter()

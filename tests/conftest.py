@@ -31,3 +31,37 @@ def spark():
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()
+
+
+def stage_time_split_events(spark, sf_dir: str, subdir: str, n: int = 3) -> str:
+    """Stage the events table as ``n`` parquet files split by time range,
+    with strictly increasing mtimes — a file-source stream over the result
+    replays them as ``n`` in-time-order micro-batches (maxFilesPerTrigger=1),
+    so per-key streaming state genuinely carries across batches. Returns
+    the glob to stream from."""
+    import os
+    import time as _time
+
+    from data_wrangle_openstreetmaps_data_spark.catalog import table as _table
+
+    d = os.path.join(os.path.dirname(__file__), "..", ".tmp", subdir)
+    os.makedirs(d, exist_ok=True)
+    ev = _table(spark, sf_dir, "events")
+    splits = ev.approxQuantile(
+        "ts", [i / n for i in range(1, n)], 0.001
+    )
+    bounds = [float("-inf")] + splits + [float("inf")]
+    base = _time.time()
+    for i in range(n):
+        out = os.path.join(d, f"batch{i}")
+        ev.filter(
+            (F.col("ts") > bounds[i]) & (F.col("ts") <= bounds[i + 1])
+        ).coalesce(1).write.mode("overwrite").parquet(out)
+        t = base + 2 * i
+        for root, _, files in os.walk(out):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+    return os.path.join(d, "batch*")
+
+
+from pyspark.sql import functions as F  # noqa: E402  (used by the helper)

@@ -63,3 +63,48 @@ def test_curate_tolerates_conflicting_input_columns(spark):
     assert [r["doc_id"] for r in rows] == [1]
     assert rows[0]["pred"] == "en"        # recomputed, not the stale 'xx'
     assert rows[0]["quality"] > 0.0
+
+
+def test_ingest_batch_sequential_state(spark, tmp_path):
+    """The incremental orchestration over THREE batches: parquet state
+    accumulates accepted docs; each later batch is exact-deduped against
+    state fingerprints and near-dup-dropped against state docs — dups of
+    docs accepted TWO batches earlier are still caught."""
+    from pyspark.sql import functions as F
+
+    from data_wrangle_openstreetmaps_data_spark.plans.datapipe import (
+        ingest_batch,
+    )
+
+    state = str(tmp_path / "incr_state")
+    d1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d3 = "one two three four five six seven eight nine ten"
+    d13 = "red orange yellow green blue indigo violet pink brown black"
+    b1 = [
+        (1, d1),
+        (2, "  " + d1.upper()),  # normalized exact dup of 1 → min-id keeps 1
+        (3, d3),
+    ]
+    b2 = [
+        (11, d1),                          # exact dup of state doc 1
+        (12, d3.replace("ten", "eleven")), # near dup of state doc 3
+        (13, d13),                         # novel
+    ]
+    b3 = [
+        (21, d13.replace("black", "white")),  # near dup of batch-2 accept
+        (22, "sun moon stars clouds rain snow wind fog hail sleet"),
+        (23, "sun moon stars clouds rain snow wind fog hail sleet"),  # in-batch exact dup
+    ]
+    accepted = []
+    for rows in (b1, b2, b3):
+        batch = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = sorted(
+            r["doc_id"] for r in ingest_batch(spark, batch, state).collect()
+        )
+        accepted.append(got)
+    assert accepted == [[1, 3], [13], [22]]
+    # state holds exactly the accepted docs, with text + fingerprint
+    st = spark.read.parquet(os.path.join(state, "docs"))
+    assert sorted(r["doc_id"] for r in st.collect()) == [1, 3, 13, 22]
+    assert set(st.columns) == {"doc_id", "text", "fp"}
+    assert st.filter(F.length("fp") != 16).count() == 0

@@ -416,3 +416,28 @@ def test_embedding_near_dup_join_cross_side(spark):
            for r in dedup.embedding_near_dup_join(
                new, corpus, threshold=0.9).collect()}
     assert got == {(10, 0)}
+
+
+def test_exact_cosine_pairs_size_guard(spark):
+    """The quadratic recall baseline refuses oversized inputs (strict,
+    default) and hash-samples deterministically with strict=False —
+    nothing can accidentally launch a 100 TB cross join."""
+    import pytest as _pytest
+
+    big = spark.range(0, 5000).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("double"), F.lit(1.0)
+        ).alias("embedding"),
+    )
+    with _pytest.raises(ValueError, match="max_rows"):
+        dedup.exact_cosine_pairs(big, max_rows=1000)
+    sampled = dedup.exact_cosine_pairs(
+        big, threshold=0.99, max_rows=1000, strict=False
+    )
+    # the sampled baseline still runs, on a deterministically-reduced set
+    n1 = sampled.count()
+    n2 = dedup.exact_cosine_pairs(
+        big, threshold=0.99, max_rows=1000, strict=False
+    ).count()
+    assert n1 == n2 > 0

@@ -130,3 +130,55 @@ def test_batch_sessions_properties(spark):
         spans.sort()
         for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
             assert e1 < s2
+
+
+def test_streaming_sessions_across_three_batches(spark):
+    """Cross-batch keyed state for real: the events table split into 3
+    time-ordered micro-batches. Sessions that START in an earlier batch
+    and END in a later one must still come out exactly equal to the batch
+    backfill — the single-file drain never exercises this."""
+    from tests.conftest import stage_time_split_events
+
+    glob = stage_time_split_events(spark, SF_SMALL, "sess_stream_3b", n=3)
+    stream = (
+        spark.readStream.schema(se.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(glob)
+    )
+    se.run_to_memory(
+        sz.sessionize_stream(stream, GAP_NS), "sessions_3b",
+        output_mode="append",
+    )
+    streamed = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in spark.table("sessions_3b").collect()
+    }
+    batch_all = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in sz.sessionize_batch(
+            table(spark, SF_SMALL, "events"), GAP_NS
+        ).collect()
+    }
+    assert len(streamed) > 0
+    assert set(streamed) <= set(batch_all)
+    for k, v in streamed.items():
+        assert batch_all[k] == v
+    # difference is exactly each user's final (still-open) session
+    only_batch = set(batch_all) - set(streamed)
+    users = {uid for uid, _ in batch_all}
+    assert {uid for uid, _ in only_batch} == users
+    assert len(only_batch) == len(users)
+    # and at least one CLOSED session genuinely spans a batch boundary —
+    # i.e. its span crosses a split point, so its state crossed batches
+    import os
+
+    d = os.path.join(os.path.dirname(__file__), "..", ".tmp", "sess_stream_3b")
+    maxes = []
+    for i in range(2):  # upper ts of batches 0 and 1
+        pq = spark.read.parquet(os.path.join(d, f"batch{i}"))
+        maxes.append(pq.agg({"ts": "max"}).first()[0])
+    spanning = [
+        (uid, s) for (uid, s), (e, _) in streamed.items()
+        if any(s <= m < e for m in maxes)
+    ]
+    assert spanning, "no closed session crossed a micro-batch boundary"

@@ -101,3 +101,46 @@ def test_knn_join_respects_k_and_excludes_self(spark, emb):
     per_left = Counter(r["lid"] for r in got)
     assert all(c <= 3 for c in per_left.values())
     assert all(1 <= r["rn"] <= 3 for r in got)
+
+
+def test_ivf_probe_pruning_cuts_candidates(emb, qvec):
+    """nprobe < n_lists must actually PRUNE: the probed candidate set is
+    a strict subset of the corpus (this is what partition pruning on a
+    _list-partitioned store would skip on disk), while recall of the
+    exact top-10 stays useful."""
+    assigned, model = similarity.ivf_index(emb, n_lists=8)
+    probe = similarity.ivf_probe_lists(model.clusterCenters(), qvec, 3)
+    assert len(probe) == 3 and len(set(probe)) == 3
+    n_all = assigned.count()
+    n_cand = assigned.filter(F.col("_list").isin(*probe)).count()
+    assert 0 < n_cand < n_all
+    brute = [r["vec_id"]
+             for r in similarity.cosine_topk(emb, qvec, k=10).collect()]
+    ivf = [r["vec_id"]
+           for r in similarity.ivf_topk(
+               emb, qvec, k=10, n_lists=8, nprobe=3
+           ).collect()]
+    assert len(set(ivf) & set(brute)) >= 5
+
+
+def test_ann_index_store_roundtrip_and_prune(spark, emb, qvec, tmp_path):
+    """Disk-backed AnnIndex: write_store partitions by bucket; from_store
+    answers the same multiprobe queries from a PARTITION-PRUNED scan (the
+    at-rest 100 TB shape — probe buckets' directories only)."""
+    mem = similarity.AnnIndex(emb, n_planes=4, persist=False)
+    store = str(tmp_path / "ann_store")
+    mem.write_store(store)
+    disk = similarity.AnnIndex.from_store(spark, store)
+    for probes in (1, 2):
+        got = [(r["vec_id"], r["sim"])
+               for r in disk.query(qvec, k=10, probes=probes).collect()]
+        want = [(r["vec_id"], r["sim"])
+                for r in mem.query(qvec, k=10, probes=probes).collect()]
+        assert got == want and len(got) > 0
+    # the query plan prunes partitions: bucket filter in PartitionFilters
+    plan = disk.query(qvec, k=10, probes=2)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_bucket" in plan
+    # and fewer files are scanned than the store holds buckets
+    import os
+    n_buckets = len([d for d in os.listdir(store) if d.startswith("_bucket=")])
+    assert n_buckets > 5  # 4 planes → up to 16 buckets; corpus fills most
