@@ -27,14 +27,54 @@ TABLES = (
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one named table from an sf directory.
 
-    The test data stores timestamps as TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects by default; ``nanosAsLong`` is a runtime SQL conf,
-    set here (not only in our session factory) so the operators also work
-    under an externally-provided SparkSession (e.g. the driver harness).
-    Nanos columns surface as LongType — use ``nanos_to_ts`` when event-time
-    semantics are needed."""
+    Some testdata vintages store timestamps as TIMESTAMP(NANOS), which
+    Spark's parquet reader rejects by default; ``nanosAsLong`` is a runtime
+    SQL conf, set here (not only in our session factory) so the operators
+    also work under an externally-provided SparkSession (e.g. the driver
+    harness). Whatever the physical type (nanos-long or TIMESTAMP_NTZ),
+    normalize event time through ``event_ts_us`` / ``event_ts``."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin the session TZ so instant<->wall-clock conversions (event_ts_us on
+    # a TIMESTAMP_NTZ column, date_format on TimestampType) are UTC-stable
+    # under externally-provided sessions too — DuckDB oracles are TZ-naive.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def event_ts_us(df: DataFrame, col: str = "ts"):
+    """Epoch-MICROseconds long for an event-time column, dispatching on the
+    column's surfaced dtype. The driver testdata has shipped ``events.ts``
+    in two physical forms across rounds: TIMESTAMP(NANOS) (surfaced as an
+    epoch-nanos long under ``nanosAsLong``) and TIMESTAMP_NTZ micros. All
+    event-time code goes through this normalizer so a format flip cannot
+    silently mis-scale time units again.
+
+    - ``bigint``  → raw nanos-as-long: EXACT integer div to µs (decimal,
+      not double — a double widen has ulp ≈ 256 ns at ~1.7e18 and can land
+      on the wrong microsecond vs DuckDB's integer ``epoch_us``).
+    - ``timestamp`` / ``timestamp_ntz`` → ``unix_micros`` (NTZ wall clock
+      interpreted as UTC; session TZ is pinned UTC in ``table()``)."""
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes)[col]
+    c = F.col(col)
+    if dt == "bigint":
+        return (c.cast("decimal(38,0)") / F.lit(1000)).cast("long")
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def event_ts(df: DataFrame, col: str = "ts"):
+    """Timestamp-typed event-time column for date/window functions,
+    same dtype dispatch as :func:`event_ts_us`. A TIMESTAMP_NTZ input is
+    returned as-is (date_trunc/date_format/year on NTZ are TZ-independent,
+    matching the TZ-naive DuckDB oracles exactly); a nanos-long becomes a
+    TimestampType instant (UTC session, exact µs division)."""
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes)[col]
+    if dt == "bigint":
+        return F.timestamp_micros(event_ts_us(df, col))
+    return F.col(col)
 
 
 def nanos_to_ts(c):

@@ -21,6 +21,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_wrangle_openstreetmaps_data_spark import catalog
 from data_wrangle_openstreetmaps_data_spark.catalog import table
 from data_wrangle_openstreetmaps_data_spark.functions import cleaning, text
 from data_wrangle_openstreetmaps_data_spark.operators import (
@@ -575,7 +576,8 @@ def q_window_functions(spark: SparkSession, sf: str) -> DataFrame:
     event time (deterministic via event_id tiebreak)."""
     from pyspark.sql import Window
 
-    df = table(spark, sf, "events").withColumn("tsn", F.expr("ts div 1000"))
+    df = table(spark, sf, "events")
+    df = df.withColumn("tsn", catalog.event_ts_us(df))
     w = Window.partitionBy("user_id").orderBy("tsn", "event_id")
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.select(
@@ -614,7 +616,8 @@ def q_anti_join(spark: SparkSession, sf: str) -> DataFrame:
 def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — as-of join: each purchase matched to the user's latest signup
     at-or-before it (union + forward-fill window; one shuffle)."""
-    ev = table(spark, sf, "events").withColumn("tsn", F.expr("ts div 1000"))
+    ev = table(spark, sf, "events")
+    ev = ev.withColumn("tsn", catalog.event_ts_us(ev))
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("event_id"), F.col("tsn").alias("ts")
     )
@@ -1599,11 +1602,11 @@ def q_except_keys(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_time_bucket(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — event-time bucketing (reference has no date/time functions):
-    daily event counts from the nanos-as-long ts column."""
-    from data_wrangle_openstreetmaps_data_spark.catalog import nanos_to_ts
-
+    daily event counts from the ts column (type-adaptive via event_ts)."""
     df = table(spark, sf, "events")
-    day = F.date_format(F.date_trunc("day", nanos_to_ts("ts")), "yyyy-MM-dd")
+    day = F.date_format(
+        F.date_trunc("day", catalog.event_ts(df)), "yyyy-MM-dd"
+    )
     return (
         df.groupBy(day.alias("day"))
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -1612,10 +1615,8 @@ def q_time_bucket(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_date_extract(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — date-part extraction + conditional aggregation by month."""
-    from data_wrangle_openstreetmaps_data_spark.catalog import nanos_to_ts
-
     df = table(spark, sf, "events")
-    ts = nanos_to_ts("ts")
+    ts = catalog.event_ts(df)
     return (
         df.select(
             F.year(ts).cast("long").alias("y"),
@@ -1630,22 +1631,24 @@ def q_date_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_SESSION_GAP_NS = 12 * 3600 * 10**9
-_SESSION_GAP_US = _SESSION_GAP_NS // 1000
+# ONE unit-safe constant: every gap/watermark in the events family derives
+# from this µs value (the canonical event-time unit — see catalog.event_ts_us)
+_SESSION_GAP_US = 12 * 3600 * 10**6
 
 
 def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — batch sessionization (window lag + cumulative sum): sessions
     of events per user with 12h inactivity gap. Timestamps compared at
-    MICROsecond precision (DuckDB surfaces the nanos parquet at µs)."""
+    MICROsecond precision (sessionize_batch normalizes ts type-adaptively;
+    DuckDB's epoch_us matches at µs)."""
     from data_wrangle_openstreetmaps_data_spark.streaming.sessionize import (
         sessionize_batch,
     )
 
-    df = table(spark, sf, "events").withColumn(
-        "ts", F.expr("ts div 1000")
-    )
-    return sessionize_batch(df, _SESSION_GAP_US)
+    ev = table(spark, sf, "events")
+    # normalize ONCE at the read boundary: bigint downstream always means µs
+    ev = ev.withColumn("ts", catalog.event_ts_us(ev))
+    return sessionize_batch(ev, _SESSION_GAP_US)
 
 
 def q_sessionize_stream(spark: SparkSession, sf: str) -> DataFrame:
@@ -1663,11 +1666,9 @@ def q_sessionize_stream(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     name = f"sessions_{uuid.uuid4().hex[:8]}"
-    # µs precision (ts div 1000) so the output is comparable to the DuckDB
-    # oracle — the parquet nanos have sub-µs digits DuckDB cannot surface
-    stream = se.stage_events_stream(spark, sf, "sess").withColumn(
-        "ts", F.expr("ts div 1000")
-    )
+    # stage_events_stream already normalizes ts to epoch-µs long — same µs
+    # precision the DuckDB oracle's epoch_us surfaces
+    stream = se.stage_events_stream(spark, sf, "sess")
     se.run_to_memory(sessionize_stream(stream, _SESSION_GAP_US), name)
     return spark.table(name)
 

@@ -18,10 +18,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Canonical NORMALIZED stream shape: ts is epoch-µs long. Raw testdata may
+# store ts as TIMESTAMP(NANOS) (→ nanos-long) or TIMESTAMP_NTZ micros;
+# ``read_events_stream`` infers the physical schema from the parquet footer
+# and normalizes to this shape, so downstream stateful operators (gap
+# constants, watermarks) are unit-safe by construction.
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long (see catalog)
+        T.StructField("ts", T.LongType()),  # epoch-µs long (normalized)
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -32,19 +37,36 @@ EVENTS_SCHEMA = T.StructType(
 
 def read_events_stream(spark: SparkSession, path_glob: str,
                        max_files: int = 1) -> DataFrame:
-    """File-source stream over events parquet files."""
+    """File-source stream over events parquet files, ts normalized to
+    epoch-µs long regardless of the files' physical timestamp encoding.
+
+    File streams need a schema upfront; inferring it from a batch read of
+    the same path (footer only — no data scan) keeps the stream adaptive
+    to the testdata's timestamp vintage instead of hard-coding one."""
+    from data_wrangle_openstreetmaps_data_spark.catalog import event_ts_us
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(path_glob).schema
+    stream = (
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files)
         .parquet(path_glob)
     )
+    return stream.withColumn("ts", event_ts_us(stream))
 
 
 def with_event_time(df: DataFrame) -> DataFrame:
-    from data_wrangle_openstreetmaps_data_spark.catalog import nanos_to_ts
-
-    return df.withColumn("event_time", nanos_to_ts("ts"))
+    """Attach a timestamp-typed ``event_time`` column (for windows and
+    watermarks). Contract: ``ts`` is either NORMALIZED epoch-µs long (the
+    ``read_events_stream`` shape — NOT raw nanos) or a timestamp column
+    (a raw ``catalog.table`` read of the current testdata vintage)."""
+    dt = dict(df.dtypes)["ts"]
+    if dt == "bigint":
+        return df.withColumn("event_time", F.timestamp_micros(F.col("ts")))
+    return df.withColumn(
+        "event_time", F.col("ts").cast("timestamp")
+    )
 
 
 def windowed_type_counts(
@@ -188,8 +210,10 @@ def stage_documents_stream(spark: SparkSession, sf_dir: str, prefix: str):
     micro-batch, which makes per-key first-occurrence semantics
     deterministic (= global min id per key)."""
     stage = _stage_dir(sf_dir, "documents", prefix)
+    # infer from the footer (like read_events_stream) so a physical-type
+    # change in the testdata can't silently break the declared schema
     return (
-        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        spark.readStream.schema(spark.read.parquet(stage).schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )

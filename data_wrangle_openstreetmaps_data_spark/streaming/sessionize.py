@@ -1,6 +1,6 @@
 """Custom stateful streaming operator: user sessionization.
 
-A session = consecutive events of one user with gaps < `gap`. Spark has
+A session = consecutive events of one user with gaps < `gap_us`. Spark has
 no built-in session operator with arbitrary per-group state, so this is
 the ``applyInPandasWithState`` path — per-key state (open session) kept
 by the engine, Arrow-batched user code deciding when to close.
@@ -29,7 +29,7 @@ OUT_SCHEMA = (
 STATE_SCHEMA = "start bigint, last bigint, n bigint"
 
 
-def _advance_sessions(user_id, start, last, n, ts_sorted, gap_ns):
+def _advance_sessions(user_id, start, last, n, ts_sorted, gap):
     """Fold sorted timestamps into the open session (start, last, n),
     returning (closed_sessions, new_state).
 
@@ -41,7 +41,7 @@ def _advance_sessions(user_id, start, last, n, ts_sorted, gap_ns):
     for ts in ts_sorted:
         if start is None:
             start, last, n = ts, ts, 1
-        elif ts - last > gap_ns:
+        elif ts - last > gap:
             closed.append((user_id, start, last, n))
             start, last, n = ts, ts, 1
         else:
@@ -51,10 +51,19 @@ def _advance_sessions(user_id, start, last, n, ts_sorted, gap_ns):
 
 
 def sessionize_stream(
-    events: DataFrame, gap_ns: int = 30 * 60 * 10**9
+    events: DataFrame, gap_us: int = 30 * 60 * 10**6
 ) -> DataFrame:
-    """Streaming sessionization over (user_id, ts-nanos). Emits a row per
-    CLOSED session; the open session per user stays in state."""
+    """Streaming sessionization over (user_id, ts). Emits a row per CLOSED
+    session; the open session per user stays in state.
+
+    Units: ``ts`` is epoch-µs long — a timestamp-typed ts is normalized
+    here; a bigint ts is trusted to already BE µs (the
+    ``read_events_stream`` normalized-stream contract). ``gap_us`` is in
+    the same µs unit."""
+    from data_wrangle_openstreetmaps_data_spark.catalog import event_ts_us
+
+    if dict(events.dtypes)["ts"] != "bigint":
+        events = events.withColumn("ts", event_ts_us(events))
 
     def fn(
         key: Tuple[Any, ...],
@@ -71,7 +80,7 @@ def sessionize_stream(
         for pdf in pdfs:
             ts_all.extend(pdf["ts"].tolist())
         closed, new_state = _advance_sessions(
-            user_id, start, last, n, sorted(ts_all), gap_ns
+            user_id, start, last, n, sorted(ts_all), gap_us
         )
         state.update(new_state)
         if closed:
@@ -94,14 +103,19 @@ def sessionize_stream(
 
 
 def sessionize_batch(
-    events: DataFrame, gap_ns: int = 30 * 60 * 10**9
+    events: DataFrame, gap_us: int = 30 * 60 * 10**6
 ) -> DataFrame:
     """Backfill equivalent: lag + cumulative-sum session ids, one shuffle
-    on user_id. Produces ALL sessions (including each user's last)."""
+    on user_id. Produces ALL sessions (including each user's last).
+    Same µs unit contract as :func:`sessionize_stream`."""
+    from data_wrangle_openstreetmaps_data_spark.catalog import event_ts_us
+
+    if dict(events.dtypes)["ts"] != "bigint":
+        events = events.withColumn("ts", event_ts_us(events))
     w = Window.partitionBy("user_id").orderBy("ts")
     flagged = events.select("user_id", "ts").withColumn(
         "new_sess",
-        (F.col("ts") - F.lag("ts").over(w) > gap_ns).cast("int"),
+        (F.col("ts") - F.lag("ts").over(w) > gap_us).cast("int"),
     )
     sessioned = flagged.withColumn(
         "sess_id", F.coalesce(F.sum("new_sess").over(w), F.lit(0))

@@ -44,9 +44,14 @@ def stage_time_split_events(spark, sf_dir: str, subdir: str, n: int = 3) -> str:
 
     from data_wrangle_openstreetmaps_data_spark.catalog import table as _table
 
+    from data_wrangle_openstreetmaps_data_spark.catalog import event_ts_us
+
     d = os.path.join(os.path.dirname(__file__), "..", ".tmp", subdir)
     os.makedirs(d, exist_ok=True)
     ev = _table(spark, sf_dir, "events")
+    # normalized epoch-µs long ts: the canonical stream shape (matches
+    # EVENTS_SCHEMA / read_events_stream output) and approxQuantile-able
+    ev = ev.withColumn("ts", event_ts_us(ev))
     splits = ev.approxQuantile(
         "ts", [i / n for i in range(1, n)], 0.001
     )

@@ -1,0 +1,147 @@
+"""Type-adaptive event-time regression tests.
+
+The driver testdata has shipped ``events.ts`` in two physical forms across
+rounds: TIMESTAMP(NANOS) (which Spark surfaces as an epoch-nanos long under
+``nanosAsLong``) and TIMESTAMP_NTZ micros. Round 5 broke because the code
+assumed one of them. These tests build BOTH fixtures from the same logical
+instants and pin that the normalizers and the operators built on them
+produce identical results — so the next testdata format flip fails loudly
+here instead of silently in the driver gate.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from data_wrangle_openstreetmaps_data_spark.catalog import (
+    event_ts,
+    event_ts_us,
+)
+from data_wrangle_openstreetmaps_data_spark.streaming.sessionize import (
+    sessionize_batch,
+)
+
+# epoch-µs instants: 2 users, gaps straddling a 1h session gap
+_US = [
+    1_700_000_000_000_000,
+    1_700_000_060_000_000,  # +60s       → same session
+    1_700_007_200_000_000,  # +2h        → new session
+    1_700_007_260_000_000,
+]
+_ROWS = [(uid, us) for uid in (1, 2) for us in _US]
+GAP_US = 3600 * 10**6
+
+
+def _write(path: str, unit: str) -> str:
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in _ROWS], pa.int64()),
+            "ts": pa.array(
+                [r[1] * (1000 if unit == "ns" else 1) for r in _ROWS],
+                pa.timestamp(unit),
+            ),
+            "value": pa.array(
+                [float(i) for i in range(len(_ROWS))], pa.float64()
+            ),
+        }
+    )
+    pq.write_table(tbl, path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def fixtures(tmp_path_factory):
+    d = tmp_path_factory.mktemp("event_time")
+    return (
+        _write(os.path.join(d, "ev_ns.parquet"), "ns"),
+        _write(os.path.join(d, "ev_us.parquet"), "us"),
+    )
+
+
+def _read(spark, path):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(path)
+
+
+def test_fixture_dtypes_cover_both_formats(spark, fixtures):
+    ns_path, us_path = fixtures
+    assert dict(_read(spark, ns_path).dtypes)["ts"] == "bigint"
+    assert dict(_read(spark, us_path).dtypes)["ts"].startswith("timestamp")
+
+
+def test_event_ts_us_identical_across_formats(spark, fixtures):
+    ns_path, us_path = fixtures
+    got = {}
+    for name, path in (("ns", ns_path), ("us", us_path)):
+        df = _read(spark, path)
+        got[name] = sorted(
+            (r["user_id"], r["us"])
+            for r in df.select(
+                "user_id", event_ts_us(df).alias("us")
+            ).collect()
+        )
+    assert got["ns"] == got["us"]
+    assert got["ns"] == sorted(_ROWS)
+
+
+def test_event_ts_identical_across_formats(spark, fixtures):
+    ns_path, us_path = fixtures
+    got = {}
+    for name, path in (("ns", ns_path), ("us", us_path)):
+        df = _read(spark, path)
+        got[name] = sorted(
+            (r["user_id"], r["day"])
+            for r in df.select(
+                "user_id",
+                F.date_format(
+                    F.date_trunc("day", event_ts(df)), "yyyy-MM-dd HH:mm:ss"
+                ).alias("day"),
+            ).collect()
+        )
+    assert got["ns"] == got["us"]
+
+
+def test_sessionize_batch_identical_across_formats(spark, fixtures):
+    ns_path, us_path = fixtures
+    got = {}
+    for name, path in (("ns", ns_path), ("us", us_path)):
+        # callers normalize raw reads once at the boundary (bigint ⇒ µs
+        # is the sessionize contract — see q_sessionize)
+        df = _read(spark, path)
+        sess = sessionize_batch(
+            df.withColumn("ts", event_ts_us(df)), GAP_US
+        )
+        got[name] = sorted(map(tuple, sess.collect()))
+    assert got["ns"] == got["us"]
+    # 2 sessions per user, session boundaries at the 2h gap
+    assert len(got["ns"]) == 4
+    assert all(n == 2 for (_, _, _, n) in got["ns"])
+
+
+def test_streaming_normalizer_identical_across_formats(spark, fixtures, tmp_path_factory):
+    """read_events_stream must surface the SAME normalized epoch-µs longs
+    for both physical encodings (schema inferred from the footer)."""
+    from data_wrangle_openstreetmaps_data_spark.streaming import events as se
+
+    ns_path, us_path = fixtures
+    got = {}
+    for name, path in (("ns", ns_path), ("us", us_path)):
+        d = tmp_path_factory.mktemp(f"stream_{name}")
+        os.link(path, os.path.join(d, "part-0.parquet"))
+        stream = se.read_events_stream(spark, str(d))
+        assert dict(stream.dtypes)["ts"] == "bigint"
+        se.run_to_memory(
+            stream.select("user_id", "ts"), f"evt_{name}"
+        )
+        got[name] = sorted(
+            (r["user_id"], r["ts"])
+            for r in spark.table(f"evt_{name}").collect()
+        )
+    assert got["ns"] == got["us"]
+    assert got["ns"] == sorted(_ROWS)

@@ -219,3 +219,25 @@ def test_gopher_quality_two_keyed_aggregations(spark):
     assert plan.count("Exchange hashpartitioning") == 2
     assert "Join" not in plan
     assert "partial" in plan  # map-side combine on the first aggregation
+
+
+def test_every_nth_has_no_global_row_window(spark):
+    """q_sample_every_10th must stay the two-phase blocked rank: the only
+    SinglePartition exchange feeds the #blocks-row offsets window, never
+    the row-scale input. Guard: every window over the full input is
+    partitioned (partitionBy _blk), and the single-partition side is
+    joined back as a BroadcastExchange."""
+    df = Q.REGISTRY["q_sample_every_10th"].spark(spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan  # offsets come back broadcast
+    lines = plan.splitlines()
+    # the row-scale ranking window must be keyed by the block column —
+    # a bare row_number() window (no partition key) is the global funnel
+    rownum = [ln for ln in lines if "row_number()" in ln]
+    assert rownum and all("_blk" in ln for ln in rownum), rownum
+    # SinglePartition exchanges may only feed per-block TOTALS (a
+    # HashAggregate on _blk below them), never the raw input rows
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            below = "\n".join(lines[i : i + 3])
+            assert "HashAggregate(keys=[_blk" in below, below

@@ -12,7 +12,7 @@ from data_wrangle_openstreetmaps_data_spark.streaming import events as se
 from data_wrangle_openstreetmaps_data_spark.streaming import sessionize as sz
 from tests.conftest import SF_SMALL
 
-GAP_NS = 12 * 3600 * 10**9  # 12h: the sf0.001 events span ~a month
+GAP_US = 12 * 3600 * 10**6  # 12h in µs: the sf0.001 events span ~a month
 
 
 @pytest.fixture(scope="module")
@@ -25,7 +25,7 @@ def events_dir():
 
 def test_streaming_sessions_match_batch_closed_sessions(spark, events_dir):
     stream = se.read_events_stream(spark, events_dir)
-    sz_stream = sz.sessionize_stream(stream, GAP_NS)
+    sz_stream = sz.sessionize_stream(stream, GAP_US)
     se.run_to_memory(sz_stream, "sessions", output_mode="append")
     streamed = {
         (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
@@ -35,7 +35,7 @@ def test_streaming_sessions_match_batch_closed_sessions(spark, events_dir):
     batch_all = {
         (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
         for r in sz.sessionize_batch(
-            table(spark, SF_SMALL, "events"), GAP_NS
+            table(spark, SF_SMALL, "events"), GAP_US
         ).collect()
     }
     # the stream emits exactly the CLOSED sessions: every user's final
@@ -70,7 +70,7 @@ def test_stream_matches_batch_at_sf01(spark):
     os.makedirs(d, exist_ok=True)
     shutil.copy(f"{sf_big}/events.parquet", os.path.join(d, "part-0.parquet"))
     stream = se.read_events_stream(spark, d)
-    sz_stream = sz.sessionize_stream(stream, GAP_NS)
+    sz_stream = sz.sessionize_stream(stream, GAP_US)
     se.run_to_memory(sz_stream, "sessions_01", output_mode="append")
     streamed = {
         (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
@@ -79,7 +79,7 @@ def test_stream_matches_batch_at_sf01(spark):
     batch_all = {
         (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
         for r in sz.sessionize_batch(
-            table(spark, sf_big, "events"), GAP_NS
+            table(spark, sf_big, "events"), GAP_US
         ).collect()
     }
     assert len(streamed) > 0
@@ -116,7 +116,7 @@ def test_cross_batch_late_event_does_not_regress_session():
 
 
 def test_batch_sessions_properties(spark):
-    df = sz.sessionize_batch(table(spark, SF_SMALL, "events"), GAP_NS)
+    df = sz.sessionize_batch(table(spark, SF_SMALL, "events"), GAP_US)
     rows = df.collect()
     assert all(r["session_start"] <= r["session_end"] for r in rows)
     assert all(r["n_events"] >= 1 for r in rows)
@@ -146,7 +146,7 @@ def test_streaming_sessions_across_three_batches(spark):
         .parquet(glob)
     )
     se.run_to_memory(
-        sz.sessionize_stream(stream, GAP_NS), "sessions_3b",
+        sz.sessionize_stream(stream, GAP_US), "sessions_3b",
         output_mode="append",
     )
     streamed = {
@@ -156,7 +156,7 @@ def test_streaming_sessions_across_three_batches(spark):
     batch_all = {
         (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
         for r in sz.sessionize_batch(
-            table(spark, SF_SMALL, "events"), GAP_NS
+            table(spark, SF_SMALL, "events"), GAP_US
         ).collect()
     }
     assert len(streamed) > 0
