@@ -1180,7 +1180,8 @@ def q_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     one staged file is a single micro-batch with both sides complete, so
     the emitted matches are exactly the batch join at the same time
     predicate — watermarks only bound state, never results, for inner
-    joins. Times emitted as epoch-µs longs (ts div 1000 ≡ epoch_us)."""
+    joins. Times emitted as epoch-µs longs (normalized stream ts ≡
+    the oracle's epoch_us)."""
     import uuid
 
     from data_wrangle_openstreetmaps_data_spark.streaming import events as se
@@ -3240,7 +3241,7 @@ ORACLES: dict[str, str | None] = {
     ),
     # inner stream-stream join: single-batch availableNow drain emits
     # exactly the batch join (watermarks bound state, not inner-join
-    # results); µs precision on both sides (ts div 1000 ≡ epoch_us)
+    # results); µs precision on both sides (normalized ts ≡ epoch_us)
     "q_stream_stream_join": """
         WITH e AS (SELECT *, epoch_us(ts) AS us FROM events)
         SELECT l.user_id, l.event_id AS l_event_id, r.event_id AS r_event_id,
