@@ -436,6 +436,67 @@ def centroid_similarity(
     )
 
 
+def nearest_centroid(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid assignment audit (the semantic-cluster coherence
+    check of an embedding-curation pipeline): every vector is assigned to
+    the label whose centroid it is most cosine-similar to, and the output
+    is the (label, assigned, cnt) confusion counts — off-diagonal mass
+    flags sources whose embeddings bleed into another label's cluster.
+
+    Fully relational: long-form centroids (labels × dim rows, broadcast),
+    dot products via a pos-equality join + (vec, label) aggregation — the
+    shuffle carries |vectors| × |labels| score rows, never an all-pairs
+    vector join. The vector's own norm is a positive constant per vector,
+    so it cannot change the argmax and is never computed. Scores are
+    rounded to 4 dp BEFORE the argmax (portable floor trick) so summation
+    -order ulps can't flip near-ties across engines; exact ties break by
+    label. The tiny centroid frame feeds two branches and is persisted
+    (Spark does not reuse identical non-exchange subtrees)."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    cent = label_centroids(df, label_col, vec_col, rounded=False).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    v = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("pos", "x"),
+    )
+    dots = (
+        v.join(
+            F.broadcast(
+                cent.select(
+                    F.col("label").alias("assigned"), "pos", "centroid"
+                )
+            ),
+            "pos",
+        )
+        .groupBy("vid", "label", "assigned")
+        .agg(
+            F.sum(F.col("x").cast("double") * F.col("centroid")).alias("dot")
+        )
+    )
+    cnorm = cent.groupBy(F.col("label").alias("assigned")).agg(
+        F.sqrt(F.sum(F.col("centroid") * F.col("centroid"))).alias("cn")
+    )
+    scored = dots.join(F.broadcast(cnorm), "assigned").withColumn(
+        "cp", round4(F.col("dot") / F.col("cn"))
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("cp"), F.col("assigned"))
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return best.groupBy("label", "assigned").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
 def quantize_stats(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -589,6 +589,33 @@ def q_window_functions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_rolling_window(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — time-RANGE window frame: per-user rolling 7-day event count
+    and value sum at each event. The frame is a range over epoch-µs (not
+    N rows), so peers at the same timestamp are all included and the
+    output is tie-order independent — the rolling-feature shape of a
+    user-activity pipeline. One shuffle on user_id."""
+    from pyspark.sql import Window
+
+    df = table(spark, sf, "events")
+    df = df.withColumn("tsn", catalog.event_ts_us(df))
+    week_us = 7 * 86400 * 10**6
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tsn")
+        .rangeBetween(-week_us, 0)
+    )
+    return df.select(
+        "user_id",
+        "event_id",
+        "tsn",
+        F.count(F.lit(1)).over(w).alias("roll_cnt"),
+        text.round4(
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+        ).alias("roll_sum"),
+    )
+
+
 def q_semi_join(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — left semi join: customers having at least one order."""
     cust = table(spark, sf, "customer")
@@ -1066,6 +1093,15 @@ def q_centroid_similarity(spark: SparkSession, sf: str) -> DataFrame:
     separation diagnostic; near-identical centroids flag semantic overlap
     between sources). Long-form dot products via a pos-equality join."""
     return similarity.centroid_similarity(table(spark, sf, "embeddings"))
+
+
+def q_nearest_centroid(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-E — nearest-centroid assignment audit: (label, assigned, cnt)
+    confusion counts of every embedding vs the label centroids (semantic-
+    cluster coherence check; see similarity.nearest_centroid for the
+    relational matmul-by-join plan and the round-before-argmax
+    determinism contract)."""
+    return similarity.nearest_centroid(table(spark, sf, "embeddings"))
 
 
 def q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
@@ -2800,6 +2836,22 @@ ORACLES: dict[str, str | None] = {
         FROM e
         WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)
     """,
+    # time-RANGE frame (not ROWS): peers at the same tsn all included,
+    # so the result is independent of tie order on both engines
+    "q_rolling_window": """
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(ts) AS tsn, value FROM events
+        )
+        SELECT user_id, event_id, tsn,
+               count(*) OVER w AS roll_cnt,
+               floor(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w
+                     AS DOUBLE) * 10000 + 0.5) / 10000 AS roll_sum
+        FROM e
+        WINDOW w AS (
+          PARTITION BY user_id ORDER BY tsn
+          RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+        )
+    """,
     "q_semi_join": """
         SELECT c_custkey, c_mktsegment FROM customer
         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -3188,6 +3240,41 @@ ORACLES: dict[str, str | None] = {
     "q_quantile_filter": _quantile_filter_sql(0.25),
     "q_label_centroids": _LABEL_CENTROIDS_SQL,
     "q_centroid_similarity": _CENTROID_SIMILARITY_SQL,
+    # round-before-argmax (4 dp) on BOTH sides so summation-order ulps
+    # can't flip near-tied assignments; exact 4-dp ties break by label
+    "q_nearest_centroid": """
+        WITH e AS (
+          SELECT vec_id, label,
+                 unnest(range(len(embedding))) AS pos,
+                 unnest(embedding) AS x
+          FROM embeddings
+        ),
+        c AS (
+          SELECT label AS assigned, pos, avg(CAST(x AS DOUBLE)) AS c
+          FROM e GROUP BY 1, 2
+        ),
+        n AS (SELECT assigned, sqrt(sum(c * c)) AS cn FROM c GROUP BY 1),
+        d AS (
+          SELECT e.vec_id, e.label, c.assigned,
+                 sum(CAST(e.x AS DOUBLE) * c.c) AS dot
+          FROM e JOIN c ON e.pos = c.pos
+          GROUP BY 1, 2, 3
+        ),
+        s AS (
+          SELECT d.vec_id, d.label, d.assigned,
+                 floor(d.dot / n.cn * 10000 + 0.5) / 10000 AS cp
+          FROM d JOIN n ON n.assigned = d.assigned
+        ),
+        a AS (
+          SELECT vec_id, label, assigned,
+                 row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cp DESC, assigned
+                 ) AS rn
+          FROM s
+        )
+        SELECT label, assigned, count(*) AS cnt
+        FROM a WHERE rn = 1 GROUP BY 1, 2
+    """,
     # single staged file + availableNow ⇒ one micro-batch ⇒ streaming
     # first-occurrence = global min id per fingerprint
     "q_streaming_dedup": f"""

@@ -144,3 +144,63 @@ def test_ann_index_store_roundtrip_and_prune(spark, emb, qvec, tmp_path):
     import os
     n_buckets = len([d for d in os.listdir(store) if d.startswith("_bucket=")])
     assert n_buckets > 5  # 4 planes → up to 16 buckets; corpus fills most
+
+
+def test_ivf_planted_clusters_nprobe1_full_recall(spark):
+    """Planted-cluster recall target: 4 well-separated clusters; querying
+    a cluster member with nprobe=1 must (a) probe only that cluster's
+    list — candidates = 1/4 of the corpus — and (b) still return EXACTLY
+    the brute-force top-10 (recall 1.0), because every true neighbour
+    lives in the probed list. Deterministic: no RNG, index-derived
+    perturbations."""
+    dim, per, k_clusters = 16, 50, 4
+    rows = []
+    for c in range(k_clusters):
+        for i in range(per):
+            v = [0.0] * dim
+            v[c * 4] = 10.0  # cluster axis: orthogonal one-hots
+            v[c * 4 + 1 + (i % 3)] = 0.2 + 0.01 * (i % 7)  # tiny spread
+            rows.append((c * per + i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qvec = rows[7][1]
+
+    brute = [r["vec_id"]
+             for r in similarity.cosine_topk(emb, qvec, k=10).collect()]
+    assert all(v < per for v in brute)  # sanity: true top-10 ⊂ cluster 0
+
+    assigned, model = similarity.ivf_index(emb, n_lists=k_clusters, seed=42)
+    probe = similarity.ivf_probe_lists(model.clusterCenters(), qvec, 1)
+    n_cand = assigned.filter(F.col("_list").isin(*probe)).count()
+    assert n_cand == per  # pruned to exactly the planted cluster
+
+    ivf = [r["vec_id"]
+           for r in similarity.ivf_topk(
+               emb, qvec, k=10, n_lists=k_clusters, nprobe=1, seed=42
+           ).collect()]
+    assert ivf == brute  # recall 1.0 at 4x pruning
+
+
+def test_nearest_centroid_confusion_counts(spark):
+    """Planted 2-label corpus with one deliberate defector: vectors sit on
+    orthogonal label axes except vec 99, which points at the OTHER
+    label's axis — the confusion counts must put exactly that one vector
+    off-diagonal, and the diagonal must carry everything else."""
+    rows = []
+    for i in range(40):
+        v = [0.0] * 8
+        v[0 if i < 20 else 4] = 1.0 + 0.001 * (i % 5)
+        rows.append((i, v, 0 if i < 20 else 1))
+    defector = [0.0] * 8
+    defector[4] = 1.0  # labelled 0, embedded with label 1's cluster
+    rows.append((99, defector, 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = {
+        (r["label"], r["assigned"]): r["cnt"]
+        for r in similarity.nearest_centroid(emb).collect()
+    }
+    assert got[(0, 0)] == 20
+    assert got[(1, 1)] == 20
+    assert got[(0, 1)] == 1  # the defector, and nothing else
+    assert (1, 0) not in got
