@@ -242,3 +242,48 @@ def is_postcode_key(key: Column | str) -> Column:
     addr:postcode and addr:postal_code."""
     k = F.col(key) if isinstance(key, str) else key
     return k.startswith("addr:post") & k.endswith("code")
+
+
+def fuzzy_match_street_type(df, street_col: str = "street",
+                            max_dist: int = 2, spark=None):
+    """Fuzzy tier of X2 (openstreet_kolkata.py:192-225): the reference's
+    dictionary only fixes typos someone already cataloged ("raod"); this
+    matches EVERY distinct observed trailing street-type token to its
+    nearest canonical type by Levenshtein distance (≤ ``max_dist``),
+    surfacing unseen misspellings as a suggested normalization table
+    (token, canonical, dist).
+
+    Plan shape: the corpus is scanned ONCE for the distinct lowered
+    tokens; candidates are distinct-tokens × the 15-entry canonical
+    whitelist via a broadcast cross join — a bounded dimension product,
+    never corpus-scale; Levenshtein runs JVM-side (codegen). The output
+    table is itself broadcastable back over the corpus as the lookup of
+    a second normalization pass. Deterministic: ties break
+    (dist, canonical)."""
+    from pyspark.sql import Window
+
+    spark = spark or df.sparkSession
+    canon = spark.createDataFrame(
+        [(c,) for c in EXPECTED_STREET_TYPES], ["canonical"]
+    )
+    token = F.lower(
+        F.regexp_replace(street_type(F.col(street_col)), r"\.$", "")
+    )
+    toks = (
+        df.select(token.alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    scored = (
+        toks.crossJoin(F.broadcast(canon))
+        .withColumn(
+            "dist", F.levenshtein(F.col("token"), F.lower(F.col("canonical")))
+        )
+        .filter(F.col("dist") <= max_dist)
+    )
+    w = Window.partitionBy("token").orderBy("dist", "canonical")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("token", "canonical", F.col("dist").cast("long").alias("dist"))
+    )

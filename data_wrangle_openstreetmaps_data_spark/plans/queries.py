@@ -1095,6 +1095,17 @@ def q_centroid_similarity(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.centroid_similarity(table(spark, sf, "embeddings"))
 
 
+def q_fuzzy_street_match(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT of X2 — fuzzy street-type normalization table: every distinct
+    observed trailing token matched to its nearest canonical street type
+    by Levenshtein distance ≤ 2 (catches misspellings the reference's
+    dictionary never cataloged — its dict is the HAND-built version of
+    exactly this table). One distinct-token scan + a bounded broadcast
+    cross join vs the 15-entry whitelist; deterministic (dist, canonical)
+    tiebreak."""
+    return cleaning.fuzzy_match_street_type(_supplier_streets(spark, sf))
+
+
 def q_nearest_centroid(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-E — nearest-centroid assignment audit: (label, assigned, cnt)
     confusion counts of every embedding vs the label centroids (semantic-
@@ -3240,6 +3251,31 @@ ORACLES: dict[str, str | None] = {
     "q_quantile_filter": _quantile_filter_sql(0.25),
     "q_label_centroids": _LABEL_CENTROIDS_SQL,
     "q_centroid_similarity": _CENTROID_SIMILARITY_SQL,
+    "q_fuzzy_street_match": f"""
+        WITH s AS (SELECT {_STREET_SQL} AS street FROM supplier),
+        tk AS (
+          SELECT DISTINCT
+                 lower(regexp_replace({_STYPE_SQL}, '\\.$', '')) AS token
+          FROM s WHERE {_STYPE_SQL} <> ''
+        ),
+        cand AS (
+          SELECT token, canonical,
+                 levenshtein(token, lower(canonical)) AS dist
+          FROM tk CROSS JOIN (
+            SELECT unnest([{_EXPECTED_SQL}]) AS canonical
+          )
+          WHERE levenshtein(token, lower(canonical)) <= 2
+        ),
+        best AS (
+          SELECT token, canonical, dist,
+                 row_number() OVER (
+                   PARTITION BY token ORDER BY dist, canonical
+                 ) AS rn
+          FROM cand
+        )
+        SELECT token, canonical, CAST(dist AS BIGINT) AS dist
+        FROM best WHERE rn = 1
+    """,
     # round-before-argmax (4 dp) on BOTH sides so summation-order ulps
     # can't flip near-tied assignments; exact 4-dp ties break by label
     "q_nearest_centroid": """

@@ -115,3 +115,31 @@ def test_key_class_golden(spark):
     }
     for k, cls in cases:
         assert got[k] == cls, k
+
+
+def test_fuzzy_street_match_catches_unseen_typos(spark):
+    """The dictionary tier can only fix cataloged typos; the fuzzy tier
+    must map typos it has never seen ('avneue', 'streeet') to the right
+    canonical type, leave exact names at dist 0, and drop tokens beyond
+    the threshold ('xyzzy')."""
+    from data_wrangle_openstreetmaps_data_spark.functions.cleaning import (
+        fuzzy_match_street_type,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("1 Main avneue",),   # unseen typo, dist 2 → Avenue
+            ("2 Oak streeet",),   # unseen typo, dist 1 → Street
+            ("3 Elm Road",),      # exact, dist 0
+            ("4 Foo xyzzy",),     # > max_dist → absent
+        ],
+        ["street"],
+    )
+    got = {
+        r["token"]: (r["canonical"], r["dist"])
+        for r in fuzzy_match_street_type(df).collect()
+    }
+    assert got["avneue"] == ("Avenue", 2)
+    assert got["streeet"] == ("Street", 1)
+    assert got["road"] == ("Road", 0)
+    assert "xyzzy" not in got
