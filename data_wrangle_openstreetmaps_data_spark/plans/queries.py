@@ -1721,6 +1721,34 @@ def q_sessionize_stream(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(name)
 
 
+_WM_US = 3600 * 10**6  # 1h watermark delay for the watermarked sessionizer
+
+
+def q_sessionize_stream_watermarked(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming — sessionization with EVENT-TIME TIMEOUT
+    (applyInPandasWithState + watermark): sessions close on a same-user
+    advance OR when the watermark passes end+gap, so idle/churned users'
+    sessions are emitted without another event and state is bounded by
+    genuinely-open sessions. availableNow drain determinism: emitted =
+    every advance-closed session plus finals whose ms-floored close point
+    (end+gap) is strictly below the final watermark (ms-floored max event
+    time minus the delay) — the exact engine arithmetic, replicated in
+    the oracle and pinned by tests/test_sessionize.py."""
+    import uuid
+
+    from data_wrangle_openstreetmaps_data_spark.streaming import events as se
+    from data_wrangle_openstreetmaps_data_spark.streaming.sessionize import (
+        sessionize_stream_watermarked,
+    )
+
+    name = f"wmsessions_{uuid.uuid4().hex[:8]}"
+    stream = se.stage_events_stream(spark, sf, "wmsess")
+    se.run_to_memory(
+        sessionize_stream_watermarked(stream, _SESSION_GAP_US, _WM_US), name
+    )
+    return spark.table(name)
+
+
 def q_embedding_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-S — bucketed approximate k-NN self-join over the embeddings
     table (embedding-cosine near-dup). Approximate → rows-only check;
@@ -3572,6 +3600,39 @@ ORACLES: dict[str, str | None] = {
           SELECT *, max(session_start) OVER (PARTITION BY user_id) AS last_start
           FROM s
         ) WHERE session_start < last_start
+    """,
+    # advance-closed sessions PLUS finals past the final watermark:
+    # (end+gap) ms-floored strictly below (max event time ms-floored −
+    # delay) — the engine's millisecond timeout arithmetic, exactly
+    "q_sessionize_stream_watermarked": f"""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS tsn FROM events),
+        flagged AS (
+          SELECT user_id, tsn,
+                 CASE WHEN tsn - lag(tsn) OVER (
+                        PARTITION BY user_id ORDER BY tsn
+                      ) > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS new_sess
+          FROM e
+        ),
+        sess AS (
+          SELECT user_id, tsn,
+                 sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY tsn
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS sess_id
+          FROM flagged
+        ),
+        s AS (
+          SELECT user_id, min(tsn) AS session_start, max(tsn) AS session_end,
+                 count(*) AS n_events
+          FROM sess GROUP BY user_id, sess_id
+        ),
+        m AS (SELECT max(tsn) // 1000 - {_WM_US // 1000} AS wm_ms FROM e)
+        SELECT user_id, session_start, session_end, n_events FROM (
+          SELECT s.*, m.wm_ms,
+                 max(session_start) OVER (PARTITION BY user_id) AS last_start
+          FROM s, m
+        ) WHERE session_start < last_start
+           OR (session_end + {_SESSION_GAP_US}) // 1000 < wm_ms
     """,
 }
 

@@ -102,6 +102,78 @@ def sessionize_stream(
     )
 
 
+def sessionize_stream_watermarked(
+    events: DataFrame,
+    gap_us: int = 30 * 60 * 10**6,
+    watermark_us: int = 3600 * 10**6,
+) -> DataFrame:
+    """Sessionization with EVENT-TIME TIMEOUT: sessions close two ways —
+    a same-user event beyond the gap (like :func:`sessionize_stream`),
+    or the event-time watermark passing ``session_end + gap`` (idle users'
+    sessions close WITHOUT needing another event). This is the production
+    contract: state is bounded by genuinely-open sessions, not by
+    users-seen-ever, and the final session of a churned user still gets
+    emitted once the watermark passes it.
+
+    Same µs ts contract as the other sessionizers. The timeout timestamp
+    is ``session_end + gap`` (ms granularity — the engine API); a session
+    already beyond the watermark on arrival closes immediately (the
+    engine rejects timeout timestamps at-or-before the watermark)."""
+    from data_wrangle_openstreetmaps_data_spark.catalog import event_ts_us
+
+    if dict(events.dtypes)["ts"] != "bigint":
+        events = events.withColumn("ts", event_ts_us(events))
+    ev = events.select(
+        "user_id", "ts", F.timestamp_micros(F.col("ts")).alias("event_time")
+    ).withWatermark("event_time", f"{watermark_us // 10**6} seconds")
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        cols = ["user_id", "session_start", "session_end", "n_events"]
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame([(user_id, start, last, n)], columns=cols)
+            return
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        ts_all = []
+        for pdf in pdfs:
+            ts_all.extend(pdf["ts"].tolist())
+        closed, (start, last, n) = _advance_sessions(
+            user_id, start, last, n, sorted(ts_all), gap_us
+        )
+        timeout_ms = (last + gap_us) // 1000
+        wm_ms = state.getCurrentWatermarkMs()
+        if timeout_ms <= wm_ms:
+            # watermark already passed this session's close point
+            closed.append((user_id, start, last, n))
+            state.remove()
+        else:
+            state.update((start, last, n))
+            state.setTimeoutTimestamp(timeout_ms)
+        if closed:
+            yield pd.DataFrame(closed, columns=cols)
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=OUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def sessionize_batch(
     events: DataFrame, gap_us: int = 30 * 60 * 10**6
 ) -> DataFrame:

@@ -116,3 +116,23 @@ def test_xml_sample_roundtrip(spark):
         .load(out)
     )
     assert back.count() == sampled.count()
+
+
+def test_every_nth_string_key_matches_global_window(spark):
+    """The blocked rank must equal the naive global-window semantics for
+    NON-numeric order keys too (literal boundary comparisons are
+    lexicographic): same selected set on a string key with ties absent."""
+    from pyspark.sql import Window
+
+    df = table(spark, SF_SMALL, "orders").select(
+        F.col("o_orderkey").cast("string").alias("k"), "o_orderstatus"
+    )
+    got = sorted(r["k"] for r in every_nth(df, "k", 7).collect())
+    w = Window.orderBy("k")
+    want = sorted(
+        r["k"]
+        for r in df.withColumn("_i", F.row_number().over(w) - 1)
+        .filter(F.col("_i") % 7 == 0)
+        .collect()
+    )
+    assert got == want and len(got) > 0

@@ -182,3 +182,84 @@ def test_streaming_sessions_across_three_batches(spark):
         if any(s <= m < e for m in maxes)
     ]
     assert spanning, "no closed session crossed a micro-batch boundary"
+
+
+def test_watermarked_timeout_closes_idle_session(spark):
+    """EventTimeTimeout for real: user 1's session must be emitted purely
+    by the watermark passing end+gap (no later user-1 event exists), while
+    user 2's session — still inside the watermark — stays in state."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(os.path.dirname(__file__), "..", ".tmp", "wm_timeout")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    H = 3600 * 10**6
+    T0 = 1_700_000_000_000_000
+
+    def write(path, rows, mt):
+        tbl = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, path)
+        os.utime(path, (mt, mt))
+
+    base = time.time()
+    write(f"{d}/b0.parquet", [(1, T0), (1, T0 + 600 * 10**6)], base)
+    write(f"{d}/b1.parquet", [(2, T0 + 48 * H)], base + 2)
+    stream = (
+        spark.readStream.schema("user_id long, ts long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/b*.parquet")
+    )
+    se.run_to_memory(
+        sz.sessionize_stream_watermarked(stream, H, H), "wm_timeout_out"
+    )
+    rows = sorted(map(tuple, spark.table("wm_timeout_out").collect()))
+    assert rows == [(1, T0, T0 + 600 * 10**6, 2)]
+
+
+def test_watermarked_stream_equals_batch_plus_timeout_rule(spark, events_dir):
+    """availableNow drain contract of the watermarked sessionizer: emitted
+    = every advance-closed session (all but each user's final) PLUS the
+    finals whose ms-floored close point (end+gap) lies below the final
+    watermark (ms-floored max event time minus the delay)."""
+    WM_US = 3600 * 10**6
+    stream = se.read_events_stream(spark, events_dir)
+    se.run_to_memory(
+        sz.sessionize_stream_watermarked(stream, GAP_US, WM_US), "wm_drain"
+    )
+    streamed = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in spark.table("wm_drain").collect()
+    }
+    ev = table(spark, SF_SMALL, "events")
+    from pyspark.sql import functions as F
+
+    from data_wrangle_openstreetmaps_data_spark.catalog import event_ts_us
+
+    max_us = ev.select(F.max(event_ts_us(ev))).first()[0]
+    wm_ms = max_us // 1000 - WM_US // 1000
+    batch_all = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in sz.sessionize_batch(ev, GAP_US).collect()
+    }
+    last_start = {}
+    for (u, s) in batch_all:
+        last_start[u] = max(last_start.get(u, s), s)
+    want = {
+        k: v
+        for k, v in batch_all.items()
+        if k[1] < last_start[k[0]]  # closed by advance
+        or (v[0] + GAP_US) // 1000 < wm_ms  # closed by timeout
+    }
+    assert len(streamed) > 0
+    assert streamed == want
+    # and the timeout rule genuinely added sessions beyond the advance set
+    advance_only = {k for k in batch_all if k[1] < last_start[k[0]]}
+    assert set(streamed) > advance_only
