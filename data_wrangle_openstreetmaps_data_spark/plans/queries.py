@@ -1721,6 +1721,65 @@ def q_sessionize_stream(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — cohort retention matrix: users cohorted by first-active day,
+    distinct active users counted per (cohort_day, active_day). The
+    (user, day) dedup, the per-user min, and the join are all keyed on
+    user_id — one hash partitioning reused across the three steps — then
+    a final small (cohort, day) aggregation. Type-adaptive event time."""
+    ev = table(spark, sf, "events")
+    day = F.date_format(
+        F.date_trunc("day", catalog.event_ts(ev)), "yyyy-MM-dd"
+    )
+    ud = ev.select("user_id", day.alias("active_day")).distinct()
+    first = ud.groupBy("user_id").agg(
+        F.min("active_day").alias("cohort_day")
+    )
+    return (
+        ud.join(first, "user_id")
+        .groupBy("cohort_day", "active_day")
+        .agg(F.count_distinct(F.col("user_id")).alias("active_users"))
+    )
+
+
+def q_stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming — STATELESS stream-static enrichment join: the events
+    stream joined to the static nation dimension (broadcast; no state
+    store, no watermark — each micro-batch joins independently), the
+    fact-stream × dimension-snapshot shape. Deterministic: inner join,
+    emission independent of batching."""
+    import uuid
+
+    from data_wrangle_openstreetmaps_data_spark.streaming import events as se
+
+    name = f"ssj_static_{uuid.uuid4().hex[:8]}"
+    stream = se.stage_events_stream(spark, sf, "ss_static")
+    dim = table(spark, sf, "nation").select(
+        F.col("n_nationkey").cast("long").alias("nk"), "n_name"
+    )
+    joined = se.stream_static_join(
+        stream, dim, F.col("user_id") % 25, F.col("nk")
+    ).select("event_id", "user_id", "n_name")
+    se.run_to_memory(joined, name)
+    return spark.table(name)
+
+
+def q_streaming_user_activity(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming — complete-mode running per-user aggregate (count, last
+    event µs, max value): the live-dashboard shape. The availableNow
+    drain's final complete-mode emission equals the batch GROUP BY."""
+    import uuid
+
+    from data_wrangle_openstreetmaps_data_spark.streaming import events as se
+
+    name = f"uact_{uuid.uuid4().hex[:8]}"
+    stream = se.stage_events_stream(spark, sf, "uact")
+    se.run_to_memory(
+        se.user_activity_summary(stream), name, output_mode="complete"
+    )
+    return spark.table(name)
+
+
 _WM_US = 3600 * 10**6  # 1h watermark delay for the watermarked sessionizer
 
 
@@ -3600,6 +3659,33 @@ ORACLES: dict[str, str | None] = {
           SELECT *, max(session_start) OVER (PARTITION BY user_id) AS last_start
           FROM s
         ) WHERE session_start < last_start
+    """,
+    "q_cohort_retention": """
+        WITH ud AS (
+          SELECT DISTINCT user_id,
+                 strftime(date_trunc('day', ts), '%Y-%m-%d') AS active_day
+          FROM events
+        ),
+        first AS (
+          SELECT user_id, min(active_day) AS cohort_day
+          FROM ud GROUP BY user_id
+        )
+        SELECT f.cohort_day, u.active_day,
+               count(DISTINCT u.user_id) AS active_users
+        FROM ud u JOIN first f ON u.user_id = f.user_id
+        GROUP BY 1, 2
+    """,
+    # stateless inner join: emission independent of micro-batching
+    "q_stream_static_join": """
+        SELECT e.event_id, e.user_id, n.n_name
+        FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    """,
+    # complete-mode final emission ≡ batch GROUP BY over the whole corpus
+    "q_streaming_user_activity": """
+        SELECT user_id, count(*) AS n_events,
+               max(epoch_us(ts)) AS last_ts,
+               max(value) AS max_value
+        FROM events GROUP BY user_id
     """,
     # advance-closed sessions PLUS finals past the final watermark:
     # (end+gap) ms-floored strictly below (max event time ms-floored −

@@ -134,6 +134,28 @@ def stream_stream_join(
     ).select("user_id", "l_event_id", "r_event_id", "l_time", "r_time")
 
 
+def stream_static_join(stream: DataFrame, dim: DataFrame,
+                       stream_key, dim_key) -> DataFrame:
+    """Stream-static inner join: STATELESS — each micro-batch joins
+    against the (broadcastable) static dimension with no watermark and no
+    state store, the standard enrichment shape (stream of facts × slowly-
+    changing dimension snapshot). At 100 TB the static side is a
+    broadcast or a bucketed table; either way no streaming state grows."""
+    return stream.join(F.broadcast(dim), stream_key == dim_key)
+
+
+def user_activity_summary(stream: DataFrame) -> DataFrame:
+    """Complete-mode running aggregate per user: event count, last event
+    time (µs), max value — the live-dashboard shape. Unbounded keyed
+    state is O(users); complete mode re-emits the full table per batch
+    (use the windowed/append operators when the key space is unbounded)."""
+    return stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("ts").alias("last_ts"),
+        F.max("value").alias("max_value"),
+    )
+
+
 def counts_to_store(windowed: DataFrame, store_path: str,
                     checkpoint_path: str):
     """Stream the watermarked windowed counts into a parquet store
