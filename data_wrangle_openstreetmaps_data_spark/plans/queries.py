@@ -1721,6 +1721,45 @@ def q_sessionize_stream(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — ordered-sequence funnel: per user, the first signup, then the
+    first purchase strictly after it within 7 days; output one row per
+    funnel stage with the user count (signup → converted). Conditional
+    aggregation keyed on user_id — the min-over-filter pattern, no self
+    -join of the raw events; the 7-day bound uses the µs event time."""
+    ev = table(spark, sf, "events")
+    ev = ev.withColumn("tsn", catalog.event_ts_us(ev))
+    week_us = 7 * 86400 * 10**6
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("tsn"))
+        ).alias("first_signup")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("tsn").alias("p_ts")
+    )
+    converted = (
+        per_user.filter(F.col("first_signup").isNotNull())
+        .join(purchases, F.col("user_id") == F.col("p_user"))
+        .filter(
+            (F.col("p_ts") > F.col("first_signup"))
+            & (F.col("p_ts") <= F.col("first_signup") + week_us)
+        )
+        .select("user_id")
+        .distinct()
+    )
+    signed = per_user.filter(F.col("first_signup").isNotNull())
+    return signed.agg(
+        F.lit("signup").alias("stage"),
+        F.count(F.lit(1)).alias("users"),
+    ).unionByName(
+        converted.agg(
+            F.lit("converted_7d").alias("stage"),
+            F.count(F.lit(1)).alias("users"),
+        )
+    )
+
+
 def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — cohort retention matrix: users cohorted by first-active day,
     distinct active users counted per (cohort_day, active_day). The
@@ -3659,6 +3698,26 @@ ORACLES: dict[str, str | None] = {
           SELECT *, max(session_start) OVER (PARTITION BY user_id) AS last_start
           FROM s
         ) WHERE session_start < last_start
+    """,
+    "q_funnel_conversion": """
+        WITH pu AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'signup'
+                          THEN epoch_us(ts) END) AS first_signup
+          FROM events GROUP BY user_id
+        ),
+        signed AS (SELECT * FROM pu WHERE first_signup IS NOT NULL),
+        conv AS (
+          SELECT DISTINCT s.user_id
+          FROM signed s JOIN events e ON e.user_id = s.user_id
+          WHERE e.event_type = 'purchase'
+            AND epoch_us(e.ts) > s.first_signup
+            AND epoch_us(e.ts) <= s.first_signup
+                + CAST(604800000000 AS BIGINT)
+        )
+        SELECT 'signup' AS stage, count(*) AS users FROM signed
+        UNION ALL
+        SELECT 'converted_7d' AS stage, count(*) AS users FROM conv
     """,
     "q_cohort_retention": """
         WITH ud AS (

@@ -144,6 +144,37 @@ def main() -> None:
     ).save()
     timings["pack_sequences_100x_docs"] = round(time.perf_counter() - t0, 2)
 
+    # round-6 event-time wave at 10× events (~100k): user-keyed window
+    # frames and the cohort matrix must stay shuffle-linear
+    from data_wrangle_openstreetmaps_data_spark.catalog import event_ts_us
+
+    ev10 = replicate(table(spark, SF_DIR, "events"), ["event_id"], FACTOR)
+    ev10 = ev10.withColumn("tsn", event_ts_us(ev10))
+    t0 = time.perf_counter()
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id").orderBy("tsn")
+        .rangeBetween(-7 * 86400 * 10**6, 0)
+    )
+    ev10.select(
+        "user_id", "event_id",
+        F.count(F.lit(1)).over(w).alias("roll_cnt"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).alias("roll_sum"),
+    ).write.format("noop").mode("overwrite").save()
+    timings["rolling_window_10x_events"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    day = F.date_format(F.timestamp_micros(F.col("tsn")), "yyyy-MM-dd")
+    ud = ev10.select("user_id", day.alias("d")).distinct()
+    first = ud.groupBy("user_id").agg(F.min("d").alias("cd"))
+    (
+        ud.join(first, "user_id").groupBy("cd", "d")
+        .agg(F.count_distinct(F.col("user_id")).alias("n"))
+        .write.format("noop").mode("overwrite").save()
+    )
+    timings["cohort_retention_10x_events"] = round(time.perf_counter() - t0, 2)
+
     emb = replicate(table(spark, SF_DIR, "embeddings"), ["vec_id"], 100)
     planes = _seeded_projections(64, 32, 42)
     t0 = time.perf_counter()
