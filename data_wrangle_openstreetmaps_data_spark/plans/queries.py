@@ -1721,6 +1721,35 @@ def q_sessionize_stream(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_dataset_split(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — deterministic train/val/test split: each document lands in a
+    split by its portable 60-bit md5 id-hash mod 10 (8/1/1) — stable
+    across runs, engines, and cluster sizes (no rand(), no global order),
+    the canonical release-split op. Output: per-(split, lang) counts and
+    mean doc length — the split-balance audit."""
+    from data_wrangle_openstreetmaps_data_spark.operators.dedup import (
+        portable_token_hash,
+    )
+
+    docs = table(spark, sf, "documents")
+    bucket = F.pmod(
+        portable_token_hash(F.col("doc_id").cast("string")), F.lit(10)
+    )
+    split = (
+        F.when(bucket <= 7, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            text.round4(F.avg("n_chars")).alias("avg_chars"),
+        )
+    )
+
+
 def q_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — ordered-sequence funnel: per user, the first signup, then the
     first purchase strictly after it within 7 days; output one row per
@@ -3698,6 +3727,21 @@ ORACLES: dict[str, str | None] = {
           SELECT *, max(session_start) OVER (PARTITION BY user_id) AS last_start
           FROM s
         ) WHERE session_start < last_start
+    """,
+    "q_dataset_split": """
+        WITH b AS (
+          SELECT lang, n_chars,
+                 (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  ::BIGINT % 10) AS bucket
+          FROM documents
+        )
+        SELECT CASE WHEN bucket <= 7 THEN 'train'
+                    WHEN bucket = 8 THEN 'val'
+                    ELSE 'test' END AS split,
+               lang,
+               count(*) AS n_docs,
+               floor(avg(n_chars) * 10000 + 0.5) / 10000 AS avg_chars
+        FROM b GROUP BY 1, 2
     """,
     "q_funnel_conversion": """
         WITH pu AS (
