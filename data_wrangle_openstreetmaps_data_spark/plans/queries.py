@@ -1534,6 +1534,113 @@ def q_tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking) adapted to the testdata schema:
+    orders in a quarter with at least one late-shipped line (shipdate more
+    than 60 days after the order date — the testdata has no commit/receipt
+    dates). The EXISTS becomes a LEFT SEMI join: equi on the order key so it
+    shuffles (or broadcasts) hash-partitioned, with the non-equi lateness
+    predicate evaluated inside the join — no row explosion, no distinct."""
+    orders = table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-07-01"))
+        & (F.col("o_orderdate") < _ts("1996-10-01"))
+    )
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): promo revenue share over one month.
+    Part is a broadcast dim; the single aggregate row carries two decimal
+    sums, so the fact scan never shuffles."""
+    li = table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-09-01"))
+        & (F.col("l_shipdate") < _ts("1996-10-01"))
+    )
+    part = table(spark, sf, "part").select("p_partkey", "p_type")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            text.round4(
+                F.lit(100.0) * _dec_sum(promo) / _dec_sum(disc_price)
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds 300. The HAVING runs as a partial+final hash aggregate on the
+    fact table BEFORE any join, so only the ~0.3% qualifying order keys
+    reach the joins; orders/customer attach by broadcast-ability of the
+    tiny filtered side (AQE picks broadcast from the agg's runtime size)."""
+    li = table(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dec_sum(F.col("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive predicates): three
+    brand/size/quantity bands OR-ed together across the part join. The
+    equi key join stays a single broadcast hash join; the disjunction is
+    a post-join filter inside whole-stage codegen — no union-of-three-scans
+    rewrite needed."""
+    li = table(spark, sf, "lineitem")
+    part = table(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#21")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .filter(band)
+        .agg(_dec_sum(revenue).alias("revenue"))
+    )
+
+
 def _fake_latlon(df: DataFrame) -> DataFrame:
     """Deterministic lat/lon derived from event fields (testdata has no
     geo columns): Kolkata-ish box, exact double arithmetic."""
@@ -3249,6 +3356,56 @@ ORACLES: dict[str, str | None] = {
           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
           AND l_discount >= 0.05 AND l_discount <= 0.07
           AND l_quantity < 24
+    """,
+    "q_tpch_q4": """
+        SELECT o_orderpriority, count(*) AS cnt
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "q_tpch_q14": """
+        SELECT floor(
+                 100.0
+                 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                            THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))
+                            ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+    """,
+    "q_tpch_q18": """
+        WITH big AS (
+          SELECT l_orderkey,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum_qty > 300
+        )
+        SELECT c_name, c_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS odate,
+               o_totalprice, sum_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    "q_tpch_q19": """
+        SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE)
+               AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
     """,
     "q_geo_bbox": """
         WITH pts AS (
