@@ -240,6 +240,56 @@ def tfidf_search(
     return scored.orderBy(F.desc("score"), F.col("id")).limit(k)
 
 
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranking (Robertson/Sparck-Jones idf, doc-length normalized tf)
+    for a fixed term query — the production cousin of ``tfidf_search``.
+
+    Same inverted-index probe shape: one token explode filtered to the
+    query terms, tiny broadcast df(t) table, per-doc length table joined
+    on the doc key, and the corpus-level (N, avgdl) scalars attached as a
+    broadcast single-row crossJoin so no driver-side collect happens for
+    them. Score = Σ_t idf(t) · tf(k1+1) / (tf + k1(1 − b + b·dl/avgdl)),
+    idf = ln((N − df + ½)/(df + ½) + 1)."""
+    from data_wrangle_openstreetmaps_data_spark.functions.text import (
+        round4,
+        token_count,
+        tokens,
+    )
+
+    n_docs = docs.count()  # scalar corpus size (one cheap job)
+    dl = docs.select(
+        F.col(id_col).alias("id"), token_count(text_col).alias("dl")
+    )
+    stats = dl.agg(F.avg("dl").alias("avgdl"))  # 1 row → broadcast
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
+    ).filter(F.col("tok").isin(*query_terms))
+    df_t = toks.groupBy("tok").agg(F.countDistinct("id").alias("df"))
+    tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    n = F.lit(float(n_docs))
+    idf = F.log((n - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    norm_tf = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("w", idf * norm_tf)
+        .groupBy("id")
+        .agg(round4(F.sum("w")).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.col("id")).limit(k)
+
+
 class AnnIndex:
     """'Index once, query many' ANN session (cf. incremental top-k search
     in interactive sessions, EDBT 2020): the LSH bucketing is computed and

@@ -783,6 +783,115 @@ def q_text_search(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-T — BM25 keyword search: top-10 documents for the fixed query,
+    doc-length-normalized (k1=1.2, b=0.75)."""
+    return similarity.bm25_search(
+        table(spark, sf, "documents"), SEARCH_TERMS, k=10
+    )
+
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 32, 24  # overlapping context windows
+_DEDUP_CHUNK = 16  # non-overlapping dedup granularity
+
+
+def q_doc_chunking(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-T — split each document into overlapping fixed-size token
+    windows (size 32, stride 24): the context-window preparation step of a
+    training pipeline. One generate per doc (no join, no shuffle until a
+    downstream consumer groups); each chunk carries its token count and a
+    16-hex md5 fingerprint so chunk-level dedup can run without re-reading
+    text."""
+    d = table(spark, sf, "documents").select(
+        "doc_id", text.tokens("text").alias("toks")
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(_CHUNK_STRIDE)
+    )
+    d = d.select(
+        "doc_id",
+        "toks",
+        F.posexplode(starts).alias("chunk_idx", "start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, F.lit(_CHUNK_SIZE))
+    return d.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(chunk).alias("n_toks"),
+        F.substring(F.md5(F.array_join(chunk, " ")), 1, 16).alias("fp"),
+    )
+
+
+def q_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D — duplicate detection at sub-document granularity:
+    non-overlapping 16-token windows fingerprinted and counted across the
+    corpus (the relational form of suffix-window dedup à la RefinedWeb /
+    deduplicating-training-data). Top-20 most-repeated chunks with their
+    occurrence and distinct-document counts; one explode + one hash
+    aggregate, fingerprints (not text) ride the shuffle."""
+    d = table(spark, sf, "documents").select(
+        "doc_id", text.tokens("text").alias("toks")
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(_DEDUP_CHUNK)
+    )
+    d = d.select("doc_id", "toks", F.explode(starts).alias("start"))
+    chunk_fp = F.substring(
+        F.md5(
+            F.array_join(
+                F.slice(F.col("toks"), F.col("start") + 1, F.lit(_DEDUP_CHUNK)),
+                " ",
+            )
+        ),
+        1,
+        16,
+    )
+    return (
+        d.select("doc_id", chunk_fp.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("cnt") > 1)
+        .orderBy(F.desc("cnt"), "fp")
+        .limit(20)
+    )
+
+
+def q_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-T — rare-bigram inverted index: per-doc-distinct bigrams with
+    document frequency ≤ 5, each with its sorted postings list — the
+    decontamination / memorization-probe building block (rare n-grams are
+    the ones worth tracking exactly). At scale this is the
+    build-the-postings-table job: explode, hash-aggregate by term, the
+    df≤5 cut bounds the postings arrays that survive."""
+    d = table(spark, sf, "documents").select(
+        "doc_id", text.tokens("text").alias("toks")
+    )
+    heads = F.expr("slice(toks, 1, greatest(size(toks)-1, 0))")
+    tails = F.expr("slice(toks, 2, greatest(size(toks)-1, 0))")
+    bigrams = F.array_distinct(
+        F.zip_with(heads, tails, lambda a, b: F.concat(a, F.lit(" "), b))
+    )
+    e = d.select("doc_id", F.explode(bigrams).alias("bigram"))
+    return (
+        e.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_set("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("df") <= 5)
+        .orderBy("bigram")
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-T — deterministic document fingerprint (md5 of normalized text)."""
     df = table(spark, sf, "documents")
@@ -3226,6 +3335,88 @@ ORACLES: dict[str, str | None] = {
           GROUP BY id
         )
         SELECT id, score FROM scored ORDER BY score DESC, id LIMIT 10
+    """,
+    "q_bm25_search": f"""
+        WITH toked AS (
+          SELECT doc_id AS id, {_TOKENS_SQL} AS toks FROM documents
+        ),
+        dl AS (SELECT id, len(toks) AS dl FROM toked),
+        stats AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 avg(len(toks)) AS avgdl
+          FROM toked
+        ),
+        hits AS (
+          SELECT id, unnest(toks) AS tok FROM toked
+        ),
+        fhits AS (
+          SELECT id, tok FROM hits
+          WHERE tok IN ({', '.join(f"'{t}'" for t in SEARCH_TERMS)})
+        ),
+        dft AS (SELECT tok, count(DISTINCT id) AS df FROM fhits GROUP BY tok),
+        tf AS (SELECT id, tok, count(*) AS tf FROM fhits GROUP BY id, tok),
+        scored AS (
+          SELECT id,
+                 floor(sum(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                   * (tf * (1.2 + 1))
+                     / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                 ) * 10000 + 0.5) / 10000 AS score
+          FROM tf JOIN dft USING (tok) JOIN dl USING (id), stats
+          GROUP BY id
+        )
+        SELECT id, score FROM scored ORDER BY score DESC, id LIMIT 10
+    """,
+    "q_doc_chunking": f"""
+        WITH toked AS (
+          SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+        ),
+        st AS (
+          SELECT doc_id, toks,
+                 unnest(range(0, greatest(len(toks), 1), 24)) AS start
+          FROM toked
+        )
+        SELECT doc_id,
+               CAST(start // 24 AS INT) AS chunk_idx,
+               len(toks[start + 1 : start + 32]) AS n_toks,
+               substr(md5(array_to_string(toks[start + 1 : start + 32], ' ')),
+                      1, 16) AS fp
+        FROM st
+    """,
+    "q_chunk_dedup": f"""
+        WITH toked AS (
+          SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+        ),
+        st AS (
+          SELECT doc_id, toks,
+                 unnest(range(0, greatest(len(toks), 1), 16)) AS start
+          FROM toked
+        ),
+        fps AS (
+          SELECT doc_id,
+                 substr(md5(array_to_string(toks[start + 1 : start + 16], ' ')),
+                        1, 16) AS fp
+          FROM st
+        )
+        SELECT fp, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
+        FROM fps GROUP BY fp HAVING count(*) > 1
+        ORDER BY cnt DESC, fp LIMIT 20
+    """,
+    "q_inverted_index": f"""
+        WITH toked AS (
+          SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+        ),
+        bg AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i + 1])) AS bgs
+          FROM toked
+        ),
+        e AS (SELECT doc_id, unnest(bgs) AS bigram FROM bg)
+        SELECT bigram, count(*) AS df,
+               array_to_string(list_sort(list(doc_id)), ',') AS postings
+        FROM e GROUP BY bigram HAVING count(*) <= 5
+        ORDER BY bigram
     """,
     "q_doc_fingerprint": f"""
         SELECT doc_id, substr(md5({_NORM_TEXT_SQL}), 1, 16) AS fp FROM documents
