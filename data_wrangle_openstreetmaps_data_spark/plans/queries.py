@@ -1877,6 +1877,58 @@ def q_time_bucket(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_hopping_window(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — hopping (sliding) event-time windows: 2-day windows advancing
+    by 1 day, counts and decimal value sums per window × event_type. Each
+    event lands in exactly two windows — ``F.window`` emits both
+    assignments in the scan (a generate, not a self-join), then one hash
+    aggregate; epoch-aligned window starts keep Spark and the oracle's
+    truncate-and-shift arithmetic identical."""
+    df = table(spark, sf, "events")
+    ts = catalog.event_ts(df)
+    w = F.window(ts, "2 days", "1 day")
+    return (
+        df.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            text.round4(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            ).alias("val_sum"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("w_start"),
+            "event_type",
+            "cnt",
+            "val_sum",
+        )
+    )
+
+
+def q_zscore_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — per-group standardization: z-score of each event's value
+    against its event_type's mean/stddev, top-20 most extreme. The
+    per-group moments are a 5-row aggregate broadcast back onto the fact
+    scan — no window over the full table, one shuffle for the tiny stats
+    side only."""
+    df = table(spark, sf, "events").select("event_id", "event_type", "value")
+    stats = df.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        df.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            text.round4(F.col("value")).alias("val"),
+            text.round4(z).alias("z"),
+        )
+        .orderBy(F.desc(F.abs(F.col("z"))), "event_id")
+        .limit(20)
+    )
+
+
 def q_date_extract(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — date-part extraction + conditional aggregation by month."""
     df = table(spark, sf, "events")
@@ -3547,6 +3599,32 @@ ORACLES: dict[str, str | None] = {
           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
           AND l_discount >= 0.05 AND l_discount <= 0.07
           AND l_quantity < 24
+    """,
+    "q_hopping_window": """
+        WITH ev AS (
+          SELECT date_trunc('day', ts) AS d1, event_type, value FROM events
+        ),
+        assign AS (
+          SELECT event_type, value,
+                 unnest([d1, d1 - INTERVAL 1 DAY]) AS w_start
+          FROM ev
+        )
+        SELECT strftime(w_start, '%Y-%m-%d') AS w_start, event_type,
+               count(*) AS cnt,
+               floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     * 10000 + 0.5) / 10000 AS val_sum
+        FROM assign GROUP BY w_start, event_type
+    """,
+    "q_zscore_outliers": """
+        WITH stats AS (
+          SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+          FROM events GROUP BY event_type
+        )
+        SELECT event_id, event_type,
+               floor(value * 10000 + 0.5) / 10000 AS val,
+               floor((value - mu) / sigma * 10000 + 0.5) / 10000 AS z
+        FROM events JOIN stats USING (event_type)
+        ORDER BY abs(z) DESC, event_id LIMIT 20
     """,
     "q_tpch_q4": """
         SELECT o_orderpriority, count(*) AS cnt

@@ -145,3 +145,25 @@ def test_streaming_normalizer_identical_across_formats(spark, fixtures, tmp_path
         )
     assert got["ns"] == got["us"]
     assert got["ns"] == sorted(_ROWS)
+
+
+def test_hopping_window_identical_across_formats(spark, fixtures):
+    """F.window over event_ts must assign identical 2-day/1-day hopping
+    windows for both physical ts encodings (the q_hopping_window shape)."""
+    ns_path, us_path = fixtures
+    got = {}
+    for name, path in (("ns", ns_path), ("us", us_path)):
+        df = _read(spark, path)
+        w = F.window(event_ts(df), "2 days", "1 day")
+        got[name] = sorted(
+            (r["ws"], r["cnt"])
+            for r in df.groupBy(w.alias("w"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd").alias("ws"), "cnt"
+            )
+            .collect()
+        )
+    assert got["ns"] == got["us"]
+    # every event falls in exactly two windows
+    assert sum(c for _, c in got["ns"]) == 2 * len(_ROWS)
