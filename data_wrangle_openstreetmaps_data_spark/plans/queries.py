@@ -1796,6 +1796,117 @@ def q_geo_grid(spark: SparkSession, sf: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def q_latest_per_key(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — CDC compaction / keep-latest-per-key as an ARGMAX AGGREGATE:
+    one partial+final max(struct(ts, event_id, …)) per user instead of a
+    row_number window. The aggregate form map-side-combines (each input
+    partition contributes one candidate row per key before the shuffle),
+    so the shuffle carries |keys| rows, not |events| — the right plan for
+    compacting a 100 TB changelog. Tiebreak: struct ordering on
+    (tsn, event_id) is total, so the result is deterministic."""
+    df = table(spark, sf, "events")
+    df = df.withColumn("tsn", catalog.event_ts_us(df))
+    m = F.max(F.struct("tsn", "event_id", "event_type")).alias("m")
+    return (
+        df.groupBy("user_id")
+        .agg(m)
+        .select(
+            "user_id",
+            F.col("m.tsn").alias("tsn"),
+            F.col("m.event_id").alias("event_id"),
+            F.col("m.event_type").alias("event_type"),
+        )
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — multi-granularity aggregate via GROUPING SETS: per
+    event_type, per user-cohort (user_id mod 10), and the grand total in
+    ONE pass over the fact table (Expand + single hash aggregate), instead
+    of three scans unioned."""
+    df = table(spark, sf, "events").select(
+        "event_type",
+        (F.col("user_id") % 10).alias("cohort"),
+        "value",
+    )
+    return (
+        df.groupingSets(
+            [["event_type"], ["cohort"], []], "event_type", "cohort"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            text.round4(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            ).alias("val_sum"),
+        )
+    )
+
+
+def _z_interleave(gx: str, gy: str, bits: int, div: str) -> str:
+    """Bit-interleave SQL for a Z-order (Morton) value, generated from one
+    loop so the Spark and DuckDB sides are arithmetically identical; only
+    the integer-division token differs between dialects."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({gx}) {div} {2**i}) % 2) * {2 ** (2 * i + 1)}")
+        terms.append(f"((({gy}) {div} {2**i}) % 2) * {2 ** (2 * i)}")
+    return " + ".join(terms)
+
+
+def q_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — Z-order (Morton curve) layout key over the 2-D grid, the
+    multi-dimensional clustering key used for data layout (Delta/Iceberg
+    Z-ORDER): interleave 7 bits of each grid axis, bucket by z-range, and
+    report per-bucket counts plus the gx/gy spans — small spans on BOTH
+    axes is exactly the locality a 1-D sort key cannot give. Pure integer
+    codegen arithmetic, no UDF, no shuffle beyond the bucket aggregate."""
+    df = table(spark, sf, "events").select(
+        F.floor(F.col("value") / 5).cast("long").alias("gx"),
+        (F.col("user_id") % 100).alias("gy"),
+    )
+    z = F.expr(_z_interleave("gx", "gy", 7, "div"))
+    return (
+        df.select("gx", "gy", z.alias("z"))
+        .groupBy(F.expr("z div 64").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (F.max("gx") - F.min("gx")).alias("gx_span"),
+            (F.max("gy") - F.min("gy")).alias("gy_span"),
+        )
+    )
+
+
+def q_equidepth_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — equi-depth (decile) histogram of event values: the 9 decile
+    boundaries come from ONE percentile aggregate row broadcast back over
+    the scan, and each value's bucket is how many boundaries it exceeds —
+    no global sort, no ntile window funnel. Boundaries and values are
+    4-dp-rounded on both engines before comparison so bucket assignment
+    is deterministic cross-engine."""
+    df = table(spark, sf, "events").select("value")
+    qs = ", ".join(str(i / 10) for i in range(1, 10))
+    bnds = df.agg(
+        F.transform(
+            F.expr(f"percentile(value, array({qs}))"),
+            lambda b: F.floor(b * 10000 + F.lit(0.5)) / 10000,
+        ).alias("bnds")
+    )
+    v = F.floor(F.col("value") * 10000 + F.lit(0.5)) / 10000
+    return (
+        df.crossJoin(F.broadcast(bnds))
+        .select(
+            v.alias("v"),
+            F.size(F.filter(F.col("bnds"), lambda b: v > b)).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+    )
+
+
 def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — semi-structured JSON column processing: extract props.k and
     aggregate per event type (get_json_object / JSON path)."""
@@ -3599,6 +3710,59 @@ ORACLES: dict[str, str | None] = {
           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
           AND l_discount >= 0.05 AND l_discount <= 0.07
           AND l_quantity < 24
+    """,
+    "q_latest_per_key": """
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS tsn, event_id, event_type
+          FROM events
+        ),
+        r AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY tsn DESC, event_id DESC
+          ) AS rn
+          FROM e
+        )
+        SELECT user_id, tsn, event_id, event_type FROM r WHERE rn = 1
+    """,
+    "q_grouping_sets": """
+        WITH e AS (
+          SELECT event_type, user_id % 10 AS cohort, value FROM events
+        )
+        SELECT event_type, cohort, count(*) AS cnt,
+               floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     * 10000 + 0.5) / 10000 AS val_sum
+        FROM e GROUP BY GROUPING SETS ((event_type), (cohort), ())
+    """,
+    "q_zorder_layout": f"""
+        WITH g AS (
+          SELECT CAST(floor(value / 5) AS BIGINT) AS gx,
+                 user_id % 100 AS gy
+          FROM events
+        ),
+        z AS (
+          SELECT gx, gy, {_z_interleave('gx', 'gy', 7, '//')} AS z FROM g
+        )
+        SELECT z // 64 AS zbucket, count(*) AS cnt,
+               max(gx) - min(gx) AS gx_span,
+               max(gy) - min(gy) AS gy_span
+        FROM z GROUP BY zbucket
+    """,
+    "q_equidepth_histogram": """
+        WITH b AS (
+          SELECT list_transform(
+                   quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+                   x -> floor(x * 10000 + 0.5) / 10000
+                 ) AS bnds
+          FROM events
+        ),
+        a AS (
+          SELECT floor(value * 10000 + 0.5) / 10000 AS v,
+                 len(list_filter(bnds,
+                     x -> floor(value * 10000 + 0.5) / 10000 > x)) AS bucket
+          FROM events, b
+        )
+        SELECT bucket, count(*) AS cnt, min(v) AS lo, max(v) AS hi
+        FROM a GROUP BY bucket
     """,
     "q_hopping_window": """
         WITH ev AS (
