@@ -156,3 +156,37 @@ def orders_by_nation(orders: DataFrame, customer: DataFrame,
             .alias("total"),
         )
     )
+
+
+def merge_upsert(
+    snapshot: DataFrame, changes: DataFrame, key: str
+) -> DataFrame:
+    """MERGE INTO semantics as a batch operator: upsert ``changes`` into
+    ``snapshot`` by ``key`` — matched keys take the change row's values,
+    unmatched change keys insert, untouched snapshot rows pass through.
+
+    One full-outer equi-join on the key; a change row wins WHOLESALE on a
+    key match (decided by a row-presence marker, not per-column coalesce —
+    so a change row may legitimately carry NULLs). At scale both sides
+    hash-partition on the key (or the changes side broadcasts when small —
+    AQE decides from runtime size), so the cost is one shuffle of the
+    delta plus one of the snapshot — the lakehouse CDC-apply shape
+    (cf. Delta/Iceberg MERGE)."""
+    cols = [c for c in snapshot.columns if c != key]
+    assert changes.columns == snapshot.columns, "schemas must align"
+    chg = changes.select(
+        F.col(key).alias("_ck"),
+        F.lit(True).alias("_has_chg"),
+        *[F.col(c).alias(f"_c_{c}") for c in cols],
+    )
+    joined = snapshot.join(chg, F.col(key) == F.col("_ck"), "full_outer")
+    take_chg = F.col("_has_chg").isNotNull()
+    return joined.select(
+        F.when(take_chg, F.col("_ck")).otherwise(F.col(key)).alias(key),
+        *[
+            F.when(take_chg, F.col(f"_c_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in cols
+        ],
+    )

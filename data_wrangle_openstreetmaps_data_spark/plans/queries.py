@@ -1691,10 +1691,11 @@ def q_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q18 (large-volume customers): orders whose total quantity
     exceeds 300. The HAVING runs as a partial+final hash aggregate on the
     fact table BEFORE any join, so only the ~0.3% qualifying order keys
-    reach the joins; orders/customer attach by broadcast-ability of the
-    tiny filtered side (AQE picks broadcast from the agg's runtime size)."""
+    survive; that tiny aggregated side carries an explicit broadcast hint
+    so orders/customer never shuffle regardless of their absolute size —
+    the direction that still holds when orders is 100 TB."""
     li = table(spark, sf, "lineitem")
-    big = (
+    big = F.broadcast(
         li.groupBy("l_orderkey")
         .agg(_dec_sum(F.col("l_quantity")).alias("sum_qty"))
         .filter(F.col("sum_qty") > 300)
@@ -1904,6 +1905,88 @@ def q_equidepth_histogram(spark: SparkSession, sf: str) -> DataFrame:
             F.min("v").alias("lo"),
             F.max("v").alias("hi"),
         )
+    )
+
+
+def q_cdc_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — MERGE INTO / CDC-apply: upsert a deterministic change batch
+    (status+price update for keys ≡0 mod 7, key-shifted inserts for keys
+    ≡0 mod 97) into the orders snapshot via
+    :func:`operators.join.merge_upsert` — one full-outer join on the key,
+    change rows win wholesale on match. The delta is ~15% of the snapshot;
+    at scale the snapshot side is the only large shuffle."""
+    snap = table(spark, sf, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+    upd = snap.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("status"),
+        text.round4(F.col("totalprice") * 1.1).alias("totalprice"),
+    )
+    ins = snap.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "status",
+        "totalprice",
+    )
+    merged = join_ops.merge_upsert(
+        snap, upd.unionByName(ins), "o_orderkey"
+    )
+    return merged.select(
+        "o_orderkey", "status", text.round4(F.col("totalprice")).alias("tp")
+    )
+
+
+def q_state_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — incremental-view maintenance: per-type counts and decimal
+    sums kept as MERGEABLE partial states. The 'standing' state (events
+    with id ≢0 mod 3) and the 'arriving' batch (the rest) are aggregated
+    independently, then combined by summing the partials — count and
+    decimal-sum are associative, so merged state ≡ full recompute, which
+    is exactly what the plain GROUP BY oracle checks."""
+    df = table(spark, sf, "events").select("event_id", "event_type", "value")
+
+    def agg(d: DataFrame) -> DataFrame:
+        return d.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("vsum"),
+        )
+
+    state = agg(df.filter(F.col("event_id") % 3 != 0))
+    batch = agg(df.filter(F.col("event_id") % 3 == 0))
+    return (
+        state.unionByName(batch)
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            text.round4(F.sum("vsum").cast("double")).alias("val_sum"),
+        )
+    )
+
+
+def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — next-event transition matrix (the Markov/path-mining shape):
+    per user, each event paired with its successor by a lead() over
+    (event-time, id), then (src,dst) pair counts and per-src transition
+    probabilities. One user-keyed shuffle for the window; the matrix
+    aggregate is |types|² rows."""
+    from pyspark.sql import Window
+
+    df = table(spark, sf, "events")
+    df = df.withColumn("tsn", catalog.event_ts_us(df))
+    w = Window.partitionBy("user_id").orderBy("tsn", "event_id")
+    pairs = df.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    cnt = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
+    wsrc = Window.partitionBy("src")
+    return cnt.select(
+        "src",
+        "dst",
+        "cnt",
+        text.round4(F.col("cnt") / F.sum("cnt").over(wsrc)).alias("prob"),
     )
 
 
@@ -3710,6 +3793,52 @@ ORACLES: dict[str, str | None] = {
           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
           AND l_discount >= 0.05 AND l_discount <= 0.07
           AND l_quantity < 24
+    """,
+    "q_cdc_merge": """
+        WITH snap AS (
+          SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS totalprice
+          FROM orders
+        ),
+        upd AS (
+          SELECT o_orderkey, 'X' AS status,
+                 floor(totalprice * 1.1 * 10000 + 0.5) / 10000 AS totalprice
+          FROM snap WHERE o_orderkey % 7 = 0
+        ),
+        ins AS (
+          SELECT o_orderkey + 10000000 AS o_orderkey, status, totalprice
+          FROM snap WHERE o_orderkey % 97 = 0
+        ),
+        chg AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        SELECT coalesce(c.o_orderkey, s.o_orderkey) AS o_orderkey,
+               CASE WHEN c.o_orderkey IS NOT NULL THEN c.status
+                    ELSE s.status END AS status,
+               floor(CASE WHEN c.o_orderkey IS NOT NULL THEN c.totalprice
+                          ELSE s.totalprice END * 10000 + 0.5) / 10000 AS tp
+        FROM snap s FULL OUTER JOIN chg c ON s.o_orderkey = c.o_orderkey
+    """,
+    "q_state_merge": """
+        SELECT event_type, count(*) AS cnt,
+               floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     * 10000 + 0.5) / 10000 AS val_sum
+        FROM events GROUP BY event_type
+    """,
+    "q_event_transitions": """
+        WITH e AS (SELECT *, epoch_us(ts) AS tsn FROM events),
+        p AS (
+          SELECT event_type AS src,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY tsn, event_id
+                 ) AS dst
+          FROM e
+        ),
+        c AS (
+          SELECT src, dst, count(*) AS cnt FROM p
+          WHERE dst IS NOT NULL GROUP BY src, dst
+        )
+        SELECT src, dst, cnt,
+               floor(cnt / sum(cnt) OVER (PARTITION BY src)
+                     * 10000 + 0.5) / 10000 AS prob
+        FROM c
     """,
     "q_latest_per_key": """
         WITH e AS (

@@ -175,6 +175,40 @@ def main() -> None:
     )
     timings["cohort_retention_10x_events"] = round(time.perf_counter() - t0, 2)
 
+    # round-6 layout/compaction wave: argmax compaction at 10× events and
+    # chunk-fingerprint dedup at 100× docs — both must stay one-shuffle
+    t0 = time.perf_counter()
+    (
+        ev10.groupBy("user_id")
+        .agg(F.max(F.struct("tsn", "event_id", "event_type")).alias("m"))
+        .write.format("noop").mode("overwrite").save()
+    )
+    timings["latest_per_key_10x_events"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    chunked = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(16)
+            )
+        ).alias("start"),
+    )
+    fp = F.substring(
+        F.md5(F.array_join(F.slice(F.col("toks"), F.col("start") + 1, 16), " ")),
+        1, 16,
+    )
+    (
+        chunked.select(fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .write.format("noop").mode("overwrite").save()
+    )
+    timings["chunk_dedup_100x_docs"] = round(time.perf_counter() - t0, 2)
+
     emb = replicate(table(spark, SF_DIR, "embeddings"), ["vec_id"], 100)
     planes = _seeded_projections(64, 32, 42)
     t0 = time.perf_counter()
