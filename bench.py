@@ -51,6 +51,12 @@ HEADLINE = [
     "q_embedding_topk",
     "q_embedding_topk_arrow",
     "q_embedding_knn_bucketed",
+    # round-6 additions
+    "q_tpch_q18",
+    "q_bm25_search",
+    "q_chunk_dedup",
+    "q_latest_per_key",
+    "q_cdc_merge",
 ]
 
 

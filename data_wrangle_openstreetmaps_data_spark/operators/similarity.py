@@ -486,17 +486,15 @@ def centroid_similarity(
     )
 
 
-def nearest_centroid(
+def assign_nearest(
     df: DataFrame,
     label_col: str = "label",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Nearest-centroid assignment audit (the semantic-cluster coherence
-    check of an embedding-curation pipeline): every vector is assigned to
-    the label whose centroid it is most cosine-similar to, and the output
-    is the (label, assigned, cnt) confusion counts — off-diagonal mass
-    flags sources whose embeddings bleed into another label's cluster.
+    """Per-vector nearest-centroid assignment — (vid, label, assigned),
+    one row per vector: every vector goes to the label centroid it is
+    most cosine-similar to.
 
     Fully relational: long-form centroids (labels × dim rows, broadcast),
     dot products via a pos-equality join + (vec, label) aggregation — the
@@ -542,8 +540,55 @@ def nearest_centroid(
     best = scored.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") == 1
     )
-    return best.groupBy("label", "assigned").agg(
-        F.count(F.lit(1)).alias("cnt")
+    return best.select("vid", "label", "assigned")
+
+
+def nearest_centroid(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid assignment audit (the semantic-cluster coherence
+    check of an embedding-curation pipeline): the (label, assigned, cnt)
+    confusion counts of :func:`assign_nearest` — off-diagonal mass flags
+    sources whose embeddings bleed into another label's cluster."""
+    return (
+        assign_nearest(df, label_col, vec_col, id_col)
+        .groupBy("label", "assigned")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def kmeans_iteration(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One Lloyd iteration of k-means on the embedding column, seeded by
+    the label centroids: assign every vector to its nearest centroid
+    (:func:`assign_nearest`), then recompute the centroids from the new
+    assignment — output (assigned, pos, centroid, n) in long form.
+
+    This is the iterative-ML-on-DataFrames shape: each iteration is two
+    relational passes (a broadcast-join score + argmax, then a
+    posexplode + (cluster, pos) mean whose shuffle is clusters × dim
+    partial rows thanks to map-side combine). No driver-side vectors, no
+    RDD loop — iterate by re-applying the operator."""
+    asg = assign_nearest(df, label_col, vec_col, id_col).select(
+        "vid", "assigned"
+    )
+    v = df.select(
+        F.col(id_col).alias("vid"), F.posexplode(vec_col).alias("pos", "x")
+    )
+    return (
+        v.join(asg, "vid")
+        .groupBy("assigned", "pos")
+        .agg(
+            round4(F.avg(F.col("x").cast("double"))).alias("centroid"),
+            F.count(F.lit(1)).alias("n"),
+        )
     )
 
 

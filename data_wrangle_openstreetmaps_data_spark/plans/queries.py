@@ -1204,6 +1204,16 @@ def q_centroid_similarity(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.centroid_similarity(table(spark, sf, "embeddings"))
 
 
+def q_kmeans_iteration(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-E — one Lloyd iteration of k-means seeded by the label
+    centroids: reassign every vector to its nearest centroid, recompute
+    centroids in long form (assigned, pos, centroid, n). Two relational
+    passes per iteration — broadcast-join scoring + rounded argmax, then
+    a posexplode mean whose shuffle is clusters × dim partials — so the
+    loop runs without driver-side vectors (iterate by re-applying)."""
+    return similarity.kmeans_iteration(table(spark, sf, "embeddings"))
+
+
 def q_fuzzy_street_match(spark: SparkSession, sf: str) -> DataFrame:
     """EXT of X2 — fuzzy street-type normalization table: every distinct
     observed trailing token matched to its nearest canonical street type
@@ -4184,6 +4194,44 @@ ORACLES: dict[str, str | None] = {
         )
         SELECT label, assigned, count(*) AS cnt
         FROM a WHERE rn = 1 GROUP BY 1, 2
+    """,
+    "q_kmeans_iteration": """
+        WITH e AS (
+          SELECT vec_id, label,
+                 unnest(range(len(embedding))) AS pos,
+                 unnest(embedding) AS x
+          FROM embeddings
+        ),
+        c AS (
+          SELECT label AS assigned, pos, avg(CAST(x AS DOUBLE)) AS c
+          FROM e GROUP BY 1, 2
+        ),
+        n AS (SELECT assigned, sqrt(sum(c * c)) AS cn FROM c GROUP BY 1),
+        d AS (
+          SELECT e.vec_id, e.label, c.assigned,
+                 sum(CAST(e.x AS DOUBLE) * c.c) AS dot
+          FROM e JOIN c ON e.pos = c.pos
+          GROUP BY 1, 2, 3
+        ),
+        s AS (
+          SELECT d.vec_id, d.assigned,
+                 floor(d.dot / n.cn * 10000 + 0.5) / 10000 AS cp
+          FROM d JOIN n ON n.assigned = d.assigned
+        ),
+        a AS (
+          SELECT vec_id, assigned,
+                 row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cp DESC, assigned
+                 ) AS rn
+          FROM s
+        ),
+        asg AS (SELECT vec_id, assigned FROM a WHERE rn = 1)
+        SELECT asg.assigned, e.pos,
+               floor(avg(CAST(e.x AS DOUBLE)) * 10000 + 0.5) / 10000
+                 AS centroid,
+               count(*) AS n
+        FROM e JOIN asg ON e.vec_id = asg.vec_id
+        GROUP BY 1, 2
     """,
     # single staged file + availableNow ⇒ one micro-batch ⇒ streaming
     # first-occurrence = global min id per fingerprint

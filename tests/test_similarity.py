@@ -204,3 +204,27 @@ def test_nearest_centroid_confusion_counts(spark):
     assert got[(1, 1)] == 20
     assert got[(0, 1)] == 1  # the defector, and nothing else
     assert (1, 0) not in got
+
+
+def test_kmeans_iteration_pulls_defector_into_right_cluster(spark):
+    """Same planted corpus as the confusion test: after one Lloyd
+    iteration the defector (labelled 0, embedded on label 1's axis) is
+    counted in cluster 1's recomputed centroid — cluster sizes 20/21 —
+    and each centroid stays dominated by its own axis."""
+    rows = []
+    for i in range(40):
+        v = [0.0] * 8
+        v[0 if i < 20 else 4] = 1.0 + 0.001 * (i % 5)
+        rows.append((i, v, 0 if i < 20 else 1))
+    defector = [0.0] * 8
+    defector[4] = 1.0
+    rows.append((99, defector, 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = similarity.kmeans_iteration(emb).collect()
+    sizes = {r["assigned"]: r["n"] for r in out}
+    assert sizes == {0: 20, 1: 21}
+    cent = {(r["assigned"], r["pos"]): r["centroid"] for r in out}
+    assert cent[(0, 0)] > 0.9 and cent[(0, 4)] == 0.0
+    assert cent[(1, 4)] > 0.9 and cent[(1, 0)] == 0.0
