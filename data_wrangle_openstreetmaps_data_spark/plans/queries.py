@@ -2356,6 +2356,25 @@ def q_embedding_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.knn_join(emb, emb, k=3)
 
 
+def q_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-M — video-style frame sampling plumbing: up to 4 byte-slice
+    'frames' per media blob via the Arrow-batched ``frame_sample`` kernel
+    (a real implementation seeks keyframes in the codec; the batch shape,
+    schema and fan-out are the real thing). Oracle-checked because the
+    fake blob is the utf8 text bytes (pure-ASCII corpus), so DuckDB
+    reproduces each frame's hash and length with substr arithmetic."""
+    from data_wrangle_openstreetmaps_data_spark.multimodal import media
+
+    docs = table(spark, sf, "documents")
+    frames = media.frame_sample(media.attach_fake_media(docs))
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.md5(F.col("frame")).alias("frame_hash"),
+        F.length(F.col("frame")).cast("int").alias("n_bytes"),
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-M — binary media column → Arrow-batched feature extraction
     (mapInPandas; deterministic stub decoder: md5-derived fake embedding).
@@ -4443,6 +4462,21 @@ ORACLES: dict[str, str | None] = {
     # feature lane i = md5_digest_byte[i]/255.0 as float32 — replicated
     # via hex-pair extraction from md5(text), with the same f64→f32→f64
     # round-trip so doubles match bit-for-bit
+    "q_frame_sample": """
+        WITH f AS (
+          SELECT doc_id, text,
+                 unnest(range(least(4, greatest(1,
+                   octet_length(encode(text)) // 64)))) AS frame_idx
+          FROM documents
+        )
+        SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+               md5(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64))
+                 AS frame_hash,
+               CAST(octet_length(encode(
+                 substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)
+               )) AS INT) AS n_bytes
+        FROM f
+    """,
     "q_multimodal_features": f"""
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS INT) AS n_bytes,
