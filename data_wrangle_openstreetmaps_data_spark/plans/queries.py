@@ -2081,6 +2081,40 @@ def q_time_bucket(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_resample_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — time-series gap fill / daily resampling: every user's
+    activity span is densified to one row per calendar day (zero-count
+    days included) by generating the per-user day spine with
+    ``sequence()`` and left-joining the daily counts — a generate, not a
+    users×calendar crossJoin, so the spine is linear in Σ span days and
+    partitions with the user key. The downstream shape for rolling
+    features over sparse activity."""
+    df = table(spark, sf, "events")
+    day = F.to_date(catalog.event_ts(df))
+    daily = (
+        df.select("user_id", day.alias("d"))
+        .groupBy("user_id", "d")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("d"),
+    )
+    return (
+        spine.join(daily, ["user_id", "d"], "left")
+        .select(
+            "user_id",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+    )
+
+
 def q_hopping_window(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — hopping (sliding) event-time windows: 2-day windows advancing
     by 1 day, counts and decimal value sums per window × event_type. Each
@@ -3921,6 +3955,27 @@ ORACLES: dict[str, str | None] = {
         )
         SELECT bucket, count(*) AS cnt, min(v) AS lo, max(v) AS hi
         FROM a GROUP BY bucket
+    """,
+    "q_resample_daily": """
+        WITH daily AS (
+          SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+                 count(*) AS cnt
+          FROM events GROUP BY user_id, d
+        ),
+        span AS (
+          SELECT user_id, min(d) AS d0, max(d) AS d1
+          FROM daily GROUP BY user_id
+        ),
+        spine AS (
+          SELECT user_id,
+                 CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                   AS d
+          FROM span
+        )
+        SELECT s.user_id, strftime(s.d, '%Y-%m-%d') AS day,
+               coalesce(daily.cnt, 0) AS cnt
+        FROM spine s
+        LEFT JOIN daily ON daily.user_id = s.user_id AND daily.d = s.d
     """,
     "q_hopping_window": """
         WITH ev AS (
