@@ -2115,6 +2115,31 @@ def q_resample_daily(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_activity_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — gaps-and-islands: longest consecutive-active-day streak per
+    user. Islands via the classic date-minus-row_number constant: one
+    user-keyed shuffle for the (user, day) dedup + window, then two tiny
+    aggregates; no self-join, no recursive walk — the retention-quality
+    metric shape."""
+    from pyspark.sql import Window
+
+    df = table(spark, sf, "events")
+    day = F.to_date(catalog.event_ts(df))
+    ud = df.select("user_id", day.alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = ud.withColumn(
+        "island", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.sum("len").alias("n_active_days"),
+    )
+
+
 def q_hopping_window(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — hopping (sliding) event-time windows: 2-day windows advancing
     by 1 day, counts and decimal value sums per window × event_type. Each
@@ -3955,6 +3980,27 @@ ORACLES: dict[str, str | None] = {
         )
         SELECT bucket, count(*) AS cnt, min(v) AS lo, max(v) AS hi
         FROM a GROUP BY bucket
+    """,
+    "q_activity_streaks": """
+        WITH ud AS (
+          SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+          FROM events
+        ),
+        isl AS (
+          SELECT user_id, d,
+                 d - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY d
+                 ) AS INT) AS island
+          FROM ud
+        ),
+        st AS (
+          SELECT user_id, island, count(*) AS len
+          FROM isl GROUP BY user_id, island
+        )
+        SELECT user_id, max(len) AS longest_streak,
+               count(*) AS n_streaks,
+               CAST(sum(len) AS BIGINT) AS n_active_days
+        FROM st GROUP BY user_id
     """,
     "q_resample_daily": """
         WITH daily AS (
