@@ -2115,6 +2115,26 @@ def q_resample_daily(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — quality-weighted (importance) sampling: each document kept
+    with probability equal to its quality score, decided by the portable
+    md5 id-hash against an integer threshold — deterministic across runs,
+    engines and cluster sizes, reproducible for ablations. Pure filter on
+    the scan, zero shuffle — the only acceptable cost for a 100 TB
+    downsampling pass."""
+    from data_wrangle_openstreetmaps_data_spark.operators.dedup import (
+        portable_token_hash,
+    )
+
+    docs = table(spark, sf, "documents")
+    q = text.quality_score("text")  # round4-ed → integer threshold exact
+    thr = F.floor(q * 10000 + F.lit(0.5))
+    bucket = F.pmod(
+        portable_token_hash(F.col("doc_id").cast("string")), F.lit(10000)
+    )
+    return docs.filter(bucket < thr).select("doc_id", "lang", q.alias("quality"))
+
+
 def q_activity_streaks(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — gaps-and-islands: longest consecutive-active-day streak per
     user. Islands via the classic date-minus-row_number constant: one
@@ -3980,6 +4000,35 @@ ORACLES: dict[str, str | None] = {
         )
         SELECT bucket, count(*) AS cnt, min(v) AS lo, max(v) AS hi
         FROM a GROUP BY bucket
+    """,
+    "q_weighted_sample": rf"""
+        WITH base AS (
+          SELECT doc_id, lang, text, {_TOKENS_SQL} AS toks,
+                 CASE WHEN length(text) > 0 THEN
+                   length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                     / length(text)
+                 ELSE 0.0 END AS punct_ratio
+          FROM documents
+        ),
+        stats AS (
+          SELECT doc_id, lang, len(toks) AS n_tokens, punct_ratio,
+                 CASE WHEN len(toks) > 0 THEN
+                   len(list_filter(toks, t -> t IN ({', '.join(f"'{w}'" for w in text.STOPWORDS_EN)})))
+                     / len(toks)
+                 ELSE 0.0 END AS stop_ratio
+          FROM base
+        ),
+        scored AS (
+          SELECT doc_id, lang,
+                 floor((least(n_tokens / 50.0, 1.0) * 0.4
+                       + (1.0 - least(punct_ratio * 5, 1.0)) * 0.3
+                       + least(stop_ratio * 4, 1.0) * 0.3)
+                       * 10000 + 0.5) / 10000 AS quality
+          FROM stats
+        )
+        SELECT doc_id, lang, quality FROM scored
+        WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 10000) < floor(quality * 10000 + 0.5)
     """,
     "q_activity_streaks": """
         WITH ud AS (
