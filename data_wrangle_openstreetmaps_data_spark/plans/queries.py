@@ -2115,6 +2115,90 @@ def q_resample_daily(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_cumulative_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — running distinct-user count per day WITHOUT a quadratic
+    distinct-over-expanding-window: each user collapses to their first
+    active day (one user-keyed aggregate), daily first-appearance counts
+    follow, and the cumulative sum runs over the tiny |days| frame — the
+    growth-curve query at any scale."""
+    from pyspark.sql import Window
+
+    df = table(spark, sf, "events")
+    day = F.date_format(F.date_trunc("day", catalog.event_ts(df)), "yyyy-MM-dd")
+    first = (
+        df.select("user_id", day.alias("d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("d"))
+    )
+    new_per_day = first.groupBy("d").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return new_per_day.select(
+        "d", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    )
+
+
+def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — table reconciliation / snapshot diff: classify every key as
+    unchanged / updated / added / removed between the orders snapshot and
+    a deterministically mutated successor (the q_cdc_merge output shape).
+    One full-outer join on the key with row-presence markers; the value
+    comparison is null-safe (<=>). Output is the per-status×class count
+    matrix — the data-reconciliation audit you run after replaying a
+    changelog at scale."""
+    snap = table(spark, sf, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("tp"),
+    )
+    # successor: mod-7 keys get a new status/price, mod-13 keys deleted,
+    # mod-97 keys re-inserted under shifted ids (same derivation family
+    # as q_cdc_merge so the two queries cross-check)
+    upd = snap.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("status"),
+        text.round4(F.col("tp") * 1.1).alias("tp"),
+    )
+    keep = snap.filter(
+        (F.col("o_orderkey") % 7 != 0) & (F.col("o_orderkey") % 13 != 0)
+    )
+    ins = snap.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "status",
+        "tp",
+    )
+    succ = keep.unionByName(upd.filter(F.col("o_orderkey") % 13 != 0)).unionByName(ins)
+    a = snap.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("status").alias("s_a"),
+        F.col("tp").alias("tp_a"),
+        F.lit(True).alias("in_a"),
+    )
+    b = succ.select(
+        F.col("o_orderkey").alias("kb"),
+        F.col("status").alias("s_b"),
+        F.col("tp").alias("tp_b"),
+        F.lit(True).alias("in_b"),
+    )
+    j = a.join(b, F.col("k") == F.col("kb"), "full_outer")
+    cls = (
+        F.when(F.col("in_a").isNull(), F.lit("added"))
+        .when(F.col("in_b").isNull(), F.lit("removed"))
+        .when(
+            F.col("s_a").eqNullSafe(F.col("s_b"))
+            & F.col("tp_a").eqNullSafe(F.col("tp_b")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("updated"))
+    )
+    return (
+        j.select(cls.alias("cls"), F.coalesce("s_b", "s_a").alias("status"))
+        .groupBy("cls", "status")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — quality-weighted (importance) sampling: each document kept
     with probability equal to its quality score, decided by the portable
@@ -4000,6 +4084,55 @@ ORACLES: dict[str, str | None] = {
         )
         SELECT bucket, count(*) AS cnt, min(v) AS lo, max(v) AS hi
         FROM a GROUP BY bucket
+    """,
+    "q_cumulative_distinct": """
+        WITH f AS (
+          SELECT user_id,
+                 min(strftime(date_trunc('day', ts), '%Y-%m-%d')) AS d
+          FROM events GROUP BY user_id
+        ),
+        n AS (SELECT d, count(*) AS new_users FROM f GROUP BY d)
+        SELECT d, new_users,
+               CAST(sum(new_users) OVER (
+                 ORDER BY d ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS cum_users
+        FROM n
+    """,
+    "q_snapshot_diff": """
+        WITH snap AS (
+          SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS tp
+          FROM orders
+        ),
+        upd AS (
+          SELECT k, 'X' AS s, floor(tp * 1.1 * 10000 + 0.5) / 10000 AS tp
+          FROM snap WHERE k % 7 = 0
+        ),
+        keep AS (SELECT * FROM snap WHERE k % 7 != 0 AND k % 13 != 0),
+        ins AS (
+          SELECT k + 10000000 AS k, s, tp FROM snap WHERE k % 97 = 0
+        ),
+        succ AS (
+          SELECT * FROM keep
+          UNION ALL SELECT * FROM upd WHERE k % 13 != 0
+          UNION ALL SELECT * FROM ins
+        ),
+        j AS (
+          SELECT snap.k AS ka, snap.s AS s_a, snap.tp AS tp_a,
+                 succ.k AS kb, succ.s AS s_b, succ.tp AS tp_b
+          FROM snap FULL OUTER JOIN succ ON snap.k = succ.k
+        ),
+        c AS (
+          SELECT CASE
+                   WHEN ka IS NULL THEN 'added'
+                   WHEN kb IS NULL THEN 'removed'
+                   WHEN s_a IS NOT DISTINCT FROM s_b
+                    AND tp_a IS NOT DISTINCT FROM tp_b THEN 'unchanged'
+                   ELSE 'updated'
+                 END AS cls,
+                 coalesce(s_b, s_a) AS status
+          FROM j
+        )
+        SELECT cls, status, count(*) AS cnt FROM c GROUP BY cls, status
     """,
     "q_weighted_sample": rf"""
         WITH base AS (
