@@ -241,3 +241,61 @@ def test_every_nth_has_no_global_row_window(spark):
         if "Exchange SinglePartition" in ln:
             below = "\n".join(lines[i : i + 3])
             assert "HashAggregate(keys=[_blk" in below, below
+
+
+def test_latest_per_key_is_partial_argmax_aggregate(spark):
+    """q_latest_per_key must compact as an AGGREGATE (partial_max of the
+    ordering struct BEFORE the exchange — map-side combine), never as a
+    row_number window over the full event stream."""
+    df = Q.REGISTRY["q_latest_per_key"].spark(spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "partial_max(struct(" in plan, plan
+    assert "row_number()" not in plan, plan
+
+
+def test_tpch_q18_broadcasts_the_aggregated_side(spark):
+    """The HAVING-filtered per-order aggregate (the ~0.3% qualifying
+    keys) must be the broadcast side; orders/customer must not be the
+    build of a shuffle join of the fact table."""
+    df = Q.REGISTRY["q_tpch_q18"].spark(spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    # the broadcast exchange below the first join must sit on top of the
+    # sum_qty aggregate, not on a raw table scan of orders
+    lines = plan.splitlines()
+    bx = [i for i, ln in enumerate(lines) if "BroadcastExchange" in ln]
+    assert bx, plan
+    first_bx_below = "\n".join(lines[bx[0]: bx[0] + 6])
+    assert "sum_qty" in first_bx_below or "l_quantity" in first_bx_below, (
+        first_bx_below
+    )
+
+
+def test_hopping_window_is_generate_not_join(spark):
+    """Sliding-window assignment must come out of the scan as a generate
+    (explode of the per-event window list), never as a self-join."""
+    df = Q.REGISTRY["q_hopping_window"].spark(spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "Join" not in plan, plan
+    assert "Expand" in plan or "Generate" in plan or "explode" in plan, plan
+
+
+def test_equidepth_histogram_has_no_global_window(spark):
+    """Bucket assignment must be the broadcast-boundaries comparison, not
+    an ntile/row_number window over the globally sorted fact table."""
+    df = Q.REGISTRY["q_equidepth_histogram"].spark(spark, SF_SMALL)
+    plan = _executed_plan(df)
+    # NB: "percentile" contains "ntile" — match the function-call form
+    assert "ntile(" not in plan and "row_number" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_chunk_dedup_shuffles_fingerprints_only(spark):
+    """The chunk-dedup exchange must carry md5 fingerprints, never the
+    document text column."""
+    df = Q.REGISTRY["q_chunk_dedup"].spark(spark, SF_SMALL)
+    plan = _executed_plan(df)
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange hashpartitioning" in ln:
+            assert "text#" not in ln, ln
