@@ -285,8 +285,11 @@ def test_equidepth_histogram_has_no_global_window(spark):
     an ntile/row_number window over the globally sorted fact table."""
     df = Q.REGISTRY["q_equidepth_histogram"].spark(spark, SF_SMALL)
     plan = _executed_plan(df)
-    # NB: "percentile" contains "ntile" — match the function-call form
-    assert "ntile(" not in plan and "row_number" not in plan, plan
+    import re
+
+    # NB: "percentile(" also ends in "ntile(" — require a word boundary
+    assert not re.search(r"(?<![a-zA-Z_])ntile\(", plan), plan
+    assert "row_number" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
