@@ -2584,6 +2584,35 @@ def q_streaming_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_streaming_hopping_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming — hopping (2-day window / 1-day slide) event-time counts
+    per event_type over the events stream, watermark 1 day, availableNow
+    drain. Append mode emits exactly the hopping windows whose END the
+    final watermark passed, so the oracle assigns each event its two
+    epoch-aligned windows and applies the same cutoff — the sliding-window
+    streaming contract, state bounded by watermark."""
+    import uuid
+
+    from data_wrangle_openstreetmaps_data_spark.streaming import events as se
+
+    name = f"hopcounts_{uuid.uuid4().hex[:8]}"
+    se.run_to_memory(
+        se.windowed_type_counts(
+            se.stage_events_stream(spark, sf, "stream"),
+            "2 days",
+            "1 day",
+            slide="1 day",
+        ),
+        name,
+    )
+    return spark.table(name).select(
+        F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+        F.date_format("we", "yyyy-MM-dd HH:mm:ss").alias("we"),
+        "event_type",
+        "cnt",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB) — independently written ANSI SQL for each query above.
 # ---------------------------------------------------------------------------
@@ -4781,6 +4810,23 @@ ORACLES: dict[str, str | None] = {
                event_type, count(*) AS cnt
         FROM events, m
         WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wm
+        GROUP BY 1, 2, 3
+    """,
+    "q_streaming_hopping_counts": """
+        WITH m AS (SELECT max(ts) - INTERVAL 1 DAY AS wm FROM events),
+        ev AS (
+          SELECT date_trunc('day', ts) AS d1, event_type FROM events
+        ),
+        assign AS (
+          SELECT event_type,
+                 unnest([d1, d1 - INTERVAL 1 DAY]) AS ws
+          FROM ev
+        )
+        SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS ws,
+               strftime(ws + INTERVAL 2 DAY, '%Y-%m-%d %H:%M:%S') AS we,
+               event_type, count(*) AS cnt
+        FROM assign, m
+        WHERE ws + INTERVAL 2 DAY <= wm
         GROUP BY 1, 2, 3
     """,
     # the stream emits exactly the CLOSED sessions: every session except

@@ -70,14 +70,23 @@ def with_event_time(df: DataFrame) -> DataFrame:
 
 
 def windowed_type_counts(
-    stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
     """Event-time windowed count per event_type with a watermark —
-    the streaming analog of A1's group-count audit."""
+    the streaming analog of A1's group-count audit. Pass ``slide`` for
+    hopping (overlapping) windows: each event then contributes to
+    window/slide assignments, emitted by the same append-mode
+    closed-window contract as the tumbling form."""
     return (
         with_event_time(stream)
         .withWatermark("event_time", watermark)
-        .groupBy(F.window("event_time", window), F.col("event_type"))
+        .groupBy(
+            F.window("event_time", window, slide or window),
+            F.col("event_type"),
+        )
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
             F.col("window.start").alias("ws"),
