@@ -57,6 +57,12 @@ HEADLINE = [
     "q_chunk_dedup",
     "q_latest_per_key",
     "q_cdc_merge",
+    # round-6 second wave: TPC-H closure + sketches
+    "q_tpch_q7",
+    "q_tpch_q10",
+    "q_tpch_q21",
+    "q_kmv_distinct",
+    "q_cooccurrence_lift",
 ]
 
 

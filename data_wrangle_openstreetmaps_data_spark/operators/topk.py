@@ -55,3 +55,42 @@ def topk_per_group(
         .filter(F.col("rn") <= k)
         .select(part_col, value_col, "cnt", "rn")
     )
+
+
+def bottom_k(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    n_blocks: int = 64,
+) -> DataFrame:
+    """Smallest-k rows per group by ``order_col``, without a per-group
+    single-partition sort: phase 1 ranks inside ``n_blocks`` hash blocks
+    (each (group, block) window holds ~1/n_blocks of the group), phase 2
+    re-ranks the surviving ≤ n_blocks·k candidates per group. Any global
+    bottom-k row is bottom-k within its block, so the candidate union is
+    a superset and the final rank is exact. Ties on ``order_col`` break
+    on the remaining columns, so membership is deterministic.
+
+    The KMV sketch primitive — and the scale-safe form of "min-k per
+    key" generally (the same blocked-rank idea as the de-funneled
+    ``every_nth`` sampler)."""
+    tiebreak = [c for c in df.columns if c != order_col]
+    block = F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_blocks))
+    w1 = Window.partitionBy(*(group_cols + ["__blk"])).orderBy(
+        F.col(order_col), *[F.col(c) for c in tiebreak]
+    )
+    cand = (
+        df.withColumn("__blk", block)
+        .withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__blk", "__rn")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(
+        F.col(order_col), *[F.col(c) for c in tiebreak]
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

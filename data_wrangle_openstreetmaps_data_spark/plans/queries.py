@@ -1761,6 +1761,452 @@ def q_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping between two nations): the fact table
+    shuffles exactly once (lineitem⋈orders on the order key); supplier,
+    customer, and both nation sides ride broadcasts, so the two-nation
+    pair filter prunes early on broadcast-joined columns."""
+    li = table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    orders = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    supp = table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    cust = table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n1 = table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(_dec_sum(revenue).alias("revenue"))
+    )
+
+
+def q_tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 (national market share): share of ASIA-region PROMO-part
+    revenue supplied by NATION_2, by order year. The conditional decimal
+    sum and the total ride the same aggregate pass — one shuffle for the
+    2-row year group, every dimension broadcast."""
+    part = table(spark, sf, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    supp = table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    sn = table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust = table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    cn = table(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    region = table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    orders = table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    li = table(spark, sf, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("supp_nation") == "NATION_2", revenue).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(cn), cust["c_nationkey"] == cn["n_nationkey"])
+        .join(F.broadcast(region), cn["n_regionkey"] == region["r_regionkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            text.round4(_dec_sum(target) / _dec_sum(revenue)).alias("mkt_share")
+        )
+    )
+
+
+def q_tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit) adapted: the testdata has no
+    partsupp/supplycost, so profit is the discounted revenue of 'gear'
+    parts, by supplier nation and order year. Filtered part is the
+    pre-join prune (broadcast semi shape); the only shuffle is
+    lineitem⋈orders plus the tiny nation×year aggregate."""
+    part = table(spark, sf, "part").filter(
+        F.col("p_name").like("%gear%")
+    ).select("p_partkey")
+    supp = table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nation = table(spark, sf, "nation").select("n_nationkey", "n_name")
+    orders = table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    li = table(spark, sf, "lineitem")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(_dec_sum(profit).alias("sum_profit"))
+    )
+
+
+def q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): top-20 customers by returned
+    revenue in a quarter. The quarter filter prunes orders at the scan;
+    lineitem⋈orders is the one big shuffle, customer/nation broadcast,
+    and the top-20 is a partial top-k under the final sort."""
+    orders = table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-10-01"))
+        & (F.col("o_orderdate") < _ts("1997-01-01"))
+    )
+    li = table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = table(spark, sf, "customer")
+    nation = table(spark, sf, "nation").select("n_nationkey", "n_name")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_dec_sum(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q_tpch_q12(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 (shipping-mode priority) adapted: the testdata has no
+    ship mode or commit/receipt dates, so lines group into LATE / ONTIME
+    classes (shipped >90 days after order) and the aggregate counts
+    critical- vs normal-priority lines per class. count(when()) keeps the
+    conditional counts in one codegen aggregate pass."""
+    li = table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    orders = table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    late = F.when(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+        F.lit("LATE"),
+    ).otherwise(F.lit("ONTIME"))
+    critical = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(late.alias("ship_class"))
+        .agg(
+            F.count(F.when(critical, 1)).alias("high_line_count"),
+            F.count(F.when(~critical, 1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution) adapted: orders are
+    counted per customer excluding '4-NOT SPECIFIED' priority (stand-in
+    for the comment filter the testdata lacks). Orders aggregate to
+    per-custkey counts BEFORE touching customer — the shuffle carries
+    |customers| partial-combined rows, not |orders| — then the left join
+    keeps zero-order customers and a second tiny aggregate builds the
+    distribution."""
+    counts = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cust = table(spark, sf, "customer").select("c_custkey")
+    return (
+        cust.join(counts, cust["c_custkey"] == counts["o_custkey"], "left")
+        .select(F.coalesce(F.col("cnt"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def q_tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): suppliers whose quarterly revenue equals
+    the maximum. The per-supplier aggregate is map-side combined; the max
+    is a 1-row broadcast cross join (the decorrelated scalar subquery),
+    so no second pass over the fact table. Decimal-exact sums make the
+    double equality deterministic across engines."""
+    li = table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1996-04-01"))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = li.groupBy("l_suppkey").agg(_dec_sum(revenue).alias("total_revenue"))
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 (supplier-part relationship count) adapted: the observed
+    distinct (partkey, suppkey) pairs in lineitem stand in for partsupp,
+    and the 'customer complaints' exclusion becomes a deterministic
+    suppkey rule. Pair dedup is one shuffle on the composite key; part is
+    a broadcast; the distinct-supplier count per (brand, type, size) is
+    the only other exchange."""
+    pairs = (
+        table(spark, sf, "lineitem")
+        .filter(F.col("l_suppkey") % 10 != 0)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part = table(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        pairs.join(F.broadcast(part), pairs["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): average yearly revenue
+    lost if small orders of Brand#3 parts were dropped. The correlated
+    avg-quantity subquery decorrelates into a per-part aggregate joined
+    back; both sides first prune to the brand's parts via a broadcast, so
+    the fact table is read once and only brand rows move. The avg is an
+    exact decimal sum over an exact count — bit-identical across engines,
+    so the 0.2× threshold cannot flip boundary rows."""
+    part = table(spark, sf, "part").filter(
+        F.col("p_brand") == "Brand#3"
+    ).select("p_partkey")
+    li = (
+        table(spark, sf, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (_dec_sum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            text.round4(
+                _dec_sum(F.col("l_extendedprice")) / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting) adapted: 'late' is
+    shipped >90 days after the order date (no receipt/commit dates in the
+    testdata). The classic EXISTS/NOT-EXISTS double self-join rewrites to
+    ONE per-order aggregate — distinct suppliers vs distinct late
+    suppliers — so the fact table shuffles once on the order key; a late
+    line counts when its multi-supplier order has exactly one late
+    supplier. Supplier names ride a broadcast."""
+    orders = table(spark, sf, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = (
+        table(spark, sf, "lineitem")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ).alias("is_late"),
+        )
+    )
+    stats = li.groupBy(F.col("l_orderkey").alias("g_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    supp = table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        li.filter(F.col("is_late"))
+        .join(stats, F.col("l_orderkey") == F.col("g_orderkey"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+def q_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity) adapted: nation keys stand in
+    for phone country codes, and 'no orders' means none since 1999 (every
+    testdata customer has SOME order, matching the spec's 7-year dormancy
+    intent). The average is a 1-row broadcast cross join, the NOT EXISTS
+    a left-anti join on the customer key against the date-pruned
+    one-column orders projection."""
+    codes = [1, 3, 5, 7, 9, 11, 13]
+    cust = table(spark, sf, "customer").filter(
+        F.col("c_nationkey").isin(codes)
+    ).select("c_custkey", "c_nationkey", "c_acctbal")
+    avg_row = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            _dec_sum(F.col("c_acctbal")) / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    orders = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_orderdate") >= _ts("1999-01-01"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dec_sum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+def q_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 (best supplier per part) adapted: no partsupp/supplycost,
+    so 'best' is the EUROPE-region supplier with the highest account
+    balance among those observed supplying the part (distinct lineitem
+    pairs). The correlated min-cost subquery decorrelates into a per-part
+    max joined back on (part, balance); every dimension side is broadcast
+    and the pair dedup is the single fact shuffle."""
+    pairs = (
+        table(spark, sf, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    part = table(spark, sf, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_name")
+    region = table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    nation = table(spark, sf, "nation")
+    supp = (
+        table(spark, sf, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        pairs.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    best = cand.groupBy(F.col("p_partkey").alias("b_partkey")).agg(
+        F.max("s_acctbal").alias("best_bal")
+    )
+    return (
+        cand.join(
+            F.broadcast(best),
+            (F.col("p_partkey") == F.col("b_partkey"))
+            & (F.col("s_acctbal") == F.col("best_bal")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q_tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification) adapted: per-part
+    'value' is the decimal sum of quantity × retail price shipped by
+    NATION_3 suppliers, kept when above 0.1% of the grand total. The
+    threshold is the decorrelated 1-row broadcast; the per-part aggregate
+    is map-side combined; supplier/part are broadcasts."""
+    supp = table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nation = table(spark, sf, "nation").filter(F.col("n_name") == "NATION_3")
+    part = table(spark, sf, "part").select("p_partkey", "p_retailprice")
+    li = (
+        table(spark, sf, "lineitem")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_partkey",
+            (F.col("l_quantity") * F.col("p_retailprice")).alias("v"),
+        )
+    )
+    per_part = li.groupBy("l_partkey").agg(_dec_sum(F.col("v")).alias("value"))
+    total = per_part.agg(
+        (F.sum(F.col("value").cast("decimal(24,6)")).cast("double") * 0.001)
+        .alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("l_partkey", "value")
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion) adapted: suppliers in two
+    nations who shipped more than 50 units of 'red' parts during 1996
+    (shipped volume stands in for availqty/supplycost the testdata
+    lacks). The nested IN-chain is two broadcast prunes plus one
+    per-(supplier, part) aggregate; the final supplier list is a semi
+    join against the qualifying aggregate."""
+    part = table(spark, sf, "part").filter(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    li = table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    shipped = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(_dec_sum(F.col("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 50.0)
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = table(spark, sf, "nation").filter(
+        F.col("n_name").isin("NATION_0", "NATION_5")
+    )
+    supp = table(spark, sf, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        supp.join(
+            shipped, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
 def _fake_latlon(df: DataFrame) -> DataFrame:
     """Deterministic lat/lon derived from event fields (testdata has no
     geo columns): Kolkata-ish box, exact double arithmetic."""
@@ -3454,7 +3900,377 @@ _CURATION_SQL = rf"""
     WHERE doc_id NOT IN (SELECT id FROM dropped)
 """
 
+# ---------------------------------------------------------------------------
+# Sketches, rank analytics, co-occurrence, robust outliers, skew patterns
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_NORM = float(1 << 60)  # portable hash is 60-bit → [0, 2^60)
+
+
+def _kmv_hash(col) -> F.Column:
+    from data_wrangle_openstreetmaps_data_spark.operators.dedup import (
+        portable_token_hash,
+    )
+
+    return portable_token_hash(col.cast("string"))
+
+
+def q_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — KMV (k-minimum-values) distinct sketch per event type, next
+    to the exact count. Unlike HLL, KMV built on the portable 60-bit md5
+    hash is bit-reproducible in any engine, so the ESTIMATE itself is
+    oracle-checked. The min-k selection is the blocked two-phase rank
+    (operators/topk.py::bottom_k) — no per-group single-partition sort —
+    and groups with fewer than k members fall back to the exact count
+    (the estimator is undefined there)."""
+    from data_wrangle_openstreetmaps_data_spark.operators.topk import bottom_k
+
+    ev = table(spark, sf, "events")
+    ut = ev.select("event_type", "user_id").distinct()
+    h = ut.select(
+        "event_type", _kmv_hash(F.col("user_id")).alias("h")
+    )
+    kth = (
+        bottom_k(h, ["event_type"], "h", _KMV_K)
+        .groupBy("event_type")
+        .agg(F.max("h").alias("hk"))
+    )
+    exact = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
+    est = F.when(
+        F.col("exact_distinct") >= _KMV_K,
+        F.lit(float(_KMV_K - 1)) / (F.col("hk") / F.lit(_KMV_NORM)),
+    ).otherwise(F.col("exact_distinct").cast("double"))
+    return (
+        exact.join(F.broadcast(kth), "event_type")
+        .select(
+            "event_type", "exact_distinct", text.round4(est).alias("kmv_est")
+        )
+    )
+
+
+def q_kmv_setops(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — KMV set-operation estimates between two daily user sets:
+    union size from the union sketch's kth hash, Jaccard from the
+    membership flags riding the min-k rows, intersection by
+    inclusion-exclusion — all deterministic (portable hash, blocked
+    min-k) and therefore value-oracled, alongside the exact answers.
+    One aggregate builds per-user membership, so each user contributes
+    ONE row to the sketch regardless of event count."""
+    from data_wrangle_openstreetmaps_data_spark.operators.topk import bottom_k
+
+    ev = table(spark, sf, "events")
+    day = F.to_date(catalog.event_ts(ev))
+    d1, d2 = "2024-01-05", "2024-01-06"
+    members = (
+        ev.select("user_id", day.alias("day"))
+        .filter(F.col("day").isin(d1, d2))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("day") == d1, 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("day") == d2, 1).otherwise(0)).alias("in_b"),
+        )
+        .select(_kmv_hash(F.col("user_id")).alias("h"), "in_a", "in_b")
+    )
+    mink = bottom_k(members, [], "h", _KMV_K)
+    sketch = mink.agg(
+        F.max("h").alias("hk"),
+        F.count(F.lit(1)).alias("kc"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("k_both"),
+    )
+    exact = members.agg(
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("exact_inter"),
+    )
+    union_est = F.when(
+        F.col("exact_union") >= _KMV_K,
+        F.lit(float(_KMV_K - 1)) / (F.col("hk") / F.lit(_KMV_NORM)),
+    ).otherwise(F.col("exact_union").cast("double"))
+    jacc_est = F.col("k_both").cast("double") / F.col("kc")
+    return sketch.crossJoin(F.broadcast(exact)).select(
+        text.round4(union_est).alias("union_est"),
+        text.round4(jacc_est).alias("jaccard_est"),
+        text.round4(jacc_est * union_est).alias("inter_est"),
+        "exact_union",
+        "exact_inter",
+        text.round4(
+            F.col("exact_inter").cast("double") / F.col("exact_union")
+        ).alias("exact_jaccard"),
+    )
+
+
+def q_rank_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — the rank-function family (rank / dense_rank / percent_rank /
+    cume_dist) over per-user spend within each event type, top-10 by
+    rank. Ordering is by the decimal-exact total ONLY, so tied users get
+    identical rank rows and the rank<=10 cut is a deterministic SET.
+    The window partitions by event type over the pre-aggregated
+    |users|·|types| frame (never raw events); at extreme user counts the
+    same numbers decompose into per-value count merges."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    totals = ev.groupBy("event_type", "user_id").agg(
+        _dec_sum(F.col("value")).alias("total")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("total"))
+    return (
+        totals.select(
+            "event_type",
+            "user_id",
+            text.round4(F.col("total")).alias("total4"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            text.round4(F.percent_rank().over(w)).alias("prnk"),
+            text.round4(F.cume_dist().over(w)).alias("cdist"),
+        )
+        .filter(F.col("rnk") <= 10)
+    )
+
+
+def q_cooccurrence_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — market-basket co-occurrence with lift over event types per
+    user: P(a,b)/(P(a)P(b)). The per-user distinct collapse bounds the
+    self-join at |users|·|types| rows co-partitioned on the user key
+    (one shuffle, reused by both sides); type marginals and the user
+    count ride broadcasts. Counts stay integers inside doubles (< 2^53)
+    so the lift ratio is exact cross-engine."""
+    ev = table(spark, sf, "events")
+    ut = ev.select("event_type", "user_id").distinct()
+    n_users = ut.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    nt = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("nt"))
+    a = ut.select(F.col("event_type").alias("t1"), "user_id")
+    b = ut.select(F.col("event_type").alias("t2"), "user_id")
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    na = nt.select(F.col("event_type").alias("t1"), F.col("nt").alias("na"))
+    nb = nt.select(F.col("event_type").alias("t2"), F.col("nt").alias("nb"))
+    lift = (
+        F.col("n_ab").cast("double")
+        * F.col("n_users")
+        / (F.col("na") * F.col("nb"))
+    )
+    return (
+        pairs.join(F.broadcast(na), "t1")
+        .join(F.broadcast(nb), "t2")
+        .crossJoin(F.broadcast(n_users))
+        .select("t1", "t2", "n_ab", text.round4(lift).alias("lift"))
+    )
+
+
+def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — robust (median/MAD) outlier counts per event type: values
+    more than 3 MADs from the per-type median. Medians are exact
+    interpolated percentiles 4-dp-floored on BOTH engines before any
+    comparison, so the 3·MAD threshold cannot flip boundary rows. Three
+    scan passes, each reduced by partial aggregation; the tiny per-type
+    stats frames ride broadcasts back onto the fact scan (same shape as
+    the z-score query — no full-table window)."""
+    ev = table(spark, sf, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        text.round4(F.percentile(F.col("value"), F.lit(0.5))).alias("med")
+    )
+    j1 = ev.join(F.broadcast(med), "event_type")
+    mad = j1.groupBy("event_type").agg(
+        text.round4(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5))
+        ).alias("mad")
+    )
+    return (
+        j1.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.count(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3.0 * F.col("mad"),
+                    1,
+                )
+            ).alias("n_outliers"),
+        )
+    )
+
+
+def q_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — hot-key-safe salted join: the fact side salts on
+    pmod(xxhash64(event_id), 8) and the per-user dimension explodes ×8,
+    so one pathological user spreads over 8 reducers instead of one (the
+    manual form of AQE's skew-join split, shown for when you need
+    deterministic control, e.g. a skewed key you know in advance). Runs
+    through operators/skew.py::salted_join; the shuffle_hash hint pins
+    the shuffle join — a broadcast would hide the pattern — and results
+    are identical to the unsalted join, which is exactly what the oracle
+    checks. Decimal sums keep the re-partitioned summation order
+    irrelevant."""
+    from data_wrangle_openstreetmaps_data_spark.operators.skew import (
+        salted_join,
+    )
+
+    ev = table(spark, sf, "events")
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .select("user_id", (F.col("user_id") % 7).alias("seg"))
+    )
+    fact = ev.select("user_id", "value", "event_id")
+    return (
+        salted_join(
+            fact,
+            dim.hint("shuffle_hash"),
+            "user_id",
+            salt_buckets=8,
+            salt_cols=["event_id"],
+        )
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            _dec_sum(F.col("value")).alias("sum_value"),
+        )
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_kmv_distinct": """
+        WITH u AS (
+          SELECT DISTINCT event_type,
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM events
+        ),
+        r AS (
+          SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          FROM u
+        ),
+        kth AS (
+          SELECT event_type, max(h) AS hk FROM r WHERE rn <= 64
+          GROUP BY event_type
+        ),
+        ex AS (
+          SELECT event_type, count(*) AS exact_distinct FROM u
+          GROUP BY event_type
+        )
+        SELECT ex.event_type, exact_distinct,
+               floor((CASE WHEN exact_distinct >= 64
+                      THEN 63.0 / (hk / 1152921504606846976.0)
+                      ELSE CAST(exact_distinct AS DOUBLE) END)
+                     * 10000 + 0.5) / 10000 AS kmv_est
+        FROM ex JOIN kth USING (event_type)
+    """,
+    "q_kmv_setops": """
+        WITH m AS (
+          SELECT user_id,
+                 max(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-05' THEN 1 ELSE 0 END) AS in_a,
+                 max(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-06' THEN 1 ELSE 0 END) AS in_b
+          FROM events
+          -- NB: DuckDB 1.0.0 mis-evaluates date IN-lists (returns 0
+          -- rows); spelled as OR on purpose
+          WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+             OR CAST(ts AS DATE) = DATE '2024-01-06'
+          GROUP BY user_id
+        ),
+        h AS (
+          SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+                 in_a, in_b
+          FROM m
+        ),
+        r AS (SELECT *, row_number() OVER (ORDER BY h) AS rn FROM h),
+        s AS (
+          SELECT max(h) AS hk, count(*) AS kc,
+                 CAST(sum(in_a * in_b) AS BIGINT) AS k_both
+          FROM r WHERE rn <= 64
+        ),
+        e AS (
+          SELECT count(*) AS exact_union,
+                 CAST(sum(in_a * in_b) AS BIGINT) AS exact_inter
+          FROM h
+        )
+        SELECT
+          floor((CASE WHEN exact_union >= 64
+                 THEN 63.0 / (hk / 1152921504606846976.0)
+                 ELSE CAST(exact_union AS DOUBLE) END) * 10000 + 0.5) / 10000
+            AS union_est,
+          floor(CAST(k_both AS DOUBLE) / kc * 10000 + 0.5) / 10000
+            AS jaccard_est,
+          floor(CAST(k_both AS DOUBLE) / kc
+                * (CASE WHEN exact_union >= 64
+                   THEN 63.0 / (hk / 1152921504606846976.0)
+                   ELSE CAST(exact_union AS DOUBLE) END)
+                * 10000 + 0.5) / 10000 AS inter_est,
+          exact_union, exact_inter,
+          floor(CAST(exact_inter AS DOUBLE) / exact_union * 10000 + 0.5) / 10000
+            AS exact_jaccard
+        FROM s, e
+    """,
+    "q_rank_functions": """
+        WITH t AS (
+          SELECT event_type, user_id,
+                 CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total
+          FROM events GROUP BY event_type, user_id
+        )
+        SELECT event_type, user_id,
+               floor(total * 10000 + 0.5) / 10000 AS total4,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               floor(percent_rank() OVER w * 10000 + 0.5) / 10000 AS prnk,
+               floor(cume_dist() OVER w * 10000 + 0.5) / 10000 AS cdist
+        FROM t
+        WINDOW w AS (PARTITION BY event_type ORDER BY total DESC)
+        QUALIFY rnk <= 10
+    """,
+    "q_cooccurrence_lift": """
+        WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+        n AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+        nt AS (SELECT event_type, count(*) AS nt FROM ut GROUP BY event_type),
+        p AS (
+          SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS n_ab
+          FROM ut a
+          JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY t1, t2
+        )
+        SELECT t1, t2, n_ab,
+               floor(CAST(n_ab AS DOUBLE) * n_users / (na.nt * nb.nt)
+                     * 10000 + 0.5) / 10000 AS lift
+        FROM p
+        JOIN nt na ON p.t1 = na.event_type
+        JOIN nt nb ON p.t2 = nb.event_type, n
+    """,
+    "q_mad_outliers": """
+        WITH med AS (
+          SELECT event_type,
+                 floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000 AS med
+          FROM events GROUP BY event_type
+        ),
+        j1 AS (
+          SELECT e.event_type, e.value, m.med
+          FROM events e JOIN med m USING (event_type)
+        ),
+        mad AS (
+          SELECT event_type,
+                 floor(quantile_cont(abs(value - med), 0.5) * 10000 + 0.5) / 10000 AS mad
+          FROM j1 GROUP BY event_type
+        )
+        SELECT j1.event_type, any_value(j1.med) AS med,
+               any_value(mad.mad) AS mad,
+               count(CASE WHEN abs(value - j1.med) > 3.0 * mad.mad
+                     THEN 1 END) AS n_outliers
+        FROM j1 JOIN mad USING (event_type)
+        GROUP BY j1.event_type
+    """,
+    "q_salted_join": """
+        SELECT user_id % 7 AS seg, count(*) AS cnt,
+               CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY seg
+    """,
     "q_topk_group_count": """
         SELECT event_type, count(*) AS cnt FROM events
         WHERE event_type IS NOT NULL
@@ -4309,6 +5125,229 @@ ORACLES: dict[str, str | None] = {
                AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
                AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "q_tpch_q7": """
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+            OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "q_tpch_q8": """
+        SELECT year(o_orderdate) AS o_year,
+               floor(
+                 CAST(sum(CASE WHEN sn.n_name = 'NATION_2'
+                          THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))
+                          ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS mkt_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY o_year
+    """,
+    "q_tpch_q9": """
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%gear%'
+        GROUP BY n_name, year(o_orderdate)
+    """,
+    "q_tpch_q10": """
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    "q_tpch_q12": """
+        SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                    THEN 'LATE' ELSE 'ONTIME' END AS ship_class,
+               count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 END) AS high_line_count,
+               count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY ship_class
+    """,
+    "q_tpch_q13": """
+        WITH counts AS (
+          SELECT o_custkey, count(*) AS cnt
+          FROM orders WHERE o_orderpriority <> '4-NOT SPECIFIED'
+          GROUP BY o_custkey
+        )
+        SELECT coalesce(cnt, 0) AS c_count, count(*) AS custdist
+        FROM customer LEFT JOIN counts ON c_custkey = o_custkey
+        GROUP BY c_count
+    """,
+    "q_tpch_q15": """
+        WITH rev AS (
+          SELECT l_suppkey,
+                 CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey
+        ),
+        mx AS (SELECT max(total_revenue) AS max_revenue FROM rev)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev, mx
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = max_revenue
+    """,
+    "q_tpch_q16": """
+        WITH pairs AS (
+          SELECT DISTINCT l_partkey, l_suppkey
+          FROM lineitem WHERE l_suppkey % 10 <> 0
+        )
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM pairs JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        GROUP BY p_brand, p_type, p_size
+    """,
+    "q_tpch_q17": """
+        WITH li AS (
+          SELECT l_partkey, l_quantity, l_extendedprice
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#3'
+        ),
+        avgq AS (
+          SELECT l_partkey AS a_partkey,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS avg_qty
+          FROM li GROUP BY l_partkey
+        )
+        SELECT floor(
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) / 7.0
+                 * 10000 + 0.5) / 10000 AS avg_yearly
+        FROM li JOIN avgq ON l_partkey = a_partkey
+        WHERE l_quantity < 0.2 * avg_qty
+    """,
+    "q_tpch_q21": """
+        WITH li AS (
+          SELECT l_orderkey, l_suppkey,
+                 l_shipdate > o_orderdate + INTERVAL 90 DAY AS is_late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+        ),
+        stats AS (
+          SELECT l_orderkey AS g_orderkey,
+                 count(DISTINCT l_suppkey) AS n_supp,
+                 count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp
+          FROM li GROUP BY l_orderkey
+        )
+        SELECT s_name, count(*) AS numwait
+        FROM li
+        JOIN stats ON l_orderkey = g_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE is_late AND n_supp > 1 AND n_late_supp = 1
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+    "q_tpch_q22": """
+        WITH cust AS (
+          SELECT c_custkey, c_nationkey, c_acctbal
+          FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+        ),
+        avg_bal AS (
+          SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS avg_bal
+          FROM cust WHERE c_acctbal > 0.0
+        )
+        SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE) AS totacctbal
+        FROM cust, avg_bal
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (
+            SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+          )
+        GROUP BY cntrycode
+    """,
+    "q_tpch_q2": """
+        WITH pairs AS (
+          SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        ),
+        cand AS (
+          SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name
+          FROM pairs
+          JOIN part ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+        ),
+        best AS (
+          SELECT p_partkey AS b_partkey, max(s_acctbal) AS best_bal
+          FROM cand GROUP BY p_partkey
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+        FROM cand JOIN best
+          ON p_partkey = b_partkey AND s_acctbal = best_bal
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+    "q_tpch_q11": """
+        WITH per_part AS (
+          SELECT l_partkey,
+                 CAST(sum(CAST(l_quantity * p_retailprice AS DECIMAL(20,6))) AS DOUBLE) AS value
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN part ON l_partkey = p_partkey
+          WHERE n_name = 'NATION_3'
+          GROUP BY l_partkey
+        ),
+        total AS (
+          SELECT CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE) * 0.001 AS threshold
+          FROM per_part
+        )
+        SELECT l_partkey, value
+        FROM per_part, total
+        WHERE value > threshold
+    """,
+    "q_tpch_q20": """
+        WITH shipped AS (
+          SELECT l_suppkey
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE 'red%'
+            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY l_suppkey, l_partkey
+          HAVING CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) > 50.0
+        )
+        SELECT s_suppkey, s_name, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_0', 'NATION_5')
+          AND s_suppkey IN (SELECT l_suppkey FROM shipped)
     """,
     "q_geo_bbox": """
         WITH pts AS (

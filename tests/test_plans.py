@@ -302,3 +302,93 @@ def test_chunk_dedup_shuffles_fingerprints_only(spark):
     for i, ln in enumerate(lines):
         if "Exchange hashpartitioning" in ln:
             assert "text#" not in ln, ln
+
+
+def test_tpch_q7_fact_joins_dims_by_broadcast(spark):
+    """Q7: supplier/customer/nation sides must all ride broadcasts (the
+    fact table shuffles at most once, on the order key) and the two-nation
+    pair filter must not degenerate into a cartesian product."""
+    df = Q.REGISTRY["q_tpch_q7"].spark(spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("SortMergeJoin") <= 1, plan
+
+
+def test_tpch_q13_aggregates_orders_before_join(spark):
+    """Q13: the per-customer order count must be a partial+final hash
+    aggregate (map-side combine) feeding the join — never a row_number
+    window or a join of raw orders rows followed by a count."""
+    df = Q.REGISTRY["q_tpch_q13"].spark(spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "partial_count" in plan, plan
+    assert "row_number" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_tpch_q17_prunes_to_brand_via_broadcast(spark):
+    """Q17: both the fact pass and the avg-quantity side must prune to the
+    brand's parts through broadcast joins; no sort-merge join of the
+    unfiltered fact table."""
+    df = Q.REGISTRY["q_tpch_q17"].spark(spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "EqualTo(p_brand,Brand#3)" in plan, plan
+
+
+def test_tpch_q21_is_single_aggregate_rewrite(spark):
+    """Q21: the EXISTS/NOT-EXISTS pair must run as ONE per-order
+    distinct-supplier aggregate joined back — no cartesian product, no
+    window, supplier names on a broadcast."""
+    df = Q.REGISTRY["q_tpch_q21"].spark(spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_tpch_q22_is_broadcast_scalar_plus_anti_join(spark):
+    """Q22: the average balance is a 1-row broadcast nested-loop cross
+    join and the dormancy check a left-anti join; the orders side must
+    scan only the pruned o_custkey column."""
+    df = Q.REGISTRY["q_tpch_q22"].spark(spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "ReadSchema: struct<o_custkey:bigint,o_orderdate:timestamp_ntz>" in plan, plan
+
+
+def test_kmv_distinct_min_k_is_blocked_two_phase(spark):
+    """q_kmv_distinct's min-k must be the blocked two-phase rank: the
+    window over the row-scale hash frame is partitioned by (group, __blk);
+    only the ≤ n_blocks·k candidate survivors may hit a window keyed by
+    the group alone."""
+    df = Q.REGISTRY["q_kmv_distinct"].spark(spark, SF_SMALL)
+    plan = _executed_plan(df)
+    lines = plan.splitlines()
+    rownum = [ln for ln in lines if "row_number()" in ln]
+    assert rownum, plan
+    # phase-1 (the first window bottom-up == last in the printed tree)
+    # must carry the block key
+    assert any("__blk" in ln for ln in rownum), rownum
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_salted_join_spreads_hot_keys(spark):
+    """q_salted_join must stay the demonstration it claims to be: a
+    shuffled (non-broadcast) join whose hash partitioning includes the
+    salt column, with the dimension side replicated by a Generate."""
+    df = Q.REGISTRY["q_salted_join"].spark(spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "Generate explode" in plan, plan
+    import re
+
+    assert "ShuffledHashJoin" in plan, plan
+    join_lines = [
+        ln for ln in plan.splitlines() if "ShuffledHashJoin" in ln
+    ]
+    assert all("salt" in ln for ln in join_lines), join_lines
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert any("user_id" in k and "salt" in k for k in keys), keys
