@@ -4139,7 +4139,371 @@ def q_salted_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — count-min-sketch point estimates for the heaviest users,
+    next to exact counts (est ≥ exact by construction; width 64 forces
+    visible collisions, which is the point of the demo). The sketch is
+    one Generate(×4)+aggregate whose shuffle carries ≤ depth·width rows
+    per partition, mergeable across batches by summation; probes join
+    the broadcast 256-row sketch. Portable md5 bucket hashes make the
+    ESTIMATES cross-engine-reproducible, so the oracle checks them."""
+    from data_wrangle_openstreetmaps_data_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    ev = table(spark, sf, "events")
+    cms = cms_build(ev, "user_id", depth=4, width=64)
+    est = cms_estimate(ev, cms, "user_id", depth=4, width=64)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return (
+        exact.join(est, "user_id")
+        .select("user_id", "exact_cnt", "cms_est")
+        .orderBy(F.desc("exact_cnt"), "user_id")
+        .limit(10)
+    )
+
+
+def q_kmv_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — KMV sketch MERGEABILITY, the property that matters at
+    100 TB: per-day min-k sketches union into a monthly estimate without
+    touching raw data, and min-k-of-min-ks equals the direct global
+    min-k EXACTLY (any global survivor is a survivor within its day).
+    The query emits the merged and direct estimates side by side — the
+    oracle computes the direct path once and asserts both columns equal
+    it — plus the exact distinct count."""
+    from data_wrangle_openstreetmaps_data_spark.operators.topk import bottom_k
+
+    ev = table(spark, sf, "events")
+    day = F.to_date(catalog.event_ts(ev))
+    uh = (
+        ev.select(day.alias("day"), "user_id")
+        .distinct()
+        .select("day", _kmv_hash(F.col("user_id")).alias("h"))
+    )
+    daily = bottom_k(uh, ["day"], "h", _KMV_K)
+    merged = bottom_k(daily.select("h").distinct(), [], "h", _KMV_K).agg(
+        F.max("h").alias("m_hk"), F.count(F.lit(1)).alias("m_kc")
+    )
+    direct = bottom_k(uh.select("h").distinct(), [], "h", _KMV_K).agg(
+        F.max("h").alias("d_hk"), F.count(F.lit(1)).alias("d_kc")
+    )
+    exact = ev.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
+
+    def _est(hk, kc):
+        return F.when(
+            kc >= _KMV_K,
+            F.lit(float(_KMV_K - 1)) / (hk / F.lit(_KMV_NORM)),
+        ).otherwise(kc.cast("double"))
+
+    return (
+        merged.crossJoin(F.broadcast(direct))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            text.round4(_est(F.col("m_hk"), F.col("m_kc"))).alias(
+                "merged_est"
+            ),
+            text.round4(_est(F.col("d_hk"), F.col("d_kc"))).alias(
+                "direct_est"
+            ),
+            "exact_distinct",
+        )
+    )
+
+
+def q_user_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — Shannon entropy (nats) of each user's event-type mix, via
+    the aggregate identity H = ln(n) − Σ c·ln(c)/n so one pass over the
+    per-(user,type) counts suffices — no per-row probability column.
+    Two keyed aggregates, both map-side combined; ≤|types| doubles per
+    user make the 4-dp floor deterministic in practice."""
+    ev = table(spark, sf, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        c.groupBy("user_id")
+        .agg(
+            F.sum("cnt").alias("n_events"),
+            F.sum(F.col("cnt") * F.log(F.col("cnt"))).alias("clc"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            text.round4(
+                F.log(F.col("n_events")) - F.col("clc") / F.col("n_events")
+            ).alias("entropy"),
+        )
+    )
+
+
+def q_time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — time-weighted average of each user's value signal
+    (step-function integral / elapsed time): one keyed window produces
+    the lead-timestamp interval lengths in exact integer µs, then a
+    decimal-exact weighted sum divides by the exact µs total. One
+    shuffle on the user key; deterministic (ts, event_id) ordering."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    tsn = catalog.event_ts_us(ev)
+    w = Window.partitionBy("user_id").orderBy("tsn", "event_id")
+    seg = (
+        ev.select("user_id", "event_id", "value", tsn.alias("tsn"))
+        .withColumn("dt", F.lead("tsn").over(w) - F.col("tsn"))
+        .filter(F.col("dt").isNotNull())
+    )
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        text.round4(
+            F.sum((F.col("value") * F.col("dt")).cast("decimal(38,6)")).cast(
+                "double"
+            )
+            / F.sum("dt")
+        ).alias("twa"),
+    )
+
+
+def q_chi_square(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — chi-square independence test of user segment (user_id % 7)
+    × event type, computed relationally: the 35-cell contingency table
+    is one aggregate; marginals and the grand total are broadcast
+    re-aggregations of those 35 rows; per-cell terms are exact doubles
+    of integer counts, decimal-cast before the final sum so partition
+    order cannot wiggle the statistic."""
+    ev = table(spark, sf, "events")
+    cells = (
+        ev.select((F.col("user_id") % 7).alias("seg"), "event_type")
+        .groupBy("seg", "event_type")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    rows = cells.groupBy("seg").agg(F.sum("obs").alias("row_tot"))
+    cols = cells.groupBy("event_type").agg(F.sum("obs").alias("col_tot"))
+    n = cells.agg(F.sum("obs").alias("n_tot"))
+    exp = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot")
+        / F.col("n_tot")
+    )
+    term = F.pow(F.col("obs") - exp, F.lit(2.0)) / exp
+    return (
+        cells.join(F.broadcast(rows), "seg")
+        .join(F.broadcast(cols), "event_type")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            text.round4(
+                F.sum(term.cast("decimal(30,10)")).cast("double")
+            ).alias("chi2"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.lit(24).alias("dof"),
+        )
+    )
+
+
+def q_streaming_cms(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming — count-min sketch MAINTENANCE under Structured
+    Streaming: the exact same ``operators/sketch.py::cms_build`` plan
+    runs over the event stream in complete mode, because a CMS *is* a
+    running (row, bucket) count and micro-batch partials merge by
+    summation. The final drain equals the batch-built sketch bit for
+    bit — which is precisely what the oracle (the batch CMS in SQL)
+    checks. State is bounded at depth·width rows regardless of stream
+    length."""
+    import uuid
+
+    from data_wrangle_openstreetmaps_data_spark.operators.sketch import (
+        cms_build,
+    )
+    from data_wrangle_openstreetmaps_data_spark.streaming import events as se
+
+    name = f"cms_{uuid.uuid4().hex[:8]}"
+    stream = se.stage_events_stream(spark, sf, "cms")
+    se.run_to_memory(
+        cms_build(stream, "user_id", depth=4, width=64),
+        name,
+        output_mode="complete",
+    )
+    return spark.table(name)
+
+
+def q_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — SCD Type-2 dimension build from a changelog: each user's
+    event-type runs become validity intervals [valid_from, valid_to)
+    with NULL marking the current row — the gaps-and-islands change-flag
+    running sum, then one aggregate per island and a lead() over the
+    |islands| frame for the closing timestamps. Both windows and the
+    aggregate are user-keyed (no global sort); the second pass touches
+    one row per island, not per event."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    tsn = catalog.event_ts_us(ev)
+    e = ev.select(
+        "user_id", "event_id", "event_type", tsn.alias("tsn")
+    )
+    w = Window.partitionBy("user_id").orderBy("tsn", "event_id")
+    prev = F.lag("event_type").over(w)
+    chg = F.when(
+        prev.isNull() | (prev != F.col("event_type")), 1
+    ).otherwise(0)
+    islands = e.withColumn("chg", chg).withColumn(
+        "island",
+        F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    s = islands.groupBy("user_id", "island").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("tsn").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return s.select(
+        "user_id",
+        "island",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_scd2_intervals": """
+        WITH e AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS tsn
+          FROM events
+        ),
+        f AS (
+          SELECT *, CASE WHEN lag(event_type) OVER w
+                          IS DISTINCT FROM event_type
+                     THEN 1 ELSE 0 END AS chg
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)
+        ),
+        g AS (
+          SELECT *, CAST(sum(chg) OVER (
+                   PARTITION BY user_id ORDER BY tsn, event_id
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS BIGINT) AS island
+          FROM f
+        ),
+        s AS (
+          SELECT user_id, island, min(event_type) AS event_type,
+                 min(tsn) AS valid_from, count(*) AS n_events
+          FROM g GROUP BY user_id, island
+        )
+        SELECT user_id, island, event_type, valid_from,
+               lead(valid_from) OVER (
+                 PARTITION BY user_id ORDER BY valid_from
+               ) AS valid_to,
+               n_events
+        FROM s
+    """,
+    "q_streaming_cms": """
+        WITH rows AS (SELECT unnest(generate_series(0, 3)) AS i)
+        SELECT i AS cms_row,
+               ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+                CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 64 AS bucket,
+               count(*) AS cnt
+        FROM events, rows
+        GROUP BY 1, 2
+    """,
+    "q_cms_heavy_hitters": """
+        WITH rows AS (SELECT unnest(generate_series(0, 3)) AS i),
+        cms AS (
+          SELECT i AS cms_row,
+                 ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+                  CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 64 AS bucket,
+                 count(*) AS cnt
+          FROM events, rows
+          GROUP BY 1, 2
+        ),
+        probes AS (
+          SELECT DISTINCT user_id, i AS cms_row,
+                 ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+                  CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 64 AS bucket
+          FROM events, rows
+        ),
+        est AS (
+          SELECT user_id, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS cms_est
+          FROM probes LEFT JOIN cms USING (cms_row, bucket)
+          GROUP BY user_id
+        ),
+        ex AS (SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY user_id)
+        SELECT ex.user_id, exact_cnt, cms_est
+        FROM ex JOIN est USING (user_id)
+        ORDER BY exact_cnt DESC, user_id LIMIT 10
+    """,
+    "q_kmv_merge": """
+        WITH u AS (
+          SELECT DISTINCT
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM events
+        ),
+        r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM u),
+        s AS (SELECT max(h) AS hk, count(*) AS kc FROM r WHERE rn <= 64),
+        e AS (SELECT count(*) AS exact_distinct FROM u)
+        SELECT
+          floor((CASE WHEN kc >= 64
+                 THEN 63.0 / (hk / 1152921504606846976.0)
+                 ELSE CAST(kc AS DOUBLE) END) * 10000 + 0.5) / 10000
+            AS merged_est,
+          floor((CASE WHEN kc >= 64
+                 THEN 63.0 / (hk / 1152921504606846976.0)
+                 ELSE CAST(kc AS DOUBLE) END) * 10000 + 0.5) / 10000
+            AS direct_est,
+          exact_distinct
+        FROM s, e
+    """,
+    "q_user_entropy": """
+        WITH c AS (
+          SELECT user_id, event_type, count(*) AS cnt
+          FROM events GROUP BY user_id, event_type
+        )
+        SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n_events,
+               floor((ln(CAST(sum(cnt) AS DOUBLE))
+                      - sum(cnt * ln(CAST(cnt AS DOUBLE)))
+                        / CAST(sum(cnt) AS DOUBLE))
+                     * 10000 + 0.5) / 10000 AS entropy
+        FROM c GROUP BY user_id
+    """,
+    "q_time_weighted_avg": """
+        WITH e AS (
+          SELECT user_id, event_id, value, epoch_us(ts) AS tsn FROM events
+        ),
+        seg AS (
+          SELECT user_id, value,
+                 lead(tsn) OVER (
+                   PARTITION BY user_id ORDER BY tsn, event_id
+                 ) - tsn AS dt
+          FROM e
+        )
+        SELECT user_id, count(*) AS n_intervals,
+               floor(CAST(sum(CAST(value * dt AS DECIMAL(38,6))) AS DOUBLE)
+                     / CAST(sum(dt) AS DOUBLE) * 10000 + 0.5) / 10000 AS twa
+        FROM seg WHERE dt IS NOT NULL
+        GROUP BY user_id
+    """,
+    "q_chi_square": """
+        WITH cells AS (
+          SELECT user_id % 7 AS seg, event_type, count(*) AS obs
+          FROM events GROUP BY seg, event_type
+        ),
+        r AS (SELECT seg, sum(obs) AS row_tot FROM cells GROUP BY seg),
+        c AS (SELECT event_type, sum(obs) AS col_tot FROM cells GROUP BY event_type),
+        n AS (SELECT sum(obs) AS n_tot FROM cells)
+        SELECT floor(CAST(sum(CAST(
+                 pow(obs - CAST(row_tot AS DOUBLE) * col_tot / n_tot, 2)
+                 / (CAST(row_tot AS DOUBLE) * col_tot / n_tot)
+               AS DECIMAL(30,10))) AS DOUBLE) * 10000 + 0.5) / 10000 AS chi2,
+               count(*) AS n_cells,
+               24 AS dof
+        FROM cells
+        JOIN r USING (seg)
+        JOIN c USING (event_type), n
+    """,
     "q_kmv_distinct": """
         WITH u AS (
           SELECT DISTINCT event_type,

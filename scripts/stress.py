@@ -220,6 +220,59 @@ def main() -> None:
     )
     timings["srp_bucket_100x_embeddings"] = round(time.perf_counter() - t0, 2)
 
+    # round-6 second wave: TPC-H Q21's per-order aggregate rewrite at 10×
+    # lineitem, the blocked KMV min-k and the CMS build at 10× events, and
+    # the per-user-distinct co-occurrence self-join — each must stay a
+    # keyed-shuffle shape with no funnel
+    t0 = time.perf_counter()
+    (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct(
+                F.when(F.col("l_linenumber") % 5 == 0, F.col("l_suppkey"))
+            ).alias("n_flag"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_flag") == 1))
+        .write.format("noop").mode("overwrite").save()
+    )
+    timings["q21_order_stats_10x_lineitem"] = round(time.perf_counter() - t0, 2)
+
+    from data_wrangle_openstreetmaps_data_spark.operators.dedup import (
+        portable_token_hash,
+    )
+    from data_wrangle_openstreetmaps_data_spark.operators.sketch import cms_build
+    from data_wrangle_openstreetmaps_data_spark.operators.topk import bottom_k
+
+    t0 = time.perf_counter()
+    uh = ev10.select(
+        "event_type",
+        portable_token_hash(F.col("user_id").cast("string")).alias("h"),
+    ).distinct()
+    (
+        bottom_k(uh, ["event_type"], "h", 64)
+        .groupBy("event_type").agg(F.max("h").alias("hk"))
+        .write.format("noop").mode("overwrite").save()
+    )
+    timings["kmv_bottomk_10x_events"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    cms_build(ev10, "user_id", depth=4, width=64).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    timings["cms_build_10x_events"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    ut = ev10.select("event_type", "user_id").distinct()
+    (
+        ut.select(F.col("event_type").alias("t1"), "user_id")
+        .join(ut.select(F.col("event_type").alias("t2"), "user_id"), "user_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("n_ab"))
+        .write.format("noop").mode("overwrite").save()
+    )
+    timings["cooccurrence_10x_events"] = round(time.perf_counter() - t0, 2)
+
     print(
         json.dumps(
             {
