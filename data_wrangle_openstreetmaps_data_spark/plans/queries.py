@@ -4370,7 +4370,45 @@ def q_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — bucketed co-located join (plans/bucketing.py): both sides
+    hash-bucketed and sorted on the order key at WRITE time, so the join
+    itself is a zero-shuffle streaming merge of co-located buckets — the
+    storage-level answer to 'minimize shuffles' when a fact table is
+    joined on the same key repeatedly. The only exchange in the plan is
+    the final 5-row priority aggregate (pinned by a plan guard); results
+    equal the plain join, which is what the oracle checks."""
+    from data_wrangle_openstreetmaps_data_spark.plans.bucketing import (
+        join_bucketed,
+        save_bucketed,
+    )
+
+    li = table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    save_bucketed(li, "bkt_q_lineitem", "l_orderkey", 8)
+    save_bucketed(orders, "bkt_q_orders", "l_orderkey", 8)
+    return (
+        join_bucketed(spark, "bkt_q_lineitem", "bkt_q_orders", "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            _dec_sum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_bucketed_join": """
+        SELECT o_orderpriority, count(*) AS n_lines,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE)
+                 AS sum_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
     "q_scd2_intervals": """
         WITH e AS (
           SELECT user_id, event_id, event_type, epoch_us(ts) AS tsn

@@ -392,3 +392,13 @@ def test_salted_join_spreads_hot_keys(spark):
     assert all("salt" in ln for ln in join_lines), join_lines
     keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     assert any("user_id" in k and "salt" in k for k in keys), keys
+
+
+def test_bucketed_join_query_has_no_join_shuffle(spark):
+    """q_bucketed_join: the pre-bucketed sort-merge join must read
+    co-located buckets — no hashpartitioning exchange on the join key;
+    the only exchange is the final 5-row priority aggregate."""
+    df = Q.REGISTRY["q_bucketed_join"].spark(spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
