@@ -2041,11 +2041,18 @@ def q_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("is_late"),
         )
     )
-    stats = li.groupBy(F.col("l_orderkey").alias("g_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+    # two-level aggregate instead of two COUNT(DISTINCT)s: the pair
+    # dedup combines map-side and avoids the Expand that a multi-distinct
+    # aggregate plans (which would double every fact row)
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("any_late")
+    )
+    stats = (
+        per_supp.groupBy(F.col("l_orderkey").alias("g_orderkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.count(F.when(F.col("any_late"), 1)).alias("n_late_supp"),
+        )
     )
     supp = table(spark, sf, "supplier").select("s_suppkey", "s_name")
     return (

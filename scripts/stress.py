@@ -226,12 +226,12 @@ def main() -> None:
     # keyed-shuffle shape with no funnel
     t0 = time.perf_counter()
     (
-        li.groupBy("l_orderkey")
+        li.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.col("l_linenumber") % 5 == 0).alias("any_flag"))
+        .groupBy("l_orderkey")
         .agg(
-            F.count_distinct("l_suppkey").alias("n_supp"),
-            F.count_distinct(
-                F.when(F.col("l_linenumber") % 5 == 0, F.col("l_suppkey"))
-            ).alias("n_flag"),
+            F.count(F.lit(1)).alias("n_supp"),
+            F.count(F.when(F.col("any_flag"), 1)).alias("n_flag"),
         )
         .filter((F.col("n_supp") > 1) & (F.col("n_flag") == 1))
         .write.format("noop").mode("overwrite").save()
