@@ -4408,7 +4408,81 @@ def q_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_streaming_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming — CDC apply through foreachBatch: the q_cdc_merge change
+    set arrives as a 2-micro-batch stream and each batch full-outer-merges
+    (operators/join.py::merge_upsert) into a VERSIONED parquet state table
+    (streaming/cdc_apply.py — write-new-then-swap, so readers always see a
+    complete snapshot). Change keys are unique across the drain, so the
+    final state is independent of how the stream was batched and equals
+    the one-shot batch MERGE — exactly what the (q_cdc_merge) oracle
+    checks."""
+    import os
+    import shutil
+
+    from data_wrangle_openstreetmaps_data_spark.streaming.cdc_apply import (
+        apply_cdc_stream,
+    )
+
+    snap = table(spark, sf, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+    upd = snap.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("status"),
+        text.round4(F.col("totalprice") * 1.1).alias("totalprice"),
+    )
+    ins = snap.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "status",
+        "totalprice",
+    )
+    changes = upd.unionByName(ins)
+
+    work = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "..", ".tmp",
+        f"cdcapply_{os.path.basename(sf.rstrip('/'))}",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    stage = os.path.join(work, "changes")
+    changes.repartition(2).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    final_dir = apply_cdc_stream(spark, stream, snap, "o_orderkey", work)
+    return spark.read.parquet(final_dir).select(
+        "o_orderkey", "status", text.round4(F.col("totalprice")).alias("tp")
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_streaming_cdc_apply": """
+        WITH snap AS (
+          SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS totalprice
+          FROM orders
+        ),
+        upd AS (
+          SELECT o_orderkey, 'X' AS status,
+                 floor(totalprice * 1.1 * 10000 + 0.5) / 10000 AS totalprice
+          FROM snap WHERE o_orderkey % 7 = 0
+        ),
+        ins AS (
+          SELECT o_orderkey + 10000000 AS o_orderkey, status, totalprice
+          FROM snap WHERE o_orderkey % 97 = 0
+        ),
+        chg AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        SELECT coalesce(c.o_orderkey, s.o_orderkey) AS o_orderkey,
+               CASE WHEN c.o_orderkey IS NOT NULL THEN c.status
+                    ELSE s.status END AS status,
+               floor(CASE WHEN c.o_orderkey IS NOT NULL THEN c.totalprice
+                          ELSE s.totalprice END * 10000 + 0.5) / 10000 AS tp
+        FROM snap s FULL OUTER JOIN chg c ON s.o_orderkey = c.o_orderkey
+    """,
     "q_bucketed_join": """
         SELECT o_orderpriority, count(*) AS n_lines,
                CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE)

@@ -47,3 +47,56 @@ def test_merge_upsert_idempotent_on_same_change(spark):
     once = merge_upsert(snap, chg, "k")
     twice = merge_upsert(once, chg, "k")
     assert _rows(once) == _rows(twice)
+
+
+def test_streaming_cdc_apply_versions_and_equivalence(spark, tmp_path):
+    """apply_cdc_stream over a 3-file change stream must write one state
+    version per non-empty micro-batch and end at exactly the batch
+    merge_upsert result."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_wrangle_openstreetmaps_data_spark.operators.join import (
+        merge_upsert,
+    )
+    from data_wrangle_openstreetmaps_data_spark.streaming.cdc_apply import (
+        apply_cdc_stream,
+    )
+
+    base = spark.createDataFrame(
+        [(k, "old", float(k)) for k in range(40)], ["k", "status", "v"]
+    )
+    changes = spark.createDataFrame(
+        [(k, "new", k * 2.0) for k in range(0, 40, 3)]
+        + [(100 + k, "ins", -1.0) for k in range(3)],
+        ["k", "status", "v"],
+    )
+    work = str(tmp_path / "cdc")
+    stage = os.path.join(work, "changes")
+    changes.repartition(3).write.mode("overwrite").parquet(stage)
+    n_files = len(
+        [f for f in os.listdir(stage) if f.endswith(".parquet")]
+    )
+    assert n_files == 3
+    stream = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    final_dir = apply_cdc_stream(spark, stream, base, "k", work)
+    # one version per non-empty micro-batch (3 files, roundrobin split →
+    # all non-empty) plus v0
+    versions = sorted(
+        d for d in os.listdir(work) if d.startswith("v")
+    )
+    assert len(versions) >= 3, versions
+    got = {
+        (r["k"], r["status"], r["v"])
+        for r in spark.read.parquet(final_dir).collect()
+    }
+    want = {
+        (r["k"], r["status"], r["v"])
+        for r in merge_upsert(base, changes, "k").collect()
+    }
+    assert got == want
