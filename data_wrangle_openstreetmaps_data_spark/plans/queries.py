@@ -4460,7 +4460,46 @@ def q_streaming_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_streaming_kmv(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming — per-type KMV distinct estimates as KEYED STATE
+    (streaming/kmv_stream.py): bounded k-long min-hash state per event
+    type instead of the linear state an exact streaming COUNT(DISTINCT)
+    would need. min-k merge is exact, so the drain's final emission
+    equals the batch sketch — the oracle recomputes the estimate from
+    scratch in DuckDB and matches it to 4dp."""
+    import uuid
+
+    from data_wrangle_openstreetmaps_data_spark.streaming import events as se
+    from data_wrangle_openstreetmaps_data_spark.streaming.kmv_stream import (
+        kmv_stream,
+    )
+
+    name = f"kmv_{uuid.uuid4().hex[:8]}"
+    stream = se.stage_events_stream(spark, sf, "kmv")
+    se.run_to_memory(kmv_stream(stream), name, output_mode="update")
+    return spark.table(name)
+
+
 ORACLES: dict[str, str | None] = {
+    "q_streaming_kmv": """
+        WITH u AS (
+          SELECT DISTINCT event_type,
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM events
+        ),
+        r AS (
+          SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          FROM u
+        )
+        SELECT event_type, count(*) AS kc,
+               floor((CASE WHEN count(*) >= 64
+                      THEN 63.0 / (max(h) / 1152921504606846976.0)
+                      ELSE CAST(count(*) AS DOUBLE) END)
+                     * 10000 + 0.5) / 10000 AS kmv_est
+        FROM r WHERE rn <= 64
+        GROUP BY event_type
+    """,
     "q_streaming_cdc_apply": """
         WITH snap AS (
           SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS totalprice

@@ -90,3 +90,68 @@ def test_streaming_cms_multibatch_equals_batch(spark, tmp_path_factory):
         for r in cms_build(ev, "user_id", depth=4, width=16).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_kmv_multibatch_last_emission_equals_batch(spark, tmp_path):
+    """kmv_stream over 3 micro-batches: the LAST emission per key must
+    equal the from-scratch batch sketch (min-k merge is exact), and
+    earlier emissions must be partial (kc non-decreasing)."""
+    import os
+
+    from data_wrangle_openstreetmaps_data_spark.catalog import table
+    from data_wrangle_openstreetmaps_data_spark.operators.dedup import (
+        portable_token_hash,
+    )
+    from data_wrangle_openstreetmaps_data_spark.streaming import events as se
+    from data_wrangle_openstreetmaps_data_spark.streaming.kmv_stream import (
+        kmv_stream,
+    )
+    from tests.conftest import SF_SMALL
+
+    ev = table(spark, SF_SMALL, "events")
+    stage = str(tmp_path / "kmv_stage")
+    os.makedirs(stage)
+    i = 0
+    for b in range(3):
+        part = str(tmp_path / f"b{b}")
+        ev.filter(F.col("event_id") % 3 == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part)
+        for f in os.listdir(part):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(part, f),
+                    os.path.join(stage, f"part-{i}.parquet"),
+                )
+                i += 1
+    stream = se.read_events_stream(spark, stage)
+    se.run_to_memory(kmv_stream(stream, k=8), "kmv_mb", output_mode="update")
+    rows = spark.table("kmv_mb").collect()
+    # 3 emissions per key (update mode, one per batch); memory sink keeps
+    # arrival order, so the max-kc row is the final state
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["event_type"], []).append((r["kc"], r["kmv_est"]))
+    batch = (
+        ev.select(
+            "event_type",
+            portable_token_hash(F.col("user_id").cast("string")).alias("h"),
+        )
+        .distinct()
+    )
+    import math
+
+    want = {}
+    for t, hs in (
+        batch.groupBy("event_type").agg(F.collect_list("h").alias("hs"))
+        .collect()
+    ):
+        top = sorted(set(hs))[:8]
+        kc = len(top)
+        est = (7.0 / (top[-1] / float(1 << 60))) if kc >= 8 else float(kc)
+        want[t] = (kc, math.floor(est * 10000 + 0.5) / 10000)
+    for t, ems in by_key.items():
+        assert len(ems) == 3, ems
+        kcs = [kc for kc, _ in ems]
+        assert kcs == sorted(kcs), kcs  # state only grows
+        assert ems[-1] == want[t], (t, ems[-1], want[t])
