@@ -4480,7 +4480,152 @@ def q_streaming_kmv(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — hybrid retrieval: BM25 keyword top-20 fused with embedding
+    cosine top-20 by reciprocal-rank fusion, RRF(d) = Σ 1/(60 + rank_d)
+    over the rankers that returned d (the id spaces align: vec_id is the
+    embedding of doc_id). Rank-based fusion needs no score calibration
+    between lexical and vector spaces — the production default for
+    first-stage hybrid search. Both rank windows cover only the 20-row
+    candidate frames (bounded, not corpus-scale); candidate generation
+    is the existing BM25 probe and brute-force/ANN cosine path."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf, "documents")
+    emb = table(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    bm = similarity.bm25_search(docs, SEARCH_TERMS, k=20)
+    cos = similarity.cosine_topk(emb, list(qvec), k=20)
+    r_bm = bm.select(
+        F.col("id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.col("id")))
+        .alias("r_bm"),
+    )
+    r_cos = cos.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("sim"), F.col("vec_id")))
+        .alias("r_cos"),
+    )
+    rrf = F.coalesce(1.0 / (60 + F.col("r_bm")), F.lit(0.0)) + F.coalesce(
+        1.0 / (60 + F.col("r_cos")), F.lit(0.0)
+    )
+    return (
+        r_bm.join(r_cos, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "r_bm",
+            "r_cos",
+            text.round4(rrf).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(10)
+    )
+
+
+def q_event_trigrams(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — behavioral path mining: the 15 most common 3-step event-type
+    paths (adjacent trigrams per user in event-time order). One user-keyed
+    window produces both lookaheads in a single pass; the trigram space is
+    bounded at |types|³ so the count shuffle is tiny. Extends the 2-step
+    transition matrix (q_event_transitions) to path granularity."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    tsn = catalog.event_ts_us(ev)
+    w = Window.partitionBy("user_id").orderBy("tsn", "event_id")
+    e = ev.select("user_id", "event_id", "event_type", tsn.alias("tsn"))
+    tri = e.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    return (
+        tri.groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "t1", "t2", "t3")
+        .limit(15)
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_event_trigrams": """
+        WITH e AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS tsn
+          FROM events
+        ),
+        tri AS (
+          SELECT event_type AS t1,
+                 lead(event_type, 1) OVER w AS t2,
+                 lead(event_type, 2) OVER w AS t3
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)
+        )
+        SELECT t1, t2, t3, count(*) AS cnt
+        FROM tri WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        GROUP BY t1, t2, t3
+        ORDER BY cnt DESC, t1, t2, t3 LIMIT 15
+    """,
+    "q_hybrid_search_rrf": f"""
+        WITH toked AS (
+          SELECT doc_id AS id, {{TOKENS}} AS toks FROM documents
+        ),
+        dl AS (SELECT id, len(toks) AS dl FROM toked),
+        stats AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(toks)) AS avgdl
+          FROM toked
+        ),
+        fhits AS (
+          SELECT id, unnest(toks) AS tok FROM toked
+        ),
+        fh AS (
+          SELECT id, tok FROM fhits
+          WHERE tok IN ({{TERMS}})
+        ),
+        dft AS (SELECT tok, count(DISTINCT id) AS df FROM fh GROUP BY tok),
+        tf AS (SELECT id, tok, count(*) AS tf FROM fh GROUP BY id, tok),
+        scored AS (
+          SELECT id,
+                 floor(sum(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                   * (tf * (1.2 + 1))
+                     / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                 ) * 10000 + 0.5) / 10000 AS score
+          FROM tf JOIN dft USING (tok) JOIN dl USING (id), stats
+          GROUP BY id
+        ),
+        bm AS (
+          SELECT id AS doc_id,
+                 row_number() OVER (ORDER BY score DESC, id) AS r_bm
+          FROM scored ORDER BY score DESC, id LIMIT 20
+        ),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        sims AS (
+          SELECT vec_id,
+                 floor(
+                   list_sum(list_transform(range(1, len(embedding) + 1),
+                     i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(qv,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                   * 10000 + 0.5) / 10000 AS sim
+          FROM embeddings, q
+        ),
+        cosr AS (
+          SELECT vec_id AS doc_id,
+                 row_number() OVER (ORDER BY sim DESC, vec_id) AS r_cos
+          FROM sims ORDER BY sim DESC, vec_id LIMIT 20
+        )
+        SELECT coalesce(bm.doc_id, cosr.doc_id) AS doc_id, r_bm, r_cos,
+               floor((coalesce(1.0 / (60 + r_bm), 0.0)
+                      + coalesce(1.0 / (60 + r_cos), 0.0))
+                     * 10000 + 0.5) / 10000 AS rrf
+        FROM bm FULL OUTER JOIN cosr ON bm.doc_id = cosr.doc_id
+        ORDER BY rrf DESC, doc_id LIMIT 10
+    """.replace("{TOKENS}", _TOKENS_SQL).replace(
+        "{TERMS}", ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+    ),
     "q_streaming_kmv": """
         WITH u AS (
           SELECT DISTINCT event_type,
