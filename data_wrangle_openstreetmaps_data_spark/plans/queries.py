@@ -4549,7 +4549,94 @@ def q_event_trigrams(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_embedding_dim_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — per-dimension feature statistics over the embedding column
+    (the fit step of normalization/whitening before training): posexplode
+    to (dim, value), then ONE map-side-combined aggregate producing
+    mean/std/min/max per dimension from decimal-exact moment sums —
+    std from the S1/S2 identity so both engines do the same double
+    arithmetic on identical exact inputs. Shuffle is 64 dims × partials,
+    independent of corpus size."""
+    emb = table(spark, sf, "embeddings")
+    e = emb.select(F.posexplode("embedding").alias("dim", "xf")).select(
+        "dim", F.col("xf").cast("double").alias("x")
+    )
+    s = e.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(30,12)")).cast("double").alias("s1"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(30,12)"))
+        .cast("double")
+        .alias("s2"),
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return s.select(
+        "dim",
+        "n",
+        text.round4(F.col("s1") / F.col("n")).alias("mean"),
+        text.round4(F.sqrt(var)).alias("std"),
+        text.round4(F.col("mn")).alias("vmin"),
+        text.round4(F.col("mx")).alias("vmax"),
+    )
+
+
+def q_vocab_df(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — corpus vocabulary with document frequency: the tokenizer-
+    vocab / stop-list build step of a training pipeline. Two-level
+    aggregate (per-(token, doc) counts first, map-side combined) so
+    term frequency and document frequency come out of ONE pass with no
+    multi-distinct Expand; top-50 terms by df with deterministic
+    tiebreak."""
+    d = table(spark, sf, "documents").select(
+        "doc_id", F.explode(text.tokens("text")).alias("tok")
+    )
+    per_doc = d.groupBy("tok", "doc_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_doc.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("cnt").alias("tf"),
+        )
+        .orderBy(F.desc("df"), F.desc("tf"), "tok")
+        .limit(50)
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_vocab_df": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+        ),
+        per_doc AS (
+          SELECT tok, doc_id, count(*) AS cnt FROM toks GROUP BY tok, doc_id
+        )
+        SELECT tok, count(*) AS df, CAST(sum(cnt) AS BIGINT) AS tf
+        FROM per_doc GROUP BY tok
+        ORDER BY df DESC, tf DESC, tok LIMIT 50
+    """,
+    "q_embedding_dim_stats": """
+        WITH d AS (SELECT unnest(range(0, 64)) AS dim),
+        v AS (
+          SELECT dim, CAST(embedding[dim + 1] AS DOUBLE) AS x
+          FROM embeddings, d
+        ),
+        s AS (
+          SELECT dim, count(*) AS n,
+                 CAST(sum(CAST(x AS DECIMAL(30,12))) AS DOUBLE) AS s1,
+                 CAST(sum(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS s2,
+                 min(x) AS mn, max(x) AS mx
+          FROM v GROUP BY dim
+        )
+        SELECT dim, n,
+               floor(s1 / n * 10000 + 0.5) / 10000 AS mean,
+               floor(sqrt((s2 - s1 * s1 / n) / (n - 1)) * 10000 + 0.5) / 10000 AS std,
+               floor(mn * 10000 + 0.5) / 10000 AS vmin,
+               floor(mx * 10000 + 0.5) / 10000 AS vmax
+        FROM s
+    """,
     "q_event_trigrams": """
         WITH e AS (
           SELECT user_id, event_id, event_type, epoch_us(ts) AS tsn

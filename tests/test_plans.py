@@ -402,3 +402,39 @@ def test_bucketed_join_query_has_no_join_shuffle(spark):
     plan = _executed_plan(df)
     assert "SortMergeJoin" in plan, plan
     assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+
+
+def test_scd2_windows_are_user_keyed(spark):
+    """q_scd2_intervals: every window must partition by user_id — a bare
+    (unpartitioned) window over the event stream would be the global
+    funnel."""
+    df = Q.REGISTRY["q_scd2_intervals"].spark(spark, SF_SMALL)
+    plan = _executed_plan(df)
+    lines = [ln for ln in plan.splitlines() if "Window " in ln or "Window[" in ln]
+    assert lines, plan
+    assert all("user_id" in ln for ln in lines), lines
+
+
+def test_cms_build_is_generate_plus_partial_aggregate(spark):
+    """The CMS build must be one Generate (probe fan-out) feeding a
+    partial+final hash aggregate — map-side combine bounds the shuffle at
+    depth×width rows per partition."""
+    from data_wrangle_openstreetmaps_data_spark.operators.sketch import (
+        cms_build,
+    )
+
+    ev = table(spark, SF_SMALL, "events")
+    plan = _executed_plan(cms_build(ev, "user_id", depth=4, width=64))
+    assert "Generate explode" in plan, plan
+    assert "partial_count" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_vocab_df_has_no_multidistinct_expand(spark):
+    """q_vocab_df must stay the two-level aggregate — a COUNT(DISTINCT
+    doc_id) alongside the tf sum would plan an Expand duplicating every
+    (token, doc) row."""
+    df = Q.REGISTRY["q_vocab_df"].spark(spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "Expand" not in plan, plan
+    assert "partial_count" in plan, plan
