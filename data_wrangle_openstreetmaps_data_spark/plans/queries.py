@@ -4605,7 +4605,46 @@ def q_vocab_df(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_streaming_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming — the streaming-top-k pattern (A9's flagship shape made
+    incremental): a global ORDER BY + LIMIT cannot be maintained in
+    append mode, so the SUPPORTED decomposition is watermarked windowed
+    counts streaming into a durable parquet store (each window lands
+    once closed) + a trivial batch rollup ranking over the store. The
+    oracle applies the same final-watermark cutoff and rollup."""
+    import os
+    import shutil
+
+    from data_wrangle_openstreetmaps_data_spark.streaming import events as se
+
+    work = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "..", ".tmp",
+        f"streamtopk_{os.path.basename(sf.rstrip('/'))}",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    wc = se.windowed_type_counts(
+        se.stage_events_stream(spark, sf, "stopk"), "1 day", "1 day"
+    )
+    se.counts_to_store(
+        wc, os.path.join(work, "store"), os.path.join(work, "ckpt")
+    )
+    return se.topk_over_store(spark, os.path.join(work, "store"), k=5)
+
+
 ORACLES: dict[str, str | None] = {
+    "q_streaming_topk": """
+        WITH m AS (SELECT max(ts) - INTERVAL 1 DAY AS wm FROM events),
+        w AS (
+          SELECT date_trunc('day', ts) AS ws, event_type, count(*) AS cnt
+          FROM events, m
+          WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wm
+          GROUP BY 1, 2
+        )
+        SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total
+        FROM w GROUP BY event_type
+        ORDER BY total DESC, event_type LIMIT 5
+    """,
     "q_vocab_df": f"""
         WITH toks AS (
           SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
