@@ -63,6 +63,10 @@ HEADLINE = [
     "q_tpch_q21",
     "q_kmv_distinct",
     "q_cooccurrence_lift",
+    # round-6 third wave: retrieval fusion, vocab build, SCD2
+    "q_hybrid_search_rrf",
+    "q_vocab_df",
+    "q_scd2_intervals",
 ]
 
 
