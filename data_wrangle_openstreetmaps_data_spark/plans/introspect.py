@@ -30,6 +30,7 @@ def plan_summary(df: DataFrame, execute: bool = True) -> dict[str, int]:
         "broadcast_joins": plan.count("BroadcastHashJoin"),
         "sort_merge_joins": plan.count("SortMergeJoin"),
         "nested_loop_joins": plan.count("NestedLoopJoin"),
+        "cartesian_products": plan.count("CartesianProduct"),
         "windows": plan.count("Window"),
         "codegen_spans": len(set(re.findall(r"codegen id : (\d+)", plan))),
         "reused_exchanges": plan.count("ReusedExchange"),
