@@ -66,3 +66,52 @@ def write_store(df: DataFrame, path: str, partition_by: str | None = "type",
 
 def read_store(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def read_store_merged(spark: SparkSession, path: str) -> DataFrame:
+    """Read a store whose files were written under EVOLVED schemas
+    (columns added over time): ``mergeSchema`` unions the per-file
+    footers, older files surface the new columns as NULL. The default
+    ``read_store`` skips the footer union (cheaper) — use this one when
+    appends may carry new columns."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def compact_store(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+) -> dict[str, int]:
+    """Small-files compaction: rewrite a (non-partitioned) parquet store
+    into ceil(rows / target) files and atomically swap directories —
+    the maintenance job that keeps scan task counts sane after many
+    incremental appends (thousands of KB-sized files turn a 100 TB scan
+    into a scheduler problem before an IO one). Returns before/after
+    file counts. Content is preserved exactly; compaction only changes
+    layout — callers needing ordered layout should Z-order/sort first
+    (see q_zorder_layout)."""
+    import math
+    import os
+    import shutil
+
+    def _nfiles(p: str) -> int:
+        return sum(
+            1
+            for root, _, files in os.walk(p)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    before = _nfiles(path)
+    df = spark.read.parquet(path)
+    n = df.count()
+    n_out = max(1, math.ceil(n / target_rows_per_file))
+    tmp = path.rstrip("/") + "_compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "_precompact"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return {"files_before": before, "files_after": _nfiles(path), "rows": n}

@@ -438,3 +438,46 @@ def test_vocab_df_has_no_multidistinct_expand(spark):
     plan = _executed_plan(df)
     assert "Expand" not in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_store_compaction_preserves_content(spark, tmp_path):
+    """compact_store: 32 small files → ceil(n/target) files, identical
+    row multiset, atomic swap leaves no temp dirs behind."""
+    import os
+
+    from data_wrangle_openstreetmaps_data_spark.sources.json_sink import (
+        compact_store,
+    )
+
+    p = str(tmp_path / "store")
+    df = table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    df.repartition(32).write.parquet(p)
+    before = {tuple(r) for r in spark.read.parquet(p).collect()}
+    stats = compact_store(spark, p, target_rows_per_file=10_000)
+    assert stats["files_before"] == 32
+    expected = max(1, -(-stats["rows"] // 10_000))
+    assert stats["files_after"] == expected, stats
+    after = {tuple(r) for r in spark.read.parquet(p).collect()}
+    assert after == before
+    assert not os.path.exists(p + "_compacting")
+    assert not os.path.exists(p + "_precompact")
+
+
+def test_store_schema_evolution_merges_footers(spark, tmp_path):
+    """read_store_merged: files appended under a wider schema surface
+    the new column; old files read NULL for it."""
+    from data_wrangle_openstreetmaps_data_spark.sources.json_sink import (
+        read_store_merged,
+    )
+
+    p = str(tmp_path / "evolve")
+    spark.createDataFrame([(1, "a")], ["id", "v"]).write.parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], ["id", "v", "score"]
+    ).write.mode("append").parquet(p)
+    got = {r["id"]: (r["v"], r["score"]) for r in read_store_merged(
+        spark, p
+    ).collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
