@@ -115,3 +115,39 @@ def compact_store(
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
     return {"files_before": before, "files_after": _nfiles(path), "rows": n}
+
+
+def read_json_robust(
+    spark: SparkSession,
+    path: str,
+    schema,
+    corrupt_col: str = "_corrupt_record",
+):
+    """Ingest-resilient JSON-lines read (PERMISSIVE): malformed lines do
+    NOT fail the job — they land whole in ``corrupt_col`` with every
+    schema field NULL, so the pipeline can split the feed into a clean
+    frame and a quarantine frame and keep going. Real crawls and export
+    dumps always contain some breakage; failing a 100 TB job on line
+    3 billion is not an option (the strict path is FAILFAST mode).
+
+    Returns (clean_df, corrupt_df): clean rows without the marker
+    column, corrupt raw lines with a reason-free quarantine contract."""
+    from pyspark.sql import types as T
+
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+    # Spark requires caching/materialization before filtering on the
+    # corrupt-record column alone (SPARK-21610 contract)
+    df = df.cache()
+    clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    corrupt = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return clean, corrupt

@@ -481,3 +481,34 @@ def test_store_schema_evolution_merges_footers(spark, tmp_path):
         spark, p
     ).collect()}
     assert got == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_robust_json_read_quarantines_corrupt_lines(spark, tmp_path):
+    """read_json_robust: malformed lines land in the quarantine frame
+    verbatim; clean rows parse under the declared schema."""
+    from pyspark.sql import types as T
+
+    from data_wrangle_openstreetmaps_data_spark.sources.json_sink import (
+        read_json_robust,
+    )
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        '{"id": 2, "name": "also ok"}\n'
+        '{"id": 3, "name": BROKEN}\n'
+        "not json at all\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    clean, corrupt = read_json_robust(spark, str(p), schema)
+    assert {(r["id"], r["name"]) for r in clean.collect()} == {
+        (1, "ok"),
+        (2, "also ok"),
+    }
+    bad = [r["raw_line"] for r in corrupt.collect()]
+    assert len(bad) == 2 and "not json at all" in bad
