@@ -147,3 +147,62 @@ def test_fix_city_matches_python_model(spark, cities):
     }
     for c in cities:
         assert got[c] == py_fix_city(c), repr(c)
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_round4_is_cross_engine_deterministic(spark, xs):
+    """The portable floor(x*1e4+0.5)/1e4 rounding must produce
+    bit-identical doubles in Spark, DuckDB, and plain Python for the
+    SAME input double — the invariant every oracled float column rests
+    on."""
+    import math
+
+    import duckdb
+
+    from data_wrangle_openstreetmaps_data_spark.functions.text import round4
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(x,) for x in xs], ["x"])
+    got_spark = [
+        r["r"] for r in df.select(round4(F.col("x")).alias("r"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            "SELECT floor(CAST(? AS DOUBLE) * 10000 + 0.5) / 10000", [x]
+        ).fetchone()[0]
+        for x in xs
+    ]
+    got_py = [math.floor(x * 10000 + 0.5) / 10000 for x in xs]
+    assert got_spark == got_duck == got_py
+
+
+@given(
+    st.lists(st.integers(min_value=-(2**40), max_value=2**40),
+             min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=9),
+)
+def test_bottom_k_property_matches_sorted_prefix(spark, vals, k):
+    """bottom_k on a single global group equals the sorted-unique prefix
+    for ANY input multiset and k."""
+    from data_wrangle_openstreetmaps_data_spark.operators.topk import (
+        bottom_k,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], ["v"]).distinct()
+    got = sorted(
+        r["v"] for r in bottom_k(df, [], "v", k, n_blocks=4).collect()
+    )
+    assert got == sorted(set(vals))[:k]
