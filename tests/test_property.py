@@ -206,3 +206,47 @@ def test_bottom_k_property_matches_sorted_prefix(spark, vals, k):
         r["v"] for r in bottom_k(df, [], "v", k, n_blocks=4).collect()
     )
     assert got == sorted(set(vals))[:k]
+
+
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=30),
+        st.tuples(st.sampled_from(["a", "b", None]),
+                  st.integers(min_value=-5, max_value=5)),
+        max_size=15,
+    ),
+    st.dictionaries(
+        st.integers(min_value=0, max_value=30),
+        st.tuples(st.sampled_from(["x", None]),
+                  st.integers(min_value=-5, max_value=5)),
+        max_size=15,
+    ),
+)
+def test_merge_upsert_matches_dict_model(spark, base, changes):
+    """merge_upsert == {**base, **changes}: change rows win WHOLESALE on
+    key match (including legitimate NULLs), unmatched rows pass through —
+    for arbitrary overlapping key sets."""
+    from data_wrangle_openstreetmaps_data_spark.operators.join import (
+        merge_upsert,
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("s", T.StringType(), True),
+            T.StructField("n", T.LongType(), True),
+        ]
+    )
+    bdf = spark.createDataFrame(
+        [(k, s, n) for k, (s, n) in base.items()], schema
+    )
+    cdf = spark.createDataFrame(
+        [(k, s, n) for k, (s, n) in changes.items()], schema
+    )
+    got = {
+        r["k"]: (r["s"], r["n"])
+        for r in merge_upsert(bdf, cdf, "k").collect()
+    }
+    want = {**base, **changes}
+    assert got == want
