@@ -512,3 +512,26 @@ def test_robust_json_read_quarantines_corrupt_lines(spark, tmp_path):
     }
     bad = [r["raw_line"] for r in corrupt.collect()]
     assert len(bad) == 2 and "not json at all" in bad
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_store(spark, tmp_path):
+    """Joining a type-partitioned store against a filtered dimension must
+    plan a dynamicpruning PartitionFilter — at 100 TB the fact scan reads
+    only the partitions the dim's surviving keys name, discovered at
+    RUNTIME (the dim filter may not be a literal)."""
+    p = str(tmp_path / "dpp_store")
+    ev = table(spark, SF_SMALL, "events").select(
+        "event_id", "event_type", "value"
+    )
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(p)
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2)], ["event_type", "flag"]
+    ).filter(F.col("flag") == 1)
+    j = (
+        spark.read.parquet(p)
+        .join(dim, "event_type")
+        .groupBy("event_type")
+        .count()
+    )
+    plan = _executed_plan(j)
+    assert "dynamicpruning" in plan.lower(), plan
