@@ -62,3 +62,19 @@ def test_ts_encoding_consistent_across_sfs(spark, sf):
     small = dict(table(spark, SF_SMALL, "events").dtypes)["ts"]
     other = dict(table(spark, sf, "events").dtypes)["ts"]
     assert small == other, (small, other)
+
+
+def test_embeddings_are_64_dim_floats(spark):
+    """q_embedding_dim_stats / the ANN oracles inline dim=64 (range(0,64)
+    in DuckDB, seeded 64-dim hyperplanes) — a testdata vintage changing
+    the embedding dimension must fail HERE, in pytest, not in the driver
+    gate."""
+    from pyspark.sql import functions as F
+
+    from data_wrangle_openstreetmaps_data_spark.catalog import table
+    from tests.conftest import SF_SMALL
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    assert dict(emb.dtypes)["embedding"] == "array<float>"
+    dims = emb.select(F.size("embedding").alias("d")).distinct().collect()
+    assert [r["d"] for r in dims] == [64], dims
