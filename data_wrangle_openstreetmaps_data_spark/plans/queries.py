@@ -4632,7 +4632,160 @@ def q_streaming_topk(spark: SparkSession, sf: str) -> DataFrame:
     return se.topk_over_store(spark, os.path.join(work, "store"), k=5)
 
 
+def q_customer_rfm(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — RFM (recency/frequency/monetary) customer segmentation, the
+    classic CRM rollup, in the scale-safe shape: per-customer metrics in
+    one aggregate, quintile boundaries as ONE broadcast percentile row
+    (4-dp-floored on both engines), scores by boundaries-exceeded count —
+    the same no-ntile pattern as the equi-depth histogram, so no global
+    sort ever touches the |customers| frame. Output: segment cube with
+    customer counts."""
+    orders = table(spark, sf, "orders")
+    asof = _ts("2001-08-01")
+    base = orders.groupBy("o_custkey").agg(
+        F.min(F.datediff(asof, F.col("o_orderdate"))).alias("recency"),
+        F.count(F.lit(1)).alias("frequency"),
+        _dec_sum(F.col("o_totalprice")).alias("monetary"),
+    )
+    qs = [0.2, 0.4, 0.6, 0.8]
+    bounds = base.agg(
+        *[
+            text.round4(F.percentile(F.col(c), F.lit(q))).alias(
+                f"{c[0]}b{i}"
+            )
+            for c in ("recency", "frequency", "monetary")
+            for i, q in enumerate(qs)
+        ]
+    )
+
+    def score(col: str, prefix: str, invert: bool) -> F.Column:
+        s = F.lit(1)
+        for i in range(4):
+            s = s + F.when(
+                F.col(col) > F.col(f"{prefix}b{i}"), 1
+            ).otherwise(0)
+        # high recency (days since last order) is BAD → invert the scale
+        return (F.lit(6) - s) if invert else s
+
+    return (
+        base.crossJoin(F.broadcast(bounds))
+        .select(
+            score("recency", "r", True).alias("r_score"),
+            score("frequency", "f", False).alias("f_score"),
+            score("monetary", "m", False).alias("m_score"),
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def q_token_dist_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — per-language document-length distribution (p25/p50/p75/p95
+    of n_chars + count): the corpus-balance audit a data-mix decision
+    reads. One grouped aggregate; percentiles interpolate identically in
+    both engines and are 4-dp-floored."""
+    docs = table(spark, sf, "documents")
+    pct = lambda q: text.round4(  # noqa: E731
+        F.percentile(F.col("n_chars"), F.lit(q))
+    )
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        pct(0.25).alias("p25"),
+        pct(0.50).alias("p50"),
+        pct(0.75).alias("p75"),
+        pct(0.95).alias("p95"),
+    )
+
+
+def q_revenue_mom_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — month-over-month revenue growth: monthly decimal-exact
+    totals (one aggregate; the shuffle carries |months| partial rows),
+    then lag() over the TINY months frame — the window never sees fact
+    rows. First month's growth is NULL by definition."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf, "orders")
+    month = F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
+    monthly = orders.groupBy(month.alias("month")).agg(
+        _dec_sum(F.col("o_totalprice")).alias("revenue")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        text.round4(F.col("revenue")).alias("revenue"),
+        text.round4((F.col("revenue") - prev) / prev * 100.0).alias(
+            "mom_pct"
+        ),
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_revenue_mom_growth": """
+        WITH m AS (
+          SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE)
+                   AS revenue
+          FROM orders GROUP BY month
+        )
+        SELECT month,
+               floor(revenue * 10000 + 0.5) / 10000 AS revenue,
+               floor((revenue - lag(revenue) OVER (ORDER BY month))
+                     / lag(revenue) OVER (ORDER BY month) * 100.0
+                     * 10000 + 0.5) / 10000 AS mom_pct
+        FROM m
+    """,
+    "q_customer_rfm": """
+        WITH base AS (
+          SELECT o_custkey,
+                 min(datediff('day', o_orderdate,
+                     TIMESTAMP '2001-08-01 00:00:00')) AS recency,
+                 count(*) AS frequency,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE)
+                   AS monetary
+          FROM orders GROUP BY o_custkey
+        ),
+        b AS (
+          SELECT
+            floor(quantile_cont(recency, 0.2) * 10000 + 0.5) / 10000 AS rb0,
+            floor(quantile_cont(recency, 0.4) * 10000 + 0.5) / 10000 AS rb1,
+            floor(quantile_cont(recency, 0.6) * 10000 + 0.5) / 10000 AS rb2,
+            floor(quantile_cont(recency, 0.8) * 10000 + 0.5) / 10000 AS rb3,
+            floor(quantile_cont(frequency, 0.2) * 10000 + 0.5) / 10000 AS fb0,
+            floor(quantile_cont(frequency, 0.4) * 10000 + 0.5) / 10000 AS fb1,
+            floor(quantile_cont(frequency, 0.6) * 10000 + 0.5) / 10000 AS fb2,
+            floor(quantile_cont(frequency, 0.8) * 10000 + 0.5) / 10000 AS fb3,
+            floor(quantile_cont(monetary, 0.2) * 10000 + 0.5) / 10000 AS mb0,
+            floor(quantile_cont(monetary, 0.4) * 10000 + 0.5) / 10000 AS mb1,
+            floor(quantile_cont(monetary, 0.6) * 10000 + 0.5) / 10000 AS mb2,
+            floor(quantile_cont(monetary, 0.8) * 10000 + 0.5) / 10000 AS mb3
+          FROM base
+        )
+        SELECT 6 - (1 + CASE WHEN recency > rb0 THEN 1 ELSE 0 END
+                      + CASE WHEN recency > rb1 THEN 1 ELSE 0 END
+                      + CASE WHEN recency > rb2 THEN 1 ELSE 0 END
+                      + CASE WHEN recency > rb3 THEN 1 ELSE 0 END)
+                 AS r_score,
+               1 + CASE WHEN frequency > fb0 THEN 1 ELSE 0 END
+                 + CASE WHEN frequency > fb1 THEN 1 ELSE 0 END
+                 + CASE WHEN frequency > fb2 THEN 1 ELSE 0 END
+                 + CASE WHEN frequency > fb3 THEN 1 ELSE 0 END AS f_score,
+               1 + CASE WHEN monetary > mb0 THEN 1 ELSE 0 END
+                 + CASE WHEN monetary > mb1 THEN 1 ELSE 0 END
+                 + CASE WHEN monetary > mb2 THEN 1 ELSE 0 END
+                 + CASE WHEN monetary > mb3 THEN 1 ELSE 0 END AS m_score,
+               count(*) AS n_customers
+        FROM base, b
+        GROUP BY r_score, f_score, m_score
+    """,
+    "q_token_dist_by_lang": """
+        SELECT lang, count(*) AS n_docs,
+               floor(quantile_cont(n_chars, 0.25) * 10000 + 0.5) / 10000 AS p25,
+               floor(quantile_cont(n_chars, 0.50) * 10000 + 0.5) / 10000 AS p50,
+               floor(quantile_cont(n_chars, 0.75) * 10000 + 0.5) / 10000 AS p75,
+               floor(quantile_cont(n_chars, 0.95) * 10000 + 0.5) / 10000 AS p95
+        FROM documents GROUP BY lang
+    """,
     "q_streaming_topk": """
         WITH m AS (SELECT max(ts) - INTERVAL 1 DAY AS wm FROM events),
         w AS (
