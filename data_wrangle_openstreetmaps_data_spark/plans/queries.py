@@ -4720,7 +4720,131 @@ def q_revenue_mom_growth(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dow_seasonality(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — day-of-week × event-type seasonality with row share: one
+    grouped count plus a broadcast grand total. Weekday comes from
+    date_format 'E' (locale-stable three-letter token, identical to
+    DuckDB's %a) — NOT dayofweek(), whose 1..7 anchor differs between
+    engines."""
+    ev = table(spark, sf, "events")
+    dow = F.date_format(catalog.event_ts(ev), "E")
+    cells = ev.groupBy(dow.alias("dow"), "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "dow",
+        "event_type",
+        "cnt",
+        text.round4(F.col("cnt") / F.col("n_total") * 100.0).alias("pct"),
+    )
+
+
+def q_revenue_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — revenue concentration by customer decile (the Pareto / 'top
+    10% of customers carry X%' audit) in the scale-safe shape: decile
+    boundaries as ONE broadcast 4dp-floored percentile row, assignment
+    by boundaries-exceeded count, then a 10-row share rollup against the
+    broadcast grand total — no ntile, no global sort."""
+    orders = table(spark, sf, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        _dec_sum(F.col("o_totalprice")).alias("monetary")
+    )
+    qs = [i / 10.0 for i in range(1, 10)]
+    bounds = base.agg(
+        *[
+            text.round4(F.percentile(F.col("monetary"), F.lit(q))).alias(
+                f"b{i}"
+            )
+            for i, q in enumerate(qs)
+        ]
+    )
+    decile = F.lit(1)
+    for i in range(9):
+        decile = decile + F.when(
+            F.col("monetary") > F.col(f"b{i}"), 1
+        ).otherwise(0)
+    total = base.agg(
+        F.sum(F.col("monetary").cast("decimal(24,6)"))
+        .cast("double")
+        .alias("grand")
+    )
+    return (
+        base.crossJoin(F.broadcast(bounds))
+        .select(decile.alias("decile"), "monetary")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("monetary").cast("decimal(24,6)"))
+            .cast("double")
+            .alias("rev"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_customers",
+            text.round4(F.col("rev")).alias("revenue"),
+            text.round4(F.col("rev") / F.col("grand") * 100.0).alias(
+                "rev_pct"
+            ),
+        )
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_dow_seasonality": """
+        WITH t AS (SELECT count(*) AS n_total FROM events)
+        SELECT strftime(ts, '%a') AS dow, event_type, count(*) AS cnt,
+               floor(CAST(count(*) AS DOUBLE) / n_total * 100.0
+                     * 10000 + 0.5) / 10000 AS pct
+        FROM events, t
+        GROUP BY dow, event_type, n_total
+    """,
+    "q_revenue_concentration": """
+        WITH base AS (
+          SELECT o_custkey,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE)
+                   AS monetary
+          FROM orders GROUP BY o_custkey
+        ),
+        b AS (
+          SELECT
+            floor(quantile_cont(monetary, 0.1) * 10000 + 0.5) / 10000 AS b0,
+            floor(quantile_cont(monetary, 0.2) * 10000 + 0.5) / 10000 AS b1,
+            floor(quantile_cont(monetary, 0.3) * 10000 + 0.5) / 10000 AS b2,
+            floor(quantile_cont(monetary, 0.4) * 10000 + 0.5) / 10000 AS b3,
+            floor(quantile_cont(monetary, 0.5) * 10000 + 0.5) / 10000 AS b4,
+            floor(quantile_cont(monetary, 0.6) * 10000 + 0.5) / 10000 AS b5,
+            floor(quantile_cont(monetary, 0.7) * 10000 + 0.5) / 10000 AS b6,
+            floor(quantile_cont(monetary, 0.8) * 10000 + 0.5) / 10000 AS b7,
+            floor(quantile_cont(monetary, 0.9) * 10000 + 0.5) / 10000 AS b8
+          FROM base
+        ),
+        t AS (
+          SELECT CAST(sum(CAST(monetary AS DECIMAL(24,6))) AS DOUBLE)
+            AS grand FROM base
+        ),
+        d AS (
+          SELECT 1 + CASE WHEN monetary > b0 THEN 1 ELSE 0 END
+                   + CASE WHEN monetary > b1 THEN 1 ELSE 0 END
+                   + CASE WHEN monetary > b2 THEN 1 ELSE 0 END
+                   + CASE WHEN monetary > b3 THEN 1 ELSE 0 END
+                   + CASE WHEN monetary > b4 THEN 1 ELSE 0 END
+                   + CASE WHEN monetary > b5 THEN 1 ELSE 0 END
+                   + CASE WHEN monetary > b6 THEN 1 ELSE 0 END
+                   + CASE WHEN monetary > b7 THEN 1 ELSE 0 END
+                   + CASE WHEN monetary > b8 THEN 1 ELSE 0 END AS decile,
+                 monetary
+          FROM base, b
+        )
+        SELECT decile, count(*) AS n_customers,
+               floor(CAST(sum(CAST(monetary AS DECIMAL(24,6))) AS DOUBLE)
+                     * 10000 + 0.5) / 10000 AS revenue,
+               floor(CAST(sum(CAST(monetary AS DECIMAL(24,6))) AS DOUBLE)
+                     / grand * 100.0 * 10000 + 0.5) / 10000 AS rev_pct
+        FROM d, t
+        GROUP BY decile, grand
+    """,
     "q_revenue_mom_growth": """
         WITH m AS (
           SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
