@@ -102,6 +102,16 @@ def compact_store(
             if f.endswith(".parquet")
         )
 
+    # a hive-partitioned store (key=value subdirs) would silently lose
+    # its physical partitioning in a flat rewrite — refuse, compaction of
+    # partitioned stores belongs per-partition
+    for root, dirs, _ in os.walk(path):
+        for d in dirs:
+            if "=" in d:
+                raise ValueError(
+                    f"store at {path} is hive-partitioned ({d}); "
+                    "compact each partition directory instead"
+                )
     before = _nfiles(path)
     df = spark.read.parquet(path)
     n = df.count()

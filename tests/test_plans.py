@@ -535,3 +535,31 @@ def test_dynamic_partition_pruning_fires_on_partitioned_store(spark, tmp_path):
     )
     plan = _executed_plan(j)
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_rfm_and_concentration_have_no_global_sort_on_customers(spark):
+    """q_customer_rfm / q_revenue_concentration: bucket assignment must
+    be the broadcast-boundaries comparison — no ntile, no row_number,
+    no rangepartitioning (global sort) over the per-customer frame."""
+    import re
+
+    for name in ("q_customer_rfm", "q_revenue_concentration"):
+        df = Q.REGISTRY[name].spark(spark, SF_SMALL)
+        plan = _executed_plan(df)
+        assert not re.search(r"(?<![a-zA-Z_])ntile\(", plan), name
+        assert "row_number" not in plan, name
+        assert "Exchange rangepartitioning" not in plan, name
+        assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, name
+
+
+def test_compact_store_refuses_partitioned_stores(spark, tmp_path):
+    from data_wrangle_openstreetmaps_data_spark.sources.json_sink import (
+        compact_store,
+    )
+
+    p = str(tmp_path / "pstore")
+    table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    ).write.partitionBy("o_orderstatus").parquet(p)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        compact_store(spark, p, target_rows_per_file=1000)
