@@ -4791,7 +4791,53 @@ def q_revenue_concentration(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dau_wau_stickiness(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — DAU / trailing-7-day WAU stickiness per day. DISTINCT over
+    a sliding window isn't supported, and the naive rewrite re-scans 7
+    days per day; the scale form is FAN-OUT + DEDUP: each (user, day)
+    membership row contributes the user to WAU(day..day+6) via one
+    generate, then one distinct and one count — linear in |user-days|×7
+    with no per-day rescans. Emitted only for days with actual activity
+    (inner join), stickiness = DAU/WAU."""
+    ev = table(spark, sf, "events")
+    day = F.to_date(catalog.event_ts(ev))
+    ud = ev.select("user_id", day.alias("d")).distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    fan = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("w"),
+    ).distinct()
+    wau = fan.groupBy("w").agg(F.count(F.lit(1)).alias("wau"))
+    return (
+        dau.join(wau, dau["d"] == wau["w"])
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            text.round4(F.col("dau") / F.col("wau")).alias("stickiness"),
+        )
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_dau_wau_stickiness": """
+        WITH ud AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ),
+        dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY d),
+        fan AS (
+          SELECT DISTINCT user_id,
+                 CAST(d + x * INTERVAL '1 day' AS DATE) AS w
+          FROM ud, (SELECT unnest(generate_series(0, 6)) AS x)
+        ),
+        wau AS (SELECT w, count(*) AS wau FROM fan GROUP BY w)
+        SELECT strftime(d, '%Y-%m-%d') AS day, dau, wau,
+               floor(CAST(dau AS DOUBLE) / wau * 10000 + 0.5) / 10000
+                 AS stickiness
+        FROM dau JOIN wau ON d = w
+    """,
     "q_dow_seasonality": """
         WITH t AS (SELECT count(*) AS n_total FROM events)
         SELECT strftime(ts, '%a') AS dow, event_type, count(*) AS cnt,
