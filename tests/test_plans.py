@@ -563,3 +563,14 @@ def test_compact_store_refuses_partitioned_stores(spark, tmp_path):
     ).write.partitionBy("o_orderstatus").parquet(p)
     with pytest.raises(ValueError, match="hive-partitioned"):
         compact_store(spark, p, target_rows_per_file=1000)
+
+
+def test_dau_wau_is_fanout_dedup_not_window(spark):
+    """q_dau_wau_stickiness must stay the fan-out + dedup rewrite: a
+    Generate feeding distinct aggregates, with NO window operator (the
+    sliding-distinct has no supported window form, and a per-day rescan
+    join would show up as a range join)."""
+    df = Q.REGISTRY["q_dau_wau_stickiness"].spark(spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "Generate explode" in plan, plan
+    assert "Window" not in plan, plan
