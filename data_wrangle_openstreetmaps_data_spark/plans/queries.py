@@ -3935,9 +3935,12 @@ def q_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = table(spark, sf, "events")
     ut = ev.select("event_type", "user_id").distinct()
+    # dedup the HASHES too (not just the users): a 60-bit collision
+    # between two users must contribute one min-k candidate, matching
+    # the oracle's SELECT DISTINCT and the kmv_merge/stream variants
     h = ut.select(
         "event_type", _kmv_hash(F.col("user_id")).alias("h")
-    )
+    ).distinct()
     kth = (
         bottom_k(h, ["event_type"], "h", _KMV_K)
         .groupBy("event_type")
@@ -4288,7 +4291,14 @@ def q_chi_square(spark: SparkSession, sf: str) -> DataFrame:
     )
     rows = cells.groupBy("seg").agg(F.sum("obs").alias("row_tot"))
     cols = cells.groupBy("event_type").agg(F.sum("obs").alias("col_tot"))
-    n = cells.agg(F.sum("obs").alias("n_tot"))
+    # dof derives from the observed contingency dimensions, not a
+    # hardcoded 7×5 — a testdata vintage with a different event-type
+    # count must report the right degrees of freedom
+    n = cells.agg(
+        F.sum("obs").alias("n_tot"),
+        F.countDistinct("seg").alias("n_seg"),
+        F.countDistinct("event_type").alias("n_et"),
+    )
     exp = (
         F.col("row_tot").cast("double")
         * F.col("col_tot")
@@ -4304,7 +4314,11 @@ def q_chi_square(spark: SparkSession, sf: str) -> DataFrame:
                 F.sum(term.cast("decimal(30,10)")).cast("double")
             ).alias("chi2"),
             F.count(F.lit(1)).alias("n_cells"),
-            F.lit(24).alias("dof"),
+            (
+                (F.min("n_seg") - F.lit(1)) * (F.min("n_et") - F.lit(1))
+            )
+            .cast("long")
+            .alias("dof"),
         )
     )
 
@@ -5245,13 +5259,16 @@ ORACLES: dict[str, str | None] = {
         ),
         r AS (SELECT seg, sum(obs) AS row_tot FROM cells GROUP BY seg),
         c AS (SELECT event_type, sum(obs) AS col_tot FROM cells GROUP BY event_type),
-        n AS (SELECT sum(obs) AS n_tot FROM cells)
+        n AS (SELECT sum(obs) AS n_tot,
+                     count(DISTINCT seg) AS n_seg,
+                     count(DISTINCT event_type) AS n_et
+              FROM cells)
         SELECT floor(CAST(sum(CAST(
                  pow(obs - CAST(row_tot AS DOUBLE) * col_tot / n_tot, 2)
                  / (CAST(row_tot AS DOUBLE) * col_tot / n_tot)
                AS DECIMAL(30,10))) AS DOUBLE) * 10000 + 0.5) / 10000 AS chi2,
                count(*) AS n_cells,
-               24 AS dof
+               CAST((min(n_seg) - 1) * (min(n_et) - 1) AS BIGINT) AS dof
         FROM cells
         JOIN r USING (seg)
         JOIN c USING (event_type), n

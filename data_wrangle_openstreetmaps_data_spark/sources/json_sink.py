@@ -83,13 +83,21 @@ def compact_store(
     target_rows_per_file: int = 1_000_000,
 ) -> dict[str, int]:
     """Small-files compaction: rewrite a (non-partitioned) parquet store
-    into ceil(rows / target) files and atomically swap directories —
-    the maintenance job that keeps scan task counts sane after many
+    into ceil(rows / target) files and swap directories — the
+    maintenance job that keeps scan task counts sane after many
     incremental appends (thousands of KB-sized files turn a 100 TB scan
     into a scheduler problem before an IO one). Returns before/after
     file counts. Content is preserved exactly; compaction only changes
     layout — callers needing ordered layout should Z-order/sort first
-    (see q_zorder_layout)."""
+    (see q_zorder_layout).
+
+    NOT atomic: the swap is two ``os.rename`` calls (local filesystems
+    have no directory-exchange primitive), so there is a window in
+    which ``path`` does not exist — readers must not run concurrently
+    with compaction. A crash between the renames strands the data in
+    ``<path>_precompact``; this function recovers such a leftover on
+    entry (rename back) before compacting, so re-running after a crash
+    is always safe."""
     import math
     import os
     import shutil
@@ -101,6 +109,16 @@ def compact_store(
             for f in files
             if f.endswith(".parquet")
         )
+
+    # crash recovery: a previous run that died between the two renames
+    # left the store under _precompact and no live path — restore it.
+    # A leftover _compacting dir is always a discardable partial write.
+    tmp = path.rstrip("/") + "_compacting"
+    old = path.rstrip("/") + "_precompact"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
 
     # a hive-partitioned store (key=value subdirs) would silently lose
     # its physical partitioning in a flat rewrite — refuse, compaction of
@@ -116,11 +134,7 @@ def compact_store(
     df = spark.read.parquet(path)
     n = df.count()
     n_out = max(1, math.ceil(n / target_rows_per_file))
-    tmp = path.rstrip("/") + "_compacting"
-    shutil.rmtree(tmp, ignore_errors=True)
     df.repartition(n_out).write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "_precompact"
-    shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
@@ -160,4 +174,14 @@ def read_json_robust(
     corrupt = df.filter(F.col(corrupt_col).isNotNull()).select(
         F.col(corrupt_col).alias("raw_line")
     )
+    # materialize the split off the cached parse, then RELEASE the
+    # cache: a catalog cache entry lives until an explicit unpersist,
+    # so repeated ingest calls would otherwise accumulate cached parses
+    # for the session lifetime. localCheckpoint blocks are owned by the
+    # returned frames (the ContextCleaner frees them when the frames
+    # are GC'd) and still satisfy the corrupt-column-only filter
+    # (execution reads the checkpoint, not the JSON source).
+    clean = clean.localCheckpoint(eager=True)
+    corrupt = corrupt.localCheckpoint(eager=True)
+    df.unpersist()
     return clean, corrupt

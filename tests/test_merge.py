@@ -100,3 +100,98 @@ def test_streaming_cdc_apply_versions_and_equivalence(spark, tmp_path):
         for r in merge_upsert(base, changes, "k").collect()
     }
     assert got == want
+
+
+def test_streaming_cdc_apply_retention_bounded(spark, tmp_path):
+    """A many-batch drain must keep at most keep_last_n+1 version dirs
+    on disk (retention prunes behind the current version) and still end
+    at exactly the batch merge_upsert result."""
+    import os
+
+    from data_wrangle_openstreetmaps_data_spark.operators.join import (
+        merge_upsert,
+    )
+    from data_wrangle_openstreetmaps_data_spark.streaming.cdc_apply import (
+        apply_cdc_stream,
+    )
+
+    base = spark.createDataFrame(
+        [(k, "old", float(k)) for k in range(64)], ["k", "status", "v"]
+    )
+    changes = spark.createDataFrame(
+        [(k, "new", k * 2.0) for k in range(0, 64, 2)],
+        ["k", "status", "v"],
+    )
+    work = str(tmp_path / "cdc_many")
+    stage = os.path.join(work, "changes")
+    changes.repartition(8).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    final_dir = apply_cdc_stream(
+        spark, stream, base, "k", work, keep_last_n=2
+    )
+    versions = sorted(
+        d
+        for d in os.listdir(work)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+    assert len(versions) <= 3, versions  # current + keep_last_n
+    assert os.path.basename(final_dir) in versions
+    got = {
+        (r["k"], r["status"], r["v"])
+        for r in spark.read.parquet(final_dir).collect()
+    }
+    want = {
+        (r["k"], r["status"], r["v"])
+        for r in merge_upsert(base, changes, "k").collect()
+    }
+    assert got == want
+
+
+def test_streaming_cdc_apply_workdir_reuse_resets(spark, tmp_path):
+    """Re-running a drain with the SAME work_dir must not resume the old
+    checkpoint against the freshly reset v0 (which silently skips every
+    already-seen batch): the second run's final state must equal the
+    batch merge again, not the untouched initial state."""
+    import os
+
+    from data_wrangle_openstreetmaps_data_spark.operators.join import (
+        merge_upsert,
+    )
+    from data_wrangle_openstreetmaps_data_spark.streaming.cdc_apply import (
+        apply_cdc_stream,
+    )
+
+    base = spark.createDataFrame(
+        [(k, "old", float(k)) for k in range(20)], ["k", "status", "v"]
+    )
+    changes = spark.createDataFrame(
+        [(k, "new", k * 10.0) for k in range(0, 20, 4)],
+        ["k", "status", "v"],
+    )
+    work = str(tmp_path / "cdc_reuse")
+    stage = os.path.join(work, "changes")
+    changes.repartition(2).write.mode("overwrite").parquet(stage)
+
+    def run():
+        stream = (
+            spark.readStream.schema(changes.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        return apply_cdc_stream(spark, stream, base, "k", work)
+
+    want = {
+        (r["k"], r["status"], r["v"])
+        for r in merge_upsert(base, changes, "k").collect()
+    }
+    for _ in range(2):  # second run reuses work_dir
+        final_dir = run()
+        got = {
+            (r["k"], r["status"], r["v"])
+            for r in spark.read.parquet(final_dir).collect()
+        }
+        assert got == want

@@ -465,6 +465,34 @@ def test_store_compaction_preserves_content(spark, tmp_path):
     assert not os.path.exists(p + "_precompact")
 
 
+def test_store_compaction_recovers_crashed_swap(spark, tmp_path):
+    """A crash between the two swap renames leaves the store stranded
+    under _precompact with no live path; re-running compact_store must
+    restore it and compact normally (the documented recovery path)."""
+    import os
+    import shutil
+
+    from data_wrangle_openstreetmaps_data_spark.sources.json_sink import (
+        compact_store,
+    )
+
+    p = str(tmp_path / "store2")
+    df = table(spark, SF_SMALL, "orders").select("o_orderkey")
+    df.repartition(8).write.parquet(p)
+    before = {tuple(r) for r in spark.read.parquet(p).collect()}
+    # simulate: first rename done, second never happened; plus a stale
+    # partial rewrite
+    os.rename(p, p + "_precompact")
+    os.makedirs(p + "_compacting")
+    stats = compact_store(spark, p, target_rows_per_file=10_000)
+    assert stats["files_before"] == 8
+    after = {tuple(r) for r in spark.read.parquet(p).collect()}
+    assert after == before
+    assert not os.path.exists(p + "_compacting")
+    assert not os.path.exists(p + "_precompact")
+    shutil.rmtree(p, ignore_errors=True)
+
+
 def test_store_schema_evolution_merges_footers(spark, tmp_path):
     """read_store_merged: files appended under a wider schema surface
     the new column; old files read NULL for it."""
