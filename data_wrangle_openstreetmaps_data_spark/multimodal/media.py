@@ -14,14 +14,26 @@ dominate storage. The rules that make this workable at scale:
   ``spark.sql.execution.arrow.maxRecordsPerBatch`` should be sized so
   batch_rows × avg_blob ≤ executor-memory headroom.
 
-Real decoders (PIL/ffmpeg/torchaudio) are not in this container — the
-kernel bodies are deterministic fakes registered in ``FAKE_DECODERS``;
-swapping in real codecs changes ONE function, none of the Spark plumbing.
+Decoders come in two tiers:
+
+- REAL stdlib codecs for genuine binary formats — 24-bit BMP parsed
+  with ``struct`` (magic, header offsets, bottom-up rows, 4-byte row
+  padding) and 16-bit PCM WAV parsed with the ``wave`` module — run
+  inside the same Arrow ``mapInPandas`` kernels (see
+  ``synthesize_media`` / ``decode_media_stats``). These are end-to-end
+  real: the bytes on the wire are valid files any image/audio tool
+  opens.
+- Deterministic fakes in ``FAKE_DECODERS`` for codecs genuinely absent
+  from this container (video/JPEG/MP3 need ffmpeg/PIL); swapping in a
+  real codec changes ONE function, none of the Spark plumbing.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -199,3 +211,208 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64,
             )
 
     return df.select("doc_id", "media").mapInPandas(kernel, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL stdlib codecs: 24-bit BMP (struct) and 16-bit PCM WAV (wave)
+# ---------------------------------------------------------------------------
+#
+# The encode side exists to build genuine binary fixtures executor-side
+# (no media files ship with the testdata); the decode side is a real
+# parser — it trusts nothing but the bytes: magic, header offsets,
+# bit depth, bottom-up row order and 4-byte row padding for BMP;
+# RIFF/fmt chunk walking via the wave module for WAV. Feature outputs
+# are exact integers (channel sums, amplitude extremes), so an oracle
+# can verify the full encode→decode round trip in closed form.
+
+
+def encode_bmp(width: int, height: int, base: int) -> bytes:
+    """Write a valid uncompressed 24-bit BMP (BITMAPINFOHEADER).
+
+    Pixel (x, y) in image coordinates (y=0 is the TOP row) has
+    channels b = base + x + y, g = 2*base + x, r = base + x*y — all
+    < 256 for the fixture ranges used here, so the values are
+    closed-form for the oracle. Rows are written bottom-up with
+    4-byte padding, as the format requires."""
+    stride = (3 * width + 3) // 4 * 4
+    pixel_bytes = stride * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + pixel_bytes, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, pixel_bytes,
+        2835, 2835, 0, 0,
+    )
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(width):
+            row += bytes(
+                (base + x + y, 2 * base + x, base + x * y)
+            )  # B, G, R
+        row += b"\x00" * (stride - 3 * width)
+        rows.append(bytes(row))
+    return header + b"".join(rows)
+
+
+def decode_bmp_stats(blob: bytes) -> tuple[int, int, int, int, int]:
+    """Parse a 24-bit BMP and return (width, height, sum_b, sum_g,
+    sum_r) over all pixels. Raises ValueError on anything that is not
+    an uncompressed 24-bit BMP — a decoder that silently mis-reads
+    padding or row order produces wrong sums, which is exactly what
+    the oracle catches."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP: bad magic")
+    (pixel_off,) = struct.unpack_from("<I", blob, 10)
+    hdr_size, width, height = struct.unpack_from("<Iii", blob, 14)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported DIB header size {hdr_size}")
+    planes, bpp, compression = struct.unpack_from("<HHI", blob, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP bpp={bpp} compression={compression}")
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (3 * width + 3) // 4 * 4
+    sb = sg = sr = 0
+    for row_i in range(height):
+        src_row = (height - 1 - row_i) if bottom_up else row_i
+        off = pixel_off + src_row * stride
+        for x in range(width):
+            b, g, r = blob[off + 3 * x: off + 3 * x + 3]
+            sb += b
+            sg += g
+            sr += r
+    return width, height, sb, sg, sr
+
+
+def encode_wav(n_samples: int, base: int, rate: int = 8000) -> bytes:
+    """Write a valid 16-bit PCM mono WAV via the stdlib wave module.
+
+    Sample i = base - 500 + 13*i (signed 16-bit, closed-form for the
+    oracle: sum = n*(base-500) + 13*n*(n-1)/2)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(
+            struct.pack(
+                f"<{n_samples}h",
+                *[base - 500 + 13 * i for i in range(n_samples)],
+            )
+        )
+    return buf.getvalue()
+
+
+def decode_wav_stats(blob: bytes) -> tuple[int, int, int, int, int]:
+    """Parse a PCM WAV and return (n_samples, sample_rate, sum_amp,
+    min_amp, max_amp) over all samples of channel 0."""
+    with wave.open(io.BytesIO(blob), "rb") as w:
+        n_ch, sampwidth, rate, n_frames = (
+            w.getnchannels(), w.getsampwidth(), w.getframerate(),
+            w.getnframes(),
+        )
+        if sampwidth != 2:
+            raise ValueError(f"unsupported WAV sample width {sampwidth}")
+        raw = w.readframes(n_frames)
+    samples = struct.unpack(f"<{n_frames * n_ch}h", raw)[::n_ch]
+    return (
+        n_frames, rate, sum(samples), min(samples), max(samples)
+    )
+
+
+MEDIA_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("dim1", T.LongType()),   # width | n_samples
+        T.StructField("dim2", T.LongType()),   # height | sample_rate
+        T.StructField("stat1", T.LongType()),  # sum_b  | sum_amp
+        T.StructField("stat2", T.LongType()),  # sum_g  | min_amp
+        T.StructField("stat3", T.LongType()),  # sum_r  | max_amp
+    ]
+)
+
+SYNTH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("media", T.BinaryType()),
+    ]
+)
+
+
+def _synth_params(doc_id: int, fmt: str) -> tuple[int, ...]:
+    """Fixture geometry, shared by encoder and oracle: varies width
+    mod 4-byte row padding (BMP) and sample count (WAV) per doc."""
+    if fmt == "bmp":
+        return 4 + doc_id % 5, 3 + doc_id % 4, doc_id % 100
+    if fmt == "wav":
+        return 16 + doc_id % 17, doc_id % 1000
+    raise NotImplementedError(
+        f"no synthesizer for format {fmt!r}; real video/JPEG codecs "
+        "are not in this container (see module docstring)"
+    )
+
+
+def synthesize_media(df: DataFrame, fmt: str,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Build a real binary media column executor-side: one Arrow batch
+    in, one batch of genuine BMP/WAV files out. This is the fixture
+    path for an environment with no media files — at 100 TB the blobs
+    arrive from object storage instead and this stage disappears."""
+    _synth_params(0, fmt)  # fail fast on unsupported format
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            if fmt == "bmp":
+                blobs = [
+                    encode_bmp(*_synth_params(int(i), "bmp")) for i in ids
+                ]
+            else:
+                blobs = [
+                    encode_wav(*_synth_params(int(i), "wav")) for i in ids
+                ]
+            yield pd.DataFrame(
+                {"doc_id": ids, "fmt": fmt, "media": blobs}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(kernel, SYNTH_SCHEMA)
+
+
+def decode_media_stats(df: DataFrame) -> DataFrame:
+    """REAL decode over the binary column: parse each blob with the
+    stdlib codec for its format and emit exact integer stats. Arrow
+    batches via mapInPandas — blob bytes cross the boundary once, and
+    the stats frame that comes back is blob-free (metadata-sized), so
+    everything downstream is cheap."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, fmt, blob in zip(
+                pdf["doc_id"], pdf["fmt"], pdf["media"]
+            ):
+                b = bytes(blob)
+                if fmt == "bmp":
+                    w, h, sb, sg, sr = decode_bmp_stats(b)
+                    rows.append((doc_id, fmt, len(b), w, h, sb, sg, sr))
+                elif fmt == "wav":
+                    n, rate, s, lo, hi = decode_wav_stats(b)
+                    rows.append((doc_id, fmt, len(b), n, rate, s, lo, hi))
+                else:
+                    raise NotImplementedError(
+                        f"no real decoder for format {fmt!r}"
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "fmt", "n_bytes", "dim1", "dim2",
+                    "stat1", "stat2", "stat3",
+                ],
+            )
+
+    return df.select("doc_id", "fmt", "media").mapInPandas(
+        kernel, MEDIA_STATS_SCHEMA
+    )

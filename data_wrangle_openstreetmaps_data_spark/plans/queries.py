@@ -3012,6 +3012,50 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_media_decode_bmp(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-M — REAL image decode: genuine 24-bit BMP files are built
+    executor-side (one per document, geometry varying so the 4-byte row
+    padding differs per doc), then parsed back with the stdlib struct
+    codec (magic, header offsets, bottom-up rows) inside an Arrow
+    mapInPandas kernel. Output is exact integer channel sums, which the
+    oracle computes in CLOSED FORM from the fixture geometry — a decoder
+    that mis-reads stride, padding, or row order cannot hash-match."""
+    from data_wrangle_openstreetmaps_data_spark.multimodal import media
+
+    docs = table(spark, sf, "documents").select("doc_id")
+    stats = media.decode_media_stats(media.synthesize_media(docs, "bmp"))
+    return stats.select(
+        "doc_id",
+        "n_bytes",
+        F.col("dim1").alias("width"),
+        F.col("dim2").alias("height"),
+        F.col("stat1").alias("sum_b"),
+        F.col("stat2").alias("sum_g"),
+        F.col("stat3").alias("sum_r"),
+    )
+
+
+def q_media_decode_wav(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-M — REAL audio decode: genuine 16-bit PCM WAV files built
+    executor-side (stdlib wave writer, per-doc sample counts), parsed
+    back with the stdlib wave reader in the same Arrow kernel. Exact
+    integer amplitude stats; oracle in closed form (arithmetic series)
+    from the fixture parameters."""
+    from data_wrangle_openstreetmaps_data_spark.multimodal import media
+
+    docs = table(spark, sf, "documents").select("doc_id")
+    stats = media.decode_media_stats(media.synthesize_media(docs, "wav"))
+    return stats.select(
+        "doc_id",
+        "n_bytes",
+        F.col("dim1").alias("n_samples"),
+        F.col("dim2").alias("sample_rate"),
+        F.col("stat1").alias("sum_amp"),
+        F.col("stat2").alias("min_amp"),
+        F.col("stat3").alias("max_amp"),
+    )
+
+
 def q_streaming_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming — watermarked event-time windowed counts over a file-source
     stream of the events table, drained with availableNow — which is
@@ -6971,6 +7015,47 @@ ORACLES: dict[str, str | None] = {
                    for i in range(8)
                )}
         FROM documents
+    """,
+    # closed-form expectations for the real BMP codec round trip: the
+    # fixture writes pixel (x,y) as b=base+x+y, g=2*base+x, r=base+x*y
+    # over a w×h image, so channel sums are arithmetic series and
+    # n_bytes = 54-byte headers + padded-stride rows
+    "q_media_decode_bmp": """
+        WITH p AS (
+          SELECT doc_id,
+                 4 + doc_id % 5 AS w,
+                 3 + doc_id % 4 AS h,
+                 doc_id % 100 AS base
+          FROM documents
+        )
+        SELECT doc_id,
+               54 + ((3 * w + 3) // 4) * 4 * h AS n_bytes,
+               w AS width,
+               h AS height,
+               w * h * base + h * (w * (w - 1) // 2)
+                 + w * (h * (h - 1) // 2) AS sum_b,
+               2 * w * h * base + h * (w * (w - 1) // 2) AS sum_g,
+               w * h * base
+                 + (w * (w - 1) // 2) * (h * (h - 1) // 2) AS sum_r
+        FROM p
+    """,
+    # real WAV codec round trip: sample i = (doc_id%1000) - 500 + 13*i,
+    # n = 16 + doc_id%17 samples; 44-byte canonical RIFF header + 2n
+    "q_media_decode_wav": """
+        WITH p AS (
+          SELECT doc_id,
+                 16 + doc_id % 17 AS n,
+                 doc_id % 1000 - 500 AS s0
+          FROM documents
+        )
+        SELECT doc_id,
+               44 + 2 * n AS n_bytes,
+               n AS n_samples,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               n * s0 + 13 * n * (n - 1) // 2 AS sum_amp,
+               s0 AS min_amp,
+               s0 + 13 * (n - 1) AS max_amp
+        FROM p
     """,
     # availableNow drain is deterministic: emitted windows are exactly the
     # ones closed by the final watermark (we <= max(ts) - 1 day)

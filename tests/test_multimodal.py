@@ -5,6 +5,7 @@ from __future__ import annotations
 import hashlib
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_wrangle_openstreetmaps_data_spark.catalog import table
 from data_wrangle_openstreetmaps_data_spark.multimodal import media
@@ -72,3 +73,82 @@ def test_frame_sample_expansion(spark):
         assert 1 <= len(rows) <= 3
         assert [r["frame_idx"] for r in sorted(rows, key=lambda x: x["frame_idx"])] == list(range(len(rows)))
         assert all(len(bytes(r["frame"])) <= 32 for r in rows)
+
+
+# --------------------------------------------------------------------------
+# Real stdlib codecs (BMP via struct, WAV via wave)
+# --------------------------------------------------------------------------
+
+
+def test_bmp_round_trip_brute_force():
+    """decode_bmp_stats must equal a brute-force pixel walk for
+    geometries covering every row-padding residue (3*w mod 4)."""
+    for w in (4, 5, 6, 7, 8):
+        for h in (3, 4, 5):
+            base = (w * h) % 100
+            blob = media.encode_bmp(w, h, base)
+            gw, gh, sb, sg, sr = media.decode_bmp_stats(blob)
+            eb = sum(base + x + y for x in range(w) for y in range(h))
+            eg = sum(2 * base + x for x in range(w) for y in range(h))
+            er = sum(base + x * y for x in range(w) for y in range(h))
+            assert (gw, gh, sb, sg, sr) == (w, h, eb, eg, er)
+
+
+def test_bmp_decoder_rejects_non_bmp():
+    import pytest
+
+    with pytest.raises(ValueError, match="magic"):
+        media.decode_bmp_stats(b"PNG\x00" + b"\x00" * 60)
+    # valid magic but 8-bit depth must be refused, not mis-summed
+    blob = bytearray(media.encode_bmp(4, 3, 10))
+    blob[28] = 8
+    with pytest.raises(ValueError, match="bpp"):
+        media.decode_bmp_stats(bytes(blob))
+
+
+def test_wav_round_trip():
+    import struct as _struct
+    import wave as _wave
+    import io as _io
+
+    blob = media.encode_wav(23, 700, rate=16000)
+    n, rate, s, lo, hi = media.decode_wav_stats(blob)
+    assert (n, rate) == (23, 16000)
+    want = [700 - 500 + 13 * i for i in range(23)]
+    assert (s, lo, hi) == (sum(want), min(want), max(want))
+    # the bytes are a genuine WAV any reader opens
+    with _wave.open(_io.BytesIO(blob), "rb") as w:
+        assert w.getnchannels() == 1 and w.getsampwidth() == 2
+        raw = w.readframes(23)
+    assert list(_struct.unpack("<23h", raw)) == want
+
+
+def test_synthesize_decode_media_stats_distributed(spark):
+    """The full executor-side path: synthesize real BMPs and WAVs over
+    a 2-partition frame, decode with the real codecs, check a known
+    doc's stats exactly."""
+    docs = spark.range(0, 40).select(
+        F.col("id").alias("doc_id")
+    ).repartition(2)
+    got = {
+        (r["doc_id"], r["fmt"]): r
+        for fmt in ("bmp", "wav")
+        for r in media.decode_media_stats(
+            media.synthesize_media(docs, fmt)
+        ).collect()
+    }
+    assert len(got) == 80
+    r = got[(7, "bmp")]
+    assert (r["dim1"], r["dim2"]) == (6, 6)
+    assert (r["stat1"], r["stat2"], r["stat3"]) == (432, 594, 477)
+    r = got[(7, "wav")]
+    assert (r["dim1"], r["dim2"]) == (23, 8000)
+    assert (r["stat1"], r["stat2"], r["stat3"]) == (-8050, -493, -207)
+
+
+def test_synthesize_media_unknown_format_fails_fast(spark):
+    import pytest
+
+    docs = spark.range(3).select(F.col("id").alias("doc_id"))
+    with pytest.raises(NotImplementedError, match="mp4"):
+        media.synthesize_media(docs, "mp4")
