@@ -49,17 +49,29 @@ def event_ts_us(df: DataFrame, col: str = "ts"):
     event-time code goes through this normalizer so a format flip cannot
     silently mis-scale time units again.
 
-    - ``bigint``  → raw nanos-as-long: EXACT integer div to µs (decimal,
-      not double — a double widen has ulp ≈ 256 ns at ~1.7e18 and can land
-      on the wrong microsecond vs DuckDB's integer ``epoch_us``).
-    - ``timestamp`` / ``timestamp_ntz`` → ``unix_micros`` (NTZ wall clock
-      interpreted as UTC; session TZ is pinned UTC in ``table()``)."""
+    - ``bigint`` → epoch integer in ONE of nanos / micros / millis /
+      seconds, disambiguated by magnitude: the four units are ≥3 decimal
+      orders apart for any date after 1973 (nanos ~1e18, micros ~1e15,
+      millis ~1e12, seconds ~1e9), so the per-row CASE is unambiguous
+      for every plausible vintage and stays inside codegen. The nanos
+      arm uses EXACT decimal integer division to µs (a double widen has
+      ulp ≈ 256 ns at ~1.7e18 and can land on the wrong microsecond vs
+      DuckDB's integer ``epoch_us``).
+    - ``timestamp`` (incl. TIMESTAMP_LTZ) / ``timestamp_ntz`` →
+      ``unix_micros`` (NTZ wall clock interpreted as UTC; session TZ is
+      pinned UTC in ``table()``)."""
     from pyspark.sql import functions as F
 
     dt = dict(df.dtypes)[col]
     c = F.col(col)
     if dt == "bigint":
-        return (c.cast("decimal(38,0)") / F.lit(1000)).cast("long")
+        nanos = (c.cast("decimal(38,0)") / F.lit(1000)).cast("long")
+        return (
+            F.when(c >= F.lit(10**17), nanos)
+            .when(c >= F.lit(10**14), c)
+            .when(c >= F.lit(10**11), c * F.lit(1000))
+            .otherwise(c * F.lit(1_000_000))
+        )
     return F.unix_micros(c.cast("timestamp"))
 
 
