@@ -245,6 +245,34 @@ def _shingle_hashes(
     return sh
 
 
+def band_rows(sigs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """LSH candidate-generation key frame: (id, band, band_sig) — one
+    8-byte key per band per doc, the ONLY payload that rides the band
+    shuffle. Factored out of :func:`dedup_minhash_lsh` so scale probes
+    can measure the candidate-pair volume (Σ C(bucket,2)) the banding
+    actually produces without re-deriving the construction."""
+    rows_per_band = n_hashes // bands
+    return sigs.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[b * rows_per_band + i].cast("string")
+                                for i in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_sig"),
+    )
+
+
 def dedup_minhash_lsh(
     df: DataFrame,
     text_col: str = "text",
@@ -284,26 +312,7 @@ def dedup_minhash_lsh(
     if caches is not None:
         caches.extend([sh, sigs])
 
-    # Band rows carry (id, band, band_sig) ONLY — one 8-byte key per band.
-    banded = sigs.select(
-        "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.hash(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("sig")[b * rows_per_band + i].cast("string")
-                                for i in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_sig"),
-    )
+    banded = band_rows(sigs, n_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

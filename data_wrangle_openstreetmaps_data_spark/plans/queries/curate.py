@@ -1,0 +1,393 @@
+"""Training-data curation: gopher quality, PII, decontamination, sampling, packing.
+
+Registry family module — split from the single-file registry; each
+family defines its ``q_*`` callables plus the matching ``ORACLES``
+entries, aggregated in ``__init__``."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_wrangle_openstreetmaps_data_spark import catalog
+from data_wrangle_openstreetmaps_data_spark.catalog import table
+from data_wrangle_openstreetmaps_data_spark.functions import cleaning, text
+from data_wrangle_openstreetmaps_data_spark.operators import (
+    audit,
+    curation,
+    dedup,
+    join as join_ops,
+    sample,
+    similarity,
+    topk,
+)
+
+from data_wrangle_openstreetmaps_data_spark.plans.queries._shared import *  # noqa: F401,F403
+
+
+
+def q_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-Q — Gopher/MassiveText-style per-document quality signals
+    (token count, mean word length, symbol-word / stopword fractions,
+    top-token share, duplicate-token fraction) as two chained hash
+    aggregations keyed by doc id. Oracle replicates tokenization,
+    the symbol regex, and both aggregation levels."""
+    return curation.gopher_quality_stats(table(spark, sf, "documents"))
+
+
+def q_repetition_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-Q — duplicate-bigram fraction and top-bigram share per
+    document (the Gopher repetition filter's n-gram signal), built on the
+    codegen shingle table. Short docs contribute their whole token string
+    as one shingle (shingle_table contract, mirrored in the oracle)."""
+    return curation.repeated_ngram_stats(table(spark, sf, "documents"), k=2)
+
+
+def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-P — PII redaction (emails, IPv4s, phone numbers) with per-kind
+    match counts. The corpus is synthetic word soup with no PII, so a
+    deterministic planted suffix (every 3rd doc gets an email + phone +
+    IP derived from its id) makes the check non-vacuous: both engines
+    must find and redact exactly the planted strings, in the same
+    email→IP→phone order. RE2-safe patterns = identical semantics in
+    Java regex and DuckDB."""
+    docs = table(spark, sf, "documents")
+    planted = docs.withColumn(
+        "t",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-867-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" at 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return curation.pii_scrub(planted, text_col="t", out_col="scrubbed").select(
+        "doc_id",
+        "n_email",
+        "n_ip",
+        "n_phone",
+        F.md5("scrubbed").alias("scrub_hash"),
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-P — benchmark decontamination: 5-gram overlap between the
+    training split and a held-out "benchmark" split (doc_id % 29 == 0
+    stands in for an eval set), emitting (train_id, bench_id, n_shared
+    distinct shingles). Inverted-index join on hashed shingles with the
+    bench side broadcast — the contamination check shape that survives a
+    100 TB train corpus."""
+    docs = table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 29 == 0)
+    train = docs.filter(F.col("doc_id") % 29 != 0)
+    return curation.decontaminate_overlap(train, bench, k=5, min_shared=1)
+
+
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-S — deterministic per-language Bernoulli sampling (en 50%,
+    fr 25%, zh 10%, rest kept): keep iff portable md5 hash of the id
+    lands under the stratum's rate. No shuffle — a filter riding the
+    scan; the oracle replicates the hash arithmetic literally."""
+    sampled = curation.stratified_sample(
+        table(spark, sf, "documents"),
+        rates={"en": 0.5, "fr": 0.25, "zh": 0.1},
+        strata_col="lang",
+    )
+    return sampled.select("doc_id", "lang")
+
+
+def q_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-S — temperature-scaled domain-mixture weights (w_s ∝
+    tokens_s^0.7, normalized): the per-source sampling distribution used
+    to mix pretraining sources. One agg to per-source token totals plus a
+    scalar normalization."""
+    docs = table(spark, sf, "documents")
+    with_tok = docs.select("source", text.token_count("text").alias("n_tok"))
+    return curation.mixture_weights(
+        with_tok, source_col="source", weight_col="n_tok", alpha=0.7
+    )
+
+
+def q_seq_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-S — concat-and-chunk sequence packing at ctx_len=512: global
+    token-stream offsets per document (prefix sum over id order), the
+    pack window holding the doc's first token, and whether it crosses a
+    window boundary. The prefix sum is a range-partitioned sort +
+    running sum — the standard scalable global-window shape."""
+    return curation.pack_sequences(table(spark, sf, "documents"), ctx_len=512)
+
+
+def q_sample_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-S — exact-n stratified sample (20 docs per language) by
+    portable-hash ranking inside each stratum: fixed-size, reproducible
+    across engines and cluster sizes, replicated literally in the
+    oracle's window."""
+    return sample.sample_per_group(
+        table(spark, sf, "documents").select("doc_id", "lang"),
+        n=20, strata_col="lang", id_col="doc_id",
+    )
+
+
+def q_token_budget_select(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-S — data selection under a token budget: quality-ranked
+    greedy prefix whose cumulative token count fits 5000 tokens. Ranking
+    uses the ROUNDED quality score (deterministic cross-engine ordering)
+    with id tiebreak; the oracle re-derives the same running sum."""
+    docs = table(spark, sf, "documents")
+    return curation.token_budget_select(
+        docs, budget=5000, quality_col=text.quality_score("text")
+    )
+
+
+def q_quantile_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-Q — per-language quality-quantile cut: drop each language's
+    bottom quartile by percent_rank over (quality, id). Quota-style
+    filtering a global threshold cannot express when strata have
+    different score distributions."""
+    return curation.quantile_filter(
+        table(spark, sf, "documents"),
+        quality_col=text.quality_score("text"),
+        min_quantile=0.25,
+        strata_col="lang",
+    )
+
+
+def q_curation_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — the incremental curation ORCHESTRATION (datapipe.ingest_batch)
+    run for real over two batches with on-disk parquet state: batch 1
+    (doc_id%10<8) seeds the corpus state, batch 2 (doc_id%10>=8) is then
+    exact-deduped against the state fingerprints AND near-dup-dropped
+    against the state docs (recall-1.0 MinHash join). The oracle states
+    the composed one-shot semantics of the same two steps."""
+    import os
+    import shutil
+    import uuid
+
+    from data_wrangle_openstreetmaps_data_spark.plans.datapipe import (
+        ingest_batch,
+    )
+
+    docs = table(spark, sf, "documents").select("doc_id", "text")
+    state = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)
+        ))),
+        ".tmp", f"incr_{uuid.uuid4().hex[:8]}",
+    )
+    a1 = ingest_batch(spark, docs.filter(F.col("doc_id") % 10 < 8), state)
+    a2 = ingest_batch(spark, docs.filter(F.col("doc_id") % 10 >= 8), state)
+    # accepted frames are localCheckpointed — the state files can go
+    shutil.rmtree(state, ignore_errors=True)
+    return (
+        a1.select(F.lit(1).alias("batch_no"), "doc_id", "fp")
+        .unionByName(a2.select(F.lit(2).alias("batch_no"), "doc_id", "fp"))
+        .orderBy("batch_no", "doc_id")
+    )
+
+
+def q_curation_pipeline_v2(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — the round-3 data-release pipeline END TO END (benchmark
+    split-off → PII scrub → repetition cut → per-language quality
+    quantile → exact dedup → k-gram decontamination → id/lang/quality/
+    fingerprint), value-checked against ONE composed DuckDB statement —
+    the whole pipeline's semantics, not just its stages."""
+    from data_wrangle_openstreetmaps_data_spark.plans.datapipe import curate_v2
+
+    res = curate_v2(
+        table(spark, sf, "documents"), collect_stats=False
+    )
+    return res.curated
+
+
+def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — the full training-data curation pipeline (lang filter →
+    quality gate → exact dedup → near-dup clustering → fingerprint),
+    oracle-checked end-to-end: every stage is deterministic and the
+    minhash banding (16 hashes / 8 bands) has recall 1.0 on this corpus,
+    so the whole pipeline is replicated as one composed DuckDB query."""
+    from data_wrangle_openstreetmaps_data_spark.plans.datapipe import curate
+
+    res = curate(
+        table(spark, sf, "documents"),
+        near_dup_threshold=0.5,
+        collect_stats=False,  # the gate discards stats — skip 6 count() jobs
+    )
+    return res.curated.select("doc_id", "pred", "quality", "fp").orderBy(
+        "doc_id"
+    )
+
+
+def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — quality-weighted (importance) sampling: each document kept
+    with probability equal to its quality score, decided by the portable
+    md5 id-hash against an integer threshold — deterministic across runs,
+    engines and cluster sizes, reproducible for ablations. Pure filter on
+    the scan, zero shuffle — the only acceptable cost for a 100 TB
+    downsampling pass."""
+    from data_wrangle_openstreetmaps_data_spark.operators.dedup import (
+        portable_token_hash,
+    )
+
+    docs = table(spark, sf, "documents")
+    q = text.quality_score("text")  # round4-ed → integer threshold exact
+    thr = F.floor(q * 10000 + F.lit(0.5))
+    bucket = F.pmod(
+        portable_token_hash(F.col("doc_id").cast("string")), F.lit(10000)
+    )
+    return docs.filter(bucket < thr).select("doc_id", "lang", q.alias("quality"))
+
+
+def q_dataset_split(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — deterministic train/val/test split: each document lands in a
+    split by its portable 60-bit md5 id-hash mod 10 (8/1/1) — stable
+    across runs, engines, and cluster sizes (no rand(), no global order),
+    the canonical release-split op. Output: per-(split, lang) counts and
+    mean doc length — the split-balance audit."""
+    from data_wrangle_openstreetmaps_data_spark.operators.dedup import (
+        portable_token_hash,
+    )
+
+    docs = table(spark, sf, "documents")
+    bucket = F.pmod(
+        portable_token_hash(F.col("doc_id").cast("string")), F.lit(10)
+    )
+    split = (
+        F.when(bucket <= 7, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            text.round4(F.avg("n_chars")).alias("avg_chars"),
+        )
+    )
+
+
+ORACLES: dict[str, str | None] = {
+    # curation battery: every approximate/heuristic step replicated
+    # literally (tokenization, regexes, hash arithmetic, window frames)
+    "q_gopher_quality": _gopher_quality_sql(),
+    "q_repetition_ngrams": _repetition_ngrams_sql(2),
+    "q_pii_scrub": _pii_scrub_sql(),
+    "q_decontaminate": _decontaminate_sql(5, 1, 29),
+    "q_stratified_sample": _STRATIFIED_SAMPLE_SQL,
+    "q_domain_mix": _DOMAIN_MIX_SQL,
+    "q_seq_packing": _SEQ_PACKING_SQL,
+    "q_sample_per_group": _SAMPLE_PER_GROUP_SQL,
+    "q_token_budget_select": _token_budget_sql(5000),
+    "q_quantile_filter": _quantile_filter_sql(0.25),
+    # composed one-shot semantics of two sequential ingest_batch calls:
+    # batch1 = exact min-id reps; batch2 = min-id reps whose fp is unseen
+    # AND with no trigram-Jaccard >= 0.5 match against a batch1-accepted
+    # doc (the recall-1.0 MinHash-join contract, as q_dedup_minhash_join)
+    "q_curation_incremental": rf"""
+        WITH fps AS (
+          SELECT doc_id, substr(md5({_NORM_TEXT_SQL}), 1, 16) AS fp
+          FROM documents
+        ),
+        b1_acc AS (
+          SELECT fp, min(doc_id) AS doc_id FROM fps
+          WHERE doc_id % 10 < 8 GROUP BY fp
+        ),
+        b2_reps AS (
+          SELECT fp, min(doc_id) AS doc_id FROM fps
+          WHERE doc_id % 10 >= 8 GROUP BY fp
+        ),
+        b2_novel AS (
+          SELECT r.doc_id, r.fp FROM b2_reps r
+          LEFT JOIN b1_acc s ON r.fp = s.fp WHERE s.fp IS NULL
+        ),
+        toked AS (
+          SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+        ),
+        shingled AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 3 THEN
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> array_to_string(toks[i:i+2], ' ')))
+                 ELSE [array_to_string(toks, ' ')] END AS sh
+          FROM toked
+        ),
+        exploded AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+        sizes AS (SELECT doc_id, count(*) AS n FROM exploded GROUP BY doc_id),
+        cand AS (
+          SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                 count(*) AS common
+          FROM exploded a JOIN exploded b ON a.s = b.s
+          WHERE a.doc_id IN (SELECT doc_id FROM b2_novel)
+            AND b.doc_id IN (SELECT doc_id FROM b1_acc)
+          GROUP BY 1, 2
+        ),
+        contaminated AS (
+          SELECT DISTINCT left_id FROM cand
+          JOIN sizes sa ON sa.doc_id = left_id
+          JOIN sizes sb ON sb.doc_id = right_id
+          WHERE floor(common / (sa.n + sb.n - common) * 10000 + 0.5) / 10000
+                >= 0.5
+        )
+        SELECT 1 AS batch_no, doc_id, fp FROM b1_acc
+        UNION ALL
+        SELECT 2 AS batch_no, doc_id, fp FROM b2_novel
+        WHERE doc_id NOT IN (SELECT left_id FROM contaminated)
+        ORDER BY batch_no, doc_id
+    """,
+    "q_curation_pipeline_v2": _curation_v2_sql(0.65, 0.25, 5, 29),
+    "q_curation_pipeline": _CURATION_SQL,
+    "q_weighted_sample": rf"""
+        WITH base AS (
+          SELECT doc_id, lang, text, {_TOKENS_SQL} AS toks,
+                 CASE WHEN length(text) > 0 THEN
+                   length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                     / length(text)
+                 ELSE 0.0 END AS punct_ratio
+          FROM documents
+        ),
+        stats AS (
+          SELECT doc_id, lang, len(toks) AS n_tokens, punct_ratio,
+                 CASE WHEN len(toks) > 0 THEN
+                   len(list_filter(toks, t -> t IN ({', '.join(f"'{w}'" for w in text.STOPWORDS_EN)})))
+                     / len(toks)
+                 ELSE 0.0 END AS stop_ratio
+          FROM base
+        ),
+        scored AS (
+          SELECT doc_id, lang,
+                 floor((least(n_tokens / 50.0, 1.0) * 0.4
+                       + (1.0 - least(punct_ratio * 5, 1.0)) * 0.3
+                       + least(stop_ratio * 4, 1.0) * 0.3)
+                       * 10000 + 0.5) / 10000 AS quality
+          FROM stats
+        )
+        SELECT doc_id, lang, quality FROM scored
+        WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 10000) < floor(quality * 10000 + 0.5)
+    """,
+    "q_dataset_split": """
+        WITH b AS (
+          SELECT lang, n_chars,
+                 (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  ::BIGINT % 10) AS bucket
+          FROM documents
+        )
+        SELECT CASE WHEN bucket <= 7 THEN 'train'
+                    WHEN bucket = 8 THEN 'val'
+                    ELSE 'test' END AS split,
+               lang,
+               count(*) AS n_docs,
+               floor(avg(n_chars) * 10000 + 0.5) / 10000 AS avg_chars
+        FROM b GROUP BY 1, 2
+    """,
+}

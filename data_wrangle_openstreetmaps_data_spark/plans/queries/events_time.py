@@ -1,0 +1,735 @@
+"""Event-time analytics: sessionization, funnels, cohorts, outliers, DAU/WAU.
+
+Registry family module — split from the single-file registry; each
+family defines its ``q_*`` callables plus the matching ``ORACLES``
+entries, aggregated in ``__init__``."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_wrangle_openstreetmaps_data_spark import catalog
+from data_wrangle_openstreetmaps_data_spark.catalog import table
+from data_wrangle_openstreetmaps_data_spark.functions import cleaning, text
+from data_wrangle_openstreetmaps_data_spark.operators import (
+    audit,
+    curation,
+    dedup,
+    join as join_ops,
+    sample,
+    similarity,
+    topk,
+)
+
+from data_wrangle_openstreetmaps_data_spark.plans.queries._shared import *  # noqa: F401,F403
+
+
+
+def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — next-event transition matrix (the Markov/path-mining shape):
+    per user, each event paired with its successor by a lead() over
+    (event-time, id), then (src,dst) pair counts and per-src transition
+    probabilities. One user-keyed shuffle for the window; the matrix
+    aggregate is |types|² rows."""
+    from pyspark.sql import Window
+
+    df = table(spark, sf, "events")
+    df = df.withColumn("tsn", catalog.event_ts_us(df))
+    w = Window.partitionBy("user_id").orderBy("tsn", "event_id")
+    pairs = df.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    cnt = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
+    wsrc = Window.partitionBy("src")
+    return cnt.select(
+        "src",
+        "dst",
+        "cnt",
+        text.round4(F.col("cnt") / F.sum("cnt").over(wsrc)).alias("prob"),
+    )
+
+
+def q_time_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — event-time bucketing (reference has no date/time functions):
+    daily event counts from the ts column (type-adaptive via event_ts)."""
+    df = table(spark, sf, "events")
+    day = F.date_format(
+        F.date_trunc("day", catalog.event_ts(df)), "yyyy-MM-dd"
+    )
+    return (
+        df.groupBy(day.alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_resample_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — time-series gap fill / daily resampling: every user's
+    activity span is densified to one row per calendar day (zero-count
+    days included) by generating the per-user day spine with
+    ``sequence()`` and left-joining the daily counts — a generate, not a
+    users×calendar crossJoin, so the spine is linear in Σ span days and
+    partitions with the user key. The downstream shape for rolling
+    features over sparse activity."""
+    df = table(spark, sf, "events")
+    day = F.to_date(catalog.event_ts(df))
+    daily = (
+        df.select("user_id", day.alias("d"))
+        .groupBy("user_id", "d")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("d"),
+    )
+    return (
+        spine.join(daily, ["user_id", "d"], "left")
+        .select(
+            "user_id",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+    )
+
+
+def q_cumulative_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — running distinct-user count per day WITHOUT a quadratic
+    distinct-over-expanding-window: each user collapses to their first
+    active day (one user-keyed aggregate), daily first-appearance counts
+    follow, and the cumulative sum runs over the tiny |days| frame — the
+    growth-curve query at any scale."""
+    from pyspark.sql import Window
+
+    df = table(spark, sf, "events")
+    day = F.date_format(F.date_trunc("day", catalog.event_ts(df)), "yyyy-MM-dd")
+    first = (
+        df.select("user_id", day.alias("d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("d"))
+    )
+    new_per_day = first.groupBy("d").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return new_per_day.select(
+        "d", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    )
+
+
+def q_activity_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — gaps-and-islands: longest consecutive-active-day streak per
+    user. Islands via the classic date-minus-row_number constant: one
+    user-keyed shuffle for the (user, day) dedup + window, then two tiny
+    aggregates; no self-join, no recursive walk — the retention-quality
+    metric shape."""
+    from pyspark.sql import Window
+
+    df = table(spark, sf, "events")
+    day = F.to_date(catalog.event_ts(df))
+    ud = df.select("user_id", day.alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = ud.withColumn(
+        "island", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.sum("len").alias("n_active_days"),
+    )
+
+
+def q_hopping_window(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — hopping (sliding) event-time windows: 2-day windows advancing
+    by 1 day, counts and decimal value sums per window × event_type. Each
+    event lands in exactly two windows — ``F.window`` emits both
+    assignments in the scan (a generate, not a self-join), then one hash
+    aggregate; epoch-aligned window starts keep Spark and the oracle's
+    truncate-and-shift arithmetic identical."""
+    df = table(spark, sf, "events")
+    ts = catalog.event_ts(df)
+    w = F.window(ts, "2 days", "1 day")
+    return (
+        df.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            text.round4(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            ).alias("val_sum"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("w_start"),
+            "event_type",
+            "cnt",
+            "val_sum",
+        )
+    )
+
+
+def q_zscore_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — per-group standardization: z-score of each event's value
+    against its event_type's mean/stddev, top-20 most extreme. The
+    per-group moments are a 5-row aggregate broadcast back onto the fact
+    scan — no window over the full table, one shuffle for the tiny stats
+    side only."""
+    df = table(spark, sf, "events").select("event_id", "event_type", "value")
+    stats = df.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        df.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            text.round4(F.col("value")).alias("val"),
+            text.round4(z).alias("z"),
+        )
+        .orderBy(F.desc(F.abs(F.col("z"))), "event_id")
+        .limit(20)
+    )
+
+
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — batch sessionization (window lag + cumulative sum): sessions
+    of events per user with 12h inactivity gap. Timestamps compared at
+    MICROsecond precision (sessionize_batch normalizes ts type-adaptively;
+    DuckDB's epoch_us matches at µs)."""
+    from data_wrangle_openstreetmaps_data_spark.streaming.sessionize import (
+        sessionize_batch,
+    )
+
+    ev = table(spark, sf, "events")
+    # normalize ONCE at the read boundary: bigint downstream always means µs
+    ev = ev.withColumn("ts", catalog.event_ts_us(ev))
+    return sessionize_batch(ev, _SESSION_GAP_US)
+
+
+def q_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — ordered-sequence funnel: per user, the first signup, then the
+    first purchase strictly after it within 7 days; output one row per
+    funnel stage with the user count (signup → converted). Conditional
+    aggregation keyed on user_id — the min-over-filter pattern, no self
+    -join of the raw events; the 7-day bound uses the µs event time."""
+    ev = table(spark, sf, "events")
+    ev = ev.withColumn("tsn", catalog.event_ts_us(ev))
+    week_us = 7 * 86400 * 10**6
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("tsn"))
+        ).alias("first_signup")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("tsn").alias("p_ts")
+    )
+    converted = (
+        per_user.filter(F.col("first_signup").isNotNull())
+        .join(purchases, F.col("user_id") == F.col("p_user"))
+        .filter(
+            (F.col("p_ts") > F.col("first_signup"))
+            & (F.col("p_ts") <= F.col("first_signup") + week_us)
+        )
+        .select("user_id")
+        .distinct()
+    )
+    signed = per_user.filter(F.col("first_signup").isNotNull())
+    return signed.agg(
+        F.lit("signup").alias("stage"),
+        F.count(F.lit(1)).alias("users"),
+    ).unionByName(
+        converted.agg(
+            F.lit("converted_7d").alias("stage"),
+            F.count(F.lit(1)).alias("users"),
+        )
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — cohort retention matrix: users cohorted by first-active day,
+    distinct active users counted per (cohort_day, active_day). The
+    (user, day) dedup, the per-user min, and the join are all keyed on
+    user_id — one hash partitioning reused across the three steps — then
+    a final small (cohort, day) aggregation. Type-adaptive event time."""
+    ev = table(spark, sf, "events")
+    day = F.date_format(
+        F.date_trunc("day", catalog.event_ts(ev)), "yyyy-MM-dd"
+    )
+    ud = ev.select("user_id", day.alias("active_day")).distinct()
+    first = ud.groupBy("user_id").agg(
+        F.min("active_day").alias("cohort_day")
+    )
+    return (
+        ud.join(first, "user_id")
+        .groupBy("cohort_day", "active_day")
+        .agg(F.count_distinct(F.col("user_id")).alias("active_users"))
+    )
+
+
+def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — robust (median/MAD) outlier counts per event type: values
+    more than 3 MADs from the per-type median. Medians are exact
+    interpolated percentiles 4-dp-floored on BOTH engines before any
+    comparison, so the 3·MAD threshold cannot flip boundary rows. Three
+    scan passes, each reduced by partial aggregation; the tiny per-type
+    stats frames ride broadcasts back onto the fact scan (same shape as
+    the z-score query — no full-table window)."""
+    ev = table(spark, sf, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        text.round4(F.percentile(F.col("value"), F.lit(0.5))).alias("med")
+    )
+    j1 = ev.join(F.broadcast(med), "event_type")
+    mad = j1.groupBy("event_type").agg(
+        text.round4(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5))
+        ).alias("mad")
+    )
+    return (
+        j1.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.count(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3.0 * F.col("mad"),
+                    1,
+                )
+            ).alias("n_outliers"),
+        )
+    )
+
+
+def q_user_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — Shannon entropy (nats) of each user's event-type mix, via
+    the aggregate identity H = ln(n) − Σ c·ln(c)/n so one pass over the
+    per-(user,type) counts suffices — no per-row probability column.
+    Two keyed aggregates, both map-side combined; ≤|types| doubles per
+    user make the 4-dp floor deterministic in practice."""
+    ev = table(spark, sf, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        c.groupBy("user_id")
+        .agg(
+            F.sum("cnt").alias("n_events"),
+            F.sum(F.col("cnt") * F.log(F.col("cnt"))).alias("clc"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            text.round4(
+                F.log(F.col("n_events")) - F.col("clc") / F.col("n_events")
+            ).alias("entropy"),
+        )
+    )
+
+
+def q_time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — time-weighted average of each user's value signal
+    (step-function integral / elapsed time): one keyed window produces
+    the lead-timestamp interval lengths in exact integer µs, then a
+    decimal-exact weighted sum divides by the exact µs total. One
+    shuffle on the user key; deterministic (ts, event_id) ordering."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    tsn = catalog.event_ts_us(ev)
+    w = Window.partitionBy("user_id").orderBy("tsn", "event_id")
+    seg = (
+        ev.select("user_id", "event_id", "value", tsn.alias("tsn"))
+        .withColumn("dt", F.lead("tsn").over(w) - F.col("tsn"))
+        .filter(F.col("dt").isNotNull())
+    )
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        text.round4(
+            F.sum((F.col("value") * F.col("dt")).cast("decimal(38,6)")).cast(
+                "double"
+            )
+            / F.sum("dt")
+        ).alias("twa"),
+    )
+
+
+def q_chi_square(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — chi-square independence test of user segment (user_id % 7)
+    × event type, computed relationally: the 35-cell contingency table
+    is one aggregate; marginals and the grand total are broadcast
+    re-aggregations of those 35 rows; per-cell terms are exact doubles
+    of integer counts, decimal-cast before the final sum so partition
+    order cannot wiggle the statistic."""
+    ev = table(spark, sf, "events")
+    cells = (
+        ev.select((F.col("user_id") % 7).alias("seg"), "event_type")
+        .groupBy("seg", "event_type")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    rows = cells.groupBy("seg").agg(F.sum("obs").alias("row_tot"))
+    cols = cells.groupBy("event_type").agg(F.sum("obs").alias("col_tot"))
+    # dof derives from the observed contingency dimensions, not a
+    # hardcoded 7×5 — a testdata vintage with a different event-type
+    # count must report the right degrees of freedom
+    n = cells.agg(
+        F.sum("obs").alias("n_tot"),
+        F.countDistinct("seg").alias("n_seg"),
+        F.countDistinct("event_type").alias("n_et"),
+    )
+    exp = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot")
+        / F.col("n_tot")
+    )
+    term = F.pow(F.col("obs") - exp, F.lit(2.0)) / exp
+    return (
+        cells.join(F.broadcast(rows), "seg")
+        .join(F.broadcast(cols), "event_type")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            text.round4(
+                F.sum(term.cast("decimal(30,10)")).cast("double")
+            ).alias("chi2"),
+            F.count(F.lit(1)).alias("n_cells"),
+            (
+                (F.min("n_seg") - F.lit(1)) * (F.min("n_et") - F.lit(1))
+            )
+            .cast("long")
+            .alias("dof"),
+        )
+    )
+
+
+def q_event_trigrams(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — behavioral path mining: the 15 most common 3-step event-type
+    paths (adjacent trigrams per user in event-time order). One user-keyed
+    window produces both lookaheads in a single pass; the trigram space is
+    bounded at |types|³ so the count shuffle is tiny. Extends the 2-step
+    transition matrix (q_event_transitions) to path granularity."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    tsn = catalog.event_ts_us(ev)
+    w = Window.partitionBy("user_id").orderBy("tsn", "event_id")
+    e = ev.select("user_id", "event_id", "event_type", tsn.alias("tsn"))
+    tri = e.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    return (
+        tri.groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "t1", "t2", "t3")
+        .limit(15)
+    )
+
+
+def q_dau_wau_stickiness(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — DAU / trailing-7-day WAU stickiness per day. DISTINCT over
+    a sliding window isn't supported, and the naive rewrite re-scans 7
+    days per day; the scale form is FAN-OUT + DEDUP: each (user, day)
+    membership row contributes the user to WAU(day..day+6) via one
+    generate, then one distinct and one count — linear in |user-days|×7
+    with no per-day rescans. Emitted only for days with actual activity
+    (inner join), stickiness = DAU/WAU."""
+    ev = table(spark, sf, "events")
+    day = F.to_date(catalog.event_ts(ev))
+    ud = ev.select("user_id", day.alias("d")).distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    fan = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("w"),
+    ).distinct()
+    wau = fan.groupBy("w").agg(F.count(F.lit(1)).alias("wau"))
+    return (
+        dau.join(wau, dau["d"] == wau["w"])
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            text.round4(F.col("dau") / F.col("wau")).alias("stickiness"),
+        )
+    )
+
+
+ORACLES: dict[str, str | None] = {
+    "q_event_transitions": """
+        WITH e AS (SELECT *, epoch_us(ts) AS tsn FROM events),
+        p AS (
+          SELECT event_type AS src,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY tsn, event_id
+                 ) AS dst
+          FROM e
+        ),
+        c AS (
+          SELECT src, dst, count(*) AS cnt FROM p
+          WHERE dst IS NOT NULL GROUP BY src, dst
+        )
+        SELECT src, dst, cnt,
+               floor(cnt / sum(cnt) OVER (PARTITION BY src)
+                     * 10000 + 0.5) / 10000 AS prob
+        FROM c
+    """,
+    "q_time_bucket": """
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               count(*) AS cnt
+        FROM events GROUP BY day
+    """,
+    "q_resample_daily": """
+        WITH daily AS (
+          SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+                 count(*) AS cnt
+          FROM events GROUP BY user_id, d
+        ),
+        span AS (
+          SELECT user_id, min(d) AS d0, max(d) AS d1
+          FROM daily GROUP BY user_id
+        ),
+        spine AS (
+          SELECT user_id,
+                 CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                   AS d
+          FROM span
+        )
+        SELECT s.user_id, strftime(s.d, '%Y-%m-%d') AS day,
+               coalesce(daily.cnt, 0) AS cnt
+        FROM spine s
+        LEFT JOIN daily ON daily.user_id = s.user_id AND daily.d = s.d
+    """,
+    "q_cumulative_distinct": """
+        WITH f AS (
+          SELECT user_id,
+                 min(strftime(date_trunc('day', ts), '%Y-%m-%d')) AS d
+          FROM events GROUP BY user_id
+        ),
+        n AS (SELECT d, count(*) AS new_users FROM f GROUP BY d)
+        SELECT d, new_users,
+               CAST(sum(new_users) OVER (
+                 ORDER BY d ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS cum_users
+        FROM n
+    """,
+    "q_activity_streaks": """
+        WITH ud AS (
+          SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+          FROM events
+        ),
+        isl AS (
+          SELECT user_id, d,
+                 d - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY d
+                 ) AS INT) AS island
+          FROM ud
+        ),
+        st AS (
+          SELECT user_id, island, count(*) AS len
+          FROM isl GROUP BY user_id, island
+        )
+        SELECT user_id, max(len) AS longest_streak,
+               count(*) AS n_streaks,
+               CAST(sum(len) AS BIGINT) AS n_active_days
+        FROM st GROUP BY user_id
+    """,
+    "q_hopping_window": """
+        WITH ev AS (
+          SELECT date_trunc('day', ts) AS d1, event_type, value FROM events
+        ),
+        assign AS (
+          SELECT event_type, value,
+                 unnest([d1, d1 - INTERVAL 1 DAY]) AS w_start
+          FROM ev
+        )
+        SELECT strftime(w_start, '%Y-%m-%d') AS w_start, event_type,
+               count(*) AS cnt,
+               floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     * 10000 + 0.5) / 10000 AS val_sum
+        FROM assign GROUP BY w_start, event_type
+    """,
+    "q_zscore_outliers": """
+        WITH stats AS (
+          SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+          FROM events GROUP BY event_type
+        )
+        SELECT event_id, event_type,
+               floor(value * 10000 + 0.5) / 10000 AS val,
+               floor((value - mu) / sigma * 10000 + 0.5) / 10000 AS z
+        FROM events JOIN stats USING (event_type)
+        ORDER BY abs(z) DESC, event_id LIMIT 20
+    """,
+    "q_sessionize": f"""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS tsn FROM events),
+        flagged AS (
+          SELECT user_id, tsn,
+                 CASE WHEN tsn - lag(tsn) OVER (
+                        PARTITION BY user_id ORDER BY tsn
+                      ) > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS new_sess
+          FROM e
+        ),
+        sess AS (
+          SELECT user_id, tsn,
+                 sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY tsn
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS sess_id
+          FROM flagged
+        )
+        SELECT user_id, min(tsn) AS session_start, max(tsn) AS session_end,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, sess_id
+    """,
+    "q_funnel_conversion": """
+        WITH pu AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'signup'
+                          THEN epoch_us(ts) END) AS first_signup
+          FROM events GROUP BY user_id
+        ),
+        signed AS (SELECT * FROM pu WHERE first_signup IS NOT NULL),
+        conv AS (
+          SELECT DISTINCT s.user_id
+          FROM signed s JOIN events e ON e.user_id = s.user_id
+          WHERE e.event_type = 'purchase'
+            AND epoch_us(e.ts) > s.first_signup
+            AND epoch_us(e.ts) <= s.first_signup
+                + CAST(604800000000 AS BIGINT)
+        )
+        SELECT 'signup' AS stage, count(*) AS users FROM signed
+        UNION ALL
+        SELECT 'converted_7d' AS stage, count(*) AS users FROM conv
+    """,
+    "q_cohort_retention": """
+        WITH ud AS (
+          SELECT DISTINCT user_id,
+                 strftime(date_trunc('day', ts), '%Y-%m-%d') AS active_day
+          FROM events
+        ),
+        first AS (
+          SELECT user_id, min(active_day) AS cohort_day
+          FROM ud GROUP BY user_id
+        )
+        SELECT f.cohort_day, u.active_day,
+               count(DISTINCT u.user_id) AS active_users
+        FROM ud u JOIN first f ON u.user_id = f.user_id
+        GROUP BY 1, 2
+    """,
+    "q_mad_outliers": """
+        WITH med AS (
+          SELECT event_type,
+                 floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000 AS med
+          FROM events GROUP BY event_type
+        ),
+        j1 AS (
+          SELECT e.event_type, e.value, m.med
+          FROM events e JOIN med m USING (event_type)
+        ),
+        mad AS (
+          SELECT event_type,
+                 floor(quantile_cont(abs(value - med), 0.5) * 10000 + 0.5) / 10000 AS mad
+          FROM j1 GROUP BY event_type
+        )
+        SELECT j1.event_type, any_value(j1.med) AS med,
+               any_value(mad.mad) AS mad,
+               count(CASE WHEN abs(value - j1.med) > 3.0 * mad.mad
+                     THEN 1 END) AS n_outliers
+        FROM j1 JOIN mad USING (event_type)
+        GROUP BY j1.event_type
+    """,
+    "q_user_entropy": """
+        WITH c AS (
+          SELECT user_id, event_type, count(*) AS cnt
+          FROM events GROUP BY user_id, event_type
+        )
+        SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n_events,
+               floor((ln(CAST(sum(cnt) AS DOUBLE))
+                      - sum(cnt * ln(CAST(cnt AS DOUBLE)))
+                        / CAST(sum(cnt) AS DOUBLE))
+                     * 10000 + 0.5) / 10000 AS entropy
+        FROM c GROUP BY user_id
+    """,
+    "q_time_weighted_avg": """
+        WITH e AS (
+          SELECT user_id, event_id, value, epoch_us(ts) AS tsn FROM events
+        ),
+        seg AS (
+          SELECT user_id, value,
+                 lead(tsn) OVER (
+                   PARTITION BY user_id ORDER BY tsn, event_id
+                 ) - tsn AS dt
+          FROM e
+        )
+        SELECT user_id, count(*) AS n_intervals,
+               floor(CAST(sum(CAST(value * dt AS DECIMAL(38,6))) AS DOUBLE)
+                     / CAST(sum(dt) AS DOUBLE) * 10000 + 0.5) / 10000 AS twa
+        FROM seg WHERE dt IS NOT NULL
+        GROUP BY user_id
+    """,
+    "q_chi_square": """
+        WITH cells AS (
+          SELECT user_id % 7 AS seg, event_type, count(*) AS obs
+          FROM events GROUP BY seg, event_type
+        ),
+        r AS (SELECT seg, sum(obs) AS row_tot FROM cells GROUP BY seg),
+        c AS (SELECT event_type, sum(obs) AS col_tot FROM cells GROUP BY event_type),
+        n AS (SELECT sum(obs) AS n_tot,
+                     count(DISTINCT seg) AS n_seg,
+                     count(DISTINCT event_type) AS n_et
+              FROM cells)
+        SELECT floor(CAST(sum(CAST(
+                 pow(obs - CAST(row_tot AS DOUBLE) * col_tot / n_tot, 2)
+                 / (CAST(row_tot AS DOUBLE) * col_tot / n_tot)
+               AS DECIMAL(30,10))) AS DOUBLE) * 10000 + 0.5) / 10000 AS chi2,
+               count(*) AS n_cells,
+               CAST((min(n_seg) - 1) * (min(n_et) - 1) AS BIGINT) AS dof
+        FROM cells
+        JOIN r USING (seg)
+        JOIN c USING (event_type), n
+    """,
+    "q_event_trigrams": """
+        WITH e AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS tsn
+          FROM events
+        ),
+        tri AS (
+          SELECT event_type AS t1,
+                 lead(event_type, 1) OVER w AS t2,
+                 lead(event_type, 2) OVER w AS t3
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)
+        )
+        SELECT t1, t2, t3, count(*) AS cnt
+        FROM tri WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        GROUP BY t1, t2, t3
+        ORDER BY cnt DESC, t1, t2, t3 LIMIT 15
+    """,
+    "q_dau_wau_stickiness": """
+        WITH ud AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ),
+        dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY d),
+        fan AS (
+          SELECT DISTINCT user_id,
+                 CAST(d + x * INTERVAL '1 day' AS DATE) AS w
+          FROM ud, (SELECT unnest(generate_series(0, 6)) AS x)
+        ),
+        wau AS (SELECT w, count(*) AS wau FROM fan GROUP BY w)
+        SELECT strftime(d, '%Y-%m-%d') AS day, dau, wau,
+               floor(CAST(dau AS DOUBLE) / wau * 10000 + 0.5) / 10000
+                 AS stickiness
+        FROM dau JOIN wau ON d = w
+    """,
+}

@@ -1,0 +1,188 @@
+"""Multimodal binary columns: real BMP/WAV codecs, frame sampling, features.
+
+Registry family module — split from the single-file registry; each
+family defines its ``q_*`` callables plus the matching ``ORACLES``
+entries, aggregated in ``__init__``."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_wrangle_openstreetmaps_data_spark import catalog
+from data_wrangle_openstreetmaps_data_spark.catalog import table
+from data_wrangle_openstreetmaps_data_spark.functions import cleaning, text
+from data_wrangle_openstreetmaps_data_spark.operators import (
+    audit,
+    curation,
+    dedup,
+    join as join_ops,
+    sample,
+    similarity,
+    topk,
+)
+
+from data_wrangle_openstreetmaps_data_spark.plans.queries._shared import *  # noqa: F401,F403
+
+
+
+def q_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-M — video-style frame sampling plumbing: up to 4 byte-slice
+    'frames' per media blob via the Arrow-batched ``frame_sample`` kernel
+    (a real implementation seeks keyframes in the codec; the batch shape,
+    schema and fan-out are the real thing). Oracle-checked because the
+    fake blob is the utf8 text bytes (pure-ASCII corpus), so DuckDB
+    reproduces each frame's hash and length with substr arithmetic."""
+    from data_wrangle_openstreetmaps_data_spark.multimodal import media
+
+    docs = table(spark, sf, "documents")
+    frames = media.frame_sample(media.attach_fake_media(docs))
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.md5(F.col("frame")).alias("frame_hash"),
+        F.length(F.col("frame")).cast("int").alias("n_bytes"),
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-M — binary media column → Arrow-batched feature extraction
+    (mapInPandas; deterministic stub decoder: md5-derived fake embedding).
+    Oracle-checked: the fake media blob is the utf8 text bytes, so DuckDB
+    reproduces n_bytes/content_hash/feature from md5(text); the float32
+    feature lanes surface as exactly-convertible doubles in both engines."""
+    from data_wrangle_openstreetmaps_data_spark.multimodal import media
+
+    docs = table(spark, sf, "documents")
+    feats = media.decode_features(media.attach_fake_media(docs))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "content_hash",
+        *[
+            F.col("feature")[i].cast("double").alias(f"f{i}")
+            for i in range(8)
+        ],
+    )
+
+
+def q_media_decode_bmp(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-M — REAL image decode: genuine 24-bit BMP files are built
+    executor-side (one per document, geometry varying so the 4-byte row
+    padding differs per doc), then parsed back with the stdlib struct
+    codec (magic, header offsets, bottom-up rows) inside an Arrow
+    mapInPandas kernel. Output is exact integer channel sums, which the
+    oracle computes in CLOSED FORM from the fixture geometry — a decoder
+    that mis-reads stride, padding, or row order cannot hash-match."""
+    from data_wrangle_openstreetmaps_data_spark.multimodal import media
+
+    docs = table(spark, sf, "documents").select("doc_id")
+    stats = media.decode_media_stats(media.synthesize_media(docs, "bmp"))
+    return stats.select(
+        "doc_id",
+        "n_bytes",
+        F.col("dim1").alias("width"),
+        F.col("dim2").alias("height"),
+        F.col("stat1").alias("sum_b"),
+        F.col("stat2").alias("sum_g"),
+        F.col("stat3").alias("sum_r"),
+    )
+
+
+def q_media_decode_wav(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-M — REAL audio decode: genuine 16-bit PCM WAV files built
+    executor-side (stdlib wave writer, per-doc sample counts), parsed
+    back with the stdlib wave reader in the same Arrow kernel. Exact
+    integer amplitude stats; oracle in closed form (arithmetic series)
+    from the fixture parameters."""
+    from data_wrangle_openstreetmaps_data_spark.multimodal import media
+
+    docs = table(spark, sf, "documents").select("doc_id")
+    stats = media.decode_media_stats(media.synthesize_media(docs, "wav"))
+    return stats.select(
+        "doc_id",
+        "n_bytes",
+        F.col("dim1").alias("n_samples"),
+        F.col("dim2").alias("sample_rate"),
+        F.col("stat1").alias("sum_amp"),
+        F.col("stat2").alias("min_amp"),
+        F.col("stat3").alias("max_amp"),
+    )
+
+
+ORACLES: dict[str, str | None] = {
+    # the fake media blob is encode(text,'utf-8'); the stub decoder's
+    # feature lane i = md5_digest_byte[i]/255.0 as float32 — replicated
+    # via hex-pair extraction from md5(text), with the same f64→f32→f64
+    # round-trip so doubles match bit-for-bit
+    "q_frame_sample": """
+        WITH f AS (
+          SELECT doc_id, text,
+                 unnest(range(least(4, greatest(1,
+                   octet_length(encode(text)) // 64)))) AS frame_idx
+          FROM documents
+        )
+        SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+               md5(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64))
+                 AS frame_hash,
+               CAST(octet_length(encode(
+                 substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)
+               )) AS INT) AS n_bytes
+        FROM f
+    """,
+    "q_multimodal_features": f"""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+               md5(text) AS content_hash,
+               {', '.join(
+                   "CAST(CAST(('0x' || substr(md5(text), "
+                   f"{2 * i + 1}, 2))::INT / 255.0 AS REAL) AS DOUBLE) AS f{i}"
+                   for i in range(8)
+               )}
+        FROM documents
+    """,
+    # closed-form expectations for the real BMP codec round trip: the
+    # fixture writes pixel (x,y) as b=base+x+y, g=2*base+x, r=base+x*y
+    # over a w×h image, so channel sums are arithmetic series and
+    # n_bytes = 54-byte headers + padded-stride rows
+    "q_media_decode_bmp": """
+        WITH p AS (
+          SELECT doc_id,
+                 4 + doc_id % 5 AS w,
+                 3 + doc_id % 4 AS h,
+                 doc_id % 100 AS base
+          FROM documents
+        )
+        SELECT doc_id,
+               54 + ((3 * w + 3) // 4) * 4 * h AS n_bytes,
+               w AS width,
+               h AS height,
+               w * h * base + h * (w * (w - 1) // 2)
+                 + w * (h * (h - 1) // 2) AS sum_b,
+               2 * w * h * base + h * (w * (w - 1) // 2) AS sum_g,
+               w * h * base
+                 + (w * (w - 1) // 2) * (h * (h - 1) // 2) AS sum_r
+        FROM p
+    """,
+    # real WAV codec round trip: sample i = (doc_id%1000) - 500 + 13*i,
+    # n = 16 + doc_id%17 samples; 44-byte canonical RIFF header + 2n
+    "q_media_decode_wav": """
+        WITH p AS (
+          SELECT doc_id,
+                 16 + doc_id % 17 AS n,
+                 doc_id % 1000 - 500 AS s0
+          FROM documents
+        )
+        SELECT doc_id,
+               44 + 2 * n AS n_bytes,
+               n AS n_samples,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               n * s0 + 13 * n * (n - 1) // 2 AS sum_amp,
+               s0 AS min_amp,
+               s0 + 13 * (n - 1) AS max_amp
+        FROM p
+    """,
+}

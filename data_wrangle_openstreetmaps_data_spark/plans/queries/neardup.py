@@ -1,0 +1,451 @@
+"""Deduplication: exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding near-dup.
+
+Registry family module — split from the single-file registry; each
+family defines its ``q_*`` callables plus the matching ``ORACLES``
+entries, aggregated in ``__init__``."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_wrangle_openstreetmaps_data_spark import catalog
+from data_wrangle_openstreetmaps_data_spark.catalog import table
+from data_wrangle_openstreetmaps_data_spark.functions import cleaning, text
+from data_wrangle_openstreetmaps_data_spark.operators import (
+    audit,
+    curation,
+    dedup,
+    join as join_ops,
+    sample,
+    similarity,
+    topk,
+)
+
+from data_wrangle_openstreetmaps_data_spark.plans.queries._shared import *  # noqa: F401,F403
+
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D1 — exact dedup: hash groupBy on normalized text."""
+    return dedup.dedup_exact(table(spark, sf, "documents"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D2 — exact n-gram Jaccard similarity join (inverted index)."""
+    return dedup.ngram_jaccard_pairs(
+        table(spark, sf, "documents"), shingle_k=3, threshold=0.2
+    )
+
+
+def q_similarity_join(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D2 (SURVEY §2.7 name) — near-dup similarity join over document
+    texts: exact n-gram Jaccard via the inverted-index join."""
+    return dedup.ngram_jaccard_pairs(
+        table(spark, sf, "documents"), shingle_k=3, threshold=0.2
+    )
+
+
+def q_similarity_join_maxdf(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D2 — ngram-Jaccard join with the stop-shingle document-frequency
+    cut (max_df=0.1): shingles present in >10% of docs are dropped from
+    candidate generation (bounding the inverted-index self-join on skewed
+    corpora), while verification recounts commons from full shingle sets so
+    emitted jaccard stays exact. Oracle replicates the cut relationally."""
+    return dedup.ngram_jaccard_pairs(
+        table(spark, sf, "documents"), shingle_k=3, threshold=0.2, max_df=0.1
+    )
+
+
+def q_similarity_join_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D2 — exact Jaccard join with PPJoin prefix filtering: lossless
+    candidate pruning (rarest-first prefixes must intersect for any pair
+    at >= threshold), so the output EQUALS the full inverted-index join
+    and shares its oracle. The scale-preferred exact tier: ~(1-t)² the
+    candidates, stop-shingles naturally excluded from prefixes."""
+    return dedup.prefix_filter_jaccard_pairs(
+        table(spark, sf, "documents"), shingle_k=3, threshold=0.5
+    )
+
+
+def q_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D — duplicate detection at sub-document granularity:
+    non-overlapping 16-token windows fingerprinted and counted across the
+    corpus (the relational form of suffix-window dedup à la RefinedWeb /
+    deduplicating-training-data). Top-20 most-repeated chunks with their
+    occurrence and distinct-document counts; one explode + one hash
+    aggregate, fingerprints (not text) ride the shuffle."""
+    d = table(spark, sf, "documents").select(
+        "doc_id", text.tokens("text").alias("toks")
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(_DEDUP_CHUNK)
+    )
+    d = d.select("doc_id", "toks", F.explode(starts).alias("start"))
+    chunk_fp = F.substring(
+        F.md5(
+            F.array_join(
+                F.slice(F.col("toks"), F.col("start") + 1, F.lit(_DEDUP_CHUNK)),
+                " ",
+            )
+        ),
+        1,
+        16,
+    )
+    return (
+        d.select("doc_id", chunk_fp.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("cnt") > 1)
+        .orderBy(F.desc("cnt"), "fp")
+        .limit(20)
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D2 — MinHash+LSH near-dup pairs, oracle-checked: with 8
+    two-row bands the banding recall is 1.0 on this corpus (asserted by
+    tests/test_dedup.py), and the output contract is exact-Jaccard-verified
+    pairs — so the result EQUALS the exact trigram-Jaccard pair set at the
+    same threshold and the relational oracle applies."""
+    return dedup.dedup_minhash_lsh(
+        table(spark, sf, "documents"),
+        n_hashes=16, bands=8, shingle_k=3, threshold=0.5,
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D — end-to-end dedup: minhash near-dup pairs (recall-1.0 LSH
+    config, see q_dedup_minhash) → connected components (iterative
+    min-label propagation) → (id, cluster_id); oracle = recursive-CTE
+    transitive closure over the exact-Jaccard pair set."""
+    pairs = dedup.dedup_minhash_lsh(
+        table(spark, sf, "documents"),
+        n_hashes=16, bands=8, shingle_k=3, threshold=0.5,
+    )
+    return dedup.dup_clusters(pairs).orderBy("id")
+
+
+def q_dedup_minhash_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D2 — approximation quality as a regression-guarded NUMBER:
+    recall and precision of the MinHash-LSH tier against the exact
+    trigram-Jaccard pair set at the same threshold. With the recall-1.0
+    banding config both are exactly 1.0 on this corpus — the oracle derives
+    the same from the exact pair set, so any future LSH regression (missed
+    or spurious pairs) fails this row."""
+    docs = table(spark, sf, "documents")
+    exact = dedup.ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.5)
+    lsh = dedup.dedup_minhash_lsh(
+        docs, n_hashes=16, bands=8, shingle_k=3, threshold=0.5
+    )
+    keys = ["id_a", "id_b"]
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    n_hit = (
+        lsh.select(*keys)
+        .join(exact.select(*keys), keys)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        n_hit.crossJoin(n_exact)  # three 1-row scalar frames
+        .crossJoin(n_lsh)
+        .select(
+            text.round4(F.col("n_hit") / F.col("n_exact")).alias("recall"),
+            text.round4(F.col("n_hit") / F.col("n_lsh")).alias("precision"),
+        )
+    )
+
+
+def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D2 (fifth tier) — embedding-cosine near-dup over the embeddings
+    table: banded sign-random-projection LSH candidates (key-equality join
+    on (band, bucket), O(n·bands) input) + exact cosine verify at
+    threshold 0.4. Deterministic md5-seeded hyperplanes; the oracle
+    replicates the bucketing plane-by-plane, so this checks the actual
+    approximate algorithm, not a weaker rows-only contract."""
+    return dedup.embedding_near_dup_pairs(
+        table(spark, sf, "embeddings"),
+        threshold=0.4,
+        bands=8,
+        rows_per_band=4,
+    )
+
+
+def q_dedup_embedding_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D2 — approximation quality of the embedding LSH tier as a
+    regression-guarded number: (recall, precision) vs the exact all-pairs
+    cosine join at the same threshold. Precision is 1.0 by construction
+    (candidates are exact-verified); recall is the banding survival rate,
+    which the oracle recomputes exactly. The exact baseline is quadratic —
+    a fixture/sample-scale diagnostic, not a production operator."""
+    emb = table(spark, sf, "embeddings")
+    exact = dedup.exact_cosine_pairs(emb, threshold=0.4)
+    lsh = dedup.embedding_near_dup_pairs(
+        emb, threshold=0.4, bands=8, rows_per_band=4
+    )
+    keys = ["id_a", "id_b"]
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    n_hit = (
+        lsh.select(*keys)
+        .join(exact.select(*keys), keys)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        n_hit.crossJoin(n_exact)  # three 1-row scalar frames
+        .crossJoin(n_lsh)
+        .select(
+            text.round4(F.col("n_hit") / F.col("n_exact")).alias("recall"),
+            text.round4(F.col("n_hit") / F.col("n_lsh")).alias("precision"),
+        )
+    )
+
+
+def q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming — exact first-occurrence dedup keyed by content
+    fingerprint (applyInPandasWithState). The availableNow drain over the
+    single staged file is one micro-batch, so first-occurrence ≡ global
+    min id per fingerprint — which is exactly the oracle's GROUP BY."""
+    import uuid
+
+    from data_wrangle_openstreetmaps_data_spark.streaming import events as se
+    from data_wrangle_openstreetmaps_data_spark.streaming.dedup_stream import (
+        dedup_stream,
+    )
+
+    name = f"streamdedup_{uuid.uuid4().hex[:8]}"
+    stream = se.stage_documents_stream(spark, sf, "docdedup")
+    se.run_to_memory(dedup_stream(stream), name)
+    return spark.table(name)
+
+
+def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D1 — incremental corpus merge: the 20% of documents with
+    doc_id % 10 >= 8 play the incoming batch, the other 80% the existing
+    corpus; emit the batch docs that are genuinely new (within-batch
+    min-id dedup, then anti-join on the corpus fingerprint set)."""
+    docs = table(spark, sf, "documents")
+    new = docs.filter(F.col("doc_id") % 10 >= 8)
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    return dedup.dedup_incremental(new, corpus)
+
+
+def q_dedup_minhash_join(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D2 — cross-corpus near-dup join (batch doc_id%10>=8 vs corpus):
+    banded MinHash candidates + exact-Jaccard verify, cross-side pairs
+    only, oriented (left_id, right_id). With the recall-1.0 banding
+    config the output EQUALS the exact cross-side trigram-Jaccard pair
+    set, so the relational oracle applies (same contract as
+    q_dedup_minhash)."""
+    docs = table(spark, sf, "documents")
+    new = docs.filter(F.col("doc_id") % 10 >= 8)
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    return dedup.minhash_lsh_join(
+        new, corpus, n_hashes=16, bands=8, shingle_k=3, threshold=0.5
+    )
+
+
+def q_dedup_representatives(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D — the dedup pipeline's FINAL action: drop every document
+    whose near-dup cluster representative (min id in its component) is a
+    different document; emit surviving ids. Composes the recall-1.0
+    minhash pair set with connected components, so the oracle is the
+    recursive-CTE closure's keep-set."""
+    docs = table(spark, sf, "documents")
+    pairs = dedup.dedup_minhash_lsh(
+        docs, n_hashes=16, bands=8, shingle_k=3, threshold=0.5
+    )
+    return dedup.dedup_keep_representatives(docs, pairs).select(
+        "doc_id"
+    ).orderBy("doc_id")
+
+
+def q_dedup_embedding_join(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D2 — cross-corpus embedding near-dup join (vectors with
+    vec_id%10>=8 as the incoming batch vs the rest as corpus): banded
+    SRP candidates + exact-cosine verify, cross-side pairs oriented
+    (left_id, right_id). Plane-inlined oracle replicates the bucketing
+    and the split."""
+    emb = table(spark, sf, "embeddings")
+    new = emb.filter(F.col("vec_id") % 10 >= 8)
+    corpus = emb.filter(F.col("vec_id") % 10 < 8)
+    return dedup.embedding_near_dup_join(
+        new, corpus, threshold=0.4, bands=8, rows_per_band=4
+    )
+
+
+def q_streaming_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming — MinHash-LSH near-dup pairs as documents arrive
+    (applyInPandasWithState keyed by band bucket, exact-Jaccard verify
+    against the bucket's history). Single-batch availableNow drain ⇒
+    emissions = the batch LSH pair set = the exact trigram-Jaccard pair
+    set at the recall-1.0 config, so the relational oracle applies.
+    Bands agreeing on a pair each emit it — deduped batch-side here."""
+    import uuid
+
+    from data_wrangle_openstreetmaps_data_spark.streaming import events as se
+    from data_wrangle_openstreetmaps_data_spark.streaming.minhash_stream import (
+        minhash_pairs_stream,
+    )
+
+    name = f"streamminhash_{uuid.uuid4().hex[:8]}"
+    stream = se.stage_documents_stream(spark, sf, "minhashstream")
+    se.run_to_memory(
+        minhash_pairs_stream(
+            stream, n_hashes=16, bands=8, shingle_k=3, threshold=0.5
+        ),
+        name,
+    )
+    return spark.table(name).dropDuplicates(["id_a", "id_b"])
+
+
+def q_dedup_clusters_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D — connected components over the DETERMINISTIC ngram-jaccard
+    pairs, so the iterative label propagation is cross-checked against a
+    recursive-CTE transitive closure in the oracle."""
+    pairs = dedup.ngram_jaccard_pairs(
+        table(spark, sf, "documents"), shingle_k=3, threshold=0.2
+    )
+    return dedup.dup_clusters(pairs).orderBy("id")
+
+
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D2 — SimHash chunk-join candidates (hamming<=24 shown),
+    oracle-checked: the portable md5-60-bit token hash makes the whole
+    signature pipeline — votes, sign assembly, chunk-equality candidates,
+    hamming distances — reproducible by the DuckDB oracle."""
+    return (
+        dedup.dedup_simhash(table(spark, sf, "documents"))
+        .filter(F.col("hamming") <= 24)
+        .orderBy("id_a", "id_b")
+    )
+
+
+ORACLES: dict[str, str | None] = {
+    "q_dedup_exact": f"""
+        SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY {_NORM_TEXT_SQL}
+    """,
+    "q_ngram_jaccard": _NGRAM_JACCARD_SQL,
+    "q_similarity_join": _NGRAM_JACCARD_SQL,
+    "q_similarity_join_maxdf": _ngram_jaccard_maxdf_sql(0.2, 0.1),
+    # prefix filtering is lossless → same result as the full index join
+    "q_similarity_join_prefix": _ngram_jaccard_sql(0.5),
+    "q_chunk_dedup": f"""
+        WITH toked AS (
+          SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+        ),
+        st AS (
+          SELECT doc_id, toks,
+                 unnest(range(0, greatest(len(toks), 1), 16)) AS start
+          FROM toked
+        ),
+        fps AS (
+          SELECT doc_id,
+                 substr(md5(array_to_string(toks[start + 1 : start + 16], ' ')),
+                        1, 16) AS fp
+          FROM st
+        )
+        SELECT fp, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
+        FROM fps GROUP BY fp HAVING count(*) > 1
+        ORDER BY cnt DESC, fp LIMIT 20
+    """,
+    # LSH tier re-contracted to deterministic oracle-checkable outputs:
+    # with 16 hashes / 8 bands the banding recall is 1.0 on this corpus
+    # (pinned by tests/test_dedup.py::test_lsh_recall_is_total), and the
+    # emitted pairs are exact-Jaccard-verified — so LSH output == the exact
+    # trigram-Jaccard pair set at the same threshold.
+    "q_dedup_minhash": _ngram_jaccard_sql(0.5),
+    "q_dedup_clusters": _closure_clusters_sql(_ngram_jaccard_sql(0.5)),
+    # LSH == exact pair set on this corpus (the recall-1.0 contract), so
+    # recall and precision both equal exactly 1.0 — derived from the data
+    # (NULL if the corpus had no true pairs, which would also be a failure)
+    "q_dedup_minhash_recall": f"""
+        WITH pairs AS ({_ngram_jaccard_sql(0.5)})
+        SELECT CASE WHEN count(*) > 0 THEN 1.0 ELSE NULL END AS recall,
+               CASE WHEN count(*) > 0 THEN 1.0 ELSE NULL END AS precision
+        FROM pairs
+    """,
+    # embedding LSH tier: planes inlined as double literals, band/bucket
+    # sign assembly + candidate join + exact-cosine verify replicated in
+    # DuckDB — checks the actual approximate algorithm, not rows-only
+    "q_dedup_embedding": _embedding_pairs_sql(0.4, bands=8, rows_per_band=4),
+    "q_dedup_embedding_recall": _embedding_recall_sql(
+        0.4, bands=8, rows_per_band=4
+    ),
+    # single staged file + availableNow ⇒ one micro-batch ⇒ streaming
+    # first-occurrence = global min id per fingerprint
+    "q_streaming_dedup": f"""
+        SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+               substr(md5({_NORM_TEXT_SQL}), 1, 16) AS fp
+        FROM documents GROUP BY fp
+    """,
+    "q_dedup_incremental": f"""
+        WITH fps AS (
+          SELECT doc_id, substr(md5({_NORM_TEXT_SQL}), 1, 16) AS fp
+          FROM documents
+        ),
+        reps AS (
+          SELECT fp, min(doc_id) AS doc_id FROM fps
+          WHERE doc_id % 10 >= 8 GROUP BY fp
+        ),
+        seen AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 10 < 8)
+        SELECT r.doc_id, r.fp FROM reps r
+        LEFT JOIN seen s ON r.fp = s.fp
+        WHERE s.fp IS NULL
+    """,
+    # cross-side exact trigram-Jaccard pairs (recall-1.0 LSH contract,
+    # same as q_dedup_minhash), oriented batch→corpus
+    "q_dedup_minhash_join": rf"""
+        WITH toked AS (
+          SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+        ),
+        shingled AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 3 THEN
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> array_to_string(toks[i:i+2], ' ')))
+                 ELSE [array_to_string(toks, ' ')] END AS sh
+          FROM toked
+        ),
+        exploded AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+        sizes AS (SELECT doc_id, count(*) AS n FROM exploded GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS common
+          FROM exploded a JOIN exploded b ON a.s = b.s
+          WHERE a.doc_id % 10 >= 8 AND b.doc_id % 10 < 8
+          GROUP BY 1, 2
+        )
+        SELECT left_id, right_id,
+               floor(common / (sa.n + sb.n - common) * 10000 + 0.5) / 10000 AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = left_id
+        JOIN sizes sb ON sb.doc_id = right_id
+        WHERE floor(common / (sa.n + sb.n - common) * 10000 + 0.5) / 10000 >= 0.5
+    """,
+    # survivors of cluster dedup: everything except non-representative
+    # members of the exact-pair-set closure (recall-1.0 LSH contract)
+    "q_dedup_representatives": f"""
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (
+          SELECT id FROM ({_closure_clusters_sql(_ngram_jaccard_sql(0.5))})
+          WHERE id <> cluster_id
+        )
+    """,
+    "q_dedup_embedding_join": _embedding_join_sql(
+        0.4, bands=8, rows_per_band=4
+    ),
+    # streaming form: same recall-1.0 contract as q_dedup_minhash (see
+    # the query docstring for the single-batch drain argument)
+    "q_streaming_minhash": _ngram_jaccard_sql(0.5),
+    "q_dedup_clusters_exact": _closure_clusters_sql(_NGRAM_JACCARD_SQL),
+    # portable md5-60-bit token hash → the SimHash signature, candidate
+    # join, and hamming distances are fully reproducible in DuckDB
+    "q_dedup_simhash": _simhash_pairs_sql(24),
+}

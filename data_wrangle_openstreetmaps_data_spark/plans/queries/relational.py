@@ -1,0 +1,796 @@
+"""General relational surface: joins, windows, subqueries, set ops, stats.
+
+Registry family module — split from the single-file registry; each
+family defines its ``q_*`` callables plus the matching ``ORACLES``
+entries, aggregated in ``__init__``."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_wrangle_openstreetmaps_data_spark import catalog
+from data_wrangle_openstreetmaps_data_spark.catalog import table
+from data_wrangle_openstreetmaps_data_spark.functions import cleaning, text
+from data_wrangle_openstreetmaps_data_spark.operators import (
+    audit,
+    curation,
+    dedup,
+    join as join_ops,
+    sample,
+    similarity,
+    topk,
+)
+
+from data_wrangle_openstreetmaps_data_spark.plans.queries._shared import *  # noqa: F401,F403
+
+
+
+def q_null_semantics(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — null-handling family: nullif, coalesce, null-safe equality."""
+    df = table(spark, sf, "orders")
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return (
+        df.select(
+            "o_orderkey",
+            F.coalesce(status_or_null, F.lit("PENDING")).alias("status2"),
+            status_or_null.eqNullSafe(F.lit("O")).alias("is_open_nullsafe"),
+            status_or_null.isNull().alias("was_pending"),
+        )
+    )
+
+
+def q_sort_multi(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — multi-key global sort + limit (TakeOrderedAndProject)."""
+    df = table(spark, sf, "orders")
+    return (
+        df.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy(
+            F.asc("o_orderstatus"), F.desc("o_totalprice"), F.asc("o_orderkey")
+        )
+        .limit(50)
+    )
+
+
+def q_string_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — string-function family with engine-identical semantics."""
+    df = table(spark, sf, "customer")
+    name = F.col("c_name")
+    return df.select(
+        "c_custkey",
+        F.upper(name).alias("up"),
+        F.substring(name, 10, 5).alias("mid"),
+        F.length(name).alias("len"),
+        F.regexp_replace(name, "0", "_").alias("subbed"),
+        F.reverse(name).alias("rev"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.concat_ws("-", F.lit("C"), F.col("c_mktsegment")).alias("tagged"),
+    )
+
+
+def q_array_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — array-function family over a derived token array."""
+    df = table(spark, sf, "orders")
+    arr = F.split("o_orderpriority", "-")
+    return df.select(
+        "o_orderkey",
+        F.size(arr).alias("n"),
+        F.array_contains(arr, "URGENT").alias("has_urgent"),
+        F.element_at(arr, -1).alias("last_el"),
+        F.array_join(F.array_sort(arr), "|").alias("sorted_join"),
+        F.array_join(F.array_sort(F.array_distinct(F.concat(arr, arr))), "|").alias("dedup_join"),
+    )
+
+
+def q_scalar_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — scalar-subquery pattern: orders above the global average
+    price. Spark-side: the single-row aggregate is broadcast-cross-joined
+    (what Catalyst decorrelates a scalar subquery into)."""
+    orders = table(spark, sf, "orders")
+    avg_row = orders.agg(
+        text.round4(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_price")
+    )
+    return (
+        orders.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            F.max("avg_price").alias("avg_price"),
+        )
+    )
+
+
+def q_correlated_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — correlated-subquery pattern: each customer's most expensive
+    order. Decorrelated form: per-key aggregate joined back on (key, max)."""
+    orders = table(spark, sf, "orders")
+    maxes = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.max("o_totalprice").alias("max_price")
+    )
+    return (
+        orders.join(
+            maxes,
+            (orders["o_custkey"] == maxes["ck"])
+            & (orders["o_totalprice"] == maxes["max_price"]),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.min("o_orderkey").alias("orderkey"),  # dedup exact-tie orders
+            F.max("max_price").alias("max_price"),
+        )
+    )
+
+
+def q_window_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — window-function family: lag, rank, running sum per user over
+    event time (deterministic via event_id tiebreak)."""
+    from pyspark.sql import Window
+
+    df = table(spark, sf, "events")
+    df = df.withColumn("tsn", catalog.event_ts_us(df))
+    w = Window.partitionBy("user_id").orderBy("tsn", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.select(
+        "event_id",
+        "user_id",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.rank().over(w).alias("rnk"),
+        text.round4(F.sum(F.col("value").cast("decimal(18,2)")).over(wsum).cast("double")).alias("run_sum"),
+    )
+
+
+def q_rolling_window(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — time-RANGE window frame: per-user rolling 7-day event count
+    and value sum at each event. The frame is a range over epoch-µs (not
+    N rows), so peers at the same timestamp are all included and the
+    output is tie-order independent — the rolling-feature shape of a
+    user-activity pipeline. One shuffle on user_id."""
+    from pyspark.sql import Window
+
+    df = table(spark, sf, "events")
+    df = df.withColumn("tsn", catalog.event_ts_us(df))
+    week_us = 7 * 86400 * 10**6
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tsn")
+        .rangeBetween(-week_us, 0)
+    )
+    return df.select(
+        "user_id",
+        "event_id",
+        "tsn",
+        F.count(F.lit(1)).over(w).alias("roll_cnt"),
+        text.round4(
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+        ).alias("roll_sum"),
+    )
+
+
+def q_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — left semi join: customers having at least one order."""
+    cust = table(spark, sf, "customer")
+    orders = table(spark, sf, "orders")
+    return (
+        cust.join(
+            orders, cust["c_custkey"] == orders["o_custkey"], "left_semi"
+        )
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+def q_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — left anti join: customers with no pending ('P') order."""
+    cust = table(spark, sf, "customer")
+    pending = table(spark, sf, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        cust.join(
+            pending, cust["c_custkey"] == pending["o_custkey"], "left_anti"
+        )
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — as-of join: each purchase matched to the user's latest signup
+    at-or-before it (union + forward-fill window; one shuffle)."""
+    ev = table(spark, sf, "events")
+    ev = ev.withColumn("tsn", catalog.event_ts_us(ev))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id"), F.col("tsn").alias("ts")
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", F.col("tsn").alias("ts"))
+        .agg(F.max("value").alias("state"))
+    )
+    out = join_ops.asof_join(
+        purchases, signups, by="user_id", left_time="ts", right_time="ts",
+        value_cols=("state",),
+    )
+    return out.select(
+        "user_id", "event_id", "ts", "matched_time", "matched_state"
+    )
+
+
+def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — range join via domain bucketing (equality join on buckets +
+    residual filter; never a nested-loop cross product)."""
+    events = table(spark, sf, "events")
+    intervals = (
+        table(spark, sf, "nation")
+        .select(
+            F.col("n_nationkey").alias("interval_id"),
+            (F.col("n_nationkey") * 4.0).alias("lo"),
+            (F.col("n_nationkey") * 4.0 + 10.0).alias("hi"),
+        )
+    )
+    joined = join_ops.range_join(
+        events.select("event_id", "value"), intervals, "value"
+    )
+    return joined.groupBy("interval_id").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def q_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — unpivot/melt: wide per-status counts back to long form."""
+    df = table(spark, sf, "lineitem")
+    wide = (
+        df.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "l_returnflag",
+            F.coalesce("O", F.lit(0)).alias("o_cnt"),
+            F.coalesce("F", F.lit(0)).alias("f_cnt"),
+        )
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["o_cnt", "f_cnt"], "status", "cnt"
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-K1 — top-2 values per group via window row_number."""
+    return topk.topk_per_group(
+        table(spark, sf, "lineitem"), "l_returnflag", "l_linestatus", k=2
+    )
+
+
+def q_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — one-pass column profiler over documents (nulls, distinct,
+    min/max per column, long format). exact=True swaps the HLL sketch
+    for count(DISTINCT) so the output is cross-engine-checkable; the
+    default approx path is the 100 TB shape (same plan minus Expand)."""
+    from data_wrangle_openstreetmaps_data_spark.operators import quality
+
+    return quality.profile(
+        table(spark, sf, "documents"),
+        cols=["doc_id", "lang", "source", "n_chars"],
+        exact=True,
+    )
+
+
+def q_find_one(spark: SparkSession, sf: str) -> DataFrame:
+    """S6 — find_one() analog, made deterministic with an explicit order
+    (openstreet_kolkata.py:593)."""
+    df = table(spark, sf, "orders")
+    return (
+        df.select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+        .limit(1)
+    )
+
+
+def q_pivot_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — pivot: linestatus columns per returnflag row."""
+    df = table(spark, sf, "lineitem")
+    return (
+        df.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "l_returnflag",
+            F.coalesce("O", F.lit(0)).alias("o_cnt"),
+            F.coalesce("F", F.lit(0)).alias("f_cnt"),
+        )
+    )
+
+
+def q_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — exact interpolated percentiles of order value per status."""
+    df = table(spark, sf, "orders")
+    return df.groupBy("o_orderstatus").agg(
+        *[
+            text.round4(F.expr(f"percentile(o_totalprice, {q})")).alias(f"p{int(q*100)}")
+            for q in (0.5, 0.9, 0.99)
+        ]
+    )
+
+
+def q_stats_moments(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — avg/stddev/min/max + correlation, rounded portably."""
+    df = table(spark, sf, "lineitem")
+    return df.agg(
+        text.round4(F.avg("l_quantity")).alias("avg_qty"),
+        text.round4(F.stddev_samp("l_quantity")).alias("sd_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        text.round4(F.corr("l_quantity", "l_extendedprice")).alias("corr_qp"),
+    )
+
+
+def q_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — fixed-width binning histogram of event values."""
+    df = table(spark, sf, "events")
+    bin_ = F.floor(F.col("value") / 10).cast("long")
+    return df.groupBy(bin_.alias("bin")).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — multi-granularity aggregate via GROUPING SETS: per
+    event_type, per user-cohort (user_id mod 10), and the grand total in
+    ONE pass over the fact table (Expand + single hash aggregate), instead
+    of three scans unioned."""
+    df = table(spark, sf, "events").select(
+        "event_type",
+        (F.col("user_id") % 10).alias("cohort"),
+        "value",
+    )
+    return (
+        df.groupingSets(
+            [["event_type"], ["cohort"], []], "event_type", "cohort"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            text.round4(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            ).alias("val_sum"),
+        )
+    )
+
+
+def q_equidepth_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — equi-depth (decile) histogram of event values: the 9 decile
+    boundaries come from ONE percentile aggregate row broadcast back over
+    the scan, and each value's bucket is how many boundaries it exceeds —
+    no global sort, no ntile window funnel. Boundaries and values are
+    4-dp-rounded on both engines before comparison so bucket assignment
+    is deterministic cross-engine."""
+    df = table(spark, sf, "events").select("value")
+    qs = ", ".join(str(i / 10) for i in range(1, 10))
+    bnds = df.agg(
+        F.transform(
+            F.expr(f"percentile(value, array({qs}))"),
+            lambda b: F.floor(b * 10000 + F.lit(0.5)) / 10000,
+        ).alias("bnds")
+    )
+    v = F.floor(F.col("value") * 10000 + F.lit(0.5)) / 10000
+    return (
+        df.crossJoin(F.broadcast(bnds))
+        .select(
+            v.alias("v"),
+            F.size(F.filter(F.col("bnds"), lambda b: v > b)).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+    )
+
+
+def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — semi-structured JSON column processing: extract props.k and
+    aggregate per event type (get_json_object / JSON path)."""
+    df = table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        df.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("k").isNotNull(), 1)).alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_data_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — ingest-gate quality report: null counts, range violations,
+    duplicate keys, and referential-integrity violations in one row."""
+    from data_wrangle_openstreetmaps_data_spark.operators import quality
+
+    orders = table(spark, sf, "orders")
+    customer = table(spark, sf, "customer")
+    report = quality.quality_report(
+        orders,
+        non_null=["o_orderkey", "o_custkey", "o_orderstatus"],
+        ranges={"o_totalprice": (0.0, 1e7)},
+        unique="o_orderkey",
+    )
+    orphans = quality.referential_violations(
+        orders, customer, "o_custkey", "c_custkey"
+    ).agg(F.count(F.lit(1)).alias("orphan_orders"))
+    return report.crossJoin(orphans)
+
+
+def q_rollup_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — grouping-sets surface absent from the reference (SURVEY.md
+    §2.6): ROLLUP subtotals over (returnflag, linestatus)."""
+    df = table(spark, sf, "lineitem")
+    return df.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def q_cube_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — CUBE over (orderstatus, orderpriority)."""
+    df = table(spark, sf, "orders")
+    return df.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def q_intersect_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — INTERSECT (set op surface; reference has only implicit union)."""
+    c = table(spark, sf, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = table(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s)
+
+
+def q_except_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — EXCEPT ALL (multiset difference) then distinct: nation keys
+    whose customer-row count exceeds their supplier-row count."""
+    c = table(spark, sf, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = table(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.exceptAll(s).distinct()
+
+
+def q_date_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — date-part extraction + conditional aggregation by month."""
+    df = table(spark, sf, "events")
+    ts = catalog.event_ts(df)
+    return (
+        df.select(
+            F.year(ts).cast("long").alias("y"),
+            F.month(ts).cast("long").alias("m"),
+            F.col("value"),
+        )
+        .groupBy("y", "m")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+def q_rank_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — the rank-function family (rank / dense_rank / percent_rank /
+    cume_dist) over per-user spend within each event type, top-10 by
+    rank. Ordering is by the decimal-exact total ONLY, so tied users get
+    identical rank rows and the rank<=10 cut is a deterministic SET.
+    The window partitions by event type over the pre-aggregated
+    |users|·|types| frame (never raw events); at extreme user counts the
+    same numbers decompose into per-value count merges."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    totals = ev.groupBy("event_type", "user_id").agg(
+        _dec_sum(F.col("value")).alias("total")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("total"))
+    return (
+        totals.select(
+            "event_type",
+            "user_id",
+            text.round4(F.col("total")).alias("total4"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            text.round4(F.percent_rank().over(w)).alias("prnk"),
+            text.round4(F.cume_dist().over(w)).alias("cdist"),
+        )
+        .filter(F.col("rnk") <= 10)
+    )
+
+
+ORACLES: dict[str, str | None] = {
+    "q_null_semantics": """
+        SELECT o_orderkey,
+               coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status2,
+               nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM 'O'
+                 AS is_open_nullsafe,
+               nullif(o_orderstatus, 'P') IS NULL AS was_pending
+        FROM orders
+    """,
+    "q_sort_multi": """
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC
+        LIMIT 50
+    """,
+    "q_string_functions": """
+        SELECT c_custkey,
+               upper(c_name) AS up,
+               substr(c_name, 10, 5) AS mid,
+               CAST(length(c_name) AS INT) AS len,
+               regexp_replace(c_name, '0', '_', 'g') AS subbed,
+               reverse(c_name) AS rev,
+               lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+               'C' || '-' || c_mktsegment AS tagged
+        FROM customer
+    """,
+    "q_array_functions": """
+        WITH a AS (
+          SELECT o_orderkey, string_split(o_orderpriority, '-') AS arr
+          FROM orders
+        )
+        SELECT o_orderkey,
+               CAST(len(arr) AS INT) AS n,
+               list_contains(arr, 'URGENT') AS has_urgent,
+               arr[-1] AS last_el,
+               array_to_string(list_sort(arr), '|') AS sorted_join,
+               array_to_string(list_sort(list_distinct(list_concat(arr, arr))), '|')
+                 AS dedup_join
+        FROM a
+    """,
+    "q_scalar_subquery": """
+        WITH a AS (
+          SELECT floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*) * 10000 + 0.5) / 10000 AS avg_price
+          FROM orders
+        )
+        SELECT count(*) AS n_above, max(avg_price) AS avg_price
+        FROM orders, a WHERE o_totalprice > avg_price
+    """,
+    "q_correlated_subquery": """
+        SELECT o_custkey, min(o_orderkey) AS orderkey,
+               max(o_totalprice) AS max_price
+        FROM orders o
+        WHERE o_totalprice = (
+          SELECT max(o_totalprice) FROM orders i
+          WHERE i.o_custkey = o.o_custkey
+        )
+        GROUP BY o_custkey
+    """,
+    "q_window_functions": """
+        WITH e AS (SELECT *, epoch_us(ts) AS tsn FROM events)
+        SELECT event_id, user_id,
+               lag(value, 1) OVER w AS prev_value,
+               rank() OVER w AS rnk,
+               floor(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+                 PARTITION BY user_id ORDER BY tsn, event_id
+                 ROWS UNBOUNDED PRECEDING
+               ) AS DOUBLE) * 10000 + 0.5) / 10000 AS run_sum
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)
+    """,
+    # time-RANGE frame (not ROWS): peers at the same tsn all included,
+    # so the result is independent of tie order on both engines
+    "q_rolling_window": """
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(ts) AS tsn, value FROM events
+        )
+        SELECT user_id, event_id, tsn,
+               count(*) OVER w AS roll_cnt,
+               floor(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w
+                     AS DOUBLE) * 10000 + 0.5) / 10000 AS roll_sum
+        FROM e
+        WINDOW w AS (
+          PARTITION BY user_id ORDER BY tsn
+          RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+        )
+    """,
+    "q_semi_join": """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "q_anti_join": """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderstatus = 'P'
+        )
+    """,
+    "q_asof_join": """
+        WITH ev AS (SELECT *, epoch_us(ts) AS tsn FROM events),
+        purchases AS (
+          SELECT user_id, event_id, tsn AS ts FROM ev
+          WHERE event_type = 'purchase'
+        ),
+        signups AS (
+          SELECT user_id, tsn AS ts, max(value) AS state FROM ev
+          WHERE event_type = 'signup' GROUP BY user_id, tsn
+        )
+        SELECT p.user_id, p.event_id, p.ts,
+               s.ts AS matched_time, s.state AS matched_state
+        FROM purchases p
+        ASOF LEFT JOIN signups s
+          ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+    "q_range_join": """
+        WITH intervals AS (
+          SELECT n_nationkey AS interval_id,
+                 n_nationkey * 4.0 AS lo,
+                 n_nationkey * 4.0 + 10.0 AS hi
+          FROM nation
+        )
+        SELECT interval_id, count(*) AS cnt
+        FROM events JOIN intervals
+          ON value >= lo AND value < hi
+        GROUP BY interval_id
+    """,
+    "q_unpivot": """
+        WITH wide AS (
+          SELECT l_returnflag,
+                 count(*) FILTER (WHERE l_linestatus = 'O') AS o_cnt,
+                 count(*) FILTER (WHERE l_linestatus = 'F') AS f_cnt
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, 'o_cnt' AS status, o_cnt AS cnt FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'f_cnt' AS status, f_cnt AS cnt FROM wide
+    """,
+    "q_topk_per_group": """
+        SELECT l_returnflag, l_linestatus, cnt, rn FROM (
+          SELECT l_returnflag, l_linestatus, cnt,
+                 row_number() OVER (
+                   PARTITION BY l_returnflag ORDER BY cnt DESC, l_linestatus
+                 ) AS rn
+          FROM (
+            SELECT l_returnflag, l_linestatus, count(*) AS cnt
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+          )
+        ) WHERE rn <= 2
+    """,
+    # exact-distinct profiler: 4 metrics × 4 columns as UNION ALL rows,
+    # min/max stringified identically (bigints/varchars only)
+    "q_profile": " UNION ALL ".join(
+        part
+        for c in ["doc_id", "lang", "source", "n_chars"]
+        for part in [
+            f"SELECT '{c}:nulls' AS metric, "
+            f"CAST(count(CASE WHEN {c} IS NULL THEN 1 END) AS VARCHAR) AS value "
+            "FROM documents",
+            f"SELECT '{c}:distinct', CAST(count(DISTINCT {c}) AS VARCHAR) "
+            "FROM documents",
+            f"SELECT '{c}:min', CAST(min({c}) AS VARCHAR) FROM documents",
+            f"SELECT '{c}:max', CAST(max({c}) AS VARCHAR) FROM documents",
+        ]
+    ),
+    "q_find_one": """
+        SELECT o_orderkey, o_orderstatus FROM orders
+        ORDER BY o_orderkey LIMIT 1
+    """,
+    "q_pivot_counts": """
+        SELECT l_returnflag,
+               count(*) FILTER (WHERE l_linestatus = 'O') AS o_cnt,
+               count(*) FILTER (WHERE l_linestatus = 'F') AS f_cnt
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_percentiles": """
+        SELECT o_orderstatus,
+               floor(quantile_cont(o_totalprice, 0.5) * 10000 + 0.5) / 10000 AS p50,
+               floor(quantile_cont(o_totalprice, 0.9) * 10000 + 0.5) / 10000 AS p90,
+               floor(quantile_cont(o_totalprice, 0.99) * 10000 + 0.5) / 10000 AS p99
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "q_stats_moments": """
+        SELECT floor(avg(l_quantity) * 10000 + 0.5) / 10000 AS avg_qty,
+               floor(stddev_samp(l_quantity) * 10000 + 0.5) / 10000 AS sd_qty,
+               min(l_quantity) AS min_qty,
+               max(l_quantity) AS max_qty,
+               floor(corr(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000 AS corr_qp
+        FROM lineitem
+    """,
+    "q_histogram": """
+        SELECT CAST(floor(value / 10) AS BIGINT) AS bin, count(*) AS cnt
+        FROM events GROUP BY bin
+    """,
+    "q_grouping_sets": """
+        WITH e AS (
+          SELECT event_type, user_id % 10 AS cohort, value FROM events
+        )
+        SELECT event_type, cohort, count(*) AS cnt,
+               floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     * 10000 + 0.5) / 10000 AS val_sum
+        FROM e GROUP BY GROUPING SETS ((event_type), (cohort), ())
+    """,
+    "q_equidepth_histogram": """
+        WITH b AS (
+          SELECT list_transform(
+                   quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+                   x -> floor(x * 10000 + 0.5) / 10000
+                 ) AS bnds
+          FROM events
+        ),
+        a AS (
+          SELECT floor(value * 10000 + 0.5) / 10000 AS v,
+                 len(list_filter(bnds,
+                     x -> floor(value * 10000 + 0.5) / 10000 > x)) AS bucket
+          FROM events, b
+        )
+        SELECT bucket, count(*) AS cnt, min(v) AS lo, max(v) AS hi
+        FROM a GROUP BY bucket
+    """,
+    "q_json_extract": """
+        WITH k AS (
+          SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events
+        )
+        SELECT event_type,
+               count(*) FILTER (WHERE k IS NOT NULL) AS n_with_k,
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               min(k) AS min_k, max(k) AS max_k
+        FROM k GROUP BY event_type
+    """,
+    "q_data_quality": """
+        WITH report AS (
+          SELECT count(*) FILTER (WHERE o_orderkey IS NULL) AS null_o_orderkey,
+                 count(*) FILTER (WHERE o_custkey IS NULL) AS null_o_custkey,
+                 count(*) FILTER (WHERE o_orderstatus IS NULL) AS null_o_orderstatus,
+                 count(*) FILTER (WHERE o_totalprice < 0.0 OR o_totalprice > 1e7)
+                   AS oob_o_totalprice,
+                 count(*) AS n_rows
+          FROM orders
+        ),
+        dups AS (
+          SELECT count(*) AS dup_keys_o_orderkey FROM (
+            SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1
+          )
+        ),
+        orphans AS (
+          SELECT count(*) AS orphan_orders FROM orders
+          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        )
+        SELECT * FROM report, dups, orphans
+    """,
+    "q_rollup_counts": """
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "q_cube_counts": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "q_intersect_keys": """
+        SELECT c_nationkey AS nk FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nk FROM supplier
+    """,
+    "q_except_keys": """
+        SELECT DISTINCT nk FROM (
+          SELECT c_nationkey AS nk FROM customer
+          EXCEPT ALL
+          SELECT s_nationkey AS nk FROM supplier
+        )
+    """,
+    "q_date_extract": """
+        SELECT CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m,
+               count(*) AS cnt,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM events GROUP BY y, m
+    """,
+    "q_rank_functions": """
+        WITH t AS (
+          SELECT event_type, user_id,
+                 CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total
+          FROM events GROUP BY event_type, user_id
+        )
+        SELECT event_type, user_id,
+               floor(total * 10000 + 0.5) / 10000 AS total4,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               floor(percent_rank() OVER w * 10000 + 0.5) / 10000 AS prnk,
+               floor(cume_dist() OVER w * 10000 + 0.5) / 10000 AS cdist
+        FROM t
+        WINDOW w AS (PARTITION BY event_type ORDER BY total DESC)
+        QUALIFY rnk <= 10
+    """,
+}

@@ -1,0 +1,284 @@
+"""Business reporting battery: RFM, revenue concentration, MoM growth, seasonality.
+
+Registry family module — split from the single-file registry; each
+family defines its ``q_*`` callables plus the matching ``ORACLES``
+entries, aggregated in ``__init__``."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_wrangle_openstreetmaps_data_spark import catalog
+from data_wrangle_openstreetmaps_data_spark.catalog import table
+from data_wrangle_openstreetmaps_data_spark.functions import cleaning, text
+from data_wrangle_openstreetmaps_data_spark.operators import (
+    audit,
+    curation,
+    dedup,
+    join as join_ops,
+    sample,
+    similarity,
+    topk,
+)
+
+from data_wrangle_openstreetmaps_data_spark.plans.queries._shared import *  # noqa: F401,F403
+
+
+
+def q_customer_rfm(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — RFM (recency/frequency/monetary) customer segmentation, the
+    classic CRM rollup, in the scale-safe shape: per-customer metrics in
+    one aggregate, quintile boundaries as ONE broadcast percentile row
+    (4-dp-floored on both engines), scores by boundaries-exceeded count —
+    the same no-ntile pattern as the equi-depth histogram, so no global
+    sort ever touches the |customers| frame. Output: segment cube with
+    customer counts."""
+    orders = table(spark, sf, "orders")
+    asof = _ts("2001-08-01")
+    base = orders.groupBy("o_custkey").agg(
+        F.min(F.datediff(asof, F.col("o_orderdate"))).alias("recency"),
+        F.count(F.lit(1)).alias("frequency"),
+        _dec_sum(F.col("o_totalprice")).alias("monetary"),
+    )
+    qs = [0.2, 0.4, 0.6, 0.8]
+    bounds = base.agg(
+        *[
+            text.round4(F.percentile(F.col(c), F.lit(q))).alias(
+                f"{c[0]}b{i}"
+            )
+            for c in ("recency", "frequency", "monetary")
+            for i, q in enumerate(qs)
+        ]
+    )
+
+    def score(col: str, prefix: str, invert: bool) -> F.Column:
+        s = F.lit(1)
+        for i in range(4):
+            s = s + F.when(
+                F.col(col) > F.col(f"{prefix}b{i}"), 1
+            ).otherwise(0)
+        # high recency (days since last order) is BAD → invert the scale
+        return (F.lit(6) - s) if invert else s
+
+    return (
+        base.crossJoin(F.broadcast(bounds))
+        .select(
+            score("recency", "r", True).alias("r_score"),
+            score("frequency", "f", False).alias("f_score"),
+            score("monetary", "m", False).alias("m_score"),
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def q_revenue_mom_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — month-over-month revenue growth: monthly decimal-exact
+    totals (one aggregate; the shuffle carries |months| partial rows),
+    then lag() over the TINY months frame — the window never sees fact
+    rows. First month's growth is NULL by definition."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf, "orders")
+    month = F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
+    monthly = orders.groupBy(month.alias("month")).agg(
+        _dec_sum(F.col("o_totalprice")).alias("revenue")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        text.round4(F.col("revenue")).alias("revenue"),
+        text.round4((F.col("revenue") - prev) / prev * 100.0).alias(
+            "mom_pct"
+        ),
+    )
+
+
+def q_dow_seasonality(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — day-of-week × event-type seasonality with row share: one
+    grouped count plus a broadcast grand total. Weekday comes from
+    date_format 'E' (locale-stable three-letter token, identical to
+    DuckDB's %a) — NOT dayofweek(), whose 1..7 anchor differs between
+    engines."""
+    ev = table(spark, sf, "events")
+    dow = F.date_format(catalog.event_ts(ev), "E")
+    cells = ev.groupBy(dow.alias("dow"), "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "dow",
+        "event_type",
+        "cnt",
+        text.round4(F.col("cnt") / F.col("n_total") * 100.0).alias("pct"),
+    )
+
+
+def q_revenue_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — revenue concentration by customer decile (the Pareto / 'top
+    10% of customers carry X%' audit) in the scale-safe shape: decile
+    boundaries as ONE broadcast 4dp-floored percentile row, assignment
+    by boundaries-exceeded count, then a 10-row share rollup against the
+    broadcast grand total — no ntile, no global sort."""
+    orders = table(spark, sf, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        _dec_sum(F.col("o_totalprice")).alias("monetary")
+    )
+    qs = [i / 10.0 for i in range(1, 10)]
+    bounds = base.agg(
+        *[
+            text.round4(F.percentile(F.col("monetary"), F.lit(q))).alias(
+                f"b{i}"
+            )
+            for i, q in enumerate(qs)
+        ]
+    )
+    decile = F.lit(1)
+    for i in range(9):
+        decile = decile + F.when(
+            F.col("monetary") > F.col(f"b{i}"), 1
+        ).otherwise(0)
+    total = base.agg(
+        F.sum(F.col("monetary").cast("decimal(24,6)"))
+        .cast("double")
+        .alias("grand")
+    )
+    return (
+        base.crossJoin(F.broadcast(bounds))
+        .select(decile.alias("decile"), "monetary")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("monetary").cast("decimal(24,6)"))
+            .cast("double")
+            .alias("rev"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_customers",
+            text.round4(F.col("rev")).alias("revenue"),
+            text.round4(F.col("rev") / F.col("grand") * 100.0).alias(
+                "rev_pct"
+            ),
+        )
+    )
+
+
+ORACLES: dict[str, str | None] = {
+    "q_customer_rfm": """
+        WITH base AS (
+          SELECT o_custkey,
+                 min(datediff('day', o_orderdate,
+                     TIMESTAMP '2001-08-01 00:00:00')) AS recency,
+                 count(*) AS frequency,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE)
+                   AS monetary
+          FROM orders GROUP BY o_custkey
+        ),
+        b AS (
+          SELECT
+            floor(quantile_cont(recency, 0.2) * 10000 + 0.5) / 10000 AS rb0,
+            floor(quantile_cont(recency, 0.4) * 10000 + 0.5) / 10000 AS rb1,
+            floor(quantile_cont(recency, 0.6) * 10000 + 0.5) / 10000 AS rb2,
+            floor(quantile_cont(recency, 0.8) * 10000 + 0.5) / 10000 AS rb3,
+            floor(quantile_cont(frequency, 0.2) * 10000 + 0.5) / 10000 AS fb0,
+            floor(quantile_cont(frequency, 0.4) * 10000 + 0.5) / 10000 AS fb1,
+            floor(quantile_cont(frequency, 0.6) * 10000 + 0.5) / 10000 AS fb2,
+            floor(quantile_cont(frequency, 0.8) * 10000 + 0.5) / 10000 AS fb3,
+            floor(quantile_cont(monetary, 0.2) * 10000 + 0.5) / 10000 AS mb0,
+            floor(quantile_cont(monetary, 0.4) * 10000 + 0.5) / 10000 AS mb1,
+            floor(quantile_cont(monetary, 0.6) * 10000 + 0.5) / 10000 AS mb2,
+            floor(quantile_cont(monetary, 0.8) * 10000 + 0.5) / 10000 AS mb3
+          FROM base
+        )
+        SELECT 6 - (1 + CASE WHEN recency > rb0 THEN 1 ELSE 0 END
+                      + CASE WHEN recency > rb1 THEN 1 ELSE 0 END
+                      + CASE WHEN recency > rb2 THEN 1 ELSE 0 END
+                      + CASE WHEN recency > rb3 THEN 1 ELSE 0 END)
+                 AS r_score,
+               1 + CASE WHEN frequency > fb0 THEN 1 ELSE 0 END
+                 + CASE WHEN frequency > fb1 THEN 1 ELSE 0 END
+                 + CASE WHEN frequency > fb2 THEN 1 ELSE 0 END
+                 + CASE WHEN frequency > fb3 THEN 1 ELSE 0 END AS f_score,
+               1 + CASE WHEN monetary > mb0 THEN 1 ELSE 0 END
+                 + CASE WHEN monetary > mb1 THEN 1 ELSE 0 END
+                 + CASE WHEN monetary > mb2 THEN 1 ELSE 0 END
+                 + CASE WHEN monetary > mb3 THEN 1 ELSE 0 END AS m_score,
+               count(*) AS n_customers
+        FROM base, b
+        GROUP BY r_score, f_score, m_score
+    """,
+    "q_revenue_mom_growth": """
+        WITH m AS (
+          SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE)
+                   AS revenue
+          FROM orders GROUP BY month
+        )
+        SELECT month,
+               floor(revenue * 10000 + 0.5) / 10000 AS revenue,
+               floor((revenue - lag(revenue) OVER (ORDER BY month))
+                     / lag(revenue) OVER (ORDER BY month) * 100.0
+                     * 10000 + 0.5) / 10000 AS mom_pct
+        FROM m
+    """,
+    "q_dow_seasonality": """
+        WITH t AS (SELECT count(*) AS n_total FROM events)
+        SELECT strftime(ts, '%a') AS dow, event_type, count(*) AS cnt,
+               floor(CAST(count(*) AS DOUBLE) / n_total * 100.0
+                     * 10000 + 0.5) / 10000 AS pct
+        FROM events, t
+        GROUP BY dow, event_type, n_total
+    """,
+    "q_revenue_concentration": """
+        WITH base AS (
+          SELECT o_custkey,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE)
+                   AS monetary
+          FROM orders GROUP BY o_custkey
+        ),
+        b AS (
+          SELECT
+            floor(quantile_cont(monetary, 0.1) * 10000 + 0.5) / 10000 AS b0,
+            floor(quantile_cont(monetary, 0.2) * 10000 + 0.5) / 10000 AS b1,
+            floor(quantile_cont(monetary, 0.3) * 10000 + 0.5) / 10000 AS b2,
+            floor(quantile_cont(monetary, 0.4) * 10000 + 0.5) / 10000 AS b3,
+            floor(quantile_cont(monetary, 0.5) * 10000 + 0.5) / 10000 AS b4,
+            floor(quantile_cont(monetary, 0.6) * 10000 + 0.5) / 10000 AS b5,
+            floor(quantile_cont(monetary, 0.7) * 10000 + 0.5) / 10000 AS b6,
+            floor(quantile_cont(monetary, 0.8) * 10000 + 0.5) / 10000 AS b7,
+            floor(quantile_cont(monetary, 0.9) * 10000 + 0.5) / 10000 AS b8
+          FROM base
+        ),
+        t AS (
+          SELECT CAST(sum(CAST(monetary AS DECIMAL(24,6))) AS DOUBLE)
+            AS grand FROM base
+        ),
+        d AS (
+          SELECT 1 + CASE WHEN monetary > b0 THEN 1 ELSE 0 END
+                   + CASE WHEN monetary > b1 THEN 1 ELSE 0 END
+                   + CASE WHEN monetary > b2 THEN 1 ELSE 0 END
+                   + CASE WHEN monetary > b3 THEN 1 ELSE 0 END
+                   + CASE WHEN monetary > b4 THEN 1 ELSE 0 END
+                   + CASE WHEN monetary > b5 THEN 1 ELSE 0 END
+                   + CASE WHEN monetary > b6 THEN 1 ELSE 0 END
+                   + CASE WHEN monetary > b7 THEN 1 ELSE 0 END
+                   + CASE WHEN monetary > b8 THEN 1 ELSE 0 END AS decile,
+                 monetary
+          FROM base, b
+        )
+        SELECT decile, count(*) AS n_customers,
+               floor(CAST(sum(CAST(monetary AS DECIMAL(24,6))) AS DOUBLE)
+                     * 10000 + 0.5) / 10000 AS revenue,
+               floor(CAST(sum(CAST(monetary AS DECIMAL(24,6))) AS DOUBLE)
+                     / grand * 100.0 * 10000 + 0.5) / 10000 AS rev_pct
+        FROM d, t
+        GROUP BY decile, grand
+    """,
+}

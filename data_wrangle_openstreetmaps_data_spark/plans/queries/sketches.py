@@ -1,0 +1,366 @@
+"""Deterministic sketches: KMV distinct/set-ops/merge, count-min, co-occurrence.
+
+Registry family module — split from the single-file registry; each
+family defines its ``q_*`` callables plus the matching ``ORACLES``
+entries, aggregated in ``__init__``."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_wrangle_openstreetmaps_data_spark import catalog
+from data_wrangle_openstreetmaps_data_spark.catalog import table
+from data_wrangle_openstreetmaps_data_spark.functions import cleaning, text
+from data_wrangle_openstreetmaps_data_spark.operators import (
+    audit,
+    curation,
+    dedup,
+    join as join_ops,
+    sample,
+    similarity,
+    topk,
+)
+
+from data_wrangle_openstreetmaps_data_spark.plans.queries._shared import *  # noqa: F401,F403
+
+
+
+def q_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — KMV (k-minimum-values) distinct sketch per event type, next
+    to the exact count. Unlike HLL, KMV built on the portable 60-bit md5
+    hash is bit-reproducible in any engine, so the ESTIMATE itself is
+    oracle-checked. The min-k selection is the blocked two-phase rank
+    (operators/topk.py::bottom_k) — no per-group single-partition sort —
+    and groups with fewer than k members fall back to the exact count
+    (the estimator is undefined there)."""
+    from data_wrangle_openstreetmaps_data_spark.operators.topk import bottom_k
+
+    ev = table(spark, sf, "events")
+    ut = ev.select("event_type", "user_id").distinct()
+    # dedup the HASHES too (not just the users): a 60-bit collision
+    # between two users must contribute one min-k candidate, matching
+    # the oracle's SELECT DISTINCT and the kmv_merge/stream variants
+    h = ut.select(
+        "event_type", _kmv_hash(F.col("user_id")).alias("h")
+    ).distinct()
+    kth = (
+        bottom_k(h, ["event_type"], "h", _KMV_K)
+        .groupBy("event_type")
+        .agg(F.max("h").alias("hk"))
+    )
+    exact = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
+    est = F.when(
+        F.col("exact_distinct") >= _KMV_K,
+        F.lit(float(_KMV_K - 1)) / (F.col("hk") / F.lit(_KMV_NORM)),
+    ).otherwise(F.col("exact_distinct").cast("double"))
+    return (
+        exact.join(F.broadcast(kth), "event_type")
+        .select(
+            "event_type", "exact_distinct", text.round4(est).alias("kmv_est")
+        )
+    )
+
+
+def q_kmv_setops(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — KMV set-operation estimates between two daily user sets:
+    union size from the union sketch's kth hash, Jaccard from the
+    membership flags riding the min-k rows, intersection by
+    inclusion-exclusion — all deterministic (portable hash, blocked
+    min-k) and therefore value-oracled, alongside the exact answers.
+    One aggregate builds per-user membership, so each user contributes
+    ONE row to the sketch regardless of event count."""
+    from data_wrangle_openstreetmaps_data_spark.operators.topk import bottom_k
+
+    ev = table(spark, sf, "events")
+    day = F.to_date(catalog.event_ts(ev))
+    d1, d2 = "2024-01-05", "2024-01-06"
+    members = (
+        ev.select("user_id", day.alias("day"))
+        .filter(F.col("day").isin(d1, d2))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("day") == d1, 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("day") == d2, 1).otherwise(0)).alias("in_b"),
+        )
+        .select(_kmv_hash(F.col("user_id")).alias("h"), "in_a", "in_b")
+    )
+    mink = bottom_k(members, [], "h", _KMV_K)
+    sketch = mink.agg(
+        F.max("h").alias("hk"),
+        F.count(F.lit(1)).alias("kc"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("k_both"),
+    )
+    exact = members.agg(
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("exact_inter"),
+    )
+    union_est = F.when(
+        F.col("exact_union") >= _KMV_K,
+        F.lit(float(_KMV_K - 1)) / (F.col("hk") / F.lit(_KMV_NORM)),
+    ).otherwise(F.col("exact_union").cast("double"))
+    jacc_est = F.col("k_both").cast("double") / F.col("kc")
+    return sketch.crossJoin(F.broadcast(exact)).select(
+        text.round4(union_est).alias("union_est"),
+        text.round4(jacc_est).alias("jaccard_est"),
+        text.round4(jacc_est * union_est).alias("inter_est"),
+        "exact_union",
+        "exact_inter",
+        text.round4(
+            F.col("exact_inter").cast("double") / F.col("exact_union")
+        ).alias("exact_jaccard"),
+    )
+
+
+def q_cooccurrence_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — market-basket co-occurrence with lift over event types per
+    user: P(a,b)/(P(a)P(b)). The per-user distinct collapse bounds the
+    self-join at |users|·|types| rows co-partitioned on the user key
+    (one shuffle, reused by both sides); type marginals and the user
+    count ride broadcasts. Counts stay integers inside doubles (< 2^53)
+    so the lift ratio is exact cross-engine."""
+    ev = table(spark, sf, "events")
+    ut = ev.select("event_type", "user_id").distinct()
+    n_users = ut.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    nt = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("nt"))
+    a = ut.select(F.col("event_type").alias("t1"), "user_id")
+    b = ut.select(F.col("event_type").alias("t2"), "user_id")
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    na = nt.select(F.col("event_type").alias("t1"), F.col("nt").alias("na"))
+    nb = nt.select(F.col("event_type").alias("t2"), F.col("nt").alias("nb"))
+    lift = (
+        F.col("n_ab").cast("double")
+        * F.col("n_users")
+        / (F.col("na") * F.col("nb"))
+    )
+    return (
+        pairs.join(F.broadcast(na), "t1")
+        .join(F.broadcast(nb), "t2")
+        .crossJoin(F.broadcast(n_users))
+        .select("t1", "t2", "n_ab", text.round4(lift).alias("lift"))
+    )
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — count-min-sketch point estimates for the heaviest users,
+    next to exact counts (est ≥ exact by construction; width 64 forces
+    visible collisions, which is the point of the demo). The sketch is
+    one Generate(×4)+aggregate whose shuffle carries ≤ depth·width rows
+    per partition, mergeable across batches by summation; probes join
+    the broadcast 256-row sketch. Portable md5 bucket hashes make the
+    ESTIMATES cross-engine-reproducible, so the oracle checks them."""
+    from data_wrangle_openstreetmaps_data_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    ev = table(spark, sf, "events")
+    cms = cms_build(ev, "user_id", depth=4, width=64)
+    est = cms_estimate(ev, cms, "user_id", depth=4, width=64)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return (
+        exact.join(est, "user_id")
+        .select("user_id", "exact_cnt", "cms_est")
+        .orderBy(F.desc("exact_cnt"), "user_id")
+        .limit(10)
+    )
+
+
+def q_kmv_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — KMV sketch MERGEABILITY, the property that matters at
+    100 TB: per-day min-k sketches union into a monthly estimate without
+    touching raw data, and min-k-of-min-ks equals the direct global
+    min-k EXACTLY (any global survivor is a survivor within its day).
+    The query emits the merged and direct estimates side by side — the
+    oracle computes the direct path once and asserts both columns equal
+    it — plus the exact distinct count."""
+    from data_wrangle_openstreetmaps_data_spark.operators.topk import bottom_k
+
+    ev = table(spark, sf, "events")
+    day = F.to_date(catalog.event_ts(ev))
+    uh = (
+        ev.select(day.alias("day"), "user_id")
+        .distinct()
+        .select("day", _kmv_hash(F.col("user_id")).alias("h"))
+    )
+    daily = bottom_k(uh, ["day"], "h", _KMV_K)
+    merged = bottom_k(daily.select("h").distinct(), [], "h", _KMV_K).agg(
+        F.max("h").alias("m_hk"), F.count(F.lit(1)).alias("m_kc")
+    )
+    direct = bottom_k(uh.select("h").distinct(), [], "h", _KMV_K).agg(
+        F.max("h").alias("d_hk"), F.count(F.lit(1)).alias("d_kc")
+    )
+    exact = ev.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
+
+    def _est(hk, kc):
+        return F.when(
+            kc >= _KMV_K,
+            F.lit(float(_KMV_K - 1)) / (hk / F.lit(_KMV_NORM)),
+        ).otherwise(kc.cast("double"))
+
+    return (
+        merged.crossJoin(F.broadcast(direct))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            text.round4(_est(F.col("m_hk"), F.col("m_kc"))).alias(
+                "merged_est"
+            ),
+            text.round4(_est(F.col("d_hk"), F.col("d_kc"))).alias(
+                "direct_est"
+            ),
+            "exact_distinct",
+        )
+    )
+
+
+ORACLES: dict[str, str | None] = {
+    "q_kmv_distinct": """
+        WITH u AS (
+          SELECT DISTINCT event_type,
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM events
+        ),
+        r AS (
+          SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          FROM u
+        ),
+        kth AS (
+          SELECT event_type, max(h) AS hk FROM r WHERE rn <= 64
+          GROUP BY event_type
+        ),
+        ex AS (
+          SELECT event_type, count(*) AS exact_distinct FROM u
+          GROUP BY event_type
+        )
+        SELECT ex.event_type, exact_distinct,
+               floor((CASE WHEN exact_distinct >= 64
+                      THEN 63.0 / (hk / 1152921504606846976.0)
+                      ELSE CAST(exact_distinct AS DOUBLE) END)
+                     * 10000 + 0.5) / 10000 AS kmv_est
+        FROM ex JOIN kth USING (event_type)
+    """,
+    "q_kmv_setops": """
+        WITH m AS (
+          SELECT user_id,
+                 max(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-05' THEN 1 ELSE 0 END) AS in_a,
+                 max(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-06' THEN 1 ELSE 0 END) AS in_b
+          FROM events
+          -- NB: DuckDB 1.0.0 mis-evaluates date IN-lists (returns 0
+          -- rows); spelled as OR on purpose
+          WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+             OR CAST(ts AS DATE) = DATE '2024-01-06'
+          GROUP BY user_id
+        ),
+        h AS (
+          SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+                 in_a, in_b
+          FROM m
+        ),
+        r AS (SELECT *, row_number() OVER (ORDER BY h) AS rn FROM h),
+        s AS (
+          SELECT max(h) AS hk, count(*) AS kc,
+                 CAST(sum(in_a * in_b) AS BIGINT) AS k_both
+          FROM r WHERE rn <= 64
+        ),
+        e AS (
+          SELECT count(*) AS exact_union,
+                 CAST(sum(in_a * in_b) AS BIGINT) AS exact_inter
+          FROM h
+        )
+        SELECT
+          floor((CASE WHEN exact_union >= 64
+                 THEN 63.0 / (hk / 1152921504606846976.0)
+                 ELSE CAST(exact_union AS DOUBLE) END) * 10000 + 0.5) / 10000
+            AS union_est,
+          floor(CAST(k_both AS DOUBLE) / kc * 10000 + 0.5) / 10000
+            AS jaccard_est,
+          floor(CAST(k_both AS DOUBLE) / kc
+                * (CASE WHEN exact_union >= 64
+                   THEN 63.0 / (hk / 1152921504606846976.0)
+                   ELSE CAST(exact_union AS DOUBLE) END)
+                * 10000 + 0.5) / 10000 AS inter_est,
+          exact_union, exact_inter,
+          floor(CAST(exact_inter AS DOUBLE) / exact_union * 10000 + 0.5) / 10000
+            AS exact_jaccard
+        FROM s, e
+    """,
+    "q_cooccurrence_lift": """
+        WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+        n AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+        nt AS (SELECT event_type, count(*) AS nt FROM ut GROUP BY event_type),
+        p AS (
+          SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS n_ab
+          FROM ut a
+          JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY t1, t2
+        )
+        SELECT t1, t2, n_ab,
+               floor(CAST(n_ab AS DOUBLE) * n_users / (na.nt * nb.nt)
+                     * 10000 + 0.5) / 10000 AS lift
+        FROM p
+        JOIN nt na ON p.t1 = na.event_type
+        JOIN nt nb ON p.t2 = nb.event_type, n
+    """,
+    "q_cms_heavy_hitters": """
+        WITH rows AS (SELECT unnest(generate_series(0, 3)) AS i),
+        cms AS (
+          SELECT i AS cms_row,
+                 ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+                  CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 64 AS bucket,
+                 count(*) AS cnt
+          FROM events, rows
+          GROUP BY 1, 2
+        ),
+        probes AS (
+          SELECT DISTINCT user_id, i AS cms_row,
+                 ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+                  CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 64 AS bucket
+          FROM events, rows
+        ),
+        est AS (
+          SELECT user_id, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS cms_est
+          FROM probes LEFT JOIN cms USING (cms_row, bucket)
+          GROUP BY user_id
+        ),
+        ex AS (SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY user_id)
+        SELECT ex.user_id, exact_cnt, cms_est
+        FROM ex JOIN est USING (user_id)
+        ORDER BY exact_cnt DESC, user_id LIMIT 10
+    """,
+    "q_kmv_merge": """
+        WITH u AS (
+          SELECT DISTINCT
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM events
+        ),
+        r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM u),
+        s AS (SELECT max(h) AS hk, count(*) AS kc FROM r WHERE rn <= 64),
+        e AS (SELECT count(*) AS exact_distinct FROM u)
+        SELECT
+          floor((CASE WHEN kc >= 64
+                 THEN 63.0 / (hk / 1152921504606846976.0)
+                 ELSE CAST(kc AS DOUBLE) END) * 10000 + 0.5) / 10000
+            AS merged_est,
+          floor((CASE WHEN kc >= 64
+                 THEN 63.0 / (hk / 1152921504606846976.0)
+                 ELSE CAST(kc AS DOUBLE) END) * 10000 + 0.5) / 10000
+            AS direct_est,
+          exact_distinct
+        FROM s, e
+    """,
+}

@@ -1,0 +1,440 @@
+"""Store maintenance and mutation: MERGE/CDC, SCD2, Z-order, compaction-adjacent.
+
+Registry family module — split from the single-file registry; each
+family defines its ``q_*`` callables plus the matching ``ORACLES``
+entries, aggregated in ``__init__``."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_wrangle_openstreetmaps_data_spark import catalog
+from data_wrangle_openstreetmaps_data_spark.catalog import table
+from data_wrangle_openstreetmaps_data_spark.functions import cleaning, text
+from data_wrangle_openstreetmaps_data_spark.operators import (
+    audit,
+    curation,
+    dedup,
+    join as join_ops,
+    sample,
+    similarity,
+    topk,
+)
+
+from data_wrangle_openstreetmaps_data_spark.plans.queries._shared import *  # noqa: F401,F403
+
+
+
+def q_latest_per_key(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — CDC compaction / keep-latest-per-key as an ARGMAX AGGREGATE:
+    one partial+final max(struct(ts, event_id, …)) per user instead of a
+    row_number window. The aggregate form map-side-combines (each input
+    partition contributes one candidate row per key before the shuffle),
+    so the shuffle carries |keys| rows, not |events| — the right plan for
+    compacting a 100 TB changelog. Tiebreak: struct ordering on
+    (tsn, event_id) is total, so the result is deterministic."""
+    df = table(spark, sf, "events")
+    df = df.withColumn("tsn", catalog.event_ts_us(df))
+    m = F.max(F.struct("tsn", "event_id", "event_type")).alias("m")
+    return (
+        df.groupBy("user_id")
+        .agg(m)
+        .select(
+            "user_id",
+            F.col("m.tsn").alias("tsn"),
+            F.col("m.event_id").alias("event_id"),
+            F.col("m.event_type").alias("event_type"),
+        )
+    )
+
+
+def q_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — Z-order (Morton curve) layout key over the 2-D grid, the
+    multi-dimensional clustering key used for data layout (Delta/Iceberg
+    Z-ORDER): interleave 7 bits of each grid axis, bucket by z-range, and
+    report per-bucket counts plus the gx/gy spans — small spans on BOTH
+    axes is exactly the locality a 1-D sort key cannot give. Pure integer
+    codegen arithmetic, no UDF, no shuffle beyond the bucket aggregate."""
+    df = table(spark, sf, "events").select(
+        F.floor(F.col("value") / 5).cast("long").alias("gx"),
+        (F.col("user_id") % 100).alias("gy"),
+    )
+    z = F.expr(_z_interleave("gx", "gy", 7, "div"))
+    return (
+        df.select("gx", "gy", z.alias("z"))
+        .groupBy(F.expr("z div 64").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (F.max("gx") - F.min("gx")).alias("gx_span"),
+            (F.max("gy") - F.min("gy")).alias("gy_span"),
+        )
+    )
+
+
+def q_cdc_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — MERGE INTO / CDC-apply: upsert a deterministic change batch
+    (status+price update for keys ≡0 mod 7, key-shifted inserts for keys
+    ≡0 mod 97) into the orders snapshot via
+    :func:`operators.join.merge_upsert` — one full-outer join on the key,
+    change rows win wholesale on match. The delta is ~15% of the snapshot;
+    at scale the snapshot side is the only large shuffle."""
+    snap = table(spark, sf, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+    upd = snap.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("status"),
+        text.round4(F.col("totalprice") * 1.1).alias("totalprice"),
+    )
+    ins = snap.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "status",
+        "totalprice",
+    )
+    merged = join_ops.merge_upsert(
+        snap, upd.unionByName(ins), "o_orderkey"
+    )
+    return merged.select(
+        "o_orderkey", "status", text.round4(F.col("totalprice")).alias("tp")
+    )
+
+
+def q_state_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — incremental-view maintenance: per-type counts and decimal
+    sums kept as MERGEABLE partial states. The 'standing' state (events
+    with id ≢0 mod 3) and the 'arriving' batch (the rest) are aggregated
+    independently, then combined by summing the partials — count and
+    decimal-sum are associative, so merged state ≡ full recompute, which
+    is exactly what the plain GROUP BY oracle checks."""
+    df = table(spark, sf, "events").select("event_id", "event_type", "value")
+
+    def agg(d: DataFrame) -> DataFrame:
+        return d.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("vsum"),
+        )
+
+    state = agg(df.filter(F.col("event_id") % 3 != 0))
+    batch = agg(df.filter(F.col("event_id") % 3 == 0))
+    return (
+        state.unionByName(batch)
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            text.round4(F.sum("vsum").cast("double")).alias("val_sum"),
+        )
+    )
+
+
+def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — table reconciliation / snapshot diff: classify every key as
+    unchanged / updated / added / removed between the orders snapshot and
+    a deterministically mutated successor (the q_cdc_merge output shape).
+    One full-outer join on the key with row-presence markers; the value
+    comparison is null-safe (<=>). Output is the per-status×class count
+    matrix — the data-reconciliation audit you run after replaying a
+    changelog at scale."""
+    snap = table(spark, sf, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("tp"),
+    )
+    # successor: mod-7 keys get a new status/price, mod-13 keys deleted,
+    # mod-97 keys re-inserted under shifted ids (same derivation family
+    # as q_cdc_merge so the two queries cross-check)
+    upd = snap.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("status"),
+        text.round4(F.col("tp") * 1.1).alias("tp"),
+    )
+    keep = snap.filter(
+        (F.col("o_orderkey") % 7 != 0) & (F.col("o_orderkey") % 13 != 0)
+    )
+    ins = snap.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "status",
+        "tp",
+    )
+    succ = keep.unionByName(upd.filter(F.col("o_orderkey") % 13 != 0)).unionByName(ins)
+    a = snap.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("status").alias("s_a"),
+        F.col("tp").alias("tp_a"),
+        F.lit(True).alias("in_a"),
+    )
+    b = succ.select(
+        F.col("o_orderkey").alias("kb"),
+        F.col("status").alias("s_b"),
+        F.col("tp").alias("tp_b"),
+        F.lit(True).alias("in_b"),
+    )
+    j = a.join(b, F.col("k") == F.col("kb"), "full_outer")
+    cls = (
+        F.when(F.col("in_a").isNull(), F.lit("added"))
+        .when(F.col("in_b").isNull(), F.lit("removed"))
+        .when(
+            F.col("s_a").eqNullSafe(F.col("s_b"))
+            & F.col("tp_a").eqNullSafe(F.col("tp_b")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("updated"))
+    )
+    return (
+        j.select(cls.alias("cls"), F.coalesce("s_b", "s_a").alias("status"))
+        .groupBy("cls", "status")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — hot-key-safe salted join: the fact side salts on
+    pmod(xxhash64(event_id), 8) and the per-user dimension explodes ×8,
+    so one pathological user spreads over 8 reducers instead of one (the
+    manual form of AQE's skew-join split, shown for when you need
+    deterministic control, e.g. a skewed key you know in advance). Runs
+    through operators/skew.py::salted_join; the shuffle_hash hint pins
+    the shuffle join — a broadcast would hide the pattern — and results
+    are identical to the unsalted join, which is exactly what the oracle
+    checks. Decimal sums keep the re-partitioned summation order
+    irrelevant."""
+    from data_wrangle_openstreetmaps_data_spark.operators.skew import (
+        salted_join,
+    )
+
+    ev = table(spark, sf, "events")
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .select("user_id", (F.col("user_id") % 7).alias("seg"))
+    )
+    fact = ev.select("user_id", "value", "event_id")
+    return (
+        salted_join(
+            fact,
+            dim.hint("shuffle_hash"),
+            "user_id",
+            salt_buckets=8,
+            salt_cols=["event_id"],
+        )
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            _dec_sum(F.col("value")).alias("sum_value"),
+        )
+    )
+
+
+def q_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — SCD Type-2 dimension build from a changelog: each user's
+    event-type runs become validity intervals [valid_from, valid_to)
+    with NULL marking the current row — the gaps-and-islands change-flag
+    running sum, then one aggregate per island and a lead() over the
+    |islands| frame for the closing timestamps. Both windows and the
+    aggregate are user-keyed (no global sort); the second pass touches
+    one row per island, not per event."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    tsn = catalog.event_ts_us(ev)
+    e = ev.select(
+        "user_id", "event_id", "event_type", tsn.alias("tsn")
+    )
+    w = Window.partitionBy("user_id").orderBy("tsn", "event_id")
+    prev = F.lag("event_type").over(w)
+    chg = F.when(
+        prev.isNull() | (prev != F.col("event_type")), 1
+    ).otherwise(0)
+    islands = e.withColumn("chg", chg).withColumn(
+        "island",
+        F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    s = islands.groupBy("user_id", "island").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("tsn").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return s.select(
+        "user_id",
+        "island",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+    )
+
+
+def q_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — bucketed co-located join (plans/bucketing.py): both sides
+    hash-bucketed and sorted on the order key at WRITE time, so the join
+    itself is a zero-shuffle streaming merge of co-located buckets — the
+    storage-level answer to 'minimize shuffles' when a fact table is
+    joined on the same key repeatedly. The only exchange in the plan is
+    the final 5-row priority aggregate (pinned by a plan guard); results
+    equal the plain join, which is what the oracle checks."""
+    from data_wrangle_openstreetmaps_data_spark.plans.bucketing import (
+        join_bucketed,
+        save_bucketed,
+    )
+
+    li = table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    save_bucketed(li, "bkt_q_lineitem", "l_orderkey", 8)
+    save_bucketed(orders, "bkt_q_orders", "l_orderkey", 8)
+    return (
+        join_bucketed(spark, "bkt_q_lineitem", "bkt_q_orders", "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            _dec_sum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+    )
+
+
+ORACLES: dict[str, str | None] = {
+    "q_latest_per_key": """
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS tsn, event_id, event_type
+          FROM events
+        ),
+        r AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY tsn DESC, event_id DESC
+          ) AS rn
+          FROM e
+        )
+        SELECT user_id, tsn, event_id, event_type FROM r WHERE rn = 1
+    """,
+    "q_zorder_layout": f"""
+        WITH g AS (
+          SELECT CAST(floor(value / 5) AS BIGINT) AS gx,
+                 user_id % 100 AS gy
+          FROM events
+        ),
+        z AS (
+          SELECT gx, gy, {_z_interleave('gx', 'gy', 7, '//')} AS z FROM g
+        )
+        SELECT z // 64 AS zbucket, count(*) AS cnt,
+               max(gx) - min(gx) AS gx_span,
+               max(gy) - min(gy) AS gy_span
+        FROM z GROUP BY zbucket
+    """,
+    "q_cdc_merge": """
+        WITH snap AS (
+          SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS totalprice
+          FROM orders
+        ),
+        upd AS (
+          SELECT o_orderkey, 'X' AS status,
+                 floor(totalprice * 1.1 * 10000 + 0.5) / 10000 AS totalprice
+          FROM snap WHERE o_orderkey % 7 = 0
+        ),
+        ins AS (
+          SELECT o_orderkey + 10000000 AS o_orderkey, status, totalprice
+          FROM snap WHERE o_orderkey % 97 = 0
+        ),
+        chg AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        SELECT coalesce(c.o_orderkey, s.o_orderkey) AS o_orderkey,
+               CASE WHEN c.o_orderkey IS NOT NULL THEN c.status
+                    ELSE s.status END AS status,
+               floor(CASE WHEN c.o_orderkey IS NOT NULL THEN c.totalprice
+                          ELSE s.totalprice END * 10000 + 0.5) / 10000 AS tp
+        FROM snap s FULL OUTER JOIN chg c ON s.o_orderkey = c.o_orderkey
+    """,
+    "q_state_merge": """
+        SELECT event_type, count(*) AS cnt,
+               floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     * 10000 + 0.5) / 10000 AS val_sum
+        FROM events GROUP BY event_type
+    """,
+    "q_snapshot_diff": """
+        WITH snap AS (
+          SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS tp
+          FROM orders
+        ),
+        upd AS (
+          SELECT k, 'X' AS s, floor(tp * 1.1 * 10000 + 0.5) / 10000 AS tp
+          FROM snap WHERE k % 7 = 0
+        ),
+        keep AS (SELECT * FROM snap WHERE k % 7 != 0 AND k % 13 != 0),
+        ins AS (
+          SELECT k + 10000000 AS k, s, tp FROM snap WHERE k % 97 = 0
+        ),
+        succ AS (
+          SELECT * FROM keep
+          UNION ALL SELECT * FROM upd WHERE k % 13 != 0
+          UNION ALL SELECT * FROM ins
+        ),
+        j AS (
+          SELECT snap.k AS ka, snap.s AS s_a, snap.tp AS tp_a,
+                 succ.k AS kb, succ.s AS s_b, succ.tp AS tp_b
+          FROM snap FULL OUTER JOIN succ ON snap.k = succ.k
+        ),
+        c AS (
+          SELECT CASE
+                   WHEN ka IS NULL THEN 'added'
+                   WHEN kb IS NULL THEN 'removed'
+                   WHEN s_a IS NOT DISTINCT FROM s_b
+                    AND tp_a IS NOT DISTINCT FROM tp_b THEN 'unchanged'
+                   ELSE 'updated'
+                 END AS cls,
+                 coalesce(s_b, s_a) AS status
+          FROM j
+        )
+        SELECT cls, status, count(*) AS cnt FROM c GROUP BY cls, status
+    """,
+    "q_salted_join": """
+        SELECT user_id % 7 AS seg, count(*) AS cnt,
+               CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY seg
+    """,
+    "q_scd2_intervals": """
+        WITH e AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS tsn
+          FROM events
+        ),
+        f AS (
+          SELECT *, CASE WHEN lag(event_type) OVER w
+                          IS DISTINCT FROM event_type
+                     THEN 1 ELSE 0 END AS chg
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)
+        ),
+        g AS (
+          SELECT *, CAST(sum(chg) OVER (
+                   PARTITION BY user_id ORDER BY tsn, event_id
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS BIGINT) AS island
+          FROM f
+        ),
+        s AS (
+          SELECT user_id, island, min(event_type) AS event_type,
+                 min(tsn) AS valid_from, count(*) AS n_events
+          FROM g GROUP BY user_id, island
+        )
+        SELECT user_id, island, event_type, valid_from,
+               lead(valid_from) OVER (
+                 PARTITION BY user_id ORDER BY valid_from
+               ) AS valid_to,
+               n_events
+        FROM s
+    """,
+    "q_bucketed_join": """
+        SELECT o_orderpriority, count(*) AS n_lines,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE)
+                 AS sum_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+}

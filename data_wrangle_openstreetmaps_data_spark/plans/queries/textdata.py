@@ -1,0 +1,483 @@
+"""Text analysis: tokens, BM25, language-ID, quality, chunking, vocab.
+
+Registry family module — split from the single-file registry; each
+family defines its ``q_*`` callables plus the matching ``ORACLES``
+entries, aggregated in ``__init__``."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_wrangle_openstreetmaps_data_spark import catalog
+from data_wrangle_openstreetmaps_data_spark.catalog import table
+from data_wrangle_openstreetmaps_data_spark.functions import cleaning, text
+from data_wrangle_openstreetmaps_data_spark.operators import (
+    audit,
+    curation,
+    dedup,
+    join as join_ops,
+    sample,
+    similarity,
+    topk,
+)
+
+from data_wrangle_openstreetmaps_data_spark.plans.queries._shared import *  # noqa: F401,F403
+
+
+
+def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-T1 — word count, top-20 with tiebreak."""
+    df = table(spark, sf, "documents")
+    return (
+        df.select(F.explode(text.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.col("tok"))
+        .limit(20)
+    )
+
+
+def q_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-T — BPE-ish token counting: words / number runs / single
+    punctuation as separate tokens (regexp_extract_all), top-20."""
+    df = table(spark, sf, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(text.BPE_ISH_RE), 0)
+    return (
+        df.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.col("tok"))
+        .limit(20)
+    )
+
+
+def q_text_search(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-T — tf-idf keyword search: top-10 documents for a fixed query."""
+    return similarity.tfidf_search(
+        table(spark, sf, "documents"), SEARCH_TERMS, k=10
+    )
+
+
+def q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-T — BM25 keyword search: top-10 documents for the fixed query,
+    doc-length-normalized (k1=1.2, b=0.75)."""
+    return similarity.bm25_search(
+        table(spark, sf, "documents"), SEARCH_TERMS, k=10
+    )
+
+
+def q_doc_chunking(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-T — split each document into overlapping fixed-size token
+    windows (size 32, stride 24): the context-window preparation step of a
+    training pipeline. One generate per doc (no join, no shuffle until a
+    downstream consumer groups); each chunk carries its token count and a
+    16-hex md5 fingerprint so chunk-level dedup can run without re-reading
+    text."""
+    d = table(spark, sf, "documents").select(
+        "doc_id", text.tokens("text").alias("toks")
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(_CHUNK_STRIDE)
+    )
+    d = d.select(
+        "doc_id",
+        "toks",
+        F.posexplode(starts).alias("chunk_idx", "start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, F.lit(_CHUNK_SIZE))
+    return d.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(chunk).alias("n_toks"),
+        F.substring(F.md5(F.array_join(chunk, " ")), 1, 16).alias("fp"),
+    )
+
+
+def q_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-T — rare-bigram inverted index: per-doc-distinct bigrams with
+    document frequency ≤ 5, each with its sorted postings list — the
+    decontamination / memorization-probe building block (rare n-grams are
+    the ones worth tracking exactly). At scale this is the
+    build-the-postings-table job: explode, hash-aggregate by term, the
+    df≤5 cut bounds the postings arrays that survive."""
+    d = table(spark, sf, "documents").select(
+        "doc_id", text.tokens("text").alias("toks")
+    )
+    heads = F.expr("slice(toks, 1, greatest(size(toks)-1, 0))")
+    tails = F.expr("slice(toks, 2, greatest(size(toks)-1, 0))")
+    bigrams = F.array_distinct(
+        F.zip_with(heads, tails, lambda a, b: F.concat(a, F.lit(" "), b))
+    )
+    e = d.select("doc_id", F.explode(bigrams).alias("bigram"))
+    return (
+        e.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_set("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("df") <= 5)
+        .orderBy("bigram")
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-T — deterministic document fingerprint (md5 of normalized text)."""
+    df = table(spark, sf, "documents")
+    return df.select("doc_id", text.fingerprint("text").alias("fp"))
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-T — stopword-hit language ID heuristic (relational scale form:
+    tokens exploded once, codegen conditional counts)."""
+    df = table(spark, sf, "documents")
+    preds = text.lang_id_table(df).withColumnRenamed("id", "doc_id")
+    return df.select("doc_id", "lang").join(preds, "doc_id")
+
+
+def q_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-T — heuristic document quality scoring."""
+    df = table(spark, sf, "documents")
+    return df.select(
+        "doc_id",
+        text.token_count("text").cast("long").alias("n_tokens"),
+        text.round4(text.punct_ratio("text")).alias("punct_r"),
+        text.round4(text.stopword_ratio("text")).alias("stop_r"),
+        text.quality_score("text").alias("quality"),
+    )
+
+
+def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-Q — corpus-unigram-LM score per doc (the perplexity-filter
+    stand-in): avg log10 P(token) with P from the corpus's own unigram
+    counts. Vocabulary-sized broadcast lookup + one doc-keyed avg."""
+    return curation.unigram_logprob(table(spark, sf, "documents"))
+
+
+def q_hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — hybrid retrieval: BM25 keyword top-20 fused with embedding
+    cosine top-20 by reciprocal-rank fusion, RRF(d) = Σ 1/(60 + rank_d)
+    over the rankers that returned d (the id spaces align: vec_id is the
+    embedding of doc_id). Rank-based fusion needs no score calibration
+    between lexical and vector spaces — the production default for
+    first-stage hybrid search. Both rank windows cover only the 20-row
+    candidate frames (bounded, not corpus-scale); candidate generation
+    is the existing BM25 probe and brute-force/ANN cosine path."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf, "documents")
+    emb = table(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    bm = similarity.bm25_search(docs, SEARCH_TERMS, k=20)
+    cos = similarity.cosine_topk(emb, list(qvec), k=20)
+    r_bm = bm.select(
+        F.col("id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.col("id")))
+        .alias("r_bm"),
+    )
+    r_cos = cos.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("sim"), F.col("vec_id")))
+        .alias("r_cos"),
+    )
+    rrf = F.coalesce(1.0 / (60 + F.col("r_bm")), F.lit(0.0)) + F.coalesce(
+        1.0 / (60 + F.col("r_cos")), F.lit(0.0)
+    )
+    return (
+        r_bm.join(r_cos, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "r_bm",
+            "r_cos",
+            text.round4(rrf).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(10)
+    )
+
+
+def q_vocab_df(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — corpus vocabulary with document frequency: the tokenizer-
+    vocab / stop-list build step of a training pipeline. Two-level
+    aggregate (per-(token, doc) counts first, map-side combined) so
+    term frequency and document frequency come out of ONE pass with no
+    multi-distinct Expand; top-50 terms by df with deterministic
+    tiebreak."""
+    d = table(spark, sf, "documents").select(
+        "doc_id", F.explode(text.tokens("text")).alias("tok")
+    )
+    per_doc = d.groupBy("tok", "doc_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_doc.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("cnt").alias("tf"),
+        )
+        .orderBy(F.desc("df"), F.desc("tf"), "tok")
+        .limit(50)
+    )
+
+
+def q_token_dist_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — per-language document-length distribution (p25/p50/p75/p95
+    of n_chars + count): the corpus-balance audit a data-mix decision
+    reads. One grouped aggregate; percentiles interpolate identically in
+    both engines and are 4-dp-floored."""
+    docs = table(spark, sf, "documents")
+    pct = lambda q: text.round4(  # noqa: E731
+        F.percentile(F.col("n_chars"), F.lit(q))
+    )
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        pct(0.25).alias("p25"),
+        pct(0.50).alias("p50"),
+        pct(0.75).alias("p75"),
+        pct(0.95).alias("p95"),
+    )
+
+
+ORACLES: dict[str, str | None] = {
+    "q_token_count": rf"""
+        SELECT tok, count(*) AS cnt FROM (
+          SELECT unnest({_TOKENS_SQL}) AS tok FROM documents
+        ) GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20
+    """,
+    "q_bpe_token_count": rf"""
+        SELECT tok, count(*) AS cnt FROM (
+          SELECT unnest(regexp_extract_all(lower(text),
+            {_sql_regex(text.BPE_ISH_RE)})) AS tok
+          FROM documents
+        ) GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20
+    """,
+    "q_text_search": f"""
+        WITH toks AS (
+          SELECT doc_id AS id, unnest({_TOKENS_SQL}) AS tok FROM documents
+        ),
+        hits AS (
+          SELECT id, tok FROM toks
+          WHERE tok IN ({', '.join(f"'{t}'" for t in SEARCH_TERMS)})
+        ),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        dft AS (SELECT tok, count(DISTINCT id) AS df FROM hits GROUP BY tok),
+        tf AS (SELECT id, tok, count(*) AS tf FROM hits GROUP BY id, tok),
+        scored AS (
+          SELECT id,
+                 floor(sum(tf * ln(n_docs / df)) * 10000 + 0.5) / 10000 AS score
+          FROM tf JOIN dft USING (tok), n
+          GROUP BY id
+        )
+        SELECT id, score FROM scored ORDER BY score DESC, id LIMIT 10
+    """,
+    "q_bm25_search": f"""
+        WITH toked AS (
+          SELECT doc_id AS id, {_TOKENS_SQL} AS toks FROM documents
+        ),
+        dl AS (SELECT id, len(toks) AS dl FROM toked),
+        stats AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 avg(len(toks)) AS avgdl
+          FROM toked
+        ),
+        hits AS (
+          SELECT id, unnest(toks) AS tok FROM toked
+        ),
+        fhits AS (
+          SELECT id, tok FROM hits
+          WHERE tok IN ({', '.join(f"'{t}'" for t in SEARCH_TERMS)})
+        ),
+        dft AS (SELECT tok, count(DISTINCT id) AS df FROM fhits GROUP BY tok),
+        tf AS (SELECT id, tok, count(*) AS tf FROM fhits GROUP BY id, tok),
+        scored AS (
+          SELECT id,
+                 floor(sum(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                   * (tf * (1.2 + 1))
+                     / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                 ) * 10000 + 0.5) / 10000 AS score
+          FROM tf JOIN dft USING (tok) JOIN dl USING (id), stats
+          GROUP BY id
+        )
+        SELECT id, score FROM scored ORDER BY score DESC, id LIMIT 10
+    """,
+    "q_doc_chunking": f"""
+        WITH toked AS (
+          SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+        ),
+        st AS (
+          SELECT doc_id, toks,
+                 unnest(range(0, greatest(len(toks), 1), 24)) AS start
+          FROM toked
+        )
+        SELECT doc_id,
+               CAST(start // 24 AS INT) AS chunk_idx,
+               len(toks[start + 1 : start + 32]) AS n_toks,
+               substr(md5(array_to_string(toks[start + 1 : start + 32], ' ')),
+                      1, 16) AS fp
+        FROM st
+    """,
+    "q_inverted_index": f"""
+        WITH toked AS (
+          SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+        ),
+        bg AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i + 1])) AS bgs
+          FROM toked
+        ),
+        e AS (SELECT doc_id, unnest(bgs) AS bigram FROM bg)
+        SELECT bigram, count(*) AS df,
+               array_to_string(list_sort(list(doc_id)), ',') AS postings
+        FROM e GROUP BY bigram HAVING count(*) <= 5
+        ORDER BY bigram
+    """,
+    "q_doc_fingerprint": f"""
+        SELECT doc_id, substr(md5({_NORM_TEXT_SQL}), 1, 16) AS fp FROM documents
+    """,
+    "q_lang_id": f"""
+        WITH toked AS (
+          SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents
+        ),
+        scored AS (
+          SELECT doc_id, lang,
+                 {', '.join(f"{_LANG_SCORE_SQL[la]} AS s_{la}" for la in _LANG_ORDER)}
+          FROM toked
+        ),
+        maxed AS (SELECT *, {_LANG_MAX_SQL} AS m FROM scored)
+        SELECT doc_id, lang, {_LANG_PRED_SQL} AS pred FROM maxed
+    """,
+    "q_quality_score": rf"""
+        WITH base AS (
+          SELECT doc_id, text, {_TOKENS_SQL} AS toks,
+                 CASE WHEN length(text) > 0 THEN
+                   length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                     / length(text)
+                 ELSE 0.0 END AS punct_ratio
+          FROM documents
+        ),
+        stats AS (
+          SELECT doc_id, len(toks) AS n_tokens, punct_ratio,
+                 CASE WHEN len(toks) > 0 THEN
+                   len(list_filter(toks, t -> t IN ({', '.join(f"'{w}'" for w in text.STOPWORDS_EN)})))
+                     / len(toks)
+                 ELSE 0.0 END AS stop_ratio
+          FROM base
+        )
+        SELECT doc_id, n_tokens,
+               floor(punct_ratio * 10000 + 0.5) / 10000 AS punct_r,
+               floor(stop_ratio * 10000 + 0.5) / 10000 AS stop_r,
+               floor((least(n_tokens / 50.0, 1.0) * 0.4
+                     + (1.0 - least(punct_ratio * 5, 1.0)) * 0.3
+                     + least(stop_ratio * 4, 1.0) * 0.3) * 10000 + 0.5) / 10000 AS quality
+        FROM stats
+    """,
+    "q_unigram_logprob": f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN toks IS NULL OR len(toks) = 0 THEN [NULL] ELSE toks END) AS tok
+          FROM (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)
+        ),
+        vocab AS (
+          SELECT tok, count(*) AS tf FROM tok WHERE tok IS NOT NULL GROUP BY tok
+        ),
+        total AS (SELECT CAST(sum(tf) AS DOUBLE) AS n FROM vocab),
+        scored AS (
+          SELECT doc_id,
+                 CASE WHEN tok IS NOT NULL THEN log10(tf / n) END AS logp
+          FROM tok LEFT JOIN vocab USING (tok) CROSS JOIN total
+        )
+        SELECT doc_id, CAST(count(logp) AS BIGINT) AS n_tokens,
+               floor(avg(logp) * 10000 + 0.5) / 10000 AS avg_logp
+        FROM scored GROUP BY doc_id
+    """,
+    "q_hybrid_search_rrf": f"""
+        WITH toked AS (
+          SELECT doc_id AS id, {{TOKENS}} AS toks FROM documents
+        ),
+        dl AS (SELECT id, len(toks) AS dl FROM toked),
+        stats AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(toks)) AS avgdl
+          FROM toked
+        ),
+        fhits AS (
+          SELECT id, unnest(toks) AS tok FROM toked
+        ),
+        fh AS (
+          SELECT id, tok FROM fhits
+          WHERE tok IN ({{TERMS}})
+        ),
+        dft AS (SELECT tok, count(DISTINCT id) AS df FROM fh GROUP BY tok),
+        tf AS (SELECT id, tok, count(*) AS tf FROM fh GROUP BY id, tok),
+        scored AS (
+          SELECT id,
+                 floor(sum(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                   * (tf * (1.2 + 1))
+                     / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                 ) * 10000 + 0.5) / 10000 AS score
+          FROM tf JOIN dft USING (tok) JOIN dl USING (id), stats
+          GROUP BY id
+        ),
+        bm AS (
+          SELECT id AS doc_id,
+                 row_number() OVER (ORDER BY score DESC, id) AS r_bm
+          FROM scored ORDER BY score DESC, id LIMIT 20
+        ),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        sims AS (
+          SELECT vec_id,
+                 floor(
+                   list_sum(list_transform(range(1, len(embedding) + 1),
+                     i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(qv,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                   * 10000 + 0.5) / 10000 AS sim
+          FROM embeddings, q
+        ),
+        cosr AS (
+          SELECT vec_id AS doc_id,
+                 row_number() OVER (ORDER BY sim DESC, vec_id) AS r_cos
+          FROM sims ORDER BY sim DESC, vec_id LIMIT 20
+        )
+        SELECT coalesce(bm.doc_id, cosr.doc_id) AS doc_id, r_bm, r_cos,
+               floor((coalesce(1.0 / (60 + r_bm), 0.0)
+                      + coalesce(1.0 / (60 + r_cos), 0.0))
+                     * 10000 + 0.5) / 10000 AS rrf
+        FROM bm FULL OUTER JOIN cosr ON bm.doc_id = cosr.doc_id
+        ORDER BY rrf DESC, doc_id LIMIT 10
+    """.replace("{TOKENS}", _TOKENS_SQL).replace(
+        "{TERMS}", ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+    ),
+    "q_vocab_df": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+        ),
+        per_doc AS (
+          SELECT tok, doc_id, count(*) AS cnt FROM toks GROUP BY tok, doc_id
+        )
+        SELECT tok, count(*) AS df, CAST(sum(cnt) AS BIGINT) AS tf
+        FROM per_doc GROUP BY tok
+        ORDER BY df DESC, tf DESC, tok LIMIT 50
+    """,
+    "q_token_dist_by_lang": """
+        SELECT lang, count(*) AS n_docs,
+               floor(quantile_cont(n_chars, 0.25) * 10000 + 0.5) / 10000 AS p25,
+               floor(quantile_cont(n_chars, 0.50) * 10000 + 0.5) / 10000 AS p50,
+               floor(quantile_cont(n_chars, 0.75) * 10000 + 0.5) / 10000 AS p75,
+               floor(quantile_cont(n_chars, 0.95) * 10000 + 0.5) / 10000 AS p95
+        FROM documents GROUP BY lang
+    """,
+}

@@ -273,6 +273,79 @@ def main() -> None:
     )
     timings["cooccurrence_10x_events"] = round(time.perf_counter() - t0, 2)
 
+    # round-7: salted-vs-unsalted A/B on the SAME skewed fixture (hot key
+    # owns ~1/3 of the fact side). Both forms are pinned to shuffle_hash
+    # so AQE's sort-merge skew split cannot mask the difference: unsalted
+    # sends the hot key to ONE reducer; salted spreads it over 8.
+    from data_wrangle_openstreetmaps_data_spark.operators.skew import (
+        salted_join,
+    )
+
+    t0 = time.perf_counter()
+    n_unsalted = skewed.join(dim.hint("shuffle_hash"), "jk").count()
+    timings["skewed_join_unsalted_shuffle_hash"] = round(
+        time.perf_counter() - t0, 2
+    )
+    t0 = time.perf_counter()
+    n_salted = salted_join(
+        skewed, dim.hint("shuffle_hash"), "jk", salt_buckets=8,
+        salt_cols=["l_orderkey", "l_linenumber"],
+    ).count()
+    timings["skewed_join_salted_x8"] = round(time.perf_counter() - t0, 2)
+    assert n_salted == n_unsalted, (n_salted, n_unsalted)
+
+    # round-7: the flagship banded minhash join at 100× docs (~500k) with
+    # planted near-dups. Candidate generation must stay a key-equality
+    # shuffle whose volume is O(n·bands), NOT O(n²): we record the exact
+    # candidate-pair count (Σ C(bucket,2) over band buckets) and recall
+    # of the planted pairs alongside wall time.
+    from data_wrangle_openstreetmaps_data_spark.operators.dedup import (
+        band_rows,
+        dedup_minhash_lsh,
+        minhash_signatures,
+    )
+
+    n_docs = 500_000
+    ids = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    grp = F.when(
+        F.col("doc_id") % 997 == 0, F.col("doc_id") + 1
+    ).otherwise(F.col("doc_id"))
+    toks = [
+        F.substring(
+            F.md5(F.concat(grp.cast("string"), F.lit(f"-{i}"))), 1, 8
+        )
+        for i in range(40)
+    ]
+    text_col = F.concat_ws(" ", *toks)
+    text_col = F.when(
+        F.col("doc_id") % 997 == 0, F.concat(text_col, F.lit(" tail"))
+    ).otherwise(text_col)
+    corpus = ids.select("doc_id", text_col.alias("text"))
+    n_planted = n_docs // 997 + (1 if n_docs % 997 else 0)
+
+    t0 = time.perf_counter()
+    pairs = dedup_minhash_lsh(
+        corpus, n_hashes=16, bands=4, shingle_k=5, threshold=0.7
+    )
+    found = pairs.filter(
+        (F.col("id_a") % 997 == 0) & (F.col("id_b") == F.col("id_a") + 1)
+    ).count()
+    n_pairs = pairs.count()
+    timings["minhash_lsh_100x_docs"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    sigs = minhash_signatures(corpus, "text", "doc_id", 16, 5)
+    cand_pairs = (
+        band_rows(sigs, 16, 4)
+        .groupBy("band", "band_sig")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("cp"))
+        .collect()[0]["cp"]
+    )
+    timings["minhash_band_histogram_100x_docs"] = round(
+        time.perf_counter() - t0, 2
+    )
+
     print(
         json.dumps(
             {
@@ -281,6 +354,14 @@ def main() -> None:
                 "factor": FACTOR,
                 "lineitem_rows": n_li,
                 "skewed_join_rows": n_join,
+                "minhash_100x": {
+                    "docs": n_docs,
+                    "planted_pairs": n_planted,
+                    "planted_found": found,
+                    "verified_pairs": n_pairs,
+                    "candidate_pairs": int(cand_pairs),
+                    "candidate_ratio": round(cand_pairs / n_docs, 4),
+                },
                 "timings": timings,
                 "value": round(sum(timings.values()), 2),
             }
