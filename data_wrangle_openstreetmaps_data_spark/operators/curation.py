@@ -6,7 +6,7 @@ and quality heuristics (Gopher/C4-style), PII redaction, benchmark
 decontamination, stratified source sampling, mixture weighting, and
 sequence packing. Everything here is relational (explode → aggregate →
 join), shuffles only on document/stratum keys, and is replicated in
-DuckDB oracle SQL (plans/queries.py) — no rows-only contracts.
+DuckDB oracle SQL (plans/queries/ package) — no rows-only contracts.
 
 Scale posture per operator is documented on each function; the common
 theme: per-document metrics are ONE explode + ONE (or two chained)

@@ -113,7 +113,56 @@ def q_media_decode_wav(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_media_resize_bmp(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-M — REAL image resize pipeline: genuine per-doc-geometry BMPs
+    are decoded, nearest-neighbor resampled to 4×3, re-encoded as valid
+    BMPs, and decoded AGAIN for the output stats — two full codec round
+    trips in composed Arrow kernels. The oracle computes the resampled
+    channel sums in closed form (output pixel (x,y) samples input
+    (floor(x·W/4), floor(y·H/3))), so a resampler that picks the wrong
+    source pixel or mis-encodes the smaller image cannot hash-match."""
+    from data_wrangle_openstreetmaps_data_spark.multimodal import media
+
+    docs = table(spark, sf, "documents").select("doc_id")
+    blobs = media.synthesize_media(docs, "bmp")
+    small = media.resize_media(blobs, 4, 3)
+    return media.decode_media_stats(small).select(
+        "doc_id",
+        "n_bytes",
+        F.col("dim1").alias("width"),
+        F.col("dim2").alias("height"),
+        F.col("stat1").alias("sum_b"),
+        F.col("stat2").alias("sum_g"),
+        F.col("stat3").alias("sum_r"),
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    # resize oracle: nearest-neighbor from the w×h fixture to 4×3 —
+    # SX/SY are the sums of sampled source coordinates, so the channel
+    # sums of the resized image are closed-form in (w, h, base)
+    "q_media_resize_bmp": """
+        WITH p AS (
+          SELECT doc_id,
+                 4 + doc_id % 5 AS w,
+                 3 + doc_id % 4 AS h,
+                 doc_id % 100 AS base
+          FROM documents
+        ), s AS (
+          SELECT doc_id, base,
+                 (w // 4) + (2 * w // 4) + (3 * w // 4) AS sx,
+                 (h // 3) + (2 * h // 3) AS sy
+          FROM p
+        )
+        SELECT doc_id,
+               CAST(90 AS BIGINT) AS n_bytes,
+               CAST(4 AS BIGINT) AS width,
+               CAST(3 AS BIGINT) AS height,
+               12 * base + 3 * sx + 4 * sy AS sum_b,
+               24 * base + 3 * sx AS sum_g,
+               12 * base + sx * sy AS sum_r
+        FROM s
+    """,
     # the fake media blob is encode(text,'utf-8'); the stub decoder's
     # feature lane i = md5_digest_byte[i]/255.0 as float32 — replicated
     # via hex-pair extraction from md5(text), with the same f64→f32→f64

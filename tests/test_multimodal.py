@@ -152,3 +152,31 @@ def test_synthesize_media_unknown_format_fails_fast(spark):
     docs = spark.range(3).select(F.col("id").alias("doc_id"))
     with pytest.raises(NotImplementedError, match="mp4"):
         media.synthesize_media(docs, "mp4")
+
+
+def test_resize_bmp_nearest_neighbor_brute_force():
+    """resize_bmp must equal a brute-force NN resample for geometries
+    covering every padding residue, and the output must itself be a
+    valid BMP the decoder accepts."""
+    for w, h in ((4, 3), (5, 4), (6, 6), (7, 5), (8, 3)):
+        base = (w + h) % 50
+        small = media.resize_bmp(media.encode_bmp(w, h, base), 4, 3)
+        gw, gh, sb, sg, sr = media.decode_bmp_stats(small)
+        pts = [(x * w // 4, y * h // 3) for x in range(4) for y in range(3)]
+        assert (gw, gh) == (4, 3)
+        assert sb == sum(base + ix + iy for ix, iy in pts)
+        assert sg == sum(2 * base + ix for ix, _ in pts)
+        assert sr == sum(base + ix * iy for ix, iy in pts)
+
+
+def test_resize_media_distributed(spark):
+    docs = spark.range(0, 20).select(F.col("id").alias("doc_id"))
+    out = media.decode_media_stats(
+        media.resize_media(media.synthesize_media(docs, "bmp"), 4, 3)
+    ).collect()
+    assert len(out) == 20
+    assert all(r["dim1"] == 4 and r["dim2"] == 3 for r in out)
+    with pytest.raises(Exception, match="wav"):
+        media.resize_media(
+            media.synthesize_media(docs, "wav"), 4, 3
+        ).collect()
