@@ -137,7 +137,47 @@ def q_media_resize_bmp(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_media_resample_wav(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-M — REAL audio resample: genuine WAVs are decoded, decimated
+    ×2 (keep every other sample, rate halves), re-encoded via the stdlib
+    wave writer, and decoded again for the output stats — the audio
+    analog of q_media_resize_bmp's double codec round trip. Oracle in
+    closed form over the surviving even-index samples."""
+    from data_wrangle_openstreetmaps_data_spark.multimodal import media
+
+    docs = table(spark, sf, "documents").select("doc_id")
+    blobs = media.synthesize_media(docs, "wav")
+    half = media.resample_media(blobs, 2)
+    return media.decode_media_stats(half).select(
+        "doc_id",
+        "n_bytes",
+        F.col("dim1").alias("n_samples"),
+        F.col("dim2").alias("sample_rate"),
+        F.col("stat1").alias("sum_amp"),
+        F.col("stat2").alias("min_amp"),
+        F.col("stat3").alias("max_amp"),
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    # decimation oracle: surviving samples are s0 + 26j for
+    # j in [0, ceil(n/2)) — arithmetic series again
+    "q_media_resample_wav": """
+        WITH p AS (
+          SELECT doc_id,
+                 (16 + doc_id % 17 + 1) // 2 AS n2,
+                 doc_id % 1000 - 500 AS s0
+          FROM documents
+        )
+        SELECT doc_id,
+               44 + 2 * n2 AS n_bytes,
+               n2 AS n_samples,
+               CAST(4000 AS BIGINT) AS sample_rate,
+               n2 * s0 + 26 * (n2 * (n2 - 1) // 2) AS sum_amp,
+               s0 AS min_amp,
+               s0 + 26 * (n2 - 1) AS max_amp
+        FROM p
+    """,
     # resize oracle: nearest-neighbor from the w×h fixture to 4×3 —
     # SX/SY are the sums of sampled source coordinates, so the channel
     # sums of the resized image are closed-form in (w, h, base)

@@ -247,7 +247,46 @@ def q_token_dist_by_lang(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_bpe_merge_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — the first step of tokenizer (BPE) training at corpus scale:
+    count ADJACENT token pairs and rank the top-20 merge candidates.
+    Pairs are built array-side with zip_with over two shifted slices —
+    the pair construction never shuffles; only the (pair → count)
+    aggregate does, with map-side partials. Deterministic tiebreak on
+    the pair string. At 100 TB this is the per-iteration inner loop of
+    distributed BPE training (re-run after each merge)."""
+    docs = table(spark, sf, "documents")
+    toks = text.tokens("text")
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(20)
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    # adjacent-pair counts: DuckDB zips unnest(toks) with its index,
+    # self-joins on i+1 within the doc, then ranks
+    "q_bpe_merge_candidates": f"""
+        WITH d AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+        t AS (
+          SELECT doc_id, unnest(toks) AS tok,
+                 unnest(range(len(toks))) AS i
+          FROM d
+        )
+        SELECT a.tok || ' ' || b.tok AS pair, count(*) AS cnt
+        FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        GROUP BY pair
+        ORDER BY cnt DESC, pair LIMIT 20
+    """,
     "q_token_count": rf"""
         SELECT tok, count(*) AS cnt FROM (
           SELECT unnest({_TOKENS_SQL}) AS tok FROM documents

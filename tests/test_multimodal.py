@@ -180,3 +180,12 @@ def test_resize_media_distributed(spark):
         media.resize_media(
             media.synthesize_media(docs, "wav"), 4, 3
         ).collect()
+
+
+def test_resample_wav_decimation():
+    blob = media.encode_wav(9, 700, rate=16000)
+    half = media.resample_wav(blob, 2)
+    n, rate, s, lo, hi = media.decode_wav_stats(half)
+    want = [700 - 500 + 13 * i for i in range(9)][::2]
+    assert (n, rate) == (5, 8000)
+    assert (s, lo, hi) == (sum(want), min(want), max(want))
