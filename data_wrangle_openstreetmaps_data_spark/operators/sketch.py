@@ -95,3 +95,61 @@ def cms_estimate(
         .groupBy(F.col("_item").alias(item_col))
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )
+
+
+def bloom_bits(
+    build: DataFrame,
+    key_col: str,
+    m: int = 1024,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom filter BUILD as a relational sketch: the distinct set-bit
+    positions (single column ``bit``) for the build side's keys, using
+    k portable md5-derived hash functions over an m-bit universe. The
+    result is ≤ m rows regardless of build size — broadcastable by
+    construction, the manual form of Spark's runtime bloom filter
+    (``spark.sql.optimizer.runtime.bloomFilter``), with a deterministic
+    portable hash so an external engine builds the identical filter."""
+    c = F.col(key_col).cast("string")
+    return (
+        build.select(
+            F.explode(
+                F.array(
+                    *[
+                        (
+                            portable_token_hash(
+                                F.concat(c, F.lit(f"#{j}"))
+                            )
+                            % m
+                        ).alias("b")
+                        for j in range(k)
+                    ]
+                )
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_prune(
+    probe: DataFrame,
+    key_col: str,
+    bits: DataFrame,
+    m: int = 1024,
+    k: int = 3,
+) -> DataFrame:
+    """Prune `probe` to rows whose key passes the bloom filter: all k
+    hash bits present in `bits`. Membership is k successive broadcast
+    LEFT SEMI joins against the ≤m-row bit set (one per hash function)
+    — semi joins preserve probe row multiplicity (a groupBy-count gate
+    would silently merge duplicate probe rows) and each is a build-once
+    hash lookup; pruned-out rows never reach the expensive join this
+    filter guards. False positives are possible by design (the guarded
+    join re-checks); false negatives are not."""
+    c = F.col(key_col).cast("string")
+    small = F.broadcast(bits.withColumnRenamed("bit", "_b"))
+    out = probe
+    for j in range(k):
+        bit_j = portable_token_hash(F.concat(c, F.lit(f"#{j}"))) % m
+        out = out.join(small, bit_j == F.col("_b"), "left_semi")
+    return out

@@ -227,7 +227,88 @@ def q_kmv_merge(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_bloom_prune_join(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — bloom-filter join pruning, the manual form of Spark's
+    runtime bloom filter: the selective build side (high-balance
+    customers) compiles to a ≤1024-row bit-position sketch
+    (operators/sketch.py::bloom_bits), broadcast to prune orders via k
+    semi-joins BEFORE the real join runs. Output accounts for the
+    filter's exactness contract: bloom_pass ≥ true_match (false
+    positives possible, false negatives impossible — the oracle builds
+    the identical filter from the same portable 60-bit md5 hash, so
+    even the false-positive COUNT matches exactly)."""
+    from data_wrangle_openstreetmaps_data_spark.operators.sketch import (
+        bloom_bits,
+        bloom_prune,
+    )
+
+    cust = (
+        table(spark, sf, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey")
+    )
+    orders = table(spark, sf, "orders")
+    bits = bloom_bits(cust, "c_custkey", m=1024, k=3)
+    pruned = bloom_prune(orders, "o_custkey", bits, m=1024, k=3)
+    exact = pruned.join(
+        F.broadcast(cust),
+        pruned["o_custkey"] == cust["c_custkey"],
+        "left_semi",
+    )
+    res = (
+        bits.agg(F.count(F.lit(1)).alias("bits_set"))
+        .crossJoin(
+            F.broadcast(pruned.agg(F.count(F.lit(1)).alias("bloom_pass")))
+        )
+        .crossJoin(
+            F.broadcast(exact.agg(F.count(F.lit(1)).alias("true_match")))
+        )
+    )
+    return res.select(
+        "bits_set",
+        "bloom_pass",
+        "true_match",
+        (F.col("bloom_pass") - F.col("true_match")).alias(
+            "false_positives"
+        ),
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    # identical bloom construction in SQL: same 60-bit md5 hash, same
+    # '#j' probe salts, same 1024-bit universe — bit-for-bit filter
+    "q_bloom_prune_join": """
+        WITH build AS (
+          SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > 9000
+        ),
+        bits AS (
+          SELECT DISTINCT
+            ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '#' || j),
+                            1, 15))::BIGINT % 1024 AS bit
+          FROM build, range(3) t(j)
+        ),
+        pruned AS (
+          SELECT o_orderkey FROM orders
+          WHERE ('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || '#0'),
+                                1, 15))::BIGINT % 1024
+                  IN (SELECT bit FROM bits)
+            AND ('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || '#1'),
+                                1, 15))::BIGINT % 1024
+                  IN (SELECT bit FROM bits)
+            AND ('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || '#2'),
+                                1, 15))::BIGINT % 1024
+                  IN (SELECT bit FROM bits)
+        )
+        SELECT (SELECT count(*) FROM bits) AS bits_set,
+               (SELECT count(*) FROM pruned) AS bloom_pass,
+               (SELECT count(*) FROM orders
+                WHERE o_custkey IN (SELECT c_custkey FROM build))
+                 AS true_match,
+               (SELECT count(*) FROM pruned)
+                 - (SELECT count(*) FROM orders
+                    WHERE o_custkey IN (SELECT c_custkey FROM build))
+                 AS false_positives
+    """,
     "q_kmv_distinct": """
         WITH u AS (
           SELECT DISTINCT event_type,

@@ -155,3 +155,34 @@ def test_streaming_kmv_multibatch_last_emission_equals_batch(spark, tmp_path):
         kcs = [kc for kc, _ in ems]
         assert kcs == sorted(kcs), kcs  # state only grows
         assert ems[-1] == want[t], (t, ems[-1], want[t])
+
+
+def test_bloom_prune_no_false_negatives_and_multiplicity(spark):
+    """Every build-side key must pass its own filter (no false
+    negatives), and duplicate probe rows must survive pruning with
+    their multiplicity intact (semi-join membership, not a group gate)."""
+    from pyspark.sql import functions as F
+
+    from data_wrangle_openstreetmaps_data_spark.operators.sketch import (
+        bloom_bits,
+        bloom_prune,
+    )
+
+    build = spark.createDataFrame([(k,) for k in range(50)], ["k"])
+    bits = bloom_bits(build, "k", m=256, k=3)
+    # probe: every build key twice, plus foreign keys
+    probe = spark.createDataFrame(
+        [(k,) for k in range(50) for _ in range(2)]
+        + [(k,) for k in range(1000, 1400)],
+        ["k"],
+    )
+    kept = bloom_prune(probe, "k", bits, m=256, k=3)
+    counts = {
+        r["k"]: r["n"]
+        for r in kept.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for k in range(50):
+        assert counts.get(k) == 2, (k, counts.get(k))  # kept, twice
+    # the m=256 filter over 50 keys must actually prune most foreigners
+    n_foreign = sum(n for k, n in counts.items() if k >= 1000)
+    assert n_foreign < 200, n_foreign
