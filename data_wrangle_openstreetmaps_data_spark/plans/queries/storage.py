@@ -303,7 +303,109 @@ def q_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_range_checksum_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — Merkle-style cheap table diff: to compare two 100 TB
+    snapshots you never join them row-by-row; each side reduces to
+    |buckets| (bucket → xor-of-row-hashes, count) fingerprints — one
+    scan + one tiny aggregate per side, bit_xor is order-independent so
+    partitioning cannot wiggle it — and only buckets whose fingerprints
+    disagree are re-read at row level. Here snapshot B injects
+    deterministic updates (keys ≡0 mod 251: price +11.0) and deletes
+    (≡0 mod 509); the query returns exactly the buckets holding those
+    changes. Row hashes use the portable 60-bit md5 (exact-cents floor
+    for the double column), so DuckDB computes identical checksums."""
+    from data_wrangle_openstreetmaps_data_spark.operators.dedup import (
+        portable_token_hash,
+    )
+
+    o = table(spark, sf, "orders")
+
+    def fingerprint(df: DataFrame, s: str) -> DataFrame:
+        cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+        row = F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+            cents.cast("string"),
+        )
+        return (
+            df.select(
+                (F.col("o_orderkey") % 64).alias("bucket"),
+                portable_token_hash(row).alias("h"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.bit_xor("h").alias(f"x_{s}"),
+                F.count(F.lit(1)).alias(f"n_{s}"),
+            )
+        )
+
+    b_src = o.filter(F.col("o_orderkey") % 509 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 251 == 0, F.col("o_totalprice") + 11.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    j = fingerprint(o, "a").join(
+        fingerprint(b_src, "b"), "bucket", "full_outer"
+    )
+    differs = (
+        ~F.coalesce(F.col("x_a"), F.lit(-1)).eqNullSafe(
+            F.coalesce(F.col("x_b"), F.lit(-1))
+        )
+    ) | (
+        F.coalesce(F.col("n_a"), F.lit(-1))
+        != F.coalesce(F.col("n_b"), F.lit(-1))
+    )
+    return (
+        j.filter(differs)
+        .select("bucket", "n_a", "n_b")
+        .orderBy("bucket")
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    # identical checksum construction: same row repr, same portable
+    # hash, same xor fold — buckets disagree exactly where B changed
+    "q_range_checksum_diff": """
+        WITH a_rows AS (
+          SELECT o_orderkey % 64 AS bucket,
+                 ('0x' || substr(md5(
+                    CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus
+                    || '|' || o_orderpriority || '|'
+                    || CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                            AS VARCHAR)
+                 ), 1, 15))::BIGINT AS h
+          FROM orders
+        ),
+        b_src AS (
+          SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                 CASE WHEN o_orderkey % 251 = 0
+                      THEN o_totalprice + 11.0
+                      ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey % 509 <> 0
+        ),
+        b_rows AS (
+          SELECT o_orderkey % 64 AS bucket,
+                 ('0x' || substr(md5(
+                    CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus
+                    || '|' || o_orderpriority || '|'
+                    || CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                            AS VARCHAR)
+                 ), 1, 15))::BIGINT AS h
+          FROM b_src
+        ),
+        aa AS (SELECT bucket, bit_xor(h) AS x_a, count(*) AS n_a
+               FROM a_rows GROUP BY bucket),
+        bb AS (SELECT bucket, bit_xor(h) AS x_b, count(*) AS n_b
+               FROM b_rows GROUP BY bucket)
+        SELECT coalesce(aa.bucket, bb.bucket) AS bucket, n_a, n_b
+        FROM aa FULL OUTER JOIN bb ON aa.bucket = bb.bucket
+        WHERE coalesce(x_a, -1) <> coalesce(x_b, -1)
+           OR coalesce(n_a, -1) <> coalesce(n_b, -1)
+        ORDER BY bucket
+    """,
     "q_latest_per_key": """
         WITH e AS (
           SELECT user_id, epoch_us(ts) AS tsn, event_id, event_type
