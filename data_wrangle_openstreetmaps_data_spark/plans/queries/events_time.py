@@ -467,7 +467,68 @@ def q_dau_wau_stickiness(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — exponentially weighted moving average over each user's
+    last 10 events (α=0.5, normalized). True EWMA is a recurrence Spark
+    windows can't express; the bounded-window form is exact over the
+    frame and fully relational: ONE user-keyed window collects the
+    frame values, then array-side zip_with/aggregate apply the weights
+    — no self-join fan-out, no per-row Python. α=0.5 keeps every weight
+    an exact binary fraction, so both engines compute identical doubles
+    (4dp-floored output). At 100 TB: one shuffle on user_id, per-row
+    state bounded at 10 values."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    e = ev.select(
+        "user_id", "event_id", "value",
+        catalog.event_ts_us(ev).alias("tsn"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tsn", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    vals = F.collect_list("value").over(w)
+    e = e.withColumn("vals", vals)
+    n = F.size("vals")
+    weighted = F.zip_with(
+        F.col("vals"),
+        F.sequence(n - 1, F.lit(0)),
+        lambda v, exp: v * F.pow(F.lit(0.5), exp),
+    )
+    num = F.aggregate(
+        weighted, F.lit(0.0), lambda acc, x: acc + x
+    )
+    den = F.lit(2.0) - F.pow(F.lit(0.5), (n - 1).cast("double"))
+    return e.select(
+        "user_id", "event_id", text.round4(num / den).alias("ewma")
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    # same bounded-window EWMA: DuckDB's indexed list lambda applies
+    # weight 0.5^(len-i) (i is 1-based → newest weight 1), same
+    # normalizer, same exact binary weights
+    "q_ewma": """
+        WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS tsn
+                   FROM events),
+        l AS (
+          SELECT user_id, event_id,
+                 list(value) OVER (
+                   PARTITION BY user_id ORDER BY tsn, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+                 ) AS vals
+          FROM e
+        )
+        SELECT user_id, event_id,
+               floor(
+                 list_sum(list_transform(vals,
+                   (x, i) -> x * pow(0.5, len(vals) - i)))
+                 / (2 - pow(0.5, len(vals) - 1))
+                 * 10000 + 0.5) / 10000 AS ewma
+        FROM l
+    """,
     "q_event_transitions": """
         WITH e AS (SELECT *, epoch_us(ts) AS tsn FROM events),
         p AS (
