@@ -67,6 +67,14 @@ HEADLINE = [
     "q_hybrid_search_rrf",
     "q_vocab_df",
     "q_scd2_intervals",
+    # round-7 additions: real codecs, bloom pruning, table checksums,
+    # tokenizer-training pairs, bounded-window EWMA
+    "q_media_decode_bmp",
+    "q_media_resample_wav",
+    "q_bloom_prune_join",
+    "q_range_checksum_diff",
+    "q_bpe_merge_candidates",
+    "q_ewma",
 ]
 
 

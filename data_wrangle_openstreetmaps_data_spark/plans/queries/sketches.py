@@ -250,19 +250,21 @@ def q_bloom_prune_join(spark: SparkSession, sf: str) -> DataFrame:
     orders = table(spark, sf, "orders")
     bits = bloom_bits(cust, "c_custkey", m=1024, k=3)
     pruned = bloom_prune(orders, "o_custkey", bits, m=1024, k=3)
-    exact = pruned.join(
-        F.broadcast(cust),
+    # ONE pass over the pruned frame: bloom_pass and true_match come
+    # from the same scan (no-false-negatives guarantees every true
+    # match survives pruning, so counting matches post-prune equals
+    # counting them on the full table — which is what the oracle does)
+    flagged = pruned.join(
+        F.broadcast(cust.withColumn("_m", F.lit(1))),
         pruned["o_custkey"] == cust["c_custkey"],
-        "left_semi",
+        "left",
     )
-    res = (
-        bits.agg(F.count(F.lit(1)).alias("bits_set"))
-        .crossJoin(
-            F.broadcast(pruned.agg(F.count(F.lit(1)).alias("bloom_pass")))
-        )
-        .crossJoin(
-            F.broadcast(exact.agg(F.count(F.lit(1)).alias("true_match")))
-        )
+    counts = flagged.agg(
+        F.count(F.lit(1)).alias("bloom_pass"),
+        F.count("_m").alias("true_match"),
+    )
+    res = bits.agg(F.count(F.lit(1)).alias("bits_set")).crossJoin(
+        F.broadcast(counts)
     )
     return res.select(
         "bits_set",
