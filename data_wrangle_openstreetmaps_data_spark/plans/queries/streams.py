@@ -320,7 +320,52 @@ def q_streaming_topk(spark: SparkSession, sf: str) -> DataFrame:
     return se.topk_over_store(spark, os.path.join(work, "store"), k=5)
 
 
+def q_streaming_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming — per-user EWMA recurrence under applyInPandasWithState
+    (streaming/ewma.py): two numbers of state per user, O(1) per event.
+    α=0.5 makes every weight an exact binary fraction and power-of-two
+    scaling commutes with IEEE rounding, so the streamed recurrence
+    equals the oracle's closed-form weighted sum bit for bit — the
+    ESTIMATE is value-oracled, not rows-only. Update-mode drain emits
+    the live (n, ewma) per user; the registry result is the final row
+    per user (single-batch staging ⇒ exactly one)."""
+    import uuid
+
+    from data_wrangle_openstreetmaps_data_spark.streaming import events as se
+    from data_wrangle_openstreetmaps_data_spark.streaming.ewma import (
+        ewma_stream,
+    )
+
+    name = f"ewma_{uuid.uuid4().hex[:8]}"
+    se.run_to_memory(
+        ewma_stream(se.stage_events_stream(spark, sf, "ewma")),
+        name,
+        output_mode="update",
+    )
+    t = spark.table(name)
+    return t.select(
+        "user_id", "n", text.round4(F.col("ewma")).alias("ewma")
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    # closed form of the recurrence e_i = 0.5*x_i + 0.5*e_{i-1} over the
+    # user's time-ordered values: weight for 1-based position i is
+    # 0.5^(n-i+1); list_sum folds left-to-right like the recurrence
+    "q_streaming_ewma": """
+        WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS tsn
+                   FROM events),
+        l AS (
+          SELECT user_id,
+                 list(value ORDER BY tsn, event_id) AS vals
+          FROM e GROUP BY user_id
+        )
+        SELECT user_id, len(vals) AS n,
+               floor(list_sum(list_transform(vals,
+                 (x, i) -> x * 0.5 * pow(0.5, len(vals) - i)))
+                 * 10000 + 0.5) / 10000 AS ewma
+        FROM l
+    """,
     # inner stream-stream join: single-batch availableNow drain emits
     # exactly the batch join (watermarks bound state, not inner-join
     # results); µs precision on both sides (normalized ts ≡ epoch_us)

@@ -116,3 +116,71 @@ def test_hopping_counts_subset_of_batch_and_overlap(spark, events_dir):
     # hopping fan-out: batch window assignments sum to 2x the event count
     n_events = table(spark, SF_SMALL, "events").count()
     assert sum(b.values()) == 2 * n_events
+
+
+def test_streaming_ewma_state_carries_across_batches(spark, tmp_path):
+    """Three time-range-split files drained one per micro-batch: the
+    per-user EWMA state must carry across batches and the final value
+    must equal the batch recurrence bit for bit (alpha=0.5 => exact
+    binary weights)."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_wrangle_openstreetmaps_data_spark.streaming.ewma import (
+        ewma_stream,
+    )
+
+    base_us = 1_700_000_000_000_000
+    rows = [
+        (uid, base_us + i * 60_000_000, uid * 100 + i, float((uid * 7 + i * 3) % 50))
+        for uid in (1, 2, 3)
+        for i in range(9)
+    ]
+    d = tmp_path / "ewma_batches"
+    d.mkdir()
+    # file k holds time range k (i in [3k, 3k+3)); ascending names AND
+    # mtimes so the file source processes them in time order
+    for k in range(3):
+        part = [r for r in rows if (r[1] - base_us) // 60_000_000 // 3 == k]
+        tbl = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in part], pa.int64()),
+                "ts": pa.array([r[1] for r in part], pa.timestamp("us")),
+                "event_id": pa.array([r[2] for r in part], pa.int64()),
+                "value": pa.array([r[3] for r in part], pa.float64()),
+            }
+        )
+        p = str(d / f"part-{k}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (1_700_000_000 + k, 1_700_000_000 + k))
+        _time.sleep(0.05)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    name = "ewma_multibatch"
+    from data_wrangle_openstreetmaps_data_spark.streaming import events as se
+
+    se.run_to_memory(ewma_stream(stream), name, output_mode="update")
+    out = spark.table(name).collect()
+    # update mode appends one row per (user, batch) to the memory sink;
+    # the live estimate is the row with the highest n
+    final = {}
+    for r in out:
+        if r["user_id"] not in final or r["n"] > final[r["user_id"]]["n"]:
+            final[r["user_id"]] = r
+    assert len(out) == 9  # 3 users x 3 batches -> state carried each batch
+    for uid in (1, 2, 3):
+        vals = [v for u, _, _, v in sorted(rows) if u == uid]
+        e = 0.0
+        for v in vals:
+            e = 0.5 * v + 0.5 * e
+        assert final[uid]["n"] == 9
+        assert final[uid]["ewma"] == e, (uid, final[uid]["ewma"], e)
