@@ -402,6 +402,41 @@ def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — privacy governance audit: k-anonymity over the customer
+    quasi-identifier tuple (market segment, nation, account-balance
+    band). A released dataset is k-anonymous iff every QI group holds
+    ≥ k rows; this returns the VIOLATING groups (count < 5) with their
+    sizes plus each group's share of the table — the rows a release
+    pipeline must suppress or generalize. One group-count over the QI
+    projection (map-side combine; |groups| bounded by the QI domain),
+    then a broadcast total — no second scan."""
+    c = table(spark, sf, "customer")
+    qi = c.select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    )
+    groups = qi.groupBy("c_mktsegment", "c_nationkey", "bal_band").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = c.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        groups.filter(F.col("cnt") < 5)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "bal_band",
+            "cnt",
+            text.round4(
+                F.col("cnt") / F.col("n_total")
+            ).alias("share"),
+        )
+        .orderBy("c_mktsegment", "c_nationkey", "bal_band")
+    )
+
+
 def q_data_quality(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — ingest-gate quality report: null counts, range violations,
     duplicate keys, and referential-integrity violations in one row."""
@@ -501,6 +536,24 @@ def q_rank_functions(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLES: dict[str, str | None] = {
+    "q_k_anonymity": """
+        WITH qi AS (
+          SELECT c_mktsegment, c_nationkey,
+                 CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+          FROM customer
+        ),
+        g AS (
+          SELECT c_mktsegment, c_nationkey, bal_band, count(*) AS cnt
+          FROM qi GROUP BY c_mktsegment, c_nationkey, bal_band
+        ),
+        n AS (SELECT count(*) AS n_total FROM customer)
+        SELECT c_mktsegment, c_nationkey, bal_band, cnt,
+               floor(CAST(cnt AS DOUBLE) / n_total * 10000 + 0.5) / 10000
+                 AS share
+        FROM g, n
+        WHERE cnt < 5
+        ORDER BY c_mktsegment, c_nationkey, bal_band
+    """,
     "q_null_semantics": """
         SELECT o_orderkey,
                coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status2,
