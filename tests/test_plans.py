@@ -602,3 +602,27 @@ def test_dau_wau_is_fanout_dedup_not_window(spark):
     plan = _executed_plan(df)
     assert "Generate explode" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_make_sfn_replication_preserves_joins(spark, tmp_path):
+    """scripts/make_sfN.py must replicate with FK-consistent shifts:
+    every joinable row stays joinable, so lineitem x orders inner join
+    cardinality scales exactly by the factor."""
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "sf2x")
+    r = subprocess.run(
+        [sys.executable, "scripts/make_sfN.py", "2",
+         "/root/testdata/sf0.001", out],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    li0 = table(spark, SF_SMALL, "lineitem")
+    o0 = table(spark, SF_SMALL, "orders")
+    base = li0.join(o0, li0["l_orderkey"] == o0["o_orderkey"]).count()
+    li2 = spark.read.parquet(f"{out}/lineitem.parquet")
+    o2 = spark.read.parquet(f"{out}/orders.parquet")
+    got = li2.join(o2, li2["l_orderkey"] == o2["o_orderkey"]).count()
+    assert got == 2 * base, (got, base)
+    assert spark.read.parquet(f"{out}/nation.parquet").count() == 25
