@@ -6,23 +6,14 @@ entries, aggregated in ``__init__``."""
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_wrangle_openstreetmaps_data_spark import catalog
 from data_wrangle_openstreetmaps_data_spark.catalog import table
-from data_wrangle_openstreetmaps_data_spark.functions import cleaning, text
+from data_wrangle_openstreetmaps_data_spark.functions import text
 from data_wrangle_openstreetmaps_data_spark.operators import (
-    audit,
-    curation,
-    dedup,
-    join as join_ops,
     sample,
-    similarity,
-    topk,
 )
 
 from data_wrangle_openstreetmaps_data_spark.plans.queries._shared import *  # noqa: F401,F403
