@@ -498,7 +498,98 @@ def q_ewma(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_session_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — first-touch attribution: each session's purchases credited
+    to the session's FIRST event type (the marketing-attribution shape).
+    Composition is fully relational: gaps-and-islands session ids (12h
+    gap), then ONE per-session aggregate (argmin-struct first touch +
+    conditional purchase sums — no second window), then a |event types|-
+    row rollup. Two user-keyed shuffles total; nothing global."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    e = ev.select(
+        "user_id", "event_id", "event_type", "value",
+        catalog.event_ts_us(ev).alias("tsn"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tsn", "event_id")
+    new_s = F.when(
+        F.lag("tsn").over(w).isNull()
+        | (F.col("tsn") - F.lag("tsn").over(w) > _SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    s = e.withColumn("sid", F.sum(new_s).over(w))
+    g = s.groupBy("user_id", "sid").agg(
+        F.min(F.struct("tsn", "event_id", "event_type"))["event_type"]
+        .alias("first_type"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+            "n_purch"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .cast("decimal(18,2)")
+        ).alias("rev"),
+    )
+    return (
+        g.groupBy("first_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_purch").cast("long").alias("n_purchases"),
+            text.round4(
+                F.coalesce(F.sum("rev"), F.lit(0)).cast("double")
+            ).alias("revenue"),
+        )
+        .orderBy("first_type")
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    # same islands construction; first touch via rn=1 inside the
+    # session (arg_min rejects composite keys in DuckDB 1.0); outer
+    # count-sum cast back to BIGINT (DuckDB sums of BIGINT widen to
+    # HUGEINT, which pandas surfaces as float — the cast keeps both
+    # engines integer)
+    "q_session_attribution": f"""
+        WITH e AS (SELECT user_id, event_id, event_type, value,
+                          epoch_us(ts) AS tsn
+                   FROM events),
+        l AS (
+          SELECT *, lag(tsn) OVER (PARTITION BY user_id
+                                   ORDER BY tsn, event_id) AS prev
+          FROM e
+        ),
+        f AS (
+          SELECT *, CASE WHEN prev IS NULL
+                           OR tsn - prev > {{gap}} THEN 1 ELSE 0 END AS ns
+          FROM l
+        ),
+        s AS (
+          SELECT *, sum(ns) OVER (PARTITION BY user_id
+                                  ORDER BY tsn, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM f
+        ),
+        s2 AS (
+          SELECT *, row_number() OVER (PARTITION BY user_id, sid
+                                       ORDER BY tsn, event_id) AS rn
+          FROM s
+        ),
+        g AS (
+          SELECT user_id, sid,
+                 max(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+                 count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                   AS n_purch,
+                 sum(CASE WHEN event_type = 'purchase'
+                          THEN CAST(value AS DECIMAL(18,2)) END) AS rev
+          FROM s2 GROUP BY user_id, sid
+        )
+        SELECT first_type,
+               count(*) AS n_sessions,
+               CAST(sum(n_purch) AS BIGINT) AS n_purchases,
+               floor(CAST(coalesce(sum(rev), 0) AS DOUBLE)
+                     * 10000 + 0.5) / 10000 AS revenue
+        FROM g GROUP BY first_type ORDER BY first_type
+    """.replace("{gap}", str(_SESSION_GAP_US)),
     # same bounded-window EWMA: DuckDB's indexed list lambda applies
     # weight 0.5^(len-i) (i is 1-based → newest weight 1), same
     # normalizer, same exact binary weights
