@@ -162,7 +162,73 @@ def q_revenue_concentration(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_market_basket(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — market-basket item affinity: part pairs co-purchased in the
+    same order, scored by cosine n_ab/√(n_a·n_b), support ≥ 3, top-20.
+    The self-join is keyed on the ORDER (bounded fan-out: C(lines,2) per
+    order, lines per order is a small constant — never an item-item
+    cross product), marginals are a |parts|-row broadcast. The classic
+    recommendation co-occurrence shape at fact-table scale."""
+    li = table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    marg = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(marg.select(F.col("p").alias("p1"),
+                                    F.col("n").alias("n_a"))), "p1"
+        )
+        .join(
+            F.broadcast(marg.select(F.col("p").alias("p2"),
+                                    F.col("n").alias("n_b"))), "p2"
+        )
+        .select(
+            "p1", "p2", "n_ab",
+            text.round4(
+                F.col("n_ab") / F.sqrt(F.col("n_a") * F.col("n_b"))
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("cosine"), F.desc("n_ab"), "p1", "p2"
+    ).limit(20)
+
+
 ORACLES: dict[str, str | None] = {
+    "q_market_basket": """
+        WITH li AS (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+        ),
+        pairs AS (
+          SELECT a.p AS p1, b.p AS p2, count(*) AS n_ab
+          FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+          GROUP BY a.p, b.p
+          HAVING count(*) >= 3
+        ),
+        marg AS (SELECT p, count(*) AS n FROM li GROUP BY p)
+        SELECT p1, p2, n_ab,
+               floor(n_ab / sqrt(CAST(ma.n AS DOUBLE) * mb.n)
+                     * 10000 + 0.5) / 10000 AS cosine
+        FROM pairs
+        JOIN marg ma ON ma.p = p1
+        JOIN marg mb ON mb.p = p2
+        ORDER BY cosine DESC, n_ab DESC, p1, p2 LIMIT 20
+    """,
     "q_customer_rfm": """
         WITH base AS (
           SELECT o_custkey,
