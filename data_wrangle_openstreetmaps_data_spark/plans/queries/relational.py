@@ -432,6 +432,30 @@ def q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_l_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — the attribute-disclosure companion to q_k_anonymity:
+    l-diversity requires every quasi-identifier group to contain ≥ l
+    DISTINCT values of the sensitive attribute (here market segment;
+    QI = nation × balance band). A group can be k-anonymous yet leak
+    the sensitive value if everyone in it shares one — this returns
+    the groups with fewer than 3 distinct segments, with group size.
+    One two-level aggregate (distinct collapse, then group stats)."""
+    c = table(spark, sf, "customer")
+    qi = c.select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+        "c_mktsegment",
+    )
+    g = qi.groupBy("c_nationkey", "bal_band").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("c_mktsegment").alias("n_sensitive"),
+    )
+    return (
+        g.filter(F.col("n_sensitive") < 3)
+        .orderBy("c_nationkey", "bal_band")
+    )
+
+
 def q_data_quality(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — ingest-gate quality report: null counts, range violations,
     duplicate keys, and referential-integrity violations in one row."""
@@ -531,6 +555,19 @@ def q_rank_functions(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLES: dict[str, str | None] = {
+    "q_l_diversity": """
+        WITH qi AS (
+          SELECT c_nationkey,
+                 CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+                 c_mktsegment
+          FROM customer
+        )
+        SELECT c_nationkey, bal_band, count(*) AS n_rows,
+               count(DISTINCT c_mktsegment) AS n_sensitive
+        FROM qi GROUP BY c_nationkey, bal_band
+        HAVING count(DISTINCT c_mktsegment) < 3
+        ORDER BY c_nationkey, bal_band
+    """,
     "q_k_anonymity": """
         WITH qi AS (
           SELECT c_mktsegment, c_nationkey,

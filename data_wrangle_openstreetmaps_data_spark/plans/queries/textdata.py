@@ -266,7 +266,85 @@ def q_bpe_merge_candidates(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_collocations_pmi(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — collocation mining by pointwise mutual information:
+    PMI(a,b) = ln(p(ab) / (p(a)·p(b))) over adjacent token pairs,
+    support ≥ 5, top-20. Pairs come from the same array-side zip_with
+    as q_bpe_merge_candidates; unigram totals are a 1-row broadcast.
+    ln() agrees across engines at the 4dp floor (already exercised by
+    the unigram-LM query)."""
+    docs = table(spark, sf, "documents")
+    toks = text.tokens("text")
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    pair_col = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    pairs = (
+        docs.select(F.explode(pair_col).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    uni = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = docs.agg(
+        F.sum(F.size(toks)).alias("n_tok"),
+        F.sum(F.greatest(F.size(toks) - 1, F.lit(0))).alias("n_pair"),
+    )
+    sp = F.split("pair", " ")
+    p = pairs.select("pair", "n_ab", sp[0].alias("a"), sp[1].alias("b"))
+    pmi = F.log(
+        (F.col("n_ab") / F.col("n_pair"))
+        / ((F.col("na") / F.col("n_tok")) * (F.col("nb") / F.col("n_tok")))
+    )
+    return (
+        p.join(F.broadcast(uni.select(F.col("tok").alias("a"),
+                                      F.col("n").alias("na"))), "a")
+        .join(F.broadcast(uni.select(F.col("tok").alias("b"),
+                                     F.col("n").alias("nb"))), "b")
+        .crossJoin(F.broadcast(totals))
+        .select("pair", "n_ab", text.round4(pmi).alias("pmi"))
+        .orderBy(F.desc("pmi"), F.desc("n_ab"), "pair")
+        .limit(20)
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_collocations_pmi": f"""
+        WITH d AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+        t AS (
+          SELECT doc_id, unnest(toks) AS tok,
+                 unnest(range(len(toks))) AS i
+          FROM d
+        ),
+        pairs AS (
+          SELECT a.tok || ' ' || b.tok AS pair, a.tok AS ta, b.tok AS tb,
+                 count(*) AS n_ab
+          FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+          GROUP BY 1, 2, 3 HAVING count(*) >= 5
+        ),
+        uni AS (SELECT tok, count(*) AS n FROM t GROUP BY tok),
+        tot AS (
+          SELECT CAST(sum(len(toks)) AS BIGINT) AS n_tok,
+                 CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT) AS n_pair
+          FROM d
+        )
+        SELECT pair, n_ab,
+               floor(ln(
+                 (CAST(n_ab AS DOUBLE) / n_pair)
+                 / ((CAST(ua.n AS DOUBLE) / n_tok)
+                    * (CAST(ub.n AS DOUBLE) / n_tok))
+               ) * 10000 + 0.5) / 10000 AS pmi
+        FROM pairs
+        JOIN uni ua ON ua.tok = ta
+        JOIN uni ub ON ub.tok = tb, tot
+        ORDER BY pmi DESC, n_ab DESC, pair LIMIT 20
+    """,
     # adjacent-pair counts: DuckDB zips unnest(toks) with its index,
     # self-joins on i+1 within the doc, then ranks
     "q_bpe_merge_candidates": f"""
