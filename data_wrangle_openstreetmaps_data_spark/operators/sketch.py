@@ -153,3 +153,70 @@ def bloom_prune(
         bit_j = portable_token_hash(F.concat(c, F.lit(f"#{j}"))) % m
         out = out.join(small, bit_j == F.col("_b"), "left_semi")
     return out
+
+
+def hll_registers(
+    df: DataFrame, item_col: str, p: int = 8
+) -> DataFrame:
+    """HyperLogLog register table over ``item_col``: (bucket, m) with
+    at most ``2**p`` rows. bucket = the hash's low ``p`` bits; m = the
+    register value max(rho) where rho = #leading zeros of the remaining
+    (60-p)-bit field + 1 (rho = 61-p for a zero field).
+
+    Everything stays integer: rho is derived from ``length(bin(v))``
+    (the bit length of the field), never floating log2, so the sketch —
+    and therefore the estimate — is bit-reproducible in any engine with
+    md5 + a binary-string function. max() is idempotent, so the build
+    needs NO distinct pass (unlike KMV), and registers from per-day /
+    per-partition builds merge by max(m) on bucket without touching raw
+    data — one groupBy with map-side combine, shuffle ≤ 2**p rows per
+    input partition."""
+    w = 60 - p  # bits left after the bucket index
+    h = portable_token_hash(F.col(item_col).cast("string"))
+    v = F.shiftright(h, p)
+    rho = F.when(v == 0, F.lit(w + 1)).otherwise(
+        F.lit(w + 1) - F.length(F.bin(v))
+    )
+    return (
+        df.select(
+            F.pmod(h, F.lit(1 << p)).alias("bucket"), rho.alias("rho")
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
+    """Fold an HLL register table into the cardinality estimate
+    (columns: est double, n_zero_regs long). The harmonic-mean term
+    sum(2^-m) is accumulated as an EXACT integer — sum of
+    ``2^(SCALE-m)`` bigints (SCALE = 61-p = the max register value), so
+    no float summation order can perturb it; the only floating steps
+    are one literal-constant alpha expression and one division, both
+    IEEE-identical cross-engine. Empty registers contribute m=0
+    (2^SCALE each) and drive the linear-counting small-range correction
+    E = m_regs * ln(m_regs / V) when E <= 2.5*m_regs and V > 0
+    (Flajolet et al. 2007)."""
+    m_regs = 1 << p
+    scale = 61 - p  # register values m ∈ [1, scale]
+    folded = registers.agg(
+        (
+            F.sum(F.expr(f"shiftleft(cast(1 as bigint), {scale} - m)"))
+            + (F.lit(m_regs) - F.count(F.lit(1)))
+            * F.lit(1 << scale).cast("long")
+        ).alias("s"),
+        (F.lit(m_regs) - F.count(F.lit(1))).alias("n_zero_regs"),
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m_regs)))
+    raw = (
+        alpha
+        * F.lit(float(m_regs) * float(m_regs))
+        * F.lit(float(1 << scale))
+        / F.col("s").cast("double")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * m_regs)) & (F.col("n_zero_regs") > 0),
+        F.lit(float(m_regs))
+        * F.log(F.lit(float(m_regs)) / F.col("n_zero_regs").cast("double")),
+    ).otherwise(raw)
+    return folded.select(est.alias("est"), "n_zero_regs")

@@ -94,3 +94,53 @@ def bottom_k(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def skyline2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline) maximizing both columns: keep the
+    points no other point weakly dominates (x' ≥ x, y' ≥ y, one strict).
+    Callers should pass DISTINCT points (one representative per (x, y))
+    — under ties this keeps exactly one row per frontier point.
+
+    The classic sequential algorithm (sort by x desc, keep rows whose y
+    exceeds the running max) is a global-ORDER-BY window — a
+    single-partition funnel at row scale. This is the blocked two-phase
+    form (same pattern as ``bottom_k`` / ``every_nth``): driver-sampled
+    LITERAL x-boundaries split rows into x-monotone blocks (equal x
+    never splits, so cross-block always means strictly-greater x), each
+    block computes its prefix max in parallel, and the cross-block
+    running max is a broadcast window over #blocks rows. The only
+    global window runs over block maxima, never over rows."""
+    from data_wrangle_openstreetmaps_data_spark.operators.sample import (
+        _range_block_bounds,
+    )
+
+    spark = df.sparkSession
+    nb = n_blocks or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bounds = _range_block_bounds(df, x_col, nb)
+    x, y = F.col(x_col), F.col(y_col)
+    blk = F.lit(0)
+    for b in bounds:
+        blk = blk + (x > F.lit(b)).cast("int")
+    blocked = df.withColumn("_blk", blk)
+    totals = blocked.groupBy("_blk").agg(F.max(y).alias("_bmax"))
+    w_blk = Window.orderBy(F.desc("_blk")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cross = totals.select(
+        "_blk", F.max("_bmax").over(w_blk).alias("_cross")
+    )
+    w_in = Window.partitionBy("_blk").orderBy(
+        F.desc(x_col), F.desc(y_col)
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    prefixed = blocked.join(F.broadcast(cross), "_blk").withColumn(
+        "_p", F.greatest(F.max(y).over(w_in), F.col("_cross"))
+    )
+    return prefixed.filter(
+        F.col("_p").isNull() | (y > F.col("_p"))
+    ).drop("_blk", "_cross", "_p")

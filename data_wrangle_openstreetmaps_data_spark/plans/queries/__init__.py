@@ -41,9 +41,10 @@ from data_wrangle_openstreetmaps_data_spark.plans.queries import (
     multimedia,
     reporting,
     geo,
+    graphs,
 )
 
-_FAMILIES = (osm_core, relational, textdata, neardup, vectors, curate, tpch, events_time, sketches, streams, storage, multimedia, reporting, geo)
+_FAMILIES = (osm_core, relational, textdata, neardup, vectors, curate, tpch, events_time, sketches, streams, storage, multimedia, reporting, geo, graphs)
 
 ORACLES: dict[str, str | None] = {}
 for _m in _FAMILIES:

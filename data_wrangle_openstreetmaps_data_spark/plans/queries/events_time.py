@@ -543,7 +543,115 @@ def q_session_attribution(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_decay_trending(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — exponentially time-decayed trending score per event type:
+    Σ 0.5^(days before the corpus max date), the standard recency-
+    weighted popularity ranking. The decayed sum accumulates as an
+    EXACT bigint (Σ 2^(40-k), k = capped day age), so no float
+    summation order exists to drift — both engines produce the same
+    integer, then one exact power-of-two division (valid while
+    rows·2^40 < 2^63, i.e. up to ~8M rows per type per 40-day horizon;
+    shard the sum by week and re-sum at larger scale). One aggregate
+    with map-side combine plus a broadcast max-date scalar."""
+    ev = table(spark, sf, "events")
+    day = F.to_date(catalog.event_ts(ev))
+    mx = ev.agg(F.max(F.to_date(catalog.event_ts(ev))).alias("mxd"))
+    k = F.least(F.datediff(F.col("mxd"), F.col("day")), F.lit(40))
+    e = ev.select("event_type", day.alias("day")).crossJoin(F.broadcast(mx))
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr("shiftleft(cast(1 as bigint), 40 - k)")).alias(
+                "scaled"
+            ),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            text.round4(
+                F.col("scaled").cast("double") / F.lit(float(1 << 40))
+            ).alias("trend"),
+        )
+        .orderBy(F.desc("trend"), "event_type")
+    )
+
+
+def q_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — Welch's unequal-variance t-test between purchase and click
+    event values: the A/B-experiment significance primitive. Means and
+    sample variances come from ONE conditional aggregate over a single
+    scan (no per-arm subqueries); t and the Welch–Satterthwaite df are
+    closed-form scalar arithmetic on the six aggregates. Everything
+    after the scan is a 1-row frame."""
+    ev = table(spark, sf, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+
+    def arm(t: str, tag: str):
+        v = F.when(F.col("event_type") == t, F.col("value"))
+        return [
+            F.count(v).cast("double").alias(f"n{tag}"),
+            F.avg(v).alias(f"m{tag}"),
+            F.var_samp(v).alias(f"v{tag}"),
+        ]
+
+    agg = ev.agg(*arm("purchase", "1"), *arm("click", "2"))
+    se1 = F.col("v1") / F.col("n1")
+    se2 = F.col("v2") / F.col("n2")
+    t_stat = (F.col("m1") - F.col("m2")) / F.sqrt(se1 + se2)
+    df_w = (se1 + se2) * (se1 + se2) / (
+        se1 * se1 / (F.col("n1") - 1) + se2 * se2 / (F.col("n2") - 1)
+    )
+    return agg.select(
+        F.col("n1").cast("long").alias("n_purchase"),
+        F.col("n2").cast("long").alias("n_click"),
+        text.round4(F.col("m1")).alias("mean_purchase"),
+        text.round4(F.col("m2")).alias("mean_click"),
+        text.round4(t_stat).alias("t_stat"),
+        text.round4(df_w).alias("df_welch"),
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_decay_trending": """
+        WITH e AS (
+          SELECT event_type, CAST(ts AS DATE) AS day FROM events
+        ),
+        mx AS (SELECT max(day) AS mxd FROM e),
+        s AS (
+          SELECT event_type, count(*) AS n_events,
+                 (sum(1::BIGINT << (40 - least(date_diff('day', day, mxd), 40))))::BIGINT AS scaled
+          FROM e, mx GROUP BY event_type
+        )
+        SELECT event_type, n_events,
+               floor(CAST(scaled AS DOUBLE) / 1099511627776.0 * 10000 + 0.5)
+                 / 10000 AS trend
+        FROM s ORDER BY trend DESC, event_type
+    """,
+    "q_welch_ttest": """
+        WITH a AS (
+          SELECT CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE) AS n1,
+                 avg(CASE WHEN event_type = 'purchase' THEN value END) AS m1,
+                 var_samp(CASE WHEN event_type = 'purchase' THEN value END) AS v1,
+                 CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS DOUBLE) AS n2,
+                 avg(CASE WHEN event_type = 'click' THEN value END) AS m2,
+                 var_samp(CASE WHEN event_type = 'click' THEN value END) AS v2
+          FROM events WHERE event_type IN ('purchase', 'click')
+        )
+        SELECT CAST(n1 AS BIGINT) AS n_purchase,
+               CAST(n2 AS BIGINT) AS n_click,
+               floor(m1 * 10000 + 0.5) / 10000 AS mean_purchase,
+               floor(m2 * 10000 + 0.5) / 10000 AS mean_click,
+               floor((m1 - m2) / sqrt(v1 / n1 + v2 / n2) * 10000 + 0.5)
+                 / 10000 AS t_stat,
+               floor((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+                     / (v1 / n1 * (v1 / n1) / (n1 - 1)
+                        + v2 / n2 * (v2 / n2) / (n2 - 1))
+                     * 10000 + 0.5) / 10000 AS df_welch
+        FROM a
+    """,
     # same islands construction; first touch via rn=1 inside the
     # session (arg_min rejects composite keys in DuckDB 1.0); outer
     # count-sum cast back to BIGINT (DuckDB sums of BIGINT widen to

@@ -269,7 +269,82 @@ def q_bloom_prune_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — HyperLogLog distinct-count estimate (p=8, 256 registers)
+    over event users, next to the exact count. The register build needs
+    NO distinct pass (max is idempotent) — one groupBy(bucket) with
+    map-side combine whose shuffle carries ≤256 rows per partition, and
+    registers merge across days/partitions by max. rho comes from the
+    hash field's BIT LENGTH (length(bin(v))), never floating log2, and
+    the harmonic sum folds as an exact bigint, so the estimate — down to
+    the linear-counting small-range branch — is bit-reproducible in any
+    engine with md5 + bin (the HLL companion to the value-oracled
+    KMV/CMS family). At 150 distinct users the small-range correction
+    fires at this SF; larger SFs exercise the raw branch — both sides
+    dispatch on the same condition."""
+    from data_wrangle_openstreetmaps_data_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = table(spark, sf, "events")
+    est = hll_estimate(hll_registers(ev, "user_id", p=8), p=8)
+    exact = (
+        ev.select("user_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("exact_distinct"))
+    )
+    rel = (F.col("est") - F.col("exact_distinct")) / F.col(
+        "exact_distinct"
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        text.round4(F.col("est")).alias("hll_est"),
+        "n_zero_regs",
+        "exact_distinct",
+        text.round4(rel).alias("rel_err"),
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    # identical HLL construction in SQL: same portable 60-bit md5 hash,
+    # bucket = low 8 bits, rho from bin() bit length, exact-integer
+    # harmonic fold; 4.2399…e+20 is alpha_256·256²·2^53 folded to one
+    # double so neither engine re-derives it
+    "q_hll_distinct": """
+        WITH h AS (
+          SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM events
+        ),
+        reg AS (
+          SELECT h % 256 AS bucket,
+                 max(CASE WHEN (h >> 8) = 0 THEN 53
+                          ELSE 53 - length(bin(h >> 8)) END) AS m
+          FROM h GROUP BY bucket
+        ),
+        folded AS (
+          SELECT (sum(1::BIGINT << (53 - m))
+                  + (256 - count(*)) * (1::BIGINT << 53))::BIGINT AS s,
+                 256 - count(*) AS n_zero_regs
+          FROM reg
+        ),
+        est AS (
+          SELECT CASE
+                   WHEN 4.2399330249068963e+20 / CAST(s AS DOUBLE) <= 640.0
+                        AND n_zero_regs > 0
+                   THEN 256.0 * ln(256.0 / CAST(n_zero_regs AS DOUBLE))
+                   ELSE 4.2399330249068963e+20 / CAST(s AS DOUBLE)
+                 END AS e,
+                 n_zero_regs
+          FROM folded
+        ),
+        x AS (SELECT count(DISTINCT user_id) AS exact_distinct FROM events)
+        SELECT floor(e * 10000 + 0.5) / 10000 AS hll_est,
+               n_zero_regs,
+               exact_distinct,
+               floor((e - exact_distinct) / exact_distinct * 10000 + 0.5)
+                 / 10000 AS rel_err
+        FROM est, x
+    """,
     # identical bloom construction in SQL: same 60-bit md5 hash, same
     # '#j' probe salts, same 1024-bit universe — bit-for-bit filter
     "q_bloom_prune_join": """
