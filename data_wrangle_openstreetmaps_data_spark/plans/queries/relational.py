@@ -554,7 +554,111 @@ def q_rank_functions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_skyline(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — 2-D Pareto frontier (skyline) of customers over (total
+    spend, order count): the points no other customer weakly dominates
+    on both axes — multi-objective "best customers" without collapsing
+    the axes into one score. Spend is an exact decimal-cents bigint, so
+    the whole query is integer-deterministic. The frontier comes from
+    :func:`operators.topk.skyline2d` — the blocked two-phase prefix-max
+    (driver-sampled literal x-boundaries, per-block windows, broadcast
+    cross-block maxima), never a global single-partition window; the
+    oracle is the classic sequential running-max formulation."""
+    from data_wrangle_openstreetmaps_data_spark.operators.topk import (
+        skyline2d,
+    )
+
+    cust = (
+        table(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(20,6)")) * 100
+            )
+            .cast("long")
+            .alias("spend_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    pts = cust.groupBy("spend_cents", "n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    return skyline2d(pts, "spend_cents", "n_orders").orderBy(
+        F.desc("spend_cents")
+    )
+
+
+def q_winsorized_mean(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — robust mean of order value per priority after winsorizing
+    at the exact p05/p95 interpolated percentiles (the outlier-tolerant
+    KPI companion to q_mad_outliers / q_zscore_outliers). Two passes:
+    one percentile aggregate per group (exact sort-based percentile —
+    switch to approx at 100 TB), broadcast-joined back for the clamp,
+    then one plain aggregate; the raw mean rides along for contrast."""
+    o = table(spark, sf, "orders")
+    cuts = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("lo"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("hi"),
+    )
+    clamped = o.join(F.broadcast(cuts), "o_orderpriority").select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.least(
+            F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi")
+        ).alias("w"),
+    )
+    return (
+        clamped.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            text.round4(F.avg("o_totalprice")).alias("raw_mean"),
+            text.round4(F.avg("w")).alias("winsorized_mean"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_skyline": """
+        WITH cust AS (
+          SELECT o_custkey,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) * 100 AS BIGINT)
+                   AS spend_cents,
+                 count(*) AS n_orders
+          FROM orders GROUP BY o_custkey
+        ),
+        pts AS (
+          SELECT spend_cents, n_orders, count(*) AS n_customers
+          FROM cust GROUP BY spend_cents, n_orders
+        ),
+        sk AS (
+          SELECT *,
+                 max(n_orders) OVER (
+                   ORDER BY spend_cents DESC, n_orders DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) AS p
+          FROM pts
+        )
+        SELECT spend_cents, n_orders, n_customers FROM sk
+        WHERE p IS NULL OR n_orders > p
+        ORDER BY spend_cents DESC
+    """,
+    "q_winsorized_mean": """
+        WITH cuts AS (
+          SELECT o_orderpriority,
+                 quantile_cont(o_totalprice, 0.05) AS lo,
+                 quantile_cont(o_totalprice, 0.95) AS hi
+          FROM orders GROUP BY o_orderpriority
+        )
+        SELECT o.o_orderpriority,
+               count(*) AS n_orders,
+               floor(avg(o_totalprice) * 10000 + 0.5) / 10000 AS raw_mean,
+               floor(avg(least(greatest(o_totalprice, lo), hi)) * 10000 + 0.5)
+                 / 10000 AS winsorized_mean
+        FROM orders o JOIN cuts c ON o.o_orderpriority = c.o_orderpriority
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """,
     "q_l_diversity": """
         WITH qi AS (
           SELECT c_nationkey,

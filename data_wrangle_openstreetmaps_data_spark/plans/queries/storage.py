@@ -359,7 +359,55 @@ def q_range_checksum_diff(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — columnar-format interop: write orders to ORC partitioned
+    by priority (the other first-class Hadoop columnar format next to
+    the parquet the store sinks use), read it back through the
+    partition-pruned path (the priority filter prunes to one
+    directory — PartitionFilters in the scan, like the parquet DPP
+    guard), and aggregate. ORC preserves doubles bit-exactly, so the
+    oracle aggregates the original parquet directly — the roundtrip is
+    the thing under test."""
+    import os
+    import shutil
+
+    work = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "..", ".tmp",
+        f"orc_{os.path.basename(sf.rstrip('/'))}",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    src = table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+    )
+    src.write.mode("overwrite").partitionBy("o_orderpriority").orc(work)
+    back = spark.read.orc(work).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_orc_roundtrip": """
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE)
+                 AS total
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
     # identical checksum construction: same row repr, same portable
     # hash, same xor fold — buckets disagree exactly where B changed
     "q_range_checksum_diff": """

@@ -314,7 +314,90 @@ def q_collocations_pmi(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_readability(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — readability scoring per language: Flesch reading ease
+    (sentence count clamped to ≥1 — the synthetic corpus has no
+    sentence punctuation, documented degenerate) plus the two
+    punctuation-free metrics that carry the signal here: syllables per
+    word (vowel-group proxy) and the polysyllabic-word share (≥3 vowel
+    groups, the SMOG ingredient). All counts are integers aggregated
+    with map-side combine; ratios divide exact integer sums, so only
+    the per-doc Flesch average is float-order sensitive (rounded). One
+    scan, one small aggregate; the per-word syllable count is an
+    array-side transform, no explode."""
+    d = table(spark, sf, "documents")
+    words = F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), 0)
+    per_doc = d.select(
+        "lang",
+        F.size(words).alias("w"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit("[aeiouy]+"), 0)
+        ).alias("syl"),
+        F.greatest(
+            F.size(
+                F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)
+            ),
+            F.lit(1),
+        ).alias("s"),
+        F.size(
+            F.filter(
+                words,
+                lambda _w: F.size(
+                    F.regexp_extract_all(_w, F.lit("[aeiouy]+"), 0)
+                )
+                >= 3,
+            )
+        ).alias("poly"),
+    ).filter(F.col("w") > 0)
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("w").cast("double") / F.col("s"))
+        - F.lit(84.6) * (F.col("syl").cast("double") / F.col("w"))
+    )
+    return (
+        per_doc.select("lang", "w", "syl", "poly", flesch.alias("f"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            text.round4(
+                F.sum("syl").cast("double") / F.sum("w")
+            ).alias("syll_per_word"),
+            text.round4(
+                F.sum("poly").cast("double") / F.sum("w")
+            ).alias("pct_polysyllabic"),
+            text.round4(F.avg("f")).alias("avg_flesch"),
+        )
+        .orderBy("lang")
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_readability": """
+        WITH per_doc AS (
+          SELECT lang,
+                 len(regexp_extract_all(text, '[a-z]+')) AS w,
+                 len(regexp_extract_all(text, '[aeiouy]+')) AS syl,
+                 greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+                 len(list_filter(regexp_extract_all(text, '[a-z]+'),
+                     _w -> len(regexp_extract_all(_w, '[aeiouy]+')) >= 3))
+                   AS poly
+          FROM documents
+        ),
+        scored AS (
+          SELECT *,
+                 206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+                         - 84.6 * (CAST(syl AS DOUBLE) / w) AS f
+          FROM per_doc WHERE w > 0
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               floor(CAST(sum(syl) AS DOUBLE) / sum(w) * 10000 + 0.5)
+                 / 10000 AS syll_per_word,
+               floor(CAST(sum(poly) AS DOUBLE) / sum(w) * 10000 + 0.5)
+                 / 10000 AS pct_polysyllabic,
+               floor(avg(f) * 10000 + 0.5) / 10000 AS avg_flesch
+        FROM scored GROUP BY lang ORDER BY lang
+    """,
     "q_collocations_pmi": f"""
         WITH d AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
         t AS (
