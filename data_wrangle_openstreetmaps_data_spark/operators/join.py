@@ -190,3 +190,55 @@ def merge_upsert(
             for c in cols
         ],
     )
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_lo: str,
+    a_hi: str,
+    b_lo: str,
+    b_hi: str,
+    bucket: int,
+) -> DataFrame:
+    """Interval×interval OVERLAP join (closed intervals over an integer
+    domain, e.g. epoch-µs): pairs where a.lo ≤ b.hi AND b.lo ≤ a.hi.
+
+    The inequality pair would plan as a nested-loop cross product; the
+    scale path is the same domain-bucketing as :func:`range_join`, on
+    BOTH sides: each interval explodes into the fixed-width buckets it
+    covers, the join is EQUALITY on bucket (hash join), and because two
+    overlapping intervals share at least one covered bucket, the
+    bucket-equality candidates are a superset — the exact predicate
+    filters residuals and a distinct collapses multi-bucket duplicate
+    pairs. Cost: O(Σ buckets-per-interval), never O(n·m). Pick
+    ``bucket`` near the typical interval length: too small explodes the
+    long side, too large packs unrelated intervals together."""
+    for c in (a.columns + b.columns):
+        if c == "_bucket":
+            raise ValueError(
+                "interval_overlap_join reserved working column _bucket"
+            )
+    dup = set(a.columns) & set(b.columns)
+    if dup:
+        raise ValueError(f"ambiguous columns across sides: {sorted(dup)}")
+
+    def blow(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.filter(F.col(hi) >= F.col(lo)).withColumn(
+            "_bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / bucket).cast("long"),
+                    F.floor(F.col(hi) / bucket).cast("long"),
+                )
+            ),
+        )
+
+    cand = blow(a, a_lo, a_hi).join(blow(b, b_lo, b_hi), "_bucket")
+    return (
+        cand.filter(
+            (F.col(a_lo) <= F.col(b_hi)) & (F.col(b_lo) <= F.col(a_hi))
+        )
+        .drop("_bucket")
+        .distinct()
+    )

@@ -270,7 +270,91 @@ def q_dataset_split(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_negative_sampling(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-S — deterministic negative sampling for recommender /
+    contrastive training: 3 pseudo-random candidate suppliers per
+    customer from the portable md5 hash (reproducible across engines,
+    runs, and cluster sizes — no rand()), anti-joined against the
+    observed co-purchase edges so only true negatives survive. The
+    anti-join keys on (cust, supp) — candidates shuffle by key, the
+    edge side reuses the fact-fact join; nothing driver-side. Output is
+    the per-slot candidate/negative audit (a left join + match flag in
+    ONE pass, same shape as q_bloom_prune_join's account)."""
+    from data_wrangle_openstreetmaps_data_spark.operators.dedup import (
+        portable_token_hash,
+    )
+    from data_wrangle_openstreetmaps_data_spark.operators.graph import (
+        copurchase_edges,
+    )
+
+    ns = table(spark, sf, "supplier").agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    cand = (
+        table(spark, sf, "customer")
+        .select("c_custkey")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "c_custkey",
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j"),
+            "n_supp",
+        )
+        .select(
+            "c_custkey",
+            "j",
+            F.pmod(
+                portable_token_hash(
+                    F.concat(
+                        F.col("c_custkey").cast("string"),
+                        F.lit("#"),
+                        F.col("j").cast("string"),
+                    )
+                ),
+                F.col("n_supp"),
+            ).alias("suppkey"),
+        )
+    )
+    edges = copurchase_edges(
+        table(spark, sf, "lineitem"), table(spark, sf, "orders")
+    ).withColumn("_hit", F.lit(1))
+    flagged = cand.join(
+        edges,
+        (F.col("c_custkey") == F.col("custkey"))
+        & (cand["suppkey"] == edges["suppkey"]),
+        "left",
+    )
+    return (
+        flagged.groupBy("j")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.count(F.when(F.col("_hit").isNull(), 1)).alias(
+                "n_negatives"
+            ),
+        )
+        .orderBy("j")
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_negative_sampling": """
+        WITH ns AS (SELECT count(*) AS n FROM supplier),
+        cand AS (
+          SELECT c_custkey, j,
+                 ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '#'
+                                     || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+                   % (SELECT n FROM ns) AS suppkey
+          FROM customer, (SELECT unnest([0, 1, 2]) AS j)
+        ),
+        edges AS (
+          SELECT DISTINCT o_custkey AS custkey, l_suppkey AS suppkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        )
+        SELECT j, count(*) AS n_candidates,
+               count(CASE WHEN e.custkey IS NULL THEN 1 END) AS n_negatives
+        FROM cand LEFT JOIN edges e
+          ON cand.c_custkey = e.custkey AND cand.suppkey = e.suppkey
+        GROUP BY j ORDER BY j
+    """,
     # curation battery: every approximate/heuristic step replicated
     # literally (tokenization, regexes, hash arithmetic, window frames)
     "q_gopher_quality": _gopher_quality_sql(),

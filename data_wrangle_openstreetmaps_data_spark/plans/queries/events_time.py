@@ -614,7 +614,118 @@ def q_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_interval_overlap_join(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — interval×interval overlap join: which users' daily
+    activity spans overlap ±30-minute incident windows around error
+    events — the blast-radius query of an incident postmortem. Both
+    interval sets explode into 1-hour buckets and meet in an EQUALITY
+    join (operators/join.py::interval_overlap_join) — two overlapping
+    intervals always share a covered bucket, so the residual inequality
+    only filters candidates; no nested-loop cross product at any scale.
+    All µs integers from the vintage-dispatching catalog contract."""
+    from data_wrangle_openstreetmaps_data_spark.operators.join import (
+        interval_overlap_join,
+    )
+
+    ev = table(spark, sf, "events")
+    e = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        catalog.event_ts_us(ev).alias("tsn"),
+        F.to_date(catalog.event_ts(ev)).alias("day"),
+    )
+    spans = e.groupBy("user_id", "day").agg(
+        F.min("tsn").alias("a_lo"), F.max("tsn").alias("a_hi")
+    )
+    half_win = 1_800_000_000  # 30 min in µs
+    wins = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("win_id"),
+        (F.col("tsn") - half_win).alias("b_lo"),
+        (F.col("tsn") + half_win).alias("b_hi"),
+    )
+    pairs = interval_overlap_join(
+        spans, wins, "a_lo", "a_hi", "b_lo", "b_hi",
+        bucket=3_600_000_000,
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_overlaps"))
+        .orderBy(F.desc("n_overlaps"), "user_id")
+        .limit(20)
+    )
+
+
+def q_autocorrelation(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — lag-1 autocorrelation of the daily event-count series per
+    type (the seasonality/burstiness diagnostic next to
+    q_dow_seasonality). The row-scale work is one daily-count
+    aggregate; the lag alignment is a broadcast self-join of the
+    |types|·|days| frame on day+1 and the Pearson corr runs over those
+    bounded pairs."""
+    ev = table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(catalog.event_ts(ev)).alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    cur = daily.select(
+        "event_type", "day", F.col("cnt").alias("cnt_t")
+    )
+    nxt = daily.select(
+        F.col("event_type").alias("et2"),
+        F.date_add(F.col("day"), 1).alias("day2"),
+        F.col("cnt").alias("cnt_prev"),
+    )
+    joined = cur.join(
+        F.broadcast(nxt),
+        (F.col("event_type") == F.col("et2"))
+        & (F.col("day") == F.col("day2")),
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            text.round4(F.corr("cnt_t", "cnt_prev")).alias("acf1"),
+        )
+        .orderBy("event_type")
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_interval_overlap_join": """
+        WITH e AS (
+          SELECT user_id, event_type, event_id, epoch_us(ts) AS tsn,
+                 CAST(ts AS DATE) AS day
+          FROM events
+        ),
+        spans AS (
+          SELECT user_id, day, min(tsn) AS a_lo, max(tsn) AS a_hi
+          FROM e GROUP BY user_id, day
+        ),
+        wins AS (
+          SELECT event_id AS win_id,
+                 tsn - 1800000000 AS b_lo, tsn + 1800000000 AS b_hi
+          FROM e WHERE event_type = 'error'
+        ),
+        pairs AS (
+          SELECT user_id, day, win_id
+          FROM spans JOIN wins ON a_lo <= b_hi AND b_lo <= a_hi
+        )
+        SELECT user_id, count(*) AS n_overlaps
+        FROM pairs GROUP BY user_id
+        ORDER BY n_overlaps DESC, user_id LIMIT 20
+    """,
+    "q_autocorrelation": """
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+          FROM events GROUP BY event_type, day
+        )
+        SELECT a.event_type,
+               count(*) AS n_pairs,
+               floor(corr(a.cnt, b.cnt) * 10000 + 0.5) / 10000 AS acf1
+        FROM daily a
+        JOIN daily b ON a.event_type = b.event_type AND a.day = b.day + 1
+        GROUP BY a.event_type ORDER BY a.event_type
+    """,
     "q_decay_trending": """
         WITH e AS (
           SELECT event_type, CAST(ts AS DATE) AS day FROM events

@@ -70,3 +70,37 @@ def test_range_join_bucketed_equals_naive(spark):
     assert got == naive
     # boundary semantics: lo inclusive, hi exclusive
     assert (3, 0) not in got and (3, 1) in got
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    # integer-domain intervals, lengths from sub-bucket to multi-bucket
+    a = spark.createDataFrame(
+        [(i, (i * 37) % 200, (i * 37) % 200 + (i * 13) % 90)
+         for i in range(40)],
+        ["a_id", "a_lo", "a_hi"],
+    )
+    b = spark.createDataFrame(
+        [(j, (j * 53) % 210, (j * 53) % 210 + (j * 7) % 60)
+         for j in range(30)],
+        ["b_id", "b_lo", "b_hi"],
+    )
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in join_ops.interval_overlap_join(
+            a, b, "a_lo", "a_hi", "b_lo", "b_hi", bucket=32
+        ).collect()
+    }
+    naive = {
+        (x["a_id"], y["b_id"])
+        for x in a.collect()
+        for y in b.collect()
+        if x["a_lo"] <= y["b_hi"] and y["b_lo"] <= x["a_hi"]
+    }
+    assert got == naive
+    # closed-interval boundary: touching endpoints overlap
+    ta = spark.createDataFrame([(1, 0, 10)], ["a_id", "a_lo", "a_hi"])
+    tb = spark.createDataFrame([(2, 10, 20)], ["b_id", "b_lo", "b_hi"])
+    touch = join_ops.interval_overlap_join(
+        ta, tb, "a_lo", "a_hi", "b_lo", "b_hi", bucket=7
+    ).collect()
+    assert len(touch) == 1
