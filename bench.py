@@ -75,6 +75,14 @@ HEADLINE = [
     "q_range_checksum_diff",
     "q_bpe_merge_candidates",
     "q_ewma",
+    # round-7 late wave: graph, HLL, skyline, robust stats, intervals
+    "q_hll_distinct",
+    "q_degree_distribution",
+    "q_skyline",
+    "q_decay_trending",
+    "q_welch_ttest",
+    "q_negative_sampling",
+    "q_readability",
 ]
 
 

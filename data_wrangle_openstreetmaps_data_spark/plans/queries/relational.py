@@ -618,7 +618,69 @@ def q_winsorized_mean(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_BENFORD = {
+    1: 0.3010299956639812, 2: 0.17609125905568124, 3: 0.12493873660829992,
+    4: 0.09691001300805642, 5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129, 9: 0.04575749056067514,
+}
+
+
+def q_benford(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — Benford first-digit audit of order values, the classic
+    fabricated-data / fraud screen: observed leading-digit shares vs
+    the log10(1+1/d) expectation. The digit comes from the exact
+    integer part (floor → bigint → string head — no float formatting
+    anywhere), the share divides exact integer counts, and the nine
+    Benford constants are Python-folded literals identical in both
+    engines. One scan, a 9-row aggregate, a broadcast total."""
+    o = table(spark, sf, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = o.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = o.agg(F.count(F.lit(1)).alias("n"))
+    exp = F.create_map(
+        *[F.lit(x) for kv in _BENFORD.items() for x in kv]
+    )[F.col("digit")]
+    share = F.col("cnt") / F.col("n")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "cnt",
+            text.round4(share).alias("share"),
+            text.round4(exp).alias("benford"),
+            text.round4(share - exp).alias("deviation"),
+        )
+        .orderBy("digit")
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_benford": """
+        WITH d AS (
+          SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                  AS VARCHAR), 1, 1) AS INTEGER) AS digit
+          FROM orders
+        ),
+        c AS (SELECT digit, count(*) AS cnt FROM d GROUP BY digit),
+        t AS (SELECT count(*) AS n FROM d),
+        e(digit, benford) AS (VALUES
+          (1, 0.3010299956639812e0), (2, 0.17609125905568124e0),
+          (3, 0.12493873660829992e0), (4, 0.09691001300805642e0),
+          (5, 0.07918124604762482e0), (6, 0.06694678963061322e0),
+          (7, 0.05799194697768673e0), (8, 0.05115252244738129e0),
+          (9, 0.04575749056067514e0))
+        SELECT c.digit, cnt,
+               floor(cnt / (SELECT n FROM t) * 10000 + 0.5) / 10000 AS share,
+               floor(benford * 10000 + 0.5) / 10000 AS benford,
+               floor((cnt / (SELECT n FROM t) - benford) * 10000 + 0.5)
+                 / 10000 AS deviation
+        FROM c JOIN e ON c.digit = e.digit
+        ORDER BY c.digit
+    """,
     "q_skyline": """
         WITH cust AS (
           SELECT o_custkey,

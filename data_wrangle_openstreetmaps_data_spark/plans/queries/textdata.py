@@ -371,7 +371,50 @@ def q_readability(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-T — model-eval confusion matrix for the language-ID
+    heuristic against the corpus's labeled lang column: counts and
+    corpus share per (true, predicted) cell — the quality gate you run
+    before trusting a classifier to route a 100 TB corpus. One join on
+    doc id (both sides partial-aggregate first at scale), a
+    |langs|²-bounded aggregate, a broadcast total; shares divide exact
+    integer counts."""
+    df = table(spark, sf, "documents")
+    preds = text.lang_id_table(df).withColumnRenamed("id", "doc_id")
+    j = df.select("doc_id", "lang").join(preds, "doc_id")
+    total = j.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        j.groupBy("lang", "pred")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "pred",
+            "cnt",
+            text.round4(F.col("cnt") / F.col("n")).alias("share"),
+        )
+        .orderBy("lang", "pred")
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_lang_confusion": f"""
+        WITH toked AS (
+          SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents
+        ),
+        scored AS (
+          SELECT doc_id, lang,
+                 {', '.join(f"{_LANG_SCORE_SQL[la]} AS s_{la}" for la in _LANG_ORDER)}
+          FROM toked
+        ),
+        maxed AS (SELECT *, {_LANG_MAX_SQL} AS m FROM scored),
+        p AS (SELECT lang, {_LANG_PRED_SQL} AS pred FROM maxed),
+        t AS (SELECT count(*) AS n FROM p)
+        SELECT lang, pred, count(*) AS cnt,
+               floor(count(*) / (SELECT n FROM t) * 10000 + 0.5) / 10000
+                 AS share
+        FROM p GROUP BY lang, pred ORDER BY lang, pred
+    """,
     "q_readability": """
         WITH per_doc AS (
           SELECT lang,
