@@ -397,7 +397,61 @@ def q_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — CSV interchange round-trip: write lineitem's numeric core
+    to headered CSV, read it back under an EXPLICIT schema (never
+    inference — at 100 TB an inference pass is a full extra scan and a
+    type lottery), and aggregate. Java's shortest-round-trip double
+    formatting guarantees the text→double→text cycle is bit-exact, so
+    the oracle aggregates the original parquet; decimal-cast sums keep
+    the comparison order-independent."""
+    import os
+    import shutil
+
+    work = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "..", ".tmp",
+        f"csv_{os.path.basename(sf.rstrip('/'))}",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    src = table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    src.write.mode("overwrite").option("header", True).csv(work)
+    back = (
+        spark.read.schema(
+            "l_orderkey long, l_quantity double, "
+            "l_extendedprice double, l_returnflag string"
+        )
+        .option("header", True)
+        .csv(work)
+    )
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_csv_roundtrip": """
+        SELECT l_returnflag,
+               count(*) AS n_lines,
+               CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE)
+                 AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE)
+                 AS sum_price
+        FROM lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
     "q_orc_roundtrip": """
         SELECT o_orderstatus,
                count(*) AS n_orders,

@@ -157,7 +157,84 @@ def q_embedding_dim_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_random_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-S — random-projection dimensionality reduction (the dense
+    Johnson–Lindenstrauss / feature-hashing companion to the SRP-LSH
+    sign buckets): 64-d embeddings × a ±1 projection matrix → 8-d, with
+    the matrix derived IN-ENGINE from the portable md5 hash of (dim,
+    proj) — no stored model, reproducible anywhere. Relationally: one
+    posexplode of the vector, a broadcast join against the 512-row
+    sign grid, one (vec, proj)-keyed sum — partial aggregation makes
+    the shuffle carry 8 rows per vector. Output long-form for the
+    first 20 vectors."""
+    from data_wrangle_openstreetmaps_data_spark.operators.dedup import (
+        portable_token_hash,
+    )
+
+    emb = table(spark, sf, "embeddings").filter(F.col("vec_id") < 20)
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    )
+    grid = (
+        spark.range(64)
+        .select(F.col("id").cast("int").alias("i"))
+        .crossJoin(
+            spark.range(8).select(F.col("id").cast("int").alias("j"))
+        )
+        .select(
+            "i",
+            "j",
+            F.when(
+                F.pmod(
+                    portable_token_hash(
+                        F.concat(
+                            F.col("i").cast("string"),
+                            F.lit("#"),
+                            F.col("j").cast("string"),
+                        )
+                    ),
+                    F.lit(2),
+                )
+                == 0,
+                F.lit(1.0),
+            )
+            .otherwise(F.lit(-1.0))
+            .alias("s"),
+        )
+    )
+    return (
+        ex.join(F.broadcast(grid), "i")
+        .groupBy("vec_id", "j")
+        .agg(
+            text.round4(
+                F.sum(F.col("x").cast("double") * F.col("s"))
+            ).alias("proj")
+        )
+        .orderBy("vec_id", "j")
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_random_projection": """
+        WITH ex AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                 unnest(embedding) AS x
+          FROM embeddings WHERE vec_id < 20
+        ),
+        grid AS (
+          SELECT i.range AS i, j.range AS j,
+                 CASE WHEN ('0x' || substr(md5(CAST(i.range AS VARCHAR)
+                            || '#' || CAST(j.range AS VARCHAR)), 1, 15))::BIGINT
+                            % 2 = 0
+                      THEN 1.0e0 ELSE -1.0e0 END AS s
+          FROM range(64) i, range(8) j
+        )
+        SELECT vec_id, j,
+               floor(sum(CAST(x AS DOUBLE) * s) * 10000 + 0.5) / 10000
+                 AS proj
+        FROM ex JOIN grid USING (i)
+        GROUP BY vec_id, j ORDER BY vec_id, j
+    """,
     "q_embedding_topk": _EMB_TOPK_SQL,
     "q_embedding_topk_arrow": _EMB_TOPK_SQL,
     # exact-equal variants: probing all IVF lists / the Arrow kernel's
