@@ -616,8 +616,11 @@ def q_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_interval_overlap_join(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — interval×interval overlap join: which users' daily
-    activity spans overlap ±30-minute incident windows around error
-    events — the blast-radius query of an incident postmortem. Both
+    activity spans overlap ±30-minute incident windows around
+    high-severity error events — the blast-radius query of an incident
+    postmortem. Hourly spans (not whole-day) and the severity filter
+    keep candidate density linear in true overlaps; the join itself
+    never goes quadratic regardless. Both
     interval sets explode into 1-hour buckets and meet in an EQUALITY
     join (operators/join.py::interval_overlap_join) — two overlapping
     intervals always share a covered bucket, so the residual inequality
@@ -632,25 +635,32 @@ def q_interval_overlap_join(spark: SparkSession, sf: str) -> DataFrame:
         "user_id",
         "event_type",
         "event_id",
+        F.col("value").alias("val"),
         catalog.event_ts_us(ev).alias("tsn"),
-        F.to_date(catalog.event_ts(ev)).alias("day"),
     )
-    spans = e.groupBy("user_id", "day").agg(
-        F.min("tsn").alias("a_lo"), F.max("tsn").alias("a_hi")
-    )
+    # hourly activity spans, not whole-day: interval length ≈ bucket
+    # width keeps candidate density linear in true overlaps — whole-day
+    # spans would overlap every window that day and the pair count
+    # itself would go quadratic in traffic, regardless of join strategy
+    hour_us = 3_600_000_000
+    spans = e.groupBy(
+        "user_id", F.floor(F.col("tsn") / hour_us).alias("hr")
+    ).agg(F.min("tsn").alias("a_lo"), F.max("tsn").alias("a_hi"))
     half_win = 1_800_000_000  # 30 min in µs
-    wins = e.filter(F.col("event_type") == "error").select(
+    wins = e.filter(
+        (F.col("event_type") == "error") & (F.col("val") > 95)
+    ).select(
         F.col("event_id").alias("win_id"),
         (F.col("tsn") - half_win).alias("b_lo"),
         (F.col("tsn") + half_win).alias("b_hi"),
     )
     pairs = interval_overlap_join(
         spans, wins, "a_lo", "a_hi", "b_lo", "b_hi",
-        bucket=3_600_000_000,
+        bucket=hour_us,
     )
     return (
         pairs.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_overlaps"))
+        .agg(F.count_distinct(F.col("win_id")).alias("n_overlaps"))
         .orderBy(F.desc("n_overlaps"), "user_id")
         .limit(20)
     )
@@ -693,24 +703,25 @@ def q_autocorrelation(spark: SparkSession, sf: str) -> DataFrame:
 ORACLES: dict[str, str | None] = {
     "q_interval_overlap_join": """
         WITH e AS (
-          SELECT user_id, event_type, event_id, epoch_us(ts) AS tsn,
-                 CAST(ts AS DATE) AS day
+          SELECT user_id, event_type, event_id, value AS val,
+                 epoch_us(ts) AS tsn
           FROM events
         ),
         spans AS (
-          SELECT user_id, day, min(tsn) AS a_lo, max(tsn) AS a_hi
-          FROM e GROUP BY user_id, day
+          SELECT user_id, CAST(floor(tsn / 3600000000) AS BIGINT) AS hr,
+                 min(tsn) AS a_lo, max(tsn) AS a_hi
+          FROM e GROUP BY user_id, hr
         ),
         wins AS (
           SELECT event_id AS win_id,
                  tsn - 1800000000 AS b_lo, tsn + 1800000000 AS b_hi
-          FROM e WHERE event_type = 'error'
+          FROM e WHERE event_type = 'error' AND val > 95
         ),
         pairs AS (
-          SELECT user_id, day, win_id
+          SELECT user_id, hr, win_id
           FROM spans JOIN wins ON a_lo <= b_hi AND b_lo <= a_hi
         )
-        SELECT user_id, count(*) AS n_overlaps
+        SELECT user_id, count(DISTINCT win_id) AS n_overlaps
         FROM pairs GROUP BY user_id
         ORDER BY n_overlaps DESC, user_id LIMIT 20
     """,
