@@ -66,7 +66,12 @@ def pagerank_bipartite(
     growing one plan, but 2 iterations is a single safe plan.
 
     Returns (node, rank) with node labeled 'C:<id>' / 'S:<id>'."""
-    edges = edges.persist()
+    # the edge frame feeds degree counts, N, and both sides of every
+    # iteration — localCheckpoint (same pattern as dedup.dup_clusters)
+    # materializes it ONCE and truncates lineage, so the final plan
+    # references a checkpoint scan instead of re-expanding the upstream
+    # fact join 13×
+    edges = edges.localCheckpoint(eager=True)
     deg_c = edges.groupBy("custkey").agg(F.count(F.lit(1)).alias("deg"))
     deg_s = edges.groupBy("suppkey").agg(F.count(F.lit(1)).alias("deg"))
     n = (

@@ -40,9 +40,11 @@ def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     rank with a node-id tiebreak, so top-20 membership is deterministic
     cross-engine (sum-order ulp drift is ~1e-15 of a rank, 11 orders
     below the 4dp boundary)."""
+    # materialize the fact-join edge list once — it feeds the operator
+    # (degrees, N, both iteration sides) AND the normalization scalar
     edges = graph.copurchase_edges(
         table(spark, sf, "lineitem"), table(spark, sf, "orders")
-    )
+    ).localCheckpoint(eager=True)
     ranks = graph.pagerank_bipartite(edges, iterations=2, damping=0.85)
     n = (
         edges.agg(
