@@ -700,7 +700,75 @@ def q_autocorrelation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_seasonal_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — seasonal-baseline anomaly screen: each of the last 7 days'
+    per-type counts against the average for that day-of-week over the
+    earlier baseline window (the expected-vs-observed monitor that
+    respects weekly seasonality, unlike the global z-score). The split
+    date derives from max(observed day) — no vintage-fragile literal;
+    weekday uses the locale-stable 'E'/%a token (q_dow_seasonality's
+    rule). Baseline averages are exact (integer sums / day counts), so
+    the only rounding is presentational. Row-scale work is one daily
+    aggregate; everything after runs on |types|×|days| frames."""
+    ev = table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(catalog.event_ts(ev)).alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    mx = daily.agg(F.max("d").alias("mxd"))
+    d2 = daily.crossJoin(F.broadcast(mx)).withColumn(
+        "dow", F.date_format(F.col("d"), "E")
+    )
+    split = F.date_sub(F.col("mxd"), 7)
+    base = (
+        d2.filter(F.col("d") <= split)
+        .groupBy("event_type", "dow")
+        .agg(F.avg("cnt").alias("exp_cnt"))
+    )
+    obs = d2.filter(F.col("d") > split)
+    ratio = F.col("cnt") / F.col("exp_cnt")
+    return (
+        obs.join(F.broadcast(base), ["event_type", "dow"])
+        .select(
+            "event_type",
+            F.date_format(F.col("d"), "yyyy-MM-dd").alias("day"),
+            "dow",
+            "cnt",
+            text.round4(F.col("exp_cnt")).alias("expected"),
+            text.round4(ratio).alias("ratio"),
+            text.round4(F.abs(ratio - 1)).alias("dev"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_seasonal_anomaly": """
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS cnt
+          FROM events GROUP BY event_type, d
+        ),
+        mx AS (SELECT max(d) AS mxd FROM daily),
+        d2 AS (
+          SELECT event_type, d, cnt, strftime(d, '%a') AS dow
+          FROM daily
+        ),
+        base AS (
+          SELECT event_type, dow, avg(cnt) AS exp_cnt
+          FROM d2, mx WHERE d <= mxd - 7 GROUP BY event_type, dow
+        ),
+        obs AS (SELECT d2.* FROM d2, mx WHERE d > mxd - 7)
+        SELECT o.event_type,
+               strftime(o.d, '%Y-%m-%d') AS day,
+               o.dow,
+               o.cnt,
+               floor(exp_cnt * 10000 + 0.5) / 10000 AS expected,
+               floor(o.cnt / exp_cnt * 10000 + 0.5) / 10000 AS ratio,
+               floor(abs(o.cnt / exp_cnt - 1) * 10000 + 0.5) / 10000
+                 AS dev
+        FROM obs o
+        JOIN base b ON o.event_type = b.event_type AND o.dow = b.dow
+        ORDER BY o.event_type, day
+    """,
     "q_interval_overlap_join": """
         WITH e AS (
           SELECT user_id, event_type, event_id, value AS val,

@@ -66,6 +66,46 @@ def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_supplier_similarity(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-GRAPH — supplier-supplier Jaccard similarity through shared
+    customers (the set-overlap companion to q_cooccurrence_lift's
+    probabilistic lift and q_market_basket's cosine): J = |A∩B| /
+    (deg_a + deg_b − |A∩B|), support ≥ 5, top-20. Pairs come from a
+    customer-keyed self-join of the distinct edge list — C(deg_cust, 2)
+    pairs per customer, bounded by per-key degree, never an item-item
+    cross product; at whale-customer scale you cap or sample the
+    per-customer fan-out before pairing. Degrees ride a broadcast; the
+    Jaccard divides exact integers. Ordering on the ROUNDED score with
+    pair tiebreaks."""
+    edges = graph.copurchase_edges(
+        table(spark, sf, "lineitem"), table(spark, sf, "orders")
+    ).localCheckpoint(eager=True)
+    deg = edges.groupBy("suppkey").agg(F.count(F.lit(1)).alias("deg"))
+    a = edges.select("custkey", F.col("suppkey").alias("s1"))
+    b = edges.select("custkey", F.col("suppkey").alias("s2"))
+    pairs = (
+        a.join(b, "custkey")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    d1 = deg.select(F.col("suppkey").alias("s1"), F.col("deg").alias("deg1"))
+    d2 = deg.select(F.col("suppkey").alias("s2"), F.col("deg").alias("deg2"))
+    jacc = F.col("n_ab") / (
+        F.col("deg1") + F.col("deg2") - F.col("n_ab")
+    )
+    return (
+        pairs.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            "s1", "s2", "n_ab", text.round4(jacc).alias("jaccard")
+        )
+        .orderBy(F.desc("jaccard"), "s1", "s2")
+        .limit(20)
+    )
+
+
 _PR_EDGES = """
   edges AS (
     SELECT DISTINCT o_custkey AS c, l_suppkey AS s
@@ -74,6 +114,23 @@ _PR_EDGES = """
 """
 
 ORACLES: dict[str, str | None] = {
+    "q_supplier_similarity": f"""
+        WITH {_PR_EDGES},
+        deg AS (SELECT s, count(*) AS deg FROM edges GROUP BY s),
+        pairs AS (
+          SELECT a.s AS s1, b.s AS s2, count(*) AS n_ab
+          FROM edges a JOIN edges b ON a.c = b.c AND a.s < b.s
+          GROUP BY a.s, b.s
+          HAVING count(*) >= 5
+        )
+        SELECT s1, s2, n_ab,
+               floor(n_ab / (d1.deg + d2.deg - n_ab) * 10000 + 0.5)
+                 / 10000 AS jaccard
+        FROM pairs
+        JOIN deg d1 ON pairs.s1 = d1.s
+        JOIN deg d2 ON pairs.s2 = d2.s
+        ORDER BY jaccard DESC, s1, s2 LIMIT 20
+    """,
     "q_degree_distribution": f"""
         WITH {_PR_EDGES},
         deg AS (SELECT c, count(*) AS degree FROM edges GROUP BY c)

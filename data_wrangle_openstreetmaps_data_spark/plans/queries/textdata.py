@@ -397,7 +397,82 @@ def q_lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tfidf_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-T — TF-IDF keyword extraction per language: top-5 terms by
+    tf·ln(N/df), the per-slice characteristic-vocabulary step between
+    raw vocab build (q_vocab_df) and full BM25 retrieval. ONE explode
+    pass feeds both the per-language tf and the corpus df (two-level
+    aggregates, no multi-distinct Expand); N rides a broadcast scalar,
+    and the ranking window runs over the aggregated |vocab|×|langs|
+    frame — never over token rows. Ordering is on the ROUNDED score
+    with a term tiebreak, so top-5 membership is cross-engine
+    deterministic."""
+    from pyspark.sql import Window
+
+    toked = table(spark, sf, "documents").select(
+        "doc_id", "lang", F.explode(text.tokens("text")).alias("tok")
+    )
+    tf = toked.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        toked.select("tok", "doc_id")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n = table(spark, sf, "documents").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    scored = (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "tok",
+            "tf",
+            "df",
+            text.round4(
+                F.col("tf")
+                * F.log(F.col("n").cast("double") / F.col("df"))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+        .orderBy("lang", F.desc("tfidf"), "tok")
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_tfidf_keywords": f"""
+        WITH toked AS (
+          SELECT doc_id, lang, unnest({_TOKENS_SQL}) AS tok
+          FROM documents
+        ),
+        tf AS (
+          SELECT lang, tok, count(*) AS tf FROM toked GROUP BY lang, tok
+        ),
+        dfx AS (
+          SELECT tok, count(DISTINCT doc_id) AS df FROM toked GROUP BY tok
+        ),
+        nn AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+          SELECT lang, tok, tf, df,
+                 floor(tf * ln(CAST((SELECT n FROM nn) AS DOUBLE) / df)
+                       * 10000 + 0.5) / 10000 AS tfidf
+          FROM tf JOIN dfx USING (tok)
+        ),
+        r AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY lang ORDER BY tfidf DESC, tok
+          ) AS rn
+          FROM scored
+        )
+        SELECT lang, tok, tf, df, tfidf FROM r WHERE rn <= 5
+        ORDER BY lang, tfidf DESC, tok
+    """,
     "q_lang_confusion": f"""
         WITH toked AS (
           SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents
