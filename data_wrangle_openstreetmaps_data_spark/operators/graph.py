@@ -19,6 +19,115 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def copurchase_part_edges(
+    lineitem: DataFrame, min_orders: int = 2
+) -> DataFrame:
+    """Part-part co-purchase edges: (s1, s2) with s1 < s2 iff the two
+    parts appear together in at least ``min_orders`` distinct orders.
+    Pairing keys on the ORDER (C(basket, 2) pairs per order — bounded
+    by basket size, the same argument as the market-basket query, never
+    an item-item cross product), and the ``min_orders`` support cut is
+    what keeps the projected graph sparse: unlike the customer↔supplier
+    projection (near-complete at any scale), repeated co-purchase is
+    rare, so |E| stays O(|parts|) as the fact table grows."""
+    e = lineitem.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = e.select("o", F.col("p").alias("s1"))
+    b = e.select("o", F.col("p").alias("s2"))
+    return (
+        a.join(b, "o")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_orders)
+        .select("s1", "s2")
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts via the degree-oriented
+    (compact-forward) algorithm: orient every undirected edge from its
+    lower-(degree, id) endpoint to the higher one, build wedges from
+    pairs of out-edges of the same source, and close each wedge against
+    the oriented edge set. Orientation bounds every node's out-degree
+    by O(√|E|) regardless of skew — a celebrity node of degree 10⁶
+    contributes wedges only through its (few) higher-ranked neighbors,
+    so the wedge self-join never explodes the way a naive id-ordered
+    wedge join does on a skewed graph. All three steps are key-equality
+    shuffles; degrees ride broadcasts.
+
+    ``edges``: distinct undirected (s1, s2) with s1 < s2.
+    Returns (node, n_triangles) for nodes in ≥1 triangle."""
+    und = edges.select(
+        F.col("s1").alias("u"), F.col("s2").alias("v")
+    ).unionByName(edges.select(F.col("s2").alias("u"), F.col("s1").alias("v")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("deg_v"))
+    ranked = und.join(F.broadcast(deg), "u").join(F.broadcast(dv), "v")
+    # u → v iff (deg_u, u) < (deg_v, v): a strict total order, so each
+    # undirected edge survives exactly once
+    oriented = ranked.filter(
+        F.struct(F.col("deg"), F.col("u"))
+        < F.struct(F.col("deg_v"), F.col("v"))
+    ).select("u", "v", "deg_v")
+    o1 = oriented.select(
+        "u", F.col("v").alias("x"), F.col("deg_v").alias("dx")
+    )
+    o2 = oriented.select(
+        "u", F.col("v").alias("y"), F.col("deg_v").alias("dy")
+    )
+    # wedge (u; x, y) with x ≺ y in rank order — the closing edge, if it
+    # exists, is then oriented exactly x → y
+    wedges = o1.join(o2, "u").filter(
+        F.struct(F.col("dx"), F.col("x")) < F.struct(F.col("dy"), F.col("y"))
+    )
+    closes = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closes, ["x", "y"]).select("u", "x", "y")
+    corners = tri.select(
+        F.explode(F.array("u", "x", "y")).alias("node")
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+def adamic_adar(edges: DataFrame, min_common: int = 2) -> DataFrame:
+    """Adamic-Adar link prediction over an undirected graph: for every
+    NON-adjacent pair (u, v) with ≥ ``min_common`` common neighbors,
+    score = Σ_{z ∈ N(u)∩N(v)} 1/ln(deg(z)) — rare shared neighbors
+    weigh more than hubs. Candidate pairs come from a wedge join keyed
+    on the shared neighbor z (each z contributes C(deg_z, 2) pairs — at
+    hub scale you cap or downsample per-z fan-out exactly like the
+    similarity joins); existing edges leave via a broadcast-able
+    anti-join; degrees ride a broadcast. Wedge centers always have
+    deg ≥ 2, so ln(deg) is never 0.
+
+    Returns (u, v, n_common, aa_score) with u < v, score as a raw
+    double (callers round for cross-engine output)."""
+    und = edges.select(
+        F.col("s1").alias("z"), F.col("s2").alias("x")
+    ).unionByName(edges.select(F.col("s2").alias("z"), F.col("s1").alias("x")))
+    deg = und.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
+    a = und.select("z", F.col("x").alias("u"))
+    b = und.select("z", F.col("x").alias("v"))
+    wedges = a.join(b, "z").filter(F.col("u") < F.col("v"))
+    scored = (
+        wedges.join(F.broadcast(deg), "z")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(F.lit(1.0) / F.log(F.col("deg"))).alias("aa_score"),
+        )
+        .filter(F.col("n_common") >= min_common)
+    )
+    return scored.join(
+        edges,
+        (F.col("u") == F.col("s1")) & (F.col("v") == F.col("s2")),
+        "left_anti",
+    )
+
+
 def copurchase_edges(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     """Distinct (custkey, suppkey) edges of the co-purchase bipartite
     graph: lineitem ⋈ orders on the order key (fact-fact, co-partitioned

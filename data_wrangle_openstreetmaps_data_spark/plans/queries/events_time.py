@@ -741,7 +741,160 @@ def q_seasonal_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ols_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — closed-form least-squares trend fit of the daily event
+    count per type: y = intercept + slope·day_index, from the classic
+    sufficient statistics (n, Σx, Σy, Σxy, Σx²) in ONE aggregate over
+    the daily frame. Every sufficient statistic is an exact BIGINT
+    (day index and counts are integers), so slope and intercept are
+    single exact-operand divisions — bit-identical cross-engine after
+    round4, no float-sum order anywhere. Day 0 derives from min(day)
+    (no vintage-fragile literal) and rides a broadcast scalar. This is
+    how you fit a million per-key trends on a 100 TB log: one partial-
+    aggregable pass, never a per-key regression loop."""
+    ev = table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(catalog.event_ts(ev)).alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    d0 = daily.agg(F.min("day").alias("d0"))
+    xy = daily.crossJoin(F.broadcast(d0)).select(
+        "event_type",
+        F.datediff(F.col("day"), F.col("d0")).cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+    )
+    s = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (
+        F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / den
+    intercept = (
+        F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    ) / den
+    return s.select(
+        "event_type",
+        "n_days",
+        text.round4(slope).alias("slope"),
+        text.round4(intercept).alias("intercept"),
+    ).orderBy("event_type")
+
+
+def q_time_to_convert(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — time-to-convert distribution per user segment: each user's
+    first 'view' and first 'purchase' AFTER that view (one conditional
+    aggregate per user — min-over-when, never a sort), converted users'
+    latencies summarized as exact interpolated p50/p90 minutes. All
+    latency arithmetic stays in exact epoch-µs integers until the final
+    minutes division (an exact power-of-ten scale). The per-user pass
+    is one user-keyed aggregate + a re-aggregate over converted users —
+    the funnel-latency shape next to q_funnel_conversion's stage
+    counts."""
+    ev = table(spark, sf, "events")
+    tsn = catalog.event_ts_us(ev)
+    per_user = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("et"),
+            tsn.alias("tsn"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("et") == "view", F.col("tsn"))).alias(
+                "first_view"
+            ),
+        )
+    )
+    purch = (
+        ev.select("user_id", F.col("event_type").alias("et"), tsn.alias("tsn"))
+        .join(per_user, "user_id")
+        .filter(
+            (F.col("et") == "purchase")
+            & F.col("first_view").isNotNull()
+            & (F.col("tsn") > F.col("first_view"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("first_view").alias("fv"),
+            F.min("tsn").alias("fp"),
+        )
+    )
+    lat = purch.select(
+        (F.col("user_id") % 7).alias("seg"),
+        ((F.col("fp") - F.col("fv")) / F.lit(60_000_000.0)).alias(
+            "mins"
+        ),
+    )
+    return (
+        lat.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            text.round4(F.expr("percentile(mins, 0.5)")).alias("p50_min"),
+            text.round4(F.expr("percentile(mins, 0.9)")).alias("p90_min"),
+        )
+        .orderBy("seg")
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_ols_trend": """
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+          FROM events GROUP BY 1, 2
+        ),
+        d0 AS (SELECT min(day) AS d0 FROM daily),
+        xy AS (
+          SELECT event_type,
+                 CAST(date_diff('day', d0, day) AS BIGINT) AS x,
+                 CAST(y AS BIGINT) AS y
+          FROM daily, d0
+        ),
+        s AS (
+          SELECT event_type, count(*) AS n_days,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx
+          FROM xy GROUP BY event_type
+        )
+        SELECT event_type, n_days,
+               floor((n_days * sxy - sx * sy)
+                     / CAST(n_days * sxx - sx * sx AS DOUBLE)
+                     * 10000 + 0.5) / 10000 AS slope,
+               floor((sy * sxx - sx * sxy)
+                     / CAST(n_days * sxx - sx * sx AS DOUBLE)
+                     * 10000 + 0.5) / 10000 AS intercept
+        FROM s ORDER BY event_type
+    """,
+    "q_time_to_convert": """
+        WITH e AS (
+          SELECT user_id, event_type, epoch_us(ts) AS tsn FROM events
+        ),
+        fv AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'view' THEN tsn END) AS first_view
+          FROM e GROUP BY user_id
+        ),
+        conv AS (
+          SELECT e.user_id, min(fv.first_view) AS fvv, min(e.tsn) AS fp
+          FROM e JOIN fv USING (user_id)
+          WHERE e.event_type = 'purchase'
+            AND fv.first_view IS NOT NULL AND e.tsn > fv.first_view
+          GROUP BY e.user_id
+        ),
+        lat AS (
+          SELECT user_id % 7 AS seg, (fp - fvv) / 60000000.0 AS mins
+          FROM conv
+        )
+        SELECT seg, count(*) AS n_converted,
+               floor(quantile_cont(mins, 0.5) * 10000 + 0.5) / 10000 AS p50_min,
+               floor(quantile_cont(mins, 0.9) * 10000 + 0.5) / 10000 AS p90_min
+        FROM lat GROUP BY seg ORDER BY seg
+    """,
     "q_seasonal_anomaly": """
         WITH daily AS (
           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS cnt

@@ -106,6 +106,61 @@ def q_supplier_similarity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-GRAPH — per-node triangle counts on the part co-purchase
+    graph (parts co-bought in ≥2 distinct orders — the support cut
+    keeps the projection sparse, unlike the near-complete supplier
+    projection). Counting runs the degree-oriented compact-forward
+    algorithm (operators/graph.py::triangle_counts): orientation bounds
+    every wedge fan-out by O(√|E|) even under hub skew, and all steps
+    are key-equality joins — the clustering-coefficient primitive you
+    run on a 100 TB interaction graph. Top-20 by count with id
+    tiebreak; the oracle closes id-ordered wedges (the triangle SET is
+    orientation-invariant)."""
+    edges = graph.copurchase_part_edges(
+        table(spark, sf, "lineitem"), min_orders=2
+    ).localCheckpoint(eager=True)
+    return (
+        graph.triangle_counts(edges)
+        .orderBy(F.desc("n_triangles"), "node")
+        .limit(20)
+    )
+
+
+def q_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-GRAPH — Adamic-Adar link prediction on the part co-purchase
+    graph: non-adjacent part pairs scored by Σ 1/ln(deg) over common
+    neighbors (≥2), top-20 — 'parts likely to be co-bought next', the
+    recommendation companion to q_market_basket's observed-pair cosine.
+    Candidates come from a neighbor-keyed wedge join (bounded per-z
+    fan-out), existing edges leave via anti-join, degrees ride a
+    broadcast. Ordering on the ROUNDED score with pair tiebreaks; the
+    double sum's ulp drift sits orders below the 4dp boundary (same
+    argument as q_pagerank)."""
+    edges = graph.copurchase_part_edges(
+        table(spark, sf, "lineitem"), min_orders=2
+    ).localCheckpoint(eager=True)
+    scored = graph.adamic_adar(edges, min_common=2)
+    return (
+        scored.select(
+            "u", "v", "n_common", text.round4(F.col("aa_score")).alias("aa")
+        )
+        .orderBy(F.desc("aa"), "u", "v")
+        .limit(20)
+    )
+
+
+_PART_EDGES = """
+  pe AS (
+    SELECT a.p AS s1, b.p AS s2
+    FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) b
+      ON a.o = b.o AND a.p < b.p
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+  )
+"""
+
 _PR_EDGES = """
   edges AS (
     SELECT DISTINCT o_custkey AS c, l_suppkey AS s
@@ -114,6 +169,47 @@ _PR_EDGES = """
 """
 
 ORACLES: dict[str, str | None] = {
+    "q_triangle_count": f"""
+        WITH {_PART_EDGES},
+        tri AS (
+          SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+          FROM pe e1
+          JOIN pe e2 ON e1.s2 = e2.s1
+          JOIN pe e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+        ),
+        corners AS (
+          SELECT unnest([a, b, c]) AS node FROM tri
+        )
+        SELECT node, count(*) AS n_triangles
+        FROM corners GROUP BY node
+        ORDER BY n_triangles DESC, node LIMIT 20
+    """,
+    "q_link_prediction": f"""
+        WITH {_PART_EDGES},
+        und AS (
+          SELECT s1 AS z, s2 AS x FROM pe
+          UNION ALL SELECT s2, s1 FROM pe
+        ),
+        deg AS (SELECT z, count(*) AS deg FROM und GROUP BY z),
+        wedges AS (
+          SELECT a.z AS z, a.x AS u, b.x AS v
+          FROM und a JOIN und b ON a.z = b.z AND a.x < b.x
+        ),
+        scored AS (
+          SELECT u, v, count(*) AS n_common,
+                 sum(1.0 / ln(d.deg)) AS aa_raw
+          FROM wedges w JOIN deg d ON w.z = d.z
+          GROUP BY u, v
+          HAVING count(*) >= 2
+        )
+        SELECT u, v, n_common,
+               floor(aa_raw * 10000 + 0.5) / 10000 AS aa
+        FROM scored s
+        WHERE NOT EXISTS (
+          SELECT 1 FROM pe WHERE pe.s1 = s.u AND pe.s2 = s.v
+        )
+        ORDER BY aa DESC, u, v LIMIT 20
+    """,
     "q_supplier_similarity": f"""
         WITH {_PR_EDGES},
         deg AS (SELECT s, count(*) AS deg FROM edges GROUP BY s),

@@ -209,7 +209,80 @@ def q_market_basket(spark: SparkSession, sf: str) -> DataFrame:
     ).limit(20)
 
 
+def q_conversion_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — purchase-conversion rate per user segment with a Wilson
+    95% confidence interval (the binomial interval that behaves at
+    small n and extreme p, unlike the normal approximation): n =
+    distinct active users, k = distinct purchasers, and the interval is
+    a closed-form expression of the two exact integers — so beyond the
+    one distinct-user aggregate there is no row-scale work, and every
+    float op is a single-expression function of exact operands
+    (bit-identical cross-engine after round4). The A/B-readout shape:
+    at 100 TB the distinct counts are the only shuffle, the statistics
+    are free."""
+    ev = table(spark, sf, "events")
+    per_seg = (
+        ev.select(
+            (F.col("user_id") % 7).alias("seg"),
+            "user_id",
+            F.col("event_type").alias("et"),
+        )
+        .groupBy("seg")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct(
+                F.when(F.col("et") == "purchase", F.col("user_id"))
+            ).alias("n_converted"),
+        )
+    )
+    z = F.lit(1.96)
+    n = F.col("n_users").cast("double")
+    p = F.col("n_converted") / n
+    denom = F.lit(1.0) + z * z / n
+    center = (p + z * z / (F.lit(2.0) * n)) / denom
+    half = (
+        z
+        * F.sqrt(p * (F.lit(1.0) - p) / n + z * z / (F.lit(4.0) * n * n))
+        / denom
+    )
+    return per_seg.select(
+        "seg",
+        "n_users",
+        "n_converted",
+        text.round4(p).alias("rate"),
+        text.round4(center - half).alias("ci_lo"),
+        text.round4(center + half).alias("ci_hi"),
+    ).orderBy("seg")
+
+
 ORACLES: dict[str, str | None] = {
+    "q_conversion_ci": """
+        WITH per AS (
+          SELECT user_id % 7 AS seg,
+                 count(DISTINCT user_id) AS n_users,
+                 count(DISTINCT CASE WHEN event_type = 'purchase'
+                                     THEN user_id END) AS n_converted
+          FROM events GROUP BY 1
+        ),
+        w AS (
+          SELECT seg, n_users, n_converted,
+                 CAST(n_users AS DOUBLE) AS n,
+                 n_converted / CAST(n_users AS DOUBLE) AS p
+          FROM per
+        ),
+        c AS (
+          SELECT *,
+                 (p + 1.96 * 1.96 / (2.0 * n)) / (1.0 + 1.96 * 1.96 / n) AS center,
+                 1.96 * sqrt(p * (1.0 - p) / n + 1.96 * 1.96 / (4.0 * n * n))
+                   / (1.0 + 1.96 * 1.96 / n) AS half
+          FROM w
+        )
+        SELECT seg, n_users, n_converted,
+               floor(p * 10000 + 0.5) / 10000 AS rate,
+               floor((center - half) * 10000 + 0.5) / 10000 AS ci_lo,
+               floor((center + half) * 10000 + 0.5) / 10000 AS ci_hi
+        FROM c ORDER BY seg
+    """,
     "q_market_basket": """
         WITH li AS (
           SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem

@@ -441,7 +441,74 @@ def q_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_minmax_pruning(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — min/max-stats data skipping (the Delta/Iceberg file-skip
+    pattern over plain parquet): orders are written range-clustered on
+    o_totalprice into fixed-width block partitions, a per-block stats
+    manifest is computed from the physical files, and a price-range
+    query is answered by pruning non-overlapping blocks from the file
+    listing BEFORE the scan (directory-level PartitionFilters), then
+    re-applying the exact predicate. Returns the query answer together
+    with blocks_scanned/blocks_total — the skip ratio is part of the
+    contract, and the oracle recomputes it from the same block stats.
+    The manifest collect is a |blocks|-row driver action (file-count
+    scale, like Delta's pruning), never row-scale."""
+    import os
+    import shutil
+
+    from data_wrangle_openstreetmaps_data_spark.sources import stats_skip
+
+    work = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "..", ".tmp",
+        f"minmax_{os.path.basename(sf.rstrip('/'))}",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    src = table(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    stats_skip.write_clustered(src, work, "o_totalprice", 50_000.0)
+    man = stats_skip.manifest(spark, work, "o_totalprice")
+    rows, scanned, total_blocks = stats_skip.read_pruned(
+        spark, work, man, "o_totalprice", 150_000.0, 200_000.0
+    )
+    ans = rows.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(20,6)"))
+        .cast("double")
+        .alias("total"),
+    )
+    return ans.select(
+        "n_orders",
+        "total",
+        F.lit(scanned).cast("long").alias("blocks_scanned"),
+        F.lit(total_blocks).cast("long").alias("blocks_total"),
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_minmax_pruning": """
+        WITH blocks AS (
+          SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS blk,
+                 min(o_totalprice) AS mn, max(o_totalprice) AS mx
+          FROM orders GROUP BY 1
+        ),
+        pruned AS (
+          SELECT count(CASE WHEN mx >= 150000 AND mn < 200000
+                            THEN 1 END) AS blocks_scanned,
+                 count(*) AS blocks_total
+          FROM blocks
+        ),
+        ans AS (
+          SELECT count(*) AS n_orders,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE)
+                   AS total
+          FROM orders
+          WHERE o_totalprice >= 150000 AND o_totalprice < 200000
+        )
+        SELECT n_orders, total, blocks_scanned, blocks_total
+        FROM ans, pruned
+    """,
     "q_csv_roundtrip": """
         SELECT l_returnflag,
                count(*) AS n_lines,

@@ -445,7 +445,148 @@ def q_tfidf_keywords(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# record-linkage fixture: synthetic person names derived from customer
+# keys (the testdata's "Customer#000000421" strings share one global
+# prefix, so real blocking keys need real name spread), plus a planted
+# one-character-deletion typo in the surname for every 7th entity
+_ER_GIVEN = [
+    "amara", "bishal", "chitra", "debjit", "esha", "farhan", "gita",
+    "hari", "indira", "joydeep", "kavya", "lakshmi", "manish", "nandini",
+    "omprakash", "priya", "qadir", "rahul", "sunita", "tapan", "uma",
+    "vikram", "wasim", "xavier", "yamini", "zubin", "arjun", "bela",
+    "chandan", "devika", "eshan", "falguni", "gopal", "hema", "ishaan",
+    "jaya", "kunal", "leela", "mohan", "nisha",
+]
+_ER_SURNAME = [
+    "banerjee", "chatterjee", "mukherjee", "bhattacharya", "ghosh",
+    "bose", "dutta", "sengupta", "chakraborty", "majumdar", "sarkar",
+    "mitra", "dasgupta", "roychoudhury", "ganguly", "bhowmik", "pal",
+    "saha", "mondal", "biswas", "karmakar", "debnath", "nandy", "sinha",
+    "lahiri", "chowdhury", "tagore", "mallick", "basak", "adhikari",
+    "bhadra", "kundu", "samanta", "halder", "naskar", "poddar",
+    "raychaudhuri", "sanyal", "talukdar", "goswami",
+]
+
+
+def q_record_linkage(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — record linkage / entity resolution with multi-pass
+    blocking: person-like records derived from customers (given name ×
+    surname from two 40-word pools → real duplicate entities by
+    construction) plus a planted one-character surname deletion for
+    every 7th entity. Candidates come from TWO blocking passes —
+    exact-given-name (robust to surname typos) unioned with
+    exact-surname (robust to given-name typos) — and only candidates
+    are verified with Levenshtein ≤ 1 on the full name. Block sizes are
+    n/|pool| per key (never an all-pairs product; at 100 TB you salt or
+    cap whale blocks exactly like the similarity joins), and the verify
+    cost is |candidates|, not n². Matched pairs ordered by id. NB the
+    OUTPUT is pair-quadratic in per-entity multiplicity: the fixed
+    40×40 name space saturates as customers grow (87k true-dup pairs at
+    sf0.1), which is the demo fixture's property, not the algorithm's —
+    a real corpus's entity space grows with the data, and the cluster
+    representative form (dedup.dup_clusters over these pairs) is the
+    bounded-output variant."""
+    c = table(spark, sf, "customer")
+    base = c.select(
+        F.col("c_custkey").alias("ck"),
+        (F.col("c_custkey") * 2).alias("rec_id"),
+        _pick(F.col("c_custkey"), _ER_GIVEN).alias("gname"),
+        _pick(F.expr("c_custkey div 40"), _ER_SURNAME).alias("sname"),
+    )
+    typo = (
+        base.filter(F.col("ck") % 7 == 0)
+        .withColumn(
+            "p",
+            (F.lit(2) + F.col("ck") % (F.length("sname") - 1)).cast("int"),
+        )
+        .select(
+            (F.col("ck") * 2 + 1).alias("rec_id"),
+            "gname",
+            F.expr(
+                "concat(substring(sname, 1, p - 1),"
+                " substring(sname, p + 1, 100))"
+            ).alias("sname"),
+        )
+    )
+    rec = (
+        base.select("rec_id", "gname", "sname")
+        .unionByName(typo)
+        .withColumn(
+            "fname", F.concat_ws(" ", F.col("gname"), F.col("sname"))
+        )
+    )
+
+    def _pass(key: str) -> DataFrame:
+        a = rec.select(
+            key, F.col("rec_id").alias("rec_a"), F.col("fname").alias("fa")
+        )
+        b = rec.select(
+            key, F.col("rec_id").alias("rec_b"), F.col("fname").alias("fb")
+        )
+        return (
+            a.join(b, key)
+            .filter(F.col("rec_a") < F.col("rec_b"))
+            .select("rec_a", "rec_b", "fa", "fb")
+        )
+
+    cand = _pass("gname").unionByName(_pass("sname")).distinct()
+    return (
+        cand.withColumn("dist", F.levenshtein("fa", "fb"))
+        .filter(F.col("dist") <= 1)
+        .select("rec_a", "rec_b", "dist")
+        .orderBy("rec_a", "rec_b")
+    )
+
+
+_ER_GIVEN_SQL = _sql_pick("c_custkey", _ER_GIVEN)
+_ER_SURNAME_SQL = _sql_pick("(c_custkey // 40)", _ER_SURNAME)
+
+
 ORACLES: dict[str, str | None] = {
+    "q_record_linkage": f"""
+        WITH base AS (
+          SELECT c_custkey AS ck, c_custkey * 2 AS rec_id,
+                 {_ER_GIVEN_SQL} AS gname,
+                 {_ER_SURNAME_SQL} AS sname
+          FROM customer
+        ),
+        typo AS (
+          SELECT ck * 2 + 1 AS rec_id, gname,
+                 substr(sname, 1,
+                        CAST(2 + ck % (length(sname) - 1) AS INT) - 1)
+                 || substr(sname,
+                           CAST(2 + ck % (length(sname) - 1) AS INT) + 1,
+                           100) AS sname
+          FROM base WHERE ck % 7 = 0
+        ),
+        rec AS (
+          SELECT rec_id, gname, sname, gname || ' ' || sname AS fname
+          FROM (
+            SELECT rec_id, gname, sname FROM base
+            UNION ALL SELECT rec_id, gname, sname FROM typo
+          )
+        ),
+        pa AS (
+          SELECT a.rec_id AS rec_a, b.rec_id AS rec_b,
+                 a.fname AS fa, b.fname AS fb
+          FROM rec a JOIN rec b
+            ON a.gname = b.gname AND a.rec_id < b.rec_id
+        ),
+        pb AS (
+          SELECT a.rec_id AS rec_a, b.rec_id AS rec_b,
+                 a.fname AS fa, b.fname AS fb
+          FROM rec a JOIN rec b
+            ON a.sname = b.sname AND a.rec_id < b.rec_id
+        ),
+        cand AS (
+          SELECT DISTINCT * FROM
+          (SELECT * FROM pa UNION ALL SELECT * FROM pb)
+        )
+        SELECT rec_a, rec_b, levenshtein(fa, fb) AS dist
+        FROM cand
+        WHERE levenshtein(fa, fb) <= 1
+        ORDER BY rec_a, rec_b
+    """,
     "q_tfidf_keywords": f"""
         WITH toked AS (
           SELECT doc_id, lang, unnest({_TOKENS_SQL}) AS tok

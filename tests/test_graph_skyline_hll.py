@@ -125,3 +125,87 @@ def test_hll_estimate_within_expected_error(spark):
     est = hll_estimate(hll_registers(df, "k", p=8), p=8).collect()[0]
     # standard error ~1.04/sqrt(256) ≈ 6.5%; allow 4 sigma
     assert abs(est["est"] - n) / n < 0.26, est["est"]
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting + Adamic-Adar (degree-oriented compact-forward)
+# ---------------------------------------------------------------------------
+
+from itertools import combinations
+
+from data_wrangle_openstreetmaps_data_spark.operators.graph import (
+    adamic_adar,
+    triangle_counts,
+)
+
+
+def _und_edges(spark, pairs):
+    return spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in pairs], ["s1", "s2"]
+    )
+
+
+def _brute_triangles(pairs):
+    es = {(min(a, b), max(a, b)) for a, b in pairs}
+    nodes = sorted({n for e in es for n in e})
+    counts: dict[int, int] = {}
+    for a, b, c in combinations(nodes, 3):
+        if (a, b) in es and (b, c) in es and (a, c) in es:
+            for n in (a, b, c):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def test_triangle_counts_matches_bruteforce(spark):
+    pairs = [
+        (1, 2), (1, 3), (2, 3),          # triangle
+        (2, 4), (3, 4),                  # second triangle via (2,3)
+        (5, 6), (6, 7), (5, 7), (7, 8),  # third triangle + pendant
+    ]
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(_und_edges(spark, pairs)).collect()
+    }
+    assert got == _brute_triangles(pairs)
+
+
+def test_triangle_counts_skewed_hub_star_has_no_spurious_triangles(spark):
+    # star around a hub contributes NO triangles; only the one closed
+    # wedge (1, 2, 100) counts — the degree orientation must not blow
+    # up or double-count through the hub
+    pairs = [(100, i) for i in range(1, 21)] + [(1, 2)]
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(_und_edges(spark, pairs)).collect()
+    }
+    assert got == {1: 1, 2: 1, 100: 1}
+
+
+def test_adamic_adar_square(spark):
+    import math
+
+    # 4-cycle: the two diagonals are the only predictions, each scored
+    # by two degree-2 common neighbors
+    pairs = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    got = {
+        (r["u"], r["v"]): (r["n_common"], r["aa_score"])
+        for r in adamic_adar(_und_edges(spark, pairs), min_common=2).collect()
+    }
+    assert set(got) == {(1, 3), (2, 4)}
+    for n_common, score in got.values():
+        assert n_common == 2
+        assert math.isclose(score, 2.0 / math.log(2.0), rel_tol=1e-12)
+
+
+def test_adamic_adar_excludes_adjacent_pairs(spark):
+    import math
+
+    # adding the (1,3) diagonal makes that pair adjacent → only (2,4)
+    # remains, now scored through two degree-3 neighbors
+    pairs = [(1, 2), (2, 3), (3, 4), (1, 4), (1, 3)]
+    got = {
+        (r["u"], r["v"]): r["aa_score"]
+        for r in adamic_adar(_und_edges(spark, pairs), min_common=2).collect()
+    }
+    assert set(got) == {(2, 4)}
+    assert math.isclose(got[(2, 4)], 2.0 / math.log(3.0), rel_tol=1e-12)
