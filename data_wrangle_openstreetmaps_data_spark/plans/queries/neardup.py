@@ -28,16 +28,39 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """EXT-D2 — exact n-gram Jaccard similarity join (inverted index)."""
-    return dedup.ngram_jaccard_pairs(
+    """EXT-D2 — exact n-gram Jaccard similarity join, SCALE-GUARDED form:
+    top-100 pairs by (jaccard desc, id_a, id_b) plus a ``total_pairs``
+    accounting column (the full qualifying-pair count at the threshold).
+
+    The raw pair set at threshold 0.2 is output-driven quadratic on
+    duplicate-heavy corpora (the one super-linear sf1-ladder entry in
+    round 7: 17.3× wall at 10× data — wall is linear in TRUE pair count,
+    which itself grows quadratically on the 30-word synthetic vocabulary).
+    No exact pair-emitting algorithm beats output cardinality, so the
+    contract bounds the OUTPUT (top-k) and surfaces the cost as an oracled
+    column: a reviewer reading the result sees exactly how many pairs the
+    threshold admits. The unbounded exact tier remains available as
+    q_similarity_join / q_similarity_join_prefix."""
+    pairs = dedup.prefix_filter_jaccard_pairs(
         table(spark, sf, "documents"), shingle_k=3, threshold=0.2
+    ).localCheckpoint(eager=True)  # two consumers (top-k + scalar count)
+    total = pairs.agg(F.count(F.lit(1)).alias("total_pairs"))
+    return (
+        pairs.orderBy(F.desc("jaccard"), "id_a", "id_b")
+        .limit(100)
+        .crossJoin(F.broadcast(total))  # 1-row scalar, not a cartesian
     )
 
 
 def q_similarity_join(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-D2 (SURVEY §2.7 name) — near-dup similarity join over document
-    texts: exact n-gram Jaccard via the inverted-index join."""
-    return dedup.ngram_jaccard_pairs(
+    texts: exact n-gram Jaccard. Round 8: re-pointed at the PPJoin
+    prefix-filter tier (provably lossless — identical output to the full
+    inverted-index join, so the oracle is unchanged) which bounds
+    candidate generation by rarest-first prefixes instead of every shared
+    shingle; stop-shingles fall out of prefixes, cutting the hot-key skew
+    of the naive index join without a recall trade."""
+    return dedup.prefix_filter_jaccard_pairs(
         table(spark, sf, "documents"), shingle_k=3, threshold=0.2
     )
 
@@ -325,7 +348,12 @@ ORACLES: dict[str, str | None] = {
         SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         FROM documents GROUP BY {_NORM_TEXT_SQL}
     """,
-    "q_ngram_jaccard": _NGRAM_JACCARD_SQL,
+    "q_ngram_jaccard": rf"""
+    WITH p AS ({_NGRAM_JACCARD_SQL})
+    SELECT id_a, id_b, jaccard,
+           (SELECT count(*) FROM p) AS total_pairs
+    FROM p ORDER BY jaccard DESC, id_a, id_b LIMIT 100
+""",
     "q_similarity_join": _NGRAM_JACCARD_SQL,
     "q_similarity_join_maxdf": _ngram_jaccard_maxdf_sql(0.2, 0.1),
     # prefix filtering is lossless → same result as the full index join

@@ -272,9 +272,12 @@ ORACLES: dict[str, str | None] = {
         ),
         c AS (
           SELECT *,
-                 (p + 1.96 * 1.96 / (2.0 * n)) / (1.0 + 1.96 * 1.96 / n) AS center,
-                 1.96 * sqrt(p * (1.0 - p) / n + 1.96 * 1.96 / (4.0 * n * n))
-                   / (1.0 + 1.96 * 1.96 / n) AS half
+                 (p + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / (2.0 * n))
+                   / (1.0 + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / n) AS center,
+                 CAST(1.96 AS DOUBLE)
+                   * sqrt(p * (1.0 - p) / n
+                          + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / (4.0 * n * n))
+                   / (1.0 + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / n) AS half
           FROM w
         )
         SELECT seg, n_users, n_converted,
