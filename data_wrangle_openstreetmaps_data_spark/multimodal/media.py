@@ -284,6 +284,169 @@ def decode_bmp_stats(blob: bytes) -> tuple[int, int, int, int, int]:
     return width, height, sb, sg, sr
 
 
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    """One PNG chunk: length, type, data, CRC32(type+data)."""
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, base: int) -> bytes:
+    """Write a valid non-interlaced 8-bit RGB PNG (color type 2).
+
+    Pixel (x, y) has r = base + x*y, g = 2*base + x, b = base + x + y —
+    the SAME closed-form channel values as the BMP fixture, so the
+    oracle's arithmetic-series sums carry over. Each row is written with
+    filter type y % 5, so a fixture taller than 4 rows exercises ALL
+    five PNG scanline filters (None/Sub/Up/Average/Paeth) and a decoder
+    that botches any one of them cannot hash-match."""
+    rows = [
+        bytes(
+            v
+            for x in range(width)
+            for v in ((base + x * y) % 256, (2 * base + x) % 256,
+                      (base + x + y) % 256)
+        )  # R, G, B
+        for y in range(height)
+    ]
+    return _encode_png_pixels(rows, width, height)
+
+
+def _encode_png_pixels(rows: list[bytes], width: int, height: int) -> bytes:
+    """Encode raw RGB rows (3·width bytes each, y=0 top) as a valid
+    non-interlaced 8-bit RGB PNG; row y gets filter type y % 5."""
+    import zlib
+
+    bpp = 3
+    prev = bytes(bpp * width)
+    filtered = bytearray()
+    for y in range(height):
+        raw = rows[y]
+        ftype = y % 5
+        filtered.append(ftype)
+        for i, b in enumerate(raw):
+            left = raw[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                filtered.append(b)
+            elif ftype == 1:  # Sub
+                filtered.append((b - left) & 0xFF)
+            elif ftype == 2:  # Up
+                filtered.append((b - up) & 0xFF)
+            elif ftype == 3:  # Average
+                filtered.append((b - (left + up) // 2) & 0xFF)
+            else:  # Paeth
+                filtered.append((b - _paeth(left, up, ul)) & 0xFF)
+        prev = raw
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(filtered), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9.4): pick of left/up/up-left whose
+    value is closest to a + b - c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png_stats(blob: bytes) -> tuple[int, int, int, int, int]:
+    """Parse a non-interlaced 8-bit RGB PNG and return (width, height,
+    sum_b, sum_g, sum_r) — same stat slots as the BMP decoder."""
+    width, height, rows = _decode_png_pixels(blob)
+    sb = sg = sr = 0
+    for out in rows:
+        for x in range(width):
+            sr += out[3 * x]
+            sg += out[3 * x + 1]
+            sb += out[3 * x + 2]
+    return width, height, sb, sg, sr
+
+
+def _decode_png_pixels(blob: bytes) -> tuple[int, int, list[bytes]]:
+    """Parse a non-interlaced 8-bit RGB PNG into raw RGB rows (y=0 top).
+    Full chunk walk with CRC32 verification, multi-IDAT concatenation,
+    zlib inflate, and per-row unfiltering of ALL five filter types.
+    Raises ValueError on bad magic, bad CRC, or unsupported IHDR."""
+    import zlib
+
+    if blob[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG: bad signature")
+    off = 8
+    width = height = None
+    idat = bytearray()
+    while off < len(blob):
+        (length,) = struct.unpack_from(">I", blob, off)
+        ctype = blob[off + 4: off + 8]
+        data = blob[off + 8: off + 8 + length]
+        (crc,) = struct.unpack_from(">I", blob, off + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            width, height, depth, ctype_col, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if (depth, ctype_col, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "unsupported PNG: need 8-bit RGB non-interlaced, got "
+                    f"depth={depth} color={ctype_col} interlace={interlace}"
+                )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        off += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    bpp = 3
+    stride = 1 + bpp * width
+    if len(raw) != stride * height:
+        raise ValueError(
+            f"IDAT length {len(raw)} != expected {stride * height}"
+        )
+    prev = bytes(bpp * width)
+    rows: list[bytes] = []
+    for y in range(height):
+        ftype = raw[y * stride]
+        line = raw[y * stride + 1: (y + 1) * stride]
+        out = bytearray(bpp * width)
+        for i, b in enumerate(line):
+            left = out[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                out[i] = b
+            elif ftype == 1:
+                out[i] = (b + left) & 0xFF
+            elif ftype == 2:
+                out[i] = (b + up) & 0xFF
+            elif ftype == 3:
+                out[i] = (b + (left + up) // 2) & 0xFF
+            elif ftype == 4:
+                out[i] = (b + _paeth(left, up, ul)) & 0xFF
+            else:
+                raise ValueError(f"bad filter type {ftype} on row {y}")
+        prev = bytes(out)
+        rows.append(prev)
+    return width, height, rows
+
+
 def encode_wav(n_samples: int, base: int, rate: int = 8000) -> bytes:
     """Write a valid 16-bit PCM mono WAV via the stdlib wave module.
 
@@ -347,6 +510,10 @@ def _synth_params(doc_id: int, fmt: str) -> tuple[int, ...]:
     mod 4-byte row padding (BMP) and sample count (WAV) per doc."""
     if fmt == "bmp":
         return 4 + doc_id % 5, 3 + doc_id % 4, doc_id % 100
+    if fmt == "png":
+        # h in 2..6 → rows with filter types y%5 cover all five PNG
+        # filters once h ≥ 5; w varies so Sub/Paeth see ≥ 2 strides
+        return 3 + doc_id % 7, 2 + doc_id % 5, doc_id % 100
     if fmt == "wav":
         return 16 + doc_id % 17, doc_id % 1000
     raise NotImplementedError(
@@ -366,14 +533,9 @@ def synthesize_media(df: DataFrame, fmt: str,
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
-            if fmt == "bmp":
-                blobs = [
-                    encode_bmp(*_synth_params(int(i), "bmp")) for i in ids
-                ]
-            else:
-                blobs = [
-                    encode_wav(*_synth_params(int(i), "wav")) for i in ids
-                ]
+            enc = {"bmp": encode_bmp, "png": encode_png,
+                   "wav": encode_wav}[fmt]
+            blobs = [enc(*_synth_params(int(i), fmt)) for i in ids]
             yield pd.DataFrame(
                 {"doc_id": ids, "fmt": fmt, "media": blobs}
             )
@@ -397,6 +559,9 @@ def decode_media_stats(df: DataFrame) -> DataFrame:
                 b = bytes(blob)
                 if fmt == "bmp":
                     w, h, sb, sg, sr = decode_bmp_stats(b)
+                    rows.append((doc_id, fmt, len(b), w, h, sb, sg, sr))
+                elif fmt == "png":
+                    w, h, sb, sg, sr = decode_png_stats(b)
                     rows.append((doc_id, fmt, len(b), w, h, sb, sg, sr))
                 elif fmt == "wav":
                     n, rate, s, lo, hi = decode_wav_stats(b)
@@ -457,11 +622,27 @@ def resize_bmp(blob: bytes, out_w: int, out_h: int) -> bytes:
     return header + b"".join(rows)
 
 
+def resize_png(blob: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL PNG resize: decode (unfilter + inflate), nearest-neighbor
+    resample with the same NN mapping as resize_bmp, re-encode as a
+    valid PNG (re-filtered + deflated)."""
+    width, height, rows = _decode_png_pixels(blob)
+    out_rows = []
+    for y in range(out_h):
+        src = rows[y * height // out_h]
+        row = bytearray()
+        for x in range(out_w):
+            sx = x * width // out_w
+            row += src[3 * sx: 3 * sx + 3]
+        out_rows.append(bytes(row))
+    return _encode_png_pixels(out_rows, out_w, out_h)
+
+
 def resize_media(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
-    """REAL resize over the binary column (BMP blobs): each blob is
-    decoded, nearest-neighbor resampled, and re-encoded inside the Arrow
-    kernel — blob in, smaller valid blob out, same (doc_id, fmt, media)
-    schema so decode_media_stats composes directly downstream."""
+    """REAL resize over the binary column (BMP or PNG blobs): each blob
+    is decoded, nearest-neighbor resampled, and re-encoded inside the
+    Arrow kernel — blob in, smaller valid blob out, same (doc_id, fmt,
+    media) schema so decode_media_stats composes directly downstream."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -469,11 +650,15 @@ def resize_media(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
             for doc_id, fmt, blob in zip(
                 pdf["doc_id"], pdf["fmt"], pdf["media"]
             ):
-                if fmt != "bmp":
+                if fmt == "bmp":
+                    small = resize_bmp(bytes(blob), out_w, out_h)
+                elif fmt == "png":
+                    small = resize_png(bytes(blob), out_w, out_h)
+                else:
                     raise NotImplementedError(
-                        f"resize_media supports bmp, got {fmt!r}"
+                        f"resize_media supports bmp|png, got {fmt!r}"
                     )
-                out.append((doc_id, fmt, resize_bmp(bytes(blob), out_w, out_h)))
+                out.append((doc_id, fmt, small))
             yield pd.DataFrame(out, columns=["doc_id", "fmt", "media"])
 
     return df.select("doc_id", "fmt", "media").mapInPandas(

@@ -83,6 +83,52 @@ def q_media_decode_bmp(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_media_decode_png(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-M — REAL PNG decode: genuine non-interlaced 8-bit RGB PNGs
+    are built executor-side (stdlib zlib deflate, per-row filter type
+    y % 5 so all five scanline filters — None/Sub/Up/Average/Paeth —
+    appear in every image taller than 4 rows), then parsed back with the
+    full chunk walk (CRC32-verified), inflate, and unfilter inside the
+    same Arrow mapInPandas kernel as the BMP codec. Output is exact
+    integer channel sums, closed-form for the oracle; n_bytes is
+    EXCLUDED from the projection because deflate length is a zlib
+    implementation detail, not arithmetic."""
+    from data_wrangle_openstreetmaps_data_spark.multimodal import media
+
+    docs = table(spark, sf, "documents").select("doc_id")
+    stats = media.decode_media_stats(media.synthesize_media(docs, "png"))
+    return stats.select(
+        "doc_id",
+        F.col("dim1").alias("width"),
+        F.col("dim2").alias("height"),
+        F.col("stat1").alias("sum_b"),
+        F.col("stat2").alias("sum_g"),
+        F.col("stat3").alias("sum_r"),
+    )
+
+
+def q_media_resize_png(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-M — REAL PNG resize pipeline: per-doc-geometry PNGs decoded
+    (inflate + unfilter), nearest-neighbor resampled to 4×3, re-encoded
+    as valid PNGs (refilter + deflate), and decoded AGAIN for the output
+    stats — two full compressed-codec round trips in composed Arrow
+    kernels. Oracle computes the resampled channel sums in closed form,
+    exactly like q_media_resize_bmp."""
+    from data_wrangle_openstreetmaps_data_spark.multimodal import media
+
+    docs = table(spark, sf, "documents").select("doc_id")
+    blobs = media.synthesize_media(docs, "png")
+    small = media.resize_media(blobs, 4, 3)
+    return media.decode_media_stats(small).select(
+        "doc_id",
+        F.col("dim1").alias("width"),
+        F.col("dim2").alias("height"),
+        F.col("stat1").alias("sum_b"),
+        F.col("stat2").alias("sum_g"),
+        F.col("stat3").alias("sum_r"),
+    )
+
+
 def q_media_decode_wav(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-M — REAL audio decode: genuine 16-bit PCM WAV files built
     executor-side (stdlib wave writer, per-doc sample counts), parsed
@@ -246,6 +292,50 @@ ORACLES: dict[str, str | None] = {
                w * h * base
                  + (w * (w - 1) // 2) * (h * (h - 1) // 2) AS sum_r
         FROM p
+    """,
+    # real PNG codec round trip: same pixel formulas as BMP (r=base+x*y,
+    # g=2*base+x, b=base+x+y) over the w×h PNG fixture geometry; deflate
+    # length is impl-defined so n_bytes is not in the projection
+    "q_media_decode_png": """
+        WITH p AS (
+          SELECT doc_id,
+                 3 + doc_id % 7 AS w,
+                 2 + doc_id % 5 AS h,
+                 doc_id % 100 AS base
+          FROM documents
+        )
+        SELECT doc_id,
+               w AS width,
+               h AS height,
+               w * h * base + h * (w * (w - 1) // 2)
+                 + w * (h * (h - 1) // 2) AS sum_b,
+               2 * w * h * base + h * (w * (w - 1) // 2) AS sum_g,
+               w * h * base
+                 + (w * (w - 1) // 2) * (h * (h - 1) // 2) AS sum_r
+        FROM p
+    """,
+    # PNG NN-resize to 4×3: identical sampled-coordinate sums as the BMP
+    # resize oracle, over the PNG fixture geometry
+    "q_media_resize_png": """
+        WITH p AS (
+          SELECT doc_id,
+                 3 + doc_id % 7 AS w,
+                 2 + doc_id % 5 AS h,
+                 doc_id % 100 AS base
+          FROM documents
+        ), s AS (
+          SELECT doc_id, base,
+                 (w // 4) + (2 * w // 4) + (3 * w // 4) AS sx,
+                 (h // 3) + (2 * h // 3) AS sy
+          FROM p
+        )
+        SELECT doc_id,
+               CAST(4 AS BIGINT) AS width,
+               CAST(3 AS BIGINT) AS height,
+               12 * base + 3 * sx + 4 * sy AS sum_b,
+               24 * base + 3 * sx AS sum_g,
+               12 * base + sx * sy AS sum_r
+        FROM s
     """,
     # real WAV codec round trip: sample i = (doc_id%1000) - 500 + 13*i,
     # n = 16 + doc_id%17 samples; 44-byte canonical RIFF header + 2n
