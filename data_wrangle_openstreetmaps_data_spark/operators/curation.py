@@ -312,6 +312,83 @@ def unigram_logprob(
     ).select(F.col("id").alias(id_col), "n_tokens", "avg_logp")
 
 
+def bigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    lam: float = 0.5, caches: list | None = None,
+) -> DataFrame:
+    """Interpolated bigram-LM score per document — the CCNet-style
+    quality signal real curation pipelines gate on, upgrading
+    ``unigram_logprob``'s stand-in: for each bigram position i ≥ 1,
+
+        logp_i = log10( λ·P(w_i | w_{i-1}) + (1−λ)·P(w_i) )
+
+    with P(w|v) = c(v,w) / c(v,·) from exact corpus bigram counts and
+    P(w) = tf(w)/N from unigram counts; the doc score is the average
+    over its bigram positions (docs with < 2 tokens survive with NULL
+    score and n_bigrams = 0). λ = 0.5 — an exact binary double, so the
+    interpolation arithmetic is reproducible cross-engine.
+
+    Shape: two vocabulary-sized count aggregations (unigram + bigram)
+    joined back to the bigram-occurrence table. Counts are broadcast
+    here (they are vocabulary-sized, not corpus-sized); at 100 TB with
+    an open vocabulary the same plan runs as shuffle hash joins keyed on
+    (v, w) — flip the broadcast() hints, nothing else changes. The
+    tokenized frame feeds both explodes (unigram counting + bigram
+    building), so it is persisted; pass ``caches`` to unpersist."""
+    from pyspark.storagelevel import StorageLevel
+
+    d = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("toks")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if caches is not None:
+        caches.append(d)
+    vocab = (
+        d.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    total = vocab.agg(
+        F.sum("tf").cast("double").alias("_total")
+    )
+    n_bi = F.greatest(F.size("toks") - 1, F.lit(0))
+    bg = d.select(
+        "id",
+        F.explode_outer(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, n_bi),
+                F.slice(F.col("toks"), 2, n_bi),
+                lambda v, w: F.struct(v.alias("v"), w.alias("w")),
+            )
+        ).alias("bg"),
+    ).select("id", F.col("bg.v").alias("v"), F.col("bg.w").alias("w"))
+    bic = (
+        bg.filter(F.col("v").isNotNull())
+        .groupBy("v", "w")
+        .agg(F.count(F.lit(1)).alias("c_vw"))
+    )
+    leftc = bic.groupBy("v").agg(F.sum("c_vw").alias("c_v"))
+    scored = (
+        bg.join(F.broadcast(bic), ["v", "w"], "left")
+        .join(F.broadcast(leftc), "v", "left")
+        .join(F.broadcast(vocab), "w", "left")
+        .crossJoin(F.broadcast(total))  # one scalar row
+        .select(
+            "id",
+            F.when(
+                F.col("v").isNotNull(),
+                F.log10(
+                    F.lit(lam) * (F.col("c_vw") / F.col("c_v"))
+                    + F.lit(1.0 - lam) * (F.col("tf") / F.col("_total"))
+                ),
+            ).alias("logp"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count("logp").alias("n_bigrams"),
+        round4(F.avg("logp")).alias("avg_logp"),
+    ).select(F.col("id").alias(id_col), "n_bigrams", "avg_logp")
+
+
 def _blocked_prefix_sum(
     df: DataFrame, block_col: str, order_cols: list, val_col: str,
     out_col: str,

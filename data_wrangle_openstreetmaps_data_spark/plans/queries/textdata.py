@@ -157,6 +157,14 @@ def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     return curation.unigram_logprob(table(spark, sf, "documents"))
 
 
+def q_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-Q — interpolated bigram-LM score per doc (the CCNet-style
+    perplexity-filter signal): avg log10(0.5·P(w|v) + 0.5·P(w)) over
+    bigram positions, probabilities from exact corpus counts. Docs with
+    < 2 tokens get NULL score, n_bigrams = 0."""
+    return curation.bigram_logprob(table(spark, sf, "documents"))
+
+
 def q_hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — hybrid retrieval: BM25 keyword top-20 fused with embedding
     cosine top-20 by reciprocal-rank fusion, RRF(d) = Σ 1/(60 + rank_d)
@@ -851,6 +859,48 @@ ORACLES: dict[str, str | None] = {
           FROM tok LEFT JOIN vocab USING (tok) CROSS JOIN total
         )
         SELECT doc_id, CAST(count(logp) AS BIGINT) AS n_tokens,
+               floor(avg(logp) * 10000 + 0.5) / 10000 AS avg_logp
+        FROM scored GROUP BY doc_id
+    """,
+    "q_bigram_logprob": f"""
+        WITH toked AS (
+          SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+        ),
+        vocab AS (
+          SELECT w, count(*) AS tf
+          FROM (SELECT unnest(toks) AS w FROM toked) GROUP BY 1
+        ),
+        total AS (SELECT CAST(sum(tf) AS DOUBLE) AS n FROM vocab),
+        bg AS (
+          SELECT doc_id, (b).v AS v, (b).w AS w
+          FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(toks) < 2
+                          THEN [struct_pack(v := CAST(NULL AS VARCHAR),
+                                            w := CAST(NULL AS VARCHAR))]
+                          ELSE list_transform(range(1, len(toks)),
+                            i -> struct_pack(v := toks[i], w := toks[i+1]))
+                          END) AS b
+            FROM toked
+          )
+        ),
+        bic AS (
+          SELECT v, w, count(*) AS c_vw FROM bg
+          WHERE v IS NOT NULL GROUP BY 1, 2
+        ),
+        leftc AS (SELECT v, sum(c_vw) AS c_v FROM bic GROUP BY 1),
+        scored AS (
+          SELECT doc_id,
+                 CASE WHEN bg.v IS NOT NULL THEN
+                   log10(0.5 * (c_vw / c_v) + 0.5 * (tf / n))
+                 END AS logp
+          FROM bg
+          LEFT JOIN bic USING (v, w)
+          LEFT JOIN leftc USING (v)
+          LEFT JOIN vocab USING (w)
+          CROSS JOIN total
+        )
+        SELECT doc_id, CAST(count(logp) AS BIGINT) AS n_bigrams,
                floor(avg(logp) * 10000 + 0.5) / 10000 AS avg_logp
         FROM scored GROUP BY doc_id
     """,

@@ -241,6 +241,40 @@ def test_unigram_logprob_hand_computed(spark):
     assert got[3]["n_tokens"] == 0 and got[3]["avg_logp"] is None
 
 
+def test_bigram_logprob_hand_computed(spark):
+    # corpus: doc1 'a b a', doc2 'a b', doc3 'c'
+    # unigrams: a×3, b×2, c×1, N=6; bigrams: (a,b)×2, (b,a)×1
+    # P(b|a) = 2/2 = 1, P(a|b) = 1/1 = 1
+    df = _docs(spark, [(1, "a b a"), (2, "a b"), (3, "c")])
+    import math
+    got = {r["doc_id"]: r.asDict()
+           for r in curation.bigram_logprob(df).collect()}
+    r4 = lambda x: math.floor(x * 10000 + 0.5) / 10000
+    lp_ab = math.log10(0.5 * 1.0 + 0.5 * (2 / 6))   # next tok b
+    lp_ba = math.log10(0.5 * 1.0 + 0.5 * (3 / 6))   # next tok a
+    assert got[1]["n_bigrams"] == 2
+    assert got[1]["avg_logp"] == r4((lp_ab + lp_ba) / 2)
+    assert got[2]["n_bigrams"] == 1
+    assert got[2]["avg_logp"] == r4(lp_ab)
+    # single-token doc: no bigram positions, NULL score
+    assert got[3]["n_bigrams"] == 0 and got[3]["avg_logp"] is None
+
+
+def test_bigram_logprob_interpolation_mix(spark):
+    """The score mixes BOTH terms: a deterministic continuation
+    (P(x|b) = 1) is still dragged down by the rare-unigram term
+    (1−λ)·P(x) — distinguishing interpolation from a pure bigram LM,
+    which would give log10(1) = 0 here."""
+    df = _docs(spark, [(1, "a b"), (2, "b x"), (3, "a b")])
+    import math
+    got = {r["doc_id"]: r.asDict()
+           for r in curation.bigram_logprob(df).collect()}
+    r4 = lambda x: math.floor(x * 10000 + 0.5) / 10000
+    # unigrams: a×2, b×3, x×1 → N=6; bigrams: (a,b)×2, (b,x)×1
+    # doc2 'b x': P(x|b) = 1/1, P(x) = 1/6
+    assert got[2]["avg_logp"] == r4(math.log10(0.5 + 0.5 / 6))
+
+
 def test_quantize_stats_hand_computed(spark):
     from pyspark.sql.types import (
         ArrayType, FloatType, LongType, StructField, StructType,
