@@ -349,6 +349,44 @@ def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_grouping_sets_ranked(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — GROUPING SETS composed with a window: the multi-granularity
+    aggregate (per type / per cohort / grand total in one Expand pass)
+    is then ranked WITHIN each grouping level by count. grouping_id()
+    disambiguates levels (standard bit convention — first grouping
+    column is the most significant bit — matching DuckDB's
+    GROUPING(a, b)); the rank partition is the level, so the window
+    state is bounded by the largest level's cardinality (|types| or
+    |cohorts|), never the fact table. Tiebreaks are deterministic: the
+    non-constant key column within each level is unique."""
+    from pyspark.sql import Window
+
+    df = table(spark, sf, "events").select(
+        "event_type",
+        (F.col("user_id") % 10).alias("cohort"),
+        "value",
+    )
+    g = (
+        df.groupingSets(
+            [["event_type"], ["cohort"], []], "event_type", "cohort"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            text.round4(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            ).alias("val_sum"),
+            F.grouping_id().cast("int").alias("lvl"),
+        )
+    )
+    w = Window.partitionBy("lvl").orderBy(
+        F.desc("cnt"), "event_type", "cohort"
+    )
+    return g.select(
+        "event_type", "cohort", "lvl", "cnt", "val_sum",
+        F.rank().over(w).alias("rnk"),
+    )
+
+
 def q_equidepth_histogram(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — equi-depth (decile) histogram of event values: the 9 decile
     boundaries come from ONE percentile aggregate row broadcast back over
@@ -951,6 +989,23 @@ ORACLES: dict[str, str | None] = {
                floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                      * 10000 + 0.5) / 10000 AS val_sum
         FROM e GROUP BY GROUPING SETS ((event_type), (cohort), ())
+    """,
+    "q_grouping_sets_ranked": """
+        WITH e AS (
+          SELECT event_type, user_id % 10 AS cohort, value FROM events
+        ), g AS (
+          SELECT event_type, cohort, count(*) AS cnt,
+                 floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       * 10000 + 0.5) / 10000 AS val_sum,
+                 CAST(GROUPING(event_type, cohort) AS INT) AS lvl
+          FROM e GROUP BY GROUPING SETS ((event_type), (cohort), ())
+        )
+        SELECT event_type, cohort, lvl, cnt, val_sum,
+               CAST(rank() OVER (
+                 PARTITION BY lvl
+                 ORDER BY cnt DESC, event_type, cohort
+               ) AS INT) AS rnk
+        FROM g
     """,
     "q_equidepth_histogram": """
         WITH b AS (

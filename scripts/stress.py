@@ -346,6 +346,69 @@ def main() -> None:
         time.perf_counter() - t0, 2
     )
 
+    # round-8: the embedding near-dup tier at 100× vectors (~500k, dim
+    # 64) with planted near-dups — the semantic analog of the minhash
+    # entry above. Candidate generation is the banded-SRP key-equality
+    # join; at 500k vectors the sf0.1 default of 4 sign bits/band would
+    # make 16 buckets own 31k vectors each (quadratic candidates), so
+    # scale means MORE rows_per_band: 16 bits → 65k buckets/band, ~7.6
+    # vectors each. A planted pair at cosine ≈ 0.9999 survives banding
+    # with p = 1-(1-(1-θ/π)^16)^8 ≈ 1-5e-11 — recall must be exact.
+    from data_wrangle_openstreetmaps_data_spark.operators.dedup import (
+        _srp_bucketed_arrow,
+        embedding_near_dup_pairs,
+    )
+
+    e_dim, e_bands, e_rows = 64, 8, 16
+    n_vecs = 500_000
+    vgrp = F.when(
+        F.col("vec_id") % 997 == 0, F.col("vec_id") + 1
+    ).otherwise(F.col("vec_id"))
+    comps = [
+        F.hash(vgrp, F.lit(j)).cast("double") / F.lit(2147483647.0)
+        for j in range(e_dim)
+    ]
+    c0 = F.when(
+        F.col("vec_id") % 997 == 0, comps[0] + F.lit(0.05)
+    ).otherwise(comps[0])
+    vecs = (
+        spark.range(n_vecs)
+        .select(F.col("id").alias("vec_id"))
+        .select(
+            "vec_id",
+            F.array(c0, *comps[1:]).cast("array<float>").alias("embedding"),
+        )
+    )
+    n_vplanted = n_vecs // 997 + (1 if n_vecs % 997 else 0)
+
+    t0 = time.perf_counter()
+    vpairs = embedding_near_dup_pairs(
+        vecs, threshold=0.9, bands=e_bands, rows_per_band=e_rows,
+        dim=e_dim,
+    )
+    v_found = vpairs.filter(
+        (F.col("id_a") % 997 == 0) & (F.col("id_b") == F.col("id_a") + 1)
+    ).count()
+    n_vpairs = vpairs.count()
+    timings["embedding_neardup_100x_vecs"] = round(
+        time.perf_counter() - t0, 2
+    )
+
+    t0 = time.perf_counter()
+    vplanes = _seeded_projections(e_dim, e_bands * e_rows, 42)
+    v_cand = (
+        _srp_bucketed_arrow(
+            vecs, "vec_id", "embedding", vplanes, e_bands, e_rows
+        )
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("cp"))
+        .collect()[0]["cp"]
+    )
+    timings["embedding_bucket_histogram_100x_vecs"] = round(
+        time.perf_counter() - t0, 2
+    )
+
     print(
         json.dumps(
             {
@@ -361,6 +424,14 @@ def main() -> None:
                     "verified_pairs": n_pairs,
                     "candidate_pairs": int(cand_pairs),
                     "candidate_ratio": round(cand_pairs / n_docs, 4),
+                },
+                "embedding_100x": {
+                    "vectors": n_vecs,
+                    "planted_pairs": n_vplanted,
+                    "planted_found": v_found,
+                    "verified_pairs": n_vpairs,
+                    "candidate_pairs": int(v_cand),
+                    "candidate_ratio": round(v_cand / n_vecs, 4),
                 },
                 "timings": timings,
                 "value": round(sum(timings.values()), 2),

@@ -245,3 +245,150 @@ def test_sessionize_in_pure_sql(spark):
                count(*) AS n_events
         FROM s GROUP BY user_id, sid
     """)
+
+
+def test_ewma_in_pure_sql(spark):
+    """The bounded-window EWMA — collect_list window + zip_with/
+    aggregate HOFs — is expressible as literal SQL (the batch form of
+    q_streaming_ewma's state contract)."""
+    register_views(spark, SF_SMALL)
+    tsn = _tsn_sql(spark)
+    _assert_sql_matches(spark, "q_ewma", f"""
+        WITH e AS (
+          SELECT user_id, event_id, value, {tsn} AS tsn FROM events
+        ), v AS (
+          SELECT user_id, event_id,
+                 collect_list(value) OVER (
+                   PARTITION BY user_id ORDER BY tsn, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+                 ) AS vals
+          FROM e
+        )
+        SELECT user_id, event_id,
+               floor(
+                 aggregate(
+                   zip_with(vals, sequence(size(vals) - 1, 0),
+                            (x, k) -> x * pow(0.5D, k)),
+                   CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)
+                 / (2.0D - pow(0.5D, CAST(size(vals) - 1 AS DOUBLE)))
+                 * 10000 + 0.5) / 10000 AS ewma
+        FROM v
+    """)
+
+
+def test_interval_overlap_join_in_pure_sql(spark):
+    """The bucketed interval×interval overlap join (explode to covered
+    buckets, equality join, residual predicate, distinct) as literal
+    SQL — no nested-loop cross product in either formulation."""
+    register_views(spark, SF_SMALL)
+    tsn = _tsn_sql(spark)
+    hour = 3_600_000_000
+    half = 1_800_000_000
+    _assert_sql_matches(spark, "q_interval_overlap_join", f"""
+        WITH e AS (
+          SELECT user_id, event_type, event_id, value AS val,
+                 {tsn} AS tsn
+          FROM events
+        ), spans AS (
+          SELECT user_id, min(tsn) AS a_lo, max(tsn) AS a_hi
+          FROM e GROUP BY user_id, floor(tsn / {hour})
+        ), wins AS (
+          SELECT event_id AS win_id,
+                 tsn - {half} AS b_lo, tsn + {half} AS b_hi
+          FROM e WHERE event_type = 'error' AND val > 95
+        ), sa AS (
+          SELECT user_id, a_lo, a_hi,
+                 explode(sequence(CAST(floor(a_lo / {hour}) AS BIGINT),
+                                  CAST(floor(a_hi / {hour}) AS BIGINT)))
+                   AS _bucket
+          FROM spans
+        ), sb AS (
+          SELECT win_id, b_lo, b_hi,
+                 explode(sequence(CAST(floor(b_lo / {hour}) AS BIGINT),
+                                  CAST(floor(b_hi / {hour}) AS BIGINT)))
+                   AS _bucket
+          FROM wins
+        ), pairs AS (
+          SELECT DISTINCT user_id, win_id
+          FROM sa JOIN sb USING (_bucket)
+          WHERE a_lo <= b_hi AND b_lo <= a_hi
+        )
+        SELECT user_id, count(DISTINCT win_id) AS n_overlaps
+        FROM pairs GROUP BY user_id
+        ORDER BY n_overlaps DESC, user_id LIMIT 20
+    """)
+
+
+def test_asof_join_in_pure_sql(spark):
+    """As-of join via the union + last(ignoreNulls) forward-fill window
+    as literal SQL — one shuffle, no range cross-join."""
+    register_views(spark, SF_SMALL)
+    tsn = _tsn_sql(spark)
+    _assert_sql_matches(spark, "q_asof_join", f"""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, value, {tsn} AS tsn
+          FROM events
+        ), p AS (
+          SELECT user_id, event_id, tsn AS ts FROM e
+          WHERE event_type = 'purchase'
+        ), s AS (
+          SELECT user_id, tsn AS ts, max(value) AS state FROM e
+          WHERE event_type = 'signup' GROUP BY user_id, tsn
+        ), u AS (
+          SELECT user_id, ts AS _t, 1 AS _side, event_id, ts,
+                 CAST(NULL AS DOUBLE) AS _r_state,
+                 CAST(NULL AS BIGINT) AS _rt
+          FROM p
+          UNION ALL
+          SELECT user_id, ts, 0, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                 state, ts
+          FROM s
+        ), f AS (
+          SELECT user_id, _side, event_id, ts,
+                 last(_rt, true) OVER w AS matched_time,
+                 last(_r_state, true) OVER w AS matched_state
+          FROM u
+          WINDOW w AS (PARTITION BY user_id ORDER BY _t, _side
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT user_id, event_id, ts, matched_time, matched_state
+        FROM f WHERE _side = 1
+    """)
+
+
+def test_hopping_window_in_pure_sql(spark):
+    """Hopping event-time windows via the SQL window() table-valued
+    grouping expression (the batch form of q_streaming_hopping_counts)."""
+    register_views(spark, SF_SMALL)
+    tsn = _tsn_sql(spark)
+    _assert_sql_matches(spark, "q_hopping_window", f"""
+        SELECT date_format(window.start, 'yyyy-MM-dd') AS w_start,
+               event_type, count(*) AS cnt,
+               floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     * 10000 + 0.5) / 10000 AS val_sum
+        FROM (SELECT timestamp_micros({tsn}) AS ts2, event_type, value
+              FROM events)
+        GROUP BY window(ts2, '2 days', '1 day'), event_type
+    """)
+
+
+def test_grouping_sets_window_combo_in_pure_sql(spark):
+    """GROUPING SETS composed with a rank window in one literal SQL
+    statement — the combo shape: Expand + aggregate + per-level
+    window."""
+    register_views(spark, SF_SMALL)
+    _assert_sql_matches(spark, "q_grouping_sets_ranked", """
+        WITH e AS (
+          SELECT event_type, user_id % 10 AS cohort, value FROM events
+        ), g AS (
+          SELECT event_type, cohort, count(*) AS cnt,
+                 floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       * 10000 + 0.5) / 10000 AS val_sum,
+                 CAST(grouping_id() AS INT) AS lvl
+          FROM e GROUP BY GROUPING SETS ((event_type), (cohort), ())
+        )
+        SELECT event_type, cohort, lvl, cnt, val_sum,
+               rank() OVER (PARTITION BY lvl
+                            ORDER BY cnt DESC, event_type, cohort) AS rnk
+        FROM g
+    """)
