@@ -360,6 +360,54 @@ def _jaccard_from_counts(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    caches: list | None = None,
+) -> DataFrame:
+    """DIRECTED set-containment similarity join: ordered pairs
+    (src, dst) with C(src, dst) = |S_src ∩ S_dst| / |S_src| >=
+    threshold over k-shingle sets — the asymmetric companion to the
+    Jaccard tiers: a short document quoted inside a long one scores
+    C ≈ 1 even when Jaccard is tiny (quote detection, subset dedup,
+    version-of containment).
+
+    Candidate generation reuses the inverted-index equality join on
+    shared shingle hashes (unordered a < b once), then BOTH directions
+    are scored from the same common count and emitted independently —
+    so the output can contain (a→b) without (b→a). Same scale shape as
+    ngram_jaccard_pairs: key-equality shuffle, no all-pairs; the same
+    stop-shingle caveat applies on skewed corpora (compose with the
+    max_df/prefix tiers if needed)."""
+    sh = _shingle_hashes(df, text_col, id_col, shingle_k)
+    if caches is not None:
+        caches.append(sh)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    j = common.join(sa, "id_a").join(sb, "id_b")
+    ab = j.select(
+        F.col("id_a").alias("src"),
+        F.col("id_b").alias("dst"),
+        round4(F.col("common") / F.col("na")).alias("containment"),
+    )
+    ba = j.select(
+        F.col("id_b").alias("src"),
+        F.col("id_a").alias("dst"),
+        round4(F.col("common") / F.col("nb")).alias("containment"),
+    )
+    return ab.unionByName(ba).filter(F.col("containment") >= threshold)
+
+
 def dup_clusters(pairs: DataFrame, max_iters: int = 20,
                  strict: bool = True) -> DataFrame:
     """Connected components over near-dup pairs → (id, cluster_id) with

@@ -186,6 +186,62 @@ def hll_registers(
     )
 
 
+def hll_registers_by(
+    df: DataFrame, group_col: str, item_col: str, p: int = 8
+) -> DataFrame:
+    """Per-group HLL register tables: (grp, bucket, m), at most ``2**p``
+    rows per group. Same integer-only rho derivation as
+    :func:`hll_registers`; the point of the grouped form is MERGE —
+    ``max(m)`` over groups on bucket reproduces the registers a direct
+    build over the union would produce (max is associative/idempotent),
+    which is what lets 100 TB of per-partition/per-day sketches roll up
+    without touching raw data."""
+    w = 60 - p
+    h = portable_token_hash(F.col(item_col).cast("string"))
+    v = F.shiftright(h, p)
+    rho = F.when(v == 0, F.lit(w + 1)).otherwise(
+        F.lit(w + 1) - F.length(F.bin(v))
+    )
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.pmod(h, F.lit(1 << p)).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+
+
+def hll_estimate_by(registers: DataFrame, p: int = 8) -> DataFrame:
+    """Fold per-group HLL register tables (grp, bucket, m) into one
+    estimate row per group — identical exact-bigint harmonic fold and
+    linear-counting dispatch as :func:`hll_estimate`."""
+    m_regs = 1 << p
+    scale = 61 - p
+    folded = registers.groupBy("grp").agg(
+        (
+            F.sum(F.expr(f"shiftleft(cast(1 as bigint), {scale} - m)"))
+            + (F.lit(m_regs) - F.count(F.lit(1)))
+            * F.lit(1 << scale).cast("long")
+        ).alias("s"),
+        (F.lit(m_regs) - F.count(F.lit(1))).alias("n_zero_regs"),
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m_regs)))
+    raw = (
+        alpha
+        * F.lit(float(m_regs) * float(m_regs))
+        * F.lit(float(1 << scale))
+        / F.col("s").cast("double")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * m_regs)) & (F.col("n_zero_regs") > 0),
+        F.lit(float(m_regs))
+        * F.log(F.lit(float(m_regs)) / F.col("n_zero_regs").cast("double")),
+    ).otherwise(raw)
+    return folded.select("grp", est.alias("est"), "n_zero_regs")
+
+
 def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
     """Fold an HLL register table into the cardinality estimate
     (columns: est double, n_zero_regs long). The harmonic-mean term

@@ -784,6 +784,50 @@ def q_ols_trend(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — Theil–Sen ROBUST trend: per event type, the median of all
+    pairwise slopes (y_j − y_i)/(x_j − x_i) of the daily count series —
+    the outlier-immune companion to q_ols_trend (one corrupted day
+    moves OLS arbitrarily, Theil–Sen needs 29% corruption). The
+    pairwise stage runs on the DAY-AGGREGATED frame, never the fact
+    table: |days|²/2 pairs per type (bounded by the calendar, not
+    traffic), joined equi on event_type with the x_i < x_j residual.
+    Slopes are single bigint/bigint divisions (deterministic doubles);
+    the median is exact interpolated percentile over the bounded pair
+    set."""
+    ev = table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(catalog.event_ts(ev)).alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    d0 = daily.agg(F.min("day").alias("d0"))
+    xy = daily.crossJoin(F.broadcast(d0)).select(
+        "event_type",
+        F.datediff(F.col("day"), F.col("d0")).cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+    )
+    a, b = xy.alias("a"), xy.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))
+        ).alias("slope"),
+    )
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            text.round4(F.expr("percentile(slope, 0.5)")).alias(
+                "theil_slope"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_time_to_convert(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — time-to-convert distribution per user segment: each user's
     first 'view' and first 'purchase' AFTER that view (one conditional
@@ -869,6 +913,29 @@ ORACLES: dict[str, str | None] = {
                      / CAST(n_days * sxx - sx * sx AS DOUBLE)
                      * 10000 + 0.5) / 10000 AS intercept
         FROM s ORDER BY event_type
+    """,
+    "q_theil_sen": """
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+          FROM events GROUP BY 1, 2
+        ),
+        d0 AS (SELECT min(day) AS d0 FROM daily),
+        xy AS (
+          SELECT event_type,
+                 CAST(date_diff('day', d0, day) AS BIGINT) AS x,
+                 CAST(y AS BIGINT) AS y
+          FROM daily, d0
+        ),
+        p AS (
+          SELECT a.event_type,
+                 (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS slope
+          FROM xy a JOIN xy b
+            ON a.event_type = b.event_type AND a.x < b.x
+        )
+        SELECT event_type, count(*) AS n_pairs,
+               floor(quantile_cont(slope, 0.5) * 10000 + 0.5) / 10000
+                 AS theil_slope
+        FROM p GROUP BY event_type ORDER BY event_type
     """,
     "q_time_to_convert": """
         WITH e AS (

@@ -40,8 +40,15 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     contract bounds the OUTPUT (top-k) and surfaces the cost as an oracled
     column: a reviewer reading the result sees exactly how many pairs the
     threshold admits. The unbounded exact tier remains available as
-    q_similarity_join / q_similarity_join_prefix."""
-    pairs = dedup.prefix_filter_jaccard_pairs(
+    q_similarity_join / q_similarity_join_prefix.
+
+    Tier choice, measured: at t=0.2 the PPJoin prefix covers ~80% of
+    each doc's shingles, so prefix filtering adds its df-rank join +
+    window without real pruning (6.7–8.4 s vs 1.4 s at sf0.1 measured
+    round 8) — the plain inverted index is the right engine at low
+    thresholds; the prefix tier wins at high thresholds
+    (q_similarity_join_prefix, t=0.5, short prefixes)."""
+    pairs = dedup.ngram_jaccard_pairs(
         table(spark, sf, "documents"), shingle_k=3, threshold=0.2
     ).localCheckpoint(eager=True)  # two consumers (top-k + scalar count)
     total = pairs.agg(F.count(F.lit(1)).alias("total_pairs"))
@@ -54,13 +61,11 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_similarity_join(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-D2 (SURVEY §2.7 name) — near-dup similarity join over document
-    texts: exact n-gram Jaccard. Round 8: re-pointed at the PPJoin
-    prefix-filter tier (provably lossless — identical output to the full
-    inverted-index join, so the oracle is unchanged) which bounds
-    candidate generation by rarest-first prefixes instead of every shared
-    shingle; stop-shingles fall out of prefixes, cutting the hot-key skew
-    of the naive index join without a recall trade."""
-    return dedup.prefix_filter_jaccard_pairs(
+    texts: exact n-gram Jaccard via the inverted-index join. At t=0.2
+    the plain index is the measured-fastest exact tier (see
+    q_ngram_jaccard's tier-choice note); the lossless prefix-filter
+    variant of the SAME output is q_similarity_join_prefix."""
+    return dedup.ngram_jaccard_pairs(
         table(spark, sf, "documents"), shingle_k=3, threshold=0.2
     )
 
@@ -84,6 +89,16 @@ def q_similarity_join_prefix(spark: SparkSession, sf: str) -> DataFrame:
     candidates, stop-shingles naturally excluded from prefixes."""
     return dedup.prefix_filter_jaccard_pairs(
         table(spark, sf, "documents"), shingle_k=3, threshold=0.5
+    )
+
+
+def q_containment_join(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D2 — DIRECTED set-containment join at C >= 0.8: the
+    asymmetric near-dup tier (a short document quoted inside a long one
+    scores containment ≈ 1 where Jaccard is tiny). Ordered pairs, both
+    directions scored from one unordered inverted-index candidate pass."""
+    return dedup.containment_pairs(
+        table(spark, sf, "documents"), shingle_k=3, threshold=0.8
     )
 
 
@@ -348,6 +363,44 @@ ORACLES: dict[str, str | None] = {
         SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         FROM documents GROUP BY {_NORM_TEXT_SQL}
     """,
+    "q_containment_join": rf"""
+    WITH toked AS (
+      SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    shingled AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3 THEN
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> array_to_string(toks[i:i+2], ' ')))
+             ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM toked
+    ),
+    exploded AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+    sizes AS (SELECT doc_id, count(*) AS n FROM exploded GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM exploded a JOIN exploded b
+        ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT id_a, id_b, common, sa.n AS na, sb.n AS nb
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    ),
+    oriented AS (
+      SELECT id_a AS src, id_b AS dst,
+             floor(common / CAST(na AS DOUBLE) * 10000 + 0.5) / 10000
+               AS containment
+      FROM j
+      UNION ALL
+      SELECT id_b, id_a,
+             floor(common / CAST(nb AS DOUBLE) * 10000 + 0.5) / 10000
+      FROM j
+    )
+    SELECT src, dst, containment FROM oriented WHERE containment >= 0.8
+""",
     "q_ngram_jaccard": rf"""
     WITH p AS ({_NGRAM_JACCARD_SQL})
     SELECT id_a, id_b, jaccard,

@@ -305,7 +305,111 @@ def q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_hll_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — the HLL property that matters at 100 TB: MERGEABILITY.
+    Per-event-type register tables (grp, bucket, max-rho) are folded to
+    per-type estimates AND max-merged across types into one register
+    table whose estimate equals a direct build over all rows (max is
+    associative/idempotent — no raw-data re-scan to roll sketches up
+    across days/partitions/tenants). Output: one row per type plus the
+    '__all__' merged row, each next to its exact distinct. The register
+    frame feeds both the per-type fold and the merge, so it is
+    localCheckpointed (|types|·256 rows)."""
+    from data_wrangle_openstreetmaps_data_spark.operators.sketch import (
+        hll_estimate,
+        hll_estimate_by,
+        hll_registers_by,
+    )
+
+    ev = table(spark, sf, "events")
+    regs = hll_registers_by(ev, "event_type", "user_id", p=8)
+    regs = regs.localCheckpoint(eager=True)  # two consumers, tiny frame
+    per = hll_estimate_by(regs, p=8)
+    merged = hll_estimate(
+        regs.groupBy("bucket").agg(F.max("m").alias("m")), p=8
+    ).select(F.lit("__all__").alias("grp"), "est", "n_zero_regs")
+    exact_per = ev.groupBy(F.col("event_type").alias("grp")).agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    exact_all = ev.agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    ).select(F.lit("__all__").alias("grp"), "exact_distinct")
+    exact = exact_per.unionByName(exact_all)
+    rel = (F.col("est") - F.col("exact_distinct")) / F.col("exact_distinct")
+    return (
+        per.unionByName(merged)
+        .join(exact, "grp")
+        .select(
+            "grp",
+            text.round4(F.col("est")).alias("hll_est"),
+            "n_zero_regs",
+            "exact_distinct",
+            text.round4(rel).alias("rel_err"),
+        )
+        .orderBy("grp")
+    )
+
+
+# per-group + merged HLL folds share this SQL skeleton (p=8 constants
+# as in q_hll_distinct's oracle: 53-bit field, alpha·m²·2^53 literal)
+_HLL_MERGE_SQL = """
+    WITH h AS (
+      SELECT event_type AS grp,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events
+    ),
+    reg AS (
+      SELECT grp, h % 256 AS bucket,
+             max(CASE WHEN (h >> 8) = 0 THEN 53
+                      ELSE 53 - length(bin(h >> 8)) END) AS m
+      FROM h GROUP BY grp, bucket
+    ),
+    mreg AS (
+      SELECT bucket, max(m) AS m FROM reg GROUP BY bucket
+    ),
+    folded AS (
+      SELECT grp,
+             (sum(1::BIGINT << (53 - m))
+              + (256 - count(*)) * (1::BIGINT << 53))::BIGINT AS s,
+             256 - count(*) AS n_zero_regs
+      FROM reg GROUP BY grp
+      UNION ALL
+      SELECT '__all__',
+             (sum(1::BIGINT << (53 - m))
+              + (256 - count(*)) * (1::BIGINT << 53))::BIGINT,
+             256 - count(*)
+      FROM mreg
+    ),
+    est AS (
+      SELECT grp,
+             CASE
+               WHEN 4.2399330249068963e+20 / CAST(s AS DOUBLE) <= 640.0
+                    AND n_zero_regs > 0
+               THEN 256.0 * ln(256.0 / CAST(n_zero_regs AS DOUBLE))
+               ELSE 4.2399330249068963e+20 / CAST(s AS DOUBLE)
+             END AS e,
+             n_zero_regs
+      FROM folded
+    ),
+    x AS (
+      SELECT event_type AS grp, count(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY event_type
+      UNION ALL
+      SELECT '__all__', count(DISTINCT user_id) FROM events
+    )
+    SELECT grp,
+           floor(e * 10000 + 0.5) / 10000 AS hll_est,
+           n_zero_regs,
+           exact_distinct,
+           floor((e - exact_distinct) / exact_distinct * 10000 + 0.5)
+             / 10000 AS rel_err
+    FROM est JOIN x USING (grp)
+    ORDER BY grp
+"""
+
+
 ORACLES: dict[str, str | None] = {
+    "q_hll_merge": _HLL_MERGE_SQL,
     # identical HLL construction in SQL: same portable 60-bit md5 hash,
     # bucket = low 8 bits, rho from bin() bit length, exact-integer
     # harmonic fold; 4.2399…e+20 is alpha_256·256²·2^53 folded to one

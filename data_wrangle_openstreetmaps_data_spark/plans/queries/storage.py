@@ -486,7 +486,114 @@ def q_minmax_pruning(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_column_stats_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — schema/statistics drift audit between two table versions:
+    per-column profile (row count, min/max, decimal-exact sum, mean) of
+    the orders snapshot vs its deterministically mutated successor (the
+    SAME derivation as q_snapshot_diff, so the row-level and
+    column-level audits cross-check), emitted long-form with deltas.
+    This is the cheap first-line check before a row-level diff at
+    100 TB: two single-pass profile aggregates (each one partial-
+    aggregable scan, 1-row output) against a key-shuffled full-outer
+    join — you run THIS hourly and the row diff only when it drifts.
+    Sums ride DECIMAL(20,6) so no float-sum order exists; means divide
+    the exact sum once."""
+    snap = table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("tp")
+    )
+    upd = snap.filter(F.col("k") % 7 == 0).select(
+        "k", text.round4(F.col("tp") * 1.1).alias("tp")
+    )
+    keep = snap.filter((F.col("k") % 7 != 0) & (F.col("k") % 13 != 0))
+    ins = snap.filter(F.col("k") % 97 == 0).select(
+        (F.col("k") + 10_000_000).alias("k"), "tp"
+    )
+    succ = keep.unionByName(upd.filter(F.col("k") % 13 != 0)).unionByName(
+        ins
+    )
+
+    def prof(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("double").alias(f"{tag}_n"),
+            F.min("tp").alias(f"{tag}_tpmin"),
+            F.max("tp").alias(f"{tag}_tpmax"),
+            F.sum(F.col("tp").cast("decimal(20,6)"))
+            .cast("double")
+            .alias(f"{tag}_tpsum"),
+            F.min("k").cast("double").alias(f"{tag}_kmin"),
+            F.max("k").cast("double").alias(f"{tag}_kmax"),
+        )
+
+    c = prof(snap, "a").crossJoin(F.broadcast(prof(succ, "b")))
+    c = c.withColumn("a_tpmean", F.col("a_tpsum") / F.col("a_n"))
+    c = c.withColumn("b_tpmean", F.col("b_tpsum") / F.col("b_n"))
+    long = c.select(
+        F.expr(
+            """stack(6,
+              'n_rows',  a_n,      b_n,
+              'tp_max',  a_tpmax,  b_tpmax,
+              'tp_mean', a_tpmean, b_tpmean,
+              'tp_min',  a_tpmin,  b_tpmin,
+              'key_max', a_kmax,   b_kmax,
+              'key_min', a_kmin,   b_kmin) AS (stat, a_val, b_val)"""
+        )
+    )
+    return long.select(
+        "stat",
+        text.round4(F.col("a_val")).alias("a_val"),
+        text.round4(F.col("b_val")).alias("b_val"),
+        text.round4(F.col("b_val") - F.col("a_val")).alias("delta"),
+    ).orderBy("stat")
+
+
 ORACLES: dict[str, str | None] = {
+    "q_column_stats_drift": """
+        WITH snap AS (
+          SELECT o_orderkey AS k, o_totalprice AS tp FROM orders
+        ),
+        upd AS (
+          SELECT k, floor(tp * 1.1 * 10000 + 0.5) / 10000 AS tp
+          FROM snap WHERE k % 7 = 0
+        ),
+        keep AS (SELECT * FROM snap WHERE k % 7 != 0 AND k % 13 != 0),
+        ins AS (
+          SELECT k + 10000000 AS k, tp FROM snap WHERE k % 97 = 0
+        ),
+        succ AS (
+          SELECT * FROM keep
+          UNION ALL SELECT * FROM upd WHERE k % 13 != 0
+          UNION ALL SELECT * FROM ins
+        ),
+        a AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 min(tp) AS tpmin, max(tp) AS tpmax,
+                 CAST(sum(CAST(tp AS DECIMAL(20,6))) AS DOUBLE) AS tpsum,
+                 CAST(min(k) AS DOUBLE) AS kmin,
+                 CAST(max(k) AS DOUBLE) AS kmax
+          FROM snap
+        ),
+        b AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 min(tp) AS tpmin, max(tp) AS tpmax,
+                 CAST(sum(CAST(tp AS DECIMAL(20,6))) AS DOUBLE) AS tpsum,
+                 CAST(min(k) AS DOUBLE) AS kmin,
+                 CAST(max(k) AS DOUBLE) AS kmax
+          FROM succ
+        ),
+        long AS (
+          SELECT 'n_rows' AS stat, a.n AS a_val, b.n AS b_val FROM a, b
+          UNION ALL SELECT 'tp_max', a.tpmax, b.tpmax FROM a, b
+          UNION ALL SELECT 'tp_mean', a.tpsum / a.n, b.tpsum / b.n FROM a, b
+          UNION ALL SELECT 'tp_min', a.tpmin, b.tpmin FROM a, b
+          UNION ALL SELECT 'key_max', a.kmax, b.kmax FROM a, b
+          UNION ALL SELECT 'key_min', a.kmin, b.kmin FROM a, b
+        )
+        SELECT stat,
+               floor(a_val * 10000 + 0.5) / 10000 AS a_val,
+               floor(b_val * 10000 + 0.5) / 10000 AS b_val,
+               floor((b_val - a_val) * 10000 + 0.5) / 10000 AS delta
+        FROM long ORDER BY stat
+    """,
     "q_minmax_pruning": """
         WITH blocks AS (
           SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS blk,

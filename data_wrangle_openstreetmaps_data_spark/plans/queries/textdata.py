@@ -157,6 +157,96 @@ def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     return curation.unigram_logprob(table(spark, sf, "documents"))
 
 
+def q_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-Q — Zipf's-law fit of the corpus frequency spectrum: OLS of
+    ln(tf) on ln(rank) over the top-200 vocabulary (a natural corpus
+    should fit slope ≈ −1; synthetic/templated corpora like this one
+    show a flat slope — exactly what the diagnostic detects). The
+    top-200 selection is a distributed TakeOrdered, the window runs on
+    those 200 rows only. Float-sum order never arises: each log is
+    floored to an exact 1e-9 grid integer, the sufficient statistics
+    are DECIMAL(38,0)/HUGEINT-exact sums of those integers, and the
+    grid scale cancels in the slope ratio — the only float steps are
+    the per-row log and the final division, identical cross-engine."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf, "documents")
+    tf = (
+        docs.select(F.explode(text.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    top = tf.orderBy(F.desc("tf"), "tok").limit(200)
+    w = Window.orderBy(F.desc("tf"), "tok")
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    g = F.lit(1_000_000_000.0)
+    scaled = ranked.select(
+        F.floor(F.log(F.col("rank").cast("double")) * g + F.lit(0.5))
+        .cast("decimal(19,0)")
+        .alias("x9"),
+        F.floor(F.log(F.col("tf").cast("double")) * g + F.lit(0.5))
+        .cast("decimal(19,0)")
+        .alias("y9"),
+    )
+    s = scaled.agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
+        F.sum("x9").alias("sx"),
+        F.sum("y9").alias("sy"),
+        F.sum(F.col("x9") * F.col("y9")).alias("sxy"),
+        F.sum(F.col("x9") * F.col("x9")).alias("sxx"),
+    )
+    num_s = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    num_i = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        text.round4(num_s.cast("double") / den.cast("double")).alias(
+            "zipf_slope"
+        ),
+        # intercept carries one leftover 1e-9 grid scale (num_i has one
+        # more x9/y9 factor than den) — divide it back out
+        text.round4(
+            num_i.cast("double") / den.cast("double") / F.lit(1e9)
+        ).alias("zipf_intercept"),
+    )
+
+
+def q_feature_hashing(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-Q — hashing-trick featurization (Weinberger et al., ICML
+    2009): bag-of-words folded into 32 signed buckets, bucket = the
+    portable md5 token hash mod 32, sign = one higher hash bit (the
+    unbiased ±1 variant). Output is the SPARSE long form (doc_id,
+    bucket, weight ≠ 0) — the fixed-width featurizer that needs no
+    vocabulary build, no model artifact, and no driver state: exactly
+    one explode + one (doc, bucket)-keyed count aggregate at any corpus
+    size. Weights are count differences (2·n_plus − n_total), never
+    sum(CASE) — exact BIGINTs cross-engine."""
+    from data_wrangle_openstreetmaps_data_spark.operators.dedup import (
+        portable_token_hash,
+    )
+
+    docs = table(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(text.tokens("text")).alias("tok")
+    )
+    h = portable_token_hash(F.col("tok"))
+    tagged = tok.select(
+        "doc_id",
+        F.pmod(h, F.lit(32)).alias("bucket"),
+        (F.pmod(F.shiftright(h, 5), F.lit(2)) == 0).alias("pos"),
+    )
+    return (
+        tagged.groupBy("doc_id", "bucket")
+        .agg(
+            (
+                F.lit(2) * F.count(F.when(F.col("pos"), F.lit(1)))
+                - F.count(F.lit(1))
+            ).alias("weight")
+        )
+        .filter(F.col("weight") != 0)
+    )
+
+
 def q_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-Q — interpolated bigram-LM score per doc (the CCNet-style
     perplexity-filter signal): avg log10(0.5·P(w|v) + 0.5·P(w)) over
@@ -861,6 +951,59 @@ ORACLES: dict[str, str | None] = {
         SELECT doc_id, CAST(count(logp) AS BIGINT) AS n_tokens,
                floor(avg(logp) * 10000 + 0.5) / 10000 AS avg_logp
         FROM scored GROUP BY doc_id
+    """,
+    "q_zipf_fit": f"""
+        WITH tok AS (
+          SELECT unnest(toks) AS tok
+          FROM (SELECT {_TOKENS_SQL} AS toks FROM documents)
+        ),
+        tf AS (SELECT tok, count(*) AS tf FROM tok GROUP BY tok),
+        top AS (SELECT tok, tf FROM tf ORDER BY tf DESC, tok LIMIT 200),
+        ranked AS (
+          SELECT tf, row_number() OVER (ORDER BY tf DESC, tok) AS rank
+          FROM top
+        ),
+        scaled AS (
+          SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000000.0 + 0.5)
+                      AS HUGEINT) AS x9,
+                 CAST(floor(ln(CAST(tf AS DOUBLE)) * 1000000000.0 + 0.5)
+                      AS HUGEINT) AS y9
+          FROM ranked
+        ),
+        s AS (
+          SELECT CAST(count(*) AS HUGEINT) AS n,
+                 sum(x9) AS sx, sum(y9) AS sy,
+                 sum(x9 * y9) AS sxy, sum(x9 * x9) AS sxx
+          FROM scaled
+        )
+        SELECT CAST(n AS BIGINT) AS n_terms,
+               floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+                     * 10000 + 0.5) / 10000 AS zipf_slope,
+               floor(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) / 1e9
+                     * 10000 + 0.5) / 10000 AS zipf_intercept
+        FROM s
+    """,
+    "q_feature_hashing": f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(toks) AS tok
+          FROM (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)
+        ),
+        tagged AS (
+          SELECT doc_id,
+                 h % 32 AS bucket,
+                 ((h >> 5) % 2) = 0 AS pos
+          FROM (
+            SELECT doc_id,
+                   ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+            FROM tok
+          )
+        )
+        SELECT doc_id, bucket,
+               2 * count(CASE WHEN pos THEN 1 END) - count(*) AS weight
+        FROM tagged GROUP BY doc_id, bucket
+        HAVING 2 * count(CASE WHEN pos THEN 1 END) - count(*) <> 0
     """,
     "q_bigram_logprob": f"""
         WITH toked AS (

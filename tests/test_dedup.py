@@ -441,3 +441,29 @@ def test_exact_cosine_pairs_size_guard(spark):
         big, threshold=0.99, max_rows=1000, strict=False
     ).count()
     assert n1 == n2 > 0
+
+
+def test_containment_pairs_directed(spark):
+    """Containment is asymmetric: a short doc inside a long one scores
+    C(short→long) = 1 while C(long→short) = |short|/|long| — only the
+    passing direction is emitted."""
+    from data_wrangle_openstreetmaps_data_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d e f"), (3, "x y z w")],
+        ["doc_id", "text"],
+    )
+    # doc1 shingles {abc, bcd} ⊂ doc2 shingles {abc, bcd, cde, def}
+    got = {
+        (r["src"], r["dst"]): r["containment"]
+        for r in containment_pairs(df, threshold=0.8).collect()
+    }
+    assert got == {(1, 2): 1.0}
+    # at a lower threshold the reverse direction appears with C = 0.5
+    got_lo = {
+        (r["src"], r["dst"]): r["containment"]
+        for r in containment_pairs(df, threshold=0.4).collect()
+    }
+    assert got_lo == {(1, 2): 1.0, (2, 1): 0.5}

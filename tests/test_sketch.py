@@ -186,3 +186,28 @@ def test_bloom_prune_no_false_negatives_and_multiplicity(spark):
     # the m=256 filter over 50 keys must actually prune most foreigners
     n_foreign = sum(n for k, n in counts.items() if k >= 1000)
     assert n_foreign < 200, n_foreign
+
+
+def test_hll_merge_equals_direct_build(spark):
+    """max-merging per-group HLL registers must reproduce the registers
+    (and therefore the estimate) of a direct build over all rows — the
+    mergeability contract q_hll_merge's '__all__' row relies on."""
+    from pyspark.sql import functions as F
+
+    from data_wrangle_openstreetmaps_data_spark.operators.sketch import (
+        hll_registers,
+        hll_registers_by,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 5, f"user-{i % 37}") for i in range(400)], ["g", "u"]
+    )
+    merged = (
+        hll_registers_by(df, "g", "u", p=8)
+        .groupBy("bucket")
+        .agg(F.max("m").alias("m"))
+    )
+    direct = hll_registers(df, "u", p=8)
+    got = {(r["bucket"], r["m"]) for r in merged.collect()}
+    want = {(r["bucket"], r["m"]) for r in direct.collect()}
+    assert got == want
