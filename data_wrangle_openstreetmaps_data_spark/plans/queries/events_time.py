@@ -209,6 +209,70 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     return sessionize_batch(ev, _SESSION_GAP_US)
 
 
+def q_session_window_native(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — sessionization via Spark's NATIVE session_window grouping
+    (dynamic-gap session windows in the aggregate layer, no explicit
+    lag/cumsum plan) with the SAME 12h gap and output contract as
+    q_sessionize — so the built-in operator is cross-checked against
+    the hand-built gaps-and-islands form AND the DuckDB oracle at
+    once. session_window's end is last_event + gap, so the last-event
+    time is end − gap, converted back to epoch-µs. One shuffle on
+    (user_id), session state merged in the aggregate — the batch twin
+    of the streaming session operator."""
+    ev = table(spark, sf, "events")
+    ts = F.timestamp_micros(catalog.event_ts_us(ev))
+    g = (
+        ev.groupBy(
+            "user_id",
+            F.session_window(ts, "12 hours").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return g.select(
+        "user_id",
+        F.unix_micros(F.col("w.start")).alias("session_start"),
+        (F.unix_micros(F.col("w.end")) - F.lit(_SESSION_GAP_US)).alias(
+            "session_end"
+        ),
+        "n_events",
+    )
+
+
+def q_debounce(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — event debouncing: suppress repeat (user, event_type)
+    events arriving within 5 minutes of the previously KEPT-or-not
+    predecessor (lag-based form: within 5 min of the previous raw
+    event — the standard relational debounce). Output is the per-type
+    keep audit: total, kept, and kept-ratio. One (user, type)-keyed
+    window, no self-join; this is the dedup-adjacent cleanup step in
+    front of sessionization at 100 TB."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    e = ev.select(
+        "user_id", "event_type", "event_id",
+        catalog.event_ts_us(ev).alias("tsn"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "tsn", "event_id"
+    )
+    prev = F.lag("tsn").over(w)
+    keep = prev.isNull() | (F.col("tsn") - prev > F.lit(300_000_000))
+    flagged = e.withColumn("keep", keep)
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("keep"), F.lit(1))).alias("n_kept"),
+        )
+        .withColumn(
+            "keep_ratio",
+            text.round4(F.col("n_kept") / F.col("n_total")),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — ordered-sequence funnel: per user, the first signup, then the
     first purchase strictly after it within 7 days; output one row per
@@ -1254,6 +1318,52 @@ ORACLES: dict[str, str | None] = {
         SELECT user_id, min(tsn) AS session_start, max(tsn) AS session_end,
                count(*) AS n_events
         FROM sess GROUP BY user_id, sess_id
+    """,
+    "q_session_window_native": f"""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS tsn FROM events),
+        flagged AS (
+          SELECT user_id, tsn,
+                 CASE WHEN tsn - lag(tsn) OVER (
+                        PARTITION BY user_id ORDER BY tsn
+                      ) >= {_SESSION_GAP_US} THEN 1 ELSE 0 END AS new_sess
+          FROM e
+        ),
+        sess AS (
+          SELECT user_id, tsn,
+                 sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY tsn
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS sess_id
+          FROM flagged
+        )
+        SELECT user_id, min(tsn) AS session_start, max(tsn) AS session_end,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, sess_id
+    """,
+    "q_debounce": """
+        WITH e AS (
+          SELECT user_id, event_type, event_id, epoch_us(ts) AS tsn
+          FROM events
+        ),
+        flagged AS (
+          SELECT event_type,
+                 CASE WHEN lag(tsn) OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY tsn, event_id
+                      ) IS NULL
+                      OR tsn - lag(tsn) OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY tsn, event_id
+                      ) > 300000000
+                      THEN 1 END AS keep
+          FROM e
+        )
+        SELECT event_type,
+               count(*) AS n_total,
+               count(keep) AS n_kept,
+               floor(count(keep) / CAST(count(*) AS DOUBLE) * 10000 + 0.5)
+                 / 10000 AS keep_ratio
+        FROM flagged GROUP BY event_type ORDER BY event_type
     """,
     "q_funnel_conversion": """
         WITH pu AS (

@@ -486,6 +486,49 @@ def q_minmax_pruning(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — semi-structured round trip inside the engine: each order
+    row is serialized to a JSON document (to_json over a struct — the
+    event-payload shape), then fields are pulled back out with BOTH
+    extraction APIs — get_json_object JSONPath strings and a typed
+    from_json schema — and re-aggregated. The oracle asserts round-trip
+    IDENTITY against the raw columns (decimal-exact sums), so a codec
+    that mangles types, loses precision on doubles, or mis-handles
+    nesting cannot hash-match. JSON stays executor-side: serialize,
+    extract, and aggregate all fuse into one scan projection."""
+    o = table(spark, sf, "orders")
+    j = o.select(
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderstatus").alias("s"),
+                F.col("o_totalprice").alias("p"),
+                F.struct(F.col("o_orderpriority").alias("pr")).alias(
+                    "nest"
+                ),
+            )
+        ).alias("doc")
+    )
+    parsed = j.select(
+        F.get_json_object("doc", "$.s").alias("status"),
+        F.get_json_object("doc", "$.nest.pr").alias("priority"),
+        F.from_json(
+            "doc", "k BIGINT, s STRING, p DOUBLE, nest STRUCT<pr: STRING>"
+        ).alias("t"),
+    )
+    return (
+        parsed.groupBy("status", "priority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("t.k")).alias("key_sum"),
+            text.round4(
+                F.sum(F.col("t.p").cast("decimal(20,6)")).cast("double")
+            ).alias("price_sum"),
+        )
+        .orderBy("status", "priority")
+    )
+
+
 def q_column_stats_drift(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — schema/statistics drift audit between two table versions:
     per-column profile (row count, min/max, decimal-exact sum, mean) of
@@ -547,6 +590,19 @@ def q_column_stats_drift(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLES: dict[str, str | None] = {
+    # round-trip identity: the JSON serialize/extract pipeline must
+    # reproduce the raw columns exactly, so the oracle aggregates the
+    # originals directly
+    "q_json_roundtrip": """
+        SELECT o_orderstatus AS status,
+               o_orderpriority AS priority,
+               count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               floor(CAST(sum(CAST(o_totalprice AS DECIMAL(20,6)))
+                          AS DOUBLE) * 10000 + 0.5) / 10000 AS price_sum
+        FROM orders
+        GROUP BY status, priority ORDER BY status, priority
+    """,
     "q_column_stats_drift": """
         WITH snap AS (
           SELECT o_orderkey AS k, o_totalprice AS tp FROM orders
