@@ -335,7 +335,63 @@ def q_negative_sampling(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-Q — the dataset datasheet one-rower: corpus size, total
+    tokens, exact-dedup distinct texts and the implied duplicate rate,
+    language count, and the dominant language with its share — the
+    summary block a dataset card / datasheet publishes. Two single-pass
+    aggregates (corpus profile + per-lang counts) and a deterministic
+    argmax over the |langs|-row frame, all stitched with broadcast
+    1-row scalars: at 100 TB this is two scans, no wide shuffle."""
+    docs = table(spark, sf, "documents")
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.token_count("text")).alias("total_tokens"),
+        F.countDistinct(text.normalize_ws("text")).alias("distinct_texts"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    langs = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    top_lang = (
+        langs.orderBy(F.desc("cnt"), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"), F.col("cnt").alias("top_cnt"))
+    )
+    return base.crossJoin(F.broadcast(top_lang)).select(
+        "n_docs",
+        "total_tokens",
+        "distinct_texts",
+        text.round4(
+            F.lit(1.0) - F.col("distinct_texts") / F.col("n_docs")
+        ).alias("dup_rate"),
+        "n_langs",
+        "top_lang",
+        text.round4(F.col("top_cnt") / F.col("n_docs")).alias(
+            "top_lang_share"
+        ),
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_dataset_card": f"""
+        WITH base AS (
+          SELECT count(*) AS n_docs,
+                 CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS total_tokens,
+                 count(DISTINCT {_NORM_TEXT_SQL}) AS distinct_texts,
+                 count(DISTINCT lang) AS n_langs
+          FROM documents
+        ),
+        tl AS (
+          SELECT lang AS top_lang, count(*) AS top_cnt FROM documents
+          GROUP BY lang ORDER BY top_cnt DESC, lang LIMIT 1
+        )
+        SELECT n_docs, total_tokens, distinct_texts,
+               floor((1.0 - distinct_texts / CAST(n_docs AS DOUBLE))
+                     * 10000 + 0.5) / 10000 AS dup_rate,
+               n_langs, top_lang,
+               floor(top_cnt / CAST(n_docs AS DOUBLE) * 10000 + 0.5)
+                 / 10000 AS top_lang_share
+        FROM base, tl
+    """,
     "q_negative_sampling": """
         WITH ns AS (SELECT count(*) AS n FROM supplier),
         cand AS (

@@ -486,6 +486,44 @@ def q_minmax_pruning(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_compaction_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — small-file compaction planning: daily event partitions are
+    the 'files' (size = row count), packed time-ordered into target
+    bins of 2000 rows by exclusive-prefix-sum bucketing — bin =
+    floor(running_size_before / target), the deterministic relational
+    form of greedy bin packing (keeps time locality, never splits a
+    file). The window runs over the MANIFEST (one row per day /
+    file-group — thousands of rows at 100 TB, not data rows), which is
+    why a global-order window is acceptable here and nowhere else;
+    a billion-file manifest would swap in the blocked two-phase prefix
+    sum (operators/curation.py::_blocked_prefix_sum). Output: per-bin
+    file count, total size, and the covered day range."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    files = ev.groupBy(
+        F.to_date(catalog.event_ts(ev)).alias("day")
+    ).agg(F.count(F.lit(1)).alias("size"))
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = F.coalesce(F.sum("size").over(w), F.lit(0))
+    binned = files.withColumn(
+        "bin", F.floor(pre / F.lit(2000)).cast("long")
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("size").alias("total_size"),
+            F.date_format(F.min("day"), "yyyy-MM-dd").alias("first_day"),
+            F.date_format(F.max("day"), "yyyy-MM-dd").alias("last_day"),
+        )
+        .orderBy("bin")
+    )
+
+
 def q_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — semi-structured round trip inside the engine: each order
     row is serialized to a JSON document (to_json over a struct — the
@@ -590,6 +628,25 @@ def q_column_stats_drift(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLES: dict[str, str | None] = {
+    "q_compaction_plan": """
+        WITH files AS (
+          SELECT CAST(ts AS DATE) AS day, count(*) AS size
+          FROM events GROUP BY 1
+        ),
+        binned AS (
+          SELECT day, size,
+                 CAST(floor(coalesce(sum(size) OVER (
+                   ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) / 2000) AS BIGINT) AS bin
+          FROM files
+        )
+        SELECT bin, count(*) AS n_files,
+               CAST(sum(size) AS BIGINT) AS total_size,
+               strftime(min(day), '%Y-%m-%d') AS first_day,
+               strftime(max(day), '%Y-%m-%d') AS last_day
+        FROM binned GROUP BY bin ORDER BY bin
+    """,
     # round-trip identity: the JSON serialize/extract pipeline must
     # reproduce the raw columns exactly, so the oracle aggregates the
     # originals directly

@@ -157,6 +157,38 @@ def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     return curation.unigram_logprob(table(spark, sf, "documents"))
 
 
+def q_retrieval_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-T — retrieval EVALUATION over the BM25 ranking: precision@10
+    and recall@10 of the fixed-query top-10 against a deterministic
+    relevance set (documents containing ALL query terms — the
+    conjunctive-match labeling an offline eval harness would plant).
+    Everything is exact counts: |top10 ∩ rel| via one broadcast
+    semi-join, the corpus relevant count as a broadcast scalar; the two
+    ratios are single divisions. This is the eval loop you close after
+    changing any ranking component — metric drift is the regression
+    signal."""
+    import functools
+
+    docs = table(spark, sf, "documents")
+    top = similarity.bm25_search(docs, SEARCH_TERMS, k=10).select("id")
+    toks = text.tokens("text")
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [F.array_contains(toks, t) for t in SEARCH_TERMS],
+    )
+    rel = docs.filter(cond).select(F.col("doc_id").alias("id"))
+    n_rel = rel.agg(F.count(F.lit(1)).alias("n_rel"))
+    hits = top.join(rel, "id", "left_semi").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    return hits.crossJoin(F.broadcast(n_rel)).select(
+        "n_rel",
+        "hits",
+        text.round4(F.col("hits") / F.lit(10.0)).alias("precision_at_10"),
+        text.round4(F.col("hits") / F.col("n_rel")).alias("recall_at_10"),
+    )
+
+
 def q_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-Q — Zipf's-law fit of the corpus frequency spectrum: OLS of
     ln(tf) on ln(rank) over the top-200 vocabulary (a natural corpus
@@ -951,6 +983,48 @@ ORACLES: dict[str, str | None] = {
         SELECT doc_id, CAST(count(logp) AS BIGINT) AS n_tokens,
                floor(avg(logp) * 10000 + 0.5) / 10000 AS avg_logp
         FROM scored GROUP BY doc_id
+    """,
+    "q_retrieval_metrics": f"""
+        WITH toked AS (
+          SELECT doc_id AS id, {_TOKENS_SQL} AS toks FROM documents
+        ),
+        dl AS (SELECT id, len(toks) AS dl FROM toked),
+        stats AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 avg(len(toks)) AS avgdl
+          FROM toked
+        ),
+        fhits AS (
+          SELECT id, tok FROM (SELECT id, unnest(toks) AS tok FROM toked)
+          WHERE tok IN ({', '.join(f"'{t}'" for t in SEARCH_TERMS)})
+        ),
+        dft AS (SELECT tok, count(DISTINCT id) AS df FROM fhits GROUP BY tok),
+        tf AS (SELECT id, tok, count(*) AS tf FROM fhits GROUP BY id, tok),
+        scored AS (
+          SELECT id,
+                 floor(sum(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                   * (tf * (1.2 + 1))
+                     / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                 ) * 10000 + 0.5) / 10000 AS score
+          FROM tf JOIN dft USING (tok) JOIN dl USING (id), stats
+          GROUP BY id
+        ),
+        top AS (SELECT id FROM scored ORDER BY score DESC, id LIMIT 10),
+        rel AS (
+          SELECT id FROM toked
+          WHERE {' AND '.join(f"list_contains(toks, '{t}')" for t in SEARCH_TERMS)}
+        ),
+        m AS (
+          SELECT (SELECT count(*) FROM rel) AS n_rel,
+                 (SELECT count(*) FROM top WHERE id IN (SELECT id FROM rel))
+                   AS hits
+        )
+        SELECT n_rel, hits,
+               floor(hits / 10.0 * 10000 + 0.5) / 10000 AS precision_at_10,
+               floor(hits / CAST(n_rel AS DOUBLE) * 10000 + 0.5) / 10000
+                 AS recall_at_10
+        FROM m
     """,
     "q_zipf_fit": f"""
         WITH tok AS (
