@@ -129,6 +129,44 @@ def q_sessionize_stream_watermarked(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_sessionize_stream_native(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming — sessionization via Spark's NATIVE session_window in a
+    watermarked streaming aggregation (the built-in path next to the
+    applyInPandasWithState form of q_sessionize_stream_watermarked):
+    12h gap, 1h watermark delay, availableNow drain in append mode.
+    Append emits exactly the sessions whose close point (last event +
+    gap) is at or below the final watermark (ms-floored max event time
+    minus the delay) — the cutoff the oracle replicates; sessions still
+    open against the watermark are withheld, which is the correct
+    streaming answer, not a drain artifact. Output contract matches
+    q_sessionize (session_end = last event, epoch-µs)."""
+    import uuid
+
+    from data_wrangle_openstreetmaps_data_spark.streaming import events as se
+
+    name = f"natsess_{uuid.uuid4().hex[:8]}"
+    stream = se.stage_events_stream(spark, sf, "natsess")
+    agg = (
+        se.with_event_time(stream)
+        .withWatermark("event_time", "1 hour")
+        .groupBy(
+            "user_id",
+            F.session_window("event_time", "12 hours").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start"),
+            (F.unix_micros(F.col("w.end")) - F.lit(_SESSION_GAP_US)).alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )
+    se.run_to_memory(agg, name)
+    return spark.table(name)
+
+
 def q_streaming_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming — watermarked event-time windowed counts over a file-source
     stream of the events table, drained with availableNow — which is
@@ -441,6 +479,41 @@ ORACLES: dict[str, str | None] = {
     """,
     # availableNow drain is deterministic: emitted windows are exactly the
     # ones closed by the final watermark (we <= max(ts) - 1 day)
+    # native session_window append emission, engine-exact: a session is
+    # emitted iff its µs-precise close point (last event + gap) is <=
+    # the final watermark, which is the MS-FLOORED max event time minus
+    # the delay (left side NOT floored; both boundary behaviors pinned
+    # by tests/test_sessionize.py::test_native_session_window_boundaries).
+    # Islands use the >= boundary (session windows are end-exclusive:
+    # an event exactly at last+gap starts a NEW session).
+    "q_sessionize_stream_native": f"""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS tsn FROM events),
+        flagged AS (
+          SELECT user_id, tsn,
+                 CASE WHEN tsn - lag(tsn) OVER (
+                        PARTITION BY user_id ORDER BY tsn
+                      ) >= {_SESSION_GAP_US} THEN 1 ELSE 0 END AS new_sess
+          FROM e
+        ),
+        sess AS (
+          SELECT user_id, tsn,
+                 sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY tsn
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS sess_id
+          FROM flagged
+        ),
+        s AS (
+          SELECT user_id, min(tsn) AS session_start,
+                 max(tsn) AS session_end, count(*) AS n_events
+          FROM sess GROUP BY user_id, sess_id
+        ),
+        m AS (SELECT max(tsn) AS mx FROM e)
+        SELECT user_id, session_start, session_end, n_events
+        FROM s, m
+        WHERE session_end + {_SESSION_GAP_US}
+              <= (mx // 1000 - {_WM_US // 1000}) * 1000
+    """,
     "q_streaming_windowed_counts": """
         WITH m AS (SELECT max(ts) - INTERVAL 1 DAY AS wm FROM events)
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS ws,

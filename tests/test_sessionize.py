@@ -263,3 +263,50 @@ def test_watermarked_stream_equals_batch_plus_timeout_rule(spark, events_dir):
     # and the timeout rule genuinely added sessions beyond the advance set
     advance_only = {k for k in batch_all if k[1] < last_start[k[0]]}
     assert set(streamed) > advance_only
+
+
+def test_native_session_window_boundaries(spark, tmp_path):
+    """Pins the two boundary behaviors q_sessionize_stream_native's
+    oracle encodes: (1) a session whose µs close point (last+gap)
+    EQUALS the final watermark is emitted (non-strict <=); (2) a close
+    point 700 µs ABOVE the watermark is withheld (the close point is
+    NOT ms-floored before comparison; the watermark is)."""
+    from pyspark.sql import functions as F
+
+    gap_us = 43_200_000_000
+    delay_us = 3_600_000_000
+    t0 = 1_000_000_000_000
+
+    def drain(rows, name):
+        d = str(tmp_path / name)
+        spark.createDataFrame(rows, ["user_id", "ts"]).write.parquet(d)
+        stream = spark.readStream.schema(
+            spark.read.parquet(d).schema
+        ).parquet(d)
+        agg = (
+            stream.withColumn("event_time", F.timestamp_micros("ts"))
+            .withWatermark("event_time", "1 hour")
+            .groupBy(
+                "user_id",
+                F.session_window("event_time", "12 hours").alias("w"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r["user_id"] for r in spark.table(name).collect()}
+
+    # close == wm exactly → emitted
+    got = drain([(1, t0), (2, t0 + gap_us + delay_us)], "bdry_eq")
+    assert 1 in got
+    # close == wm + 700µs (sub-ms) → withheld
+    got = drain(
+        [(1, t0), (1, t0 + 700), (2, t0 + gap_us + delay_us)], "bdry_gt"
+    )
+    assert 1 not in got
