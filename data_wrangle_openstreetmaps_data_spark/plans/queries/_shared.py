@@ -51,6 +51,8 @@ __all__ = [
     "_dec_sum",
     "_fake_latlon",
     "_z_interleave",
+    "_hilbert_stage_sql",
+    "_hilbert_ctes_sql",
     "_SESSION_GAP_US",
     "_WM_US",
     "_STREET_SQL",
@@ -250,6 +252,44 @@ def _z_interleave(gx: str, gy: str, bits: int, div: str) -> str:
         terms.append(f"((({gx}) {div} {2**i}) % 2) * {2 ** (2 * i + 1)}")
         terms.append(f"((({gy}) {div} {2**i}) % 2) * {2 ** (2 * i)}")
     return " + ".join(terms)
+
+
+def _hilbert_stage_sql(s: int, x: str, y: str, d: str) -> dict[str, str]:
+    """One Hilbert xy→d stage (classic bit-level algorithm, Hamilton's
+    formulation) as portable SQL text — pure CASE/AND/arithmetic, no
+    dialect-specific XOR: the quadrant term (3·rx)⊕ry for rx,ry∈{0,1}
+    equals rx·(3−ry) + (1−rx)·ry. Returns the next-stage expressions
+    for d, x, y given this stage's bit s; chain the stages as
+    withColumn steps (Spark) or CTEs (DuckDB) so the expression tree
+    stays linear instead of 2^levels."""
+    rx = f"(CASE WHEN (({x}) & {s}) > 0 THEN 1 ELSE 0 END)"
+    ry = f"(CASE WHEN (({y}) & {s}) > 0 THEN 1 ELSE 0 END)"
+    return {
+        "d": f"({d}) + {s * s} * ({rx} * (3 - {ry}) + (1 - {rx}) * {ry})",
+        "x": (
+            f"(CASE WHEN {ry} = 1 THEN ({x}) "
+            f"WHEN {rx} = 0 THEN ({y}) ELSE {s - 1} - ({y}) END)"
+        ),
+        "y": (
+            f"(CASE WHEN {ry} = 1 THEN ({y}) "
+            f"WHEN {rx} = 0 THEN ({x}) ELSE {s - 1} - ({x}) END)"
+        ),
+    }
+
+
+def _hilbert_ctes_sql(bits: int, source: str) -> str:
+    """DuckDB CTE chain computing the Hilbert index ``h`` for columns
+    (gx, gy) of ``source`` (which must also expose gx0, gy0 passthrough
+    columns); ends with a CTE named h{bits} holding (gx0, gy0, h)."""
+    ctes = [f"h0 AS (SELECT gx0, gy0, gx AS x, gy AS y, 0 AS d FROM {source})"]
+    for i in range(bits):
+        s = 1 << (bits - 1 - i)
+        e = _hilbert_stage_sql(s, "x", "y", "d")
+        ctes.append(
+            f"h{i + 1} AS (SELECT gx0, gy0, {e['x']} AS x, {e['y']} AS y, "
+            f"{e['d']} AS d FROM h{i})"
+        )
+    return ",\n".join(ctes) + f",\nhil AS (SELECT gx0, gy0, d AS h FROM h{bits})"
 
 
 # ONE unit-safe constant: every gap/watermark in the events family derives

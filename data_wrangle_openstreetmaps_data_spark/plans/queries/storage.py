@@ -69,6 +69,47 @@ def q_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_hilbert_layout(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — Hilbert-curve layout key over the SAME 2-D grid as
+    q_zorder_layout: the space-filling curve with strictly better
+    locality than Morton order (every curve step is a unit grid step —
+    no Z-shaped jumps), which is why modern lakehouse layouts offer
+    HILBERT clustering next to ZORDER. The xy→d transform is the
+    classic 7-level bit algorithm unrolled into seven chained
+    projections (linear expression tree, all CASE/AND/arithmetic —
+    no dialect XOR), generated from the same per-stage text the DuckDB
+    oracle chains as CTEs, so both engines run literally identical
+    arithmetic. Output mirrors q_zorder_layout (per-bucket counts +
+    gx/gy spans) so the two layouts' locality is directly comparable."""
+    df = table(spark, sf, "events").select(
+        F.floor(F.col("value") / 5).cast("int").alias("gx0"),
+        (F.col("user_id") % 100).cast("int").alias("gy0"),
+    )
+    cur = df.select(
+        "gx0", "gy0",
+        F.col("gx0").alias("x"), F.col("gy0").alias("y"),
+        F.lit(0).alias("d"),
+    )
+    bits = 7
+    for i in range(bits):
+        s = 1 << (bits - 1 - i)
+        e = _hilbert_stage_sql(s, "x", "y", "d")
+        cur = cur.select(
+            "gx0", "gy0",
+            F.expr(e["x"]).alias("x"),
+            F.expr(e["y"]).alias("y"),
+            F.expr(e["d"]).alias("d"),
+        )
+    return (
+        cur.groupBy(F.expr("d div 64").alias("hbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (F.max("gx0") - F.min("gx0")).alias("gx_span"),
+            (F.max("gy0") - F.min("gy0")).alias("gy_span"),
+        )
+    )
+
+
 def q_cdc_merge(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — MERGE INTO / CDC-apply: upsert a deterministic change batch
     (status+price update for keys ≡0 mod 7, key-shifted inserts for keys
@@ -628,6 +669,20 @@ def q_column_stats_drift(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLES: dict[str, str | None] = {
+    "q_hilbert_layout": f"""
+        WITH src AS (
+          SELECT CAST(floor(value / 5) AS INT) AS gx0,
+                 CAST(user_id % 100 AS INT) AS gy0,
+                 CAST(floor(value / 5) AS INT) AS gx,
+                 CAST(user_id % 100 AS INT) AS gy
+          FROM events
+        ),
+        {_hilbert_ctes_sql(7, "src")}
+        SELECT CAST(h // 64 AS BIGINT) AS hbucket, count(*) AS cnt,
+               max(gx0) - min(gx0) AS gx_span,
+               max(gy0) - min(gy0) AS gy_span
+        FROM hil GROUP BY 1
+    """,
     "q_compaction_plan": """
         WITH files AS (
           SELECT CAST(ts AS DATE) AS day, count(*) AS size

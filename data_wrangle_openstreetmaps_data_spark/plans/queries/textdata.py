@@ -157,6 +157,51 @@ def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     return curation.unigram_logprob(table(spark, sf, "documents"))
 
 
+def q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-T — tokenizer-vocabulary coverage curve: what fraction of
+    all token OCCURRENCES the top-k vocabulary covers, at k ∈ {5, 10,
+    20, 50} — the truncation diagnostic you read before fixing a vocab
+    size (the OOV rate is 1 − coverage). Exact bigint cumulative sums
+    over the rank-ordered vocab (the window runs on the top-50 rows
+    only); the corpus total rides a broadcast scalar."""
+    from pyspark.sql import Window
+
+    ks = [5, 10, 20, 50]
+    docs = table(spark, sf, "documents")
+    tf = (
+        docs.select(F.explode(text.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    total = tf.agg(F.sum("tf").alias("total_tokens"))
+    top = tf.orderBy(F.desc("tf"), "tok").limit(max(ks))
+    w = Window.orderBy(F.desc("tf"), "tok")
+    ranked = top.select(
+        "tf",
+        F.row_number().over(w).alias("k"),
+    ).withColumn(
+        "cum_tokens",
+        F.sum("tf").over(
+            Window.orderBy("k").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("k").isin(ks))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            "cum_tokens",
+            "total_tokens",
+            text.round4(
+                F.col("cum_tokens") / F.col("total_tokens")
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )
+
+
 def q_retrieval_metrics(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-T — retrieval EVALUATION over the BM25 ranking: precision@10
     and recall@10 of the fixed-query top-10 against a deterministic
@@ -983,6 +1028,31 @@ ORACLES: dict[str, str | None] = {
         SELECT doc_id, CAST(count(logp) AS BIGINT) AS n_tokens,
                floor(avg(logp) * 10000 + 0.5) / 10000 AS avg_logp
         FROM scored GROUP BY doc_id
+    """,
+    "q_vocab_coverage": f"""
+        WITH tok AS (
+          SELECT unnest(toks) AS tok
+          FROM (SELECT {_TOKENS_SQL} AS toks FROM documents)
+        ),
+        tf AS (SELECT tok, count(*) AS tf FROM tok GROUP BY tok),
+        total AS (SELECT CAST(sum(tf) AS BIGINT) AS total_tokens FROM tf),
+        top AS (SELECT tok, tf FROM tf ORDER BY tf DESC, tok LIMIT 50),
+        ranked AS (
+          SELECT tf,
+                 CAST(row_number() OVER w AS INT) AS k,
+                 CAST(sum(tf) OVER (
+                   ORDER BY tf DESC, tok
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) AS cum_tokens
+          FROM top
+          WINDOW w AS (ORDER BY tf DESC, tok)
+        )
+        SELECT k, cum_tokens, total_tokens,
+               floor(cum_tokens / CAST(total_tokens AS DOUBLE)
+                     * 10000 + 0.5) / 10000 AS coverage
+        FROM ranked, total
+        WHERE k IN (5, 10, 20, 50)
+        ORDER BY k
     """,
     "q_retrieval_metrics": f"""
         WITH toked AS (

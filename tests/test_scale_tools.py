@@ -136,3 +136,32 @@ def test_every_nth_string_key_matches_global_window(spark):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_hilbert_curve_properties():
+    """The generated Hilbert SQL must be agenuine Hilbert curve: a bijection
+    from the 2^p × 2^p grid onto [0, 4^p) whose CONSECUTIVE indices are
+    unit grid steps — the defining locality property (Z-order fails
+    it). Checked exhaustively on the 16×16 grid via DuckDB using the
+    exact CTE text the oracle embeds."""
+    import duckdb
+
+    from data_wrangle_openstreetmaps_data_spark.plans.queries._shared import (
+        _hilbert_ctes_sql,
+    )
+
+    con = duckdb.connect()
+    sql = f"""
+        WITH src AS (
+          SELECT a.range AS gx0, b.range AS gy0,
+                 a.range AS gx, b.range AS gy
+          FROM range(16) a, range(16) b
+        ),
+        {_hilbert_ctes_sql(4, "src")}
+        SELECT gx0, gy0, h FROM hil ORDER BY h
+    """
+    rows = con.execute(sql).fetchall()
+    assert len(rows) == 256
+    assert [r[2] for r in rows] == list(range(256))  # bijection onto [0,4^p)
+    for (x1, y1, _), (x2, y2, _) in zip(rows, rows[1:]):
+        assert abs(x1 - x2) + abs(y1 - y2) == 1  # unit steps, always
