@@ -83,6 +83,16 @@ HEADLINE = [
     "q_welch_ttest",
     "q_negative_sampling",
     "q_readability",
+    # round-8 additions: PNG codec, bigram LM, containment, Hilbert
+    # layout, native session windows, drift audit, eval metrics
+    "q_media_decode_png",
+    "q_bigram_logprob",
+    "q_containment_join",
+    "q_hilbert_layout",
+    "q_session_window_native",
+    "q_column_stats_drift",
+    "q_retrieval_metrics",
+    "q_hll_merge",
 ]
 
 
