@@ -349,17 +349,22 @@ def main() -> None:
     # round-8: the embedding near-dup tier at 100× vectors (~500k, dim
     # 64) with planted near-dups — the semantic analog of the minhash
     # entry above. Candidate generation is the banded-SRP key-equality
-    # join; at 500k vectors the sf0.1 default of 4 sign bits/band would
-    # make 16 buckets own 31k vectors each (quadratic candidates), so
-    # scale means MORE rows_per_band: 16 bits → 65k buckets/band, ~7.6
-    # vectors each. A planted pair at cosine ≈ 0.9999 survives banding
-    # with p = 1-(1-(1-θ/π)^16)^8 ≈ 1-5e-11 — recall must be exact.
+    # join, and the sizing rule IS the scale lesson: random (cos≈0)
+    # pairs collide per band with probability 2^-r, so candidates ≈
+    # n²/2 · b · 2^-r — r must grow like log2(n²b/budget), not stay at
+    # the small-corpus default (r=4 → 31k vectors/bucket; even r=16
+    # leaves ~13M structural collisions at n=500k; measured 30.7M with
+    # hash-synthetic vectors). r=28 puts the expectation at ~4k pairs
+    # while a planted pair at cosine ≈ 0.9999 still survives banding
+    # with p = 1-(1-(1-θ/π)^31)^8 ≈ 1-1e-8 — recall must stay exact.
+    # (r=31 is the int32 bucket ceiling; measured: r=16 → 30.7M
+    # candidates, r=28 → 35k, r=31 → see STRESS_r08.json.)
     from data_wrangle_openstreetmaps_data_spark.operators.dedup import (
         _srp_bucketed_arrow,
         embedding_near_dup_pairs,
     )
 
-    e_dim, e_bands, e_rows = 64, 8, 16
+    e_dim, e_bands, e_rows = 64, 8, 31
     n_vecs = 500_000
     vgrp = F.when(
         F.col("vec_id") % 997 == 0, F.col("vec_id") + 1
