@@ -96,9 +96,21 @@ def q_containment_join(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-D2 — DIRECTED set-containment join at C >= 0.8: the
     asymmetric near-dup tier (a short document quoted inside a long one
     scores containment ≈ 1 where Jaccard is tiny). Ordered pairs, both
-    directions scored from one unordered inverted-index candidate pass."""
-    return dedup.containment_pairs(
+    directions scored from one unordered inverted-index candidate pass.
+
+    SCALE-GUARDED like q_ngram_jaccard: on duplicate-heavy corpora the
+    true qualifying-pair count is quadratic in cluster sizes (the sf1
+    ladder's exact-copy replication grows it ~100×), so the contract
+    bounds the OUTPUT to the top-100 by (containment desc, src, dst)
+    and surfaces the full count as an oracled total_pairs column."""
+    pairs = dedup.containment_pairs(
         table(spark, sf, "documents"), shingle_k=3, threshold=0.8
+    ).localCheckpoint(eager=True)  # two consumers (top-k + scalar count)
+    total = pairs.agg(F.count(F.lit(1)).alias("total_pairs"))
+    return (
+        pairs.orderBy(F.desc("containment"), "src", "dst")
+        .limit(100)
+        .crossJoin(F.broadcast(total))  # 1-row scalar, not a cartesian
     )
 
 
@@ -398,8 +410,13 @@ ORACLES: dict[str, str | None] = {
       SELECT id_b, id_a,
              floor(common / CAST(nb AS DOUBLE) * 10000 + 0.5) / 10000
       FROM j
+    ),
+    qual AS (
+      SELECT src, dst, containment FROM oriented WHERE containment >= 0.8
     )
-    SELECT src, dst, containment FROM oriented WHERE containment >= 0.8
+    SELECT src, dst, containment,
+           (SELECT count(*) FROM qual) AS total_pairs
+    FROM qual ORDER BY containment DESC, src, dst LIMIT 100
 """,
     "q_ngram_jaccard": rf"""
     WITH p AS ({_NGRAM_JACCARD_SQL})
