@@ -470,6 +470,38 @@ def q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_pseudonymize(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — keyed pseudonymization (the third leg of the privacy
+    battery next to k-anonymity and l-diversity): user ids are replaced
+    by a peppered-hash pseudonym (md5 of pepper||id, 16 hex chars) that
+    is CONSISTENT — the same user always maps to the same pseudonym, so
+    grouping, joining, and retention analyses still work on the
+    de-identified table, while the raw id never leaves the projection.
+    Output proves referential consistency: top-20 pseudonyms by event
+    count with the count and distinct-type count — identical to the
+    per-user numbers under the hash rename. Pure scan-side expression,
+    no extra shuffle beyond the aggregate."""
+    ev = table(spark, sf, "events")
+    pid = F.substring(
+        F.md5(
+            F.concat(F.lit("pepper-2026|"), F.col("user_id").cast("string"))
+            .cast("binary")
+        ),
+        1,
+        16,
+    )
+    return (
+        ev.select(pid.alias("pid"), "event_type")
+        .groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .orderBy(F.desc("n_events"), "pid")
+        .limit(20)
+    )
+
+
 def q_l_diversity(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — the attribute-disclosure companion to q_k_anonymity:
     l-diversity requires every quasi-identifier group to contain ≥ l
@@ -989,6 +1021,15 @@ ORACLES: dict[str, str | None] = {
                floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                      * 10000 + 0.5) / 10000 AS val_sum
         FROM e GROUP BY GROUPING SETS ((event_type), (cohort), ())
+    """,
+    "q_pseudonymize": """
+        SELECT substr(md5('pepper-2026|' || CAST(user_id AS VARCHAR)),
+                      1, 16) AS pid,
+               count(*) AS n_events,
+               count(DISTINCT event_type) AS n_types
+        FROM events
+        GROUP BY pid
+        ORDER BY n_events DESC, pid LIMIT 20
     """,
     "q_grouping_sets_ranked": """
         WITH e AS (

@@ -608,6 +608,46 @@ def q_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_variant_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — the OPEN VARIANT type (Spark 4): JSON documents parsed
+    into the binary variant encoding once (parse_json), then fields
+    extracted with typed JSONPath (try_variant_get) — the
+    shredding-friendly semi-structured path that replaces
+    string-re-parsing per extraction. The oracle asserts round-trip
+    identity against the raw columns, so a variant codec that mangles
+    a type or loses a nested field cannot hash-match. Distinct from
+    q_json_roundtrip (string get_json_object / from_json): this is the
+    columnar-binary path a 100 TB semi-structured table would store."""
+    o = table(spark, sf, "orders")
+    j = o.select(
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderpriority").alias("pr"),
+                F.struct(F.col("o_totalprice").alias("p")).alias("nest"),
+            )
+        ).alias("doc")
+    )
+    v = j.select(F.parse_json("doc").alias("v"))
+    parsed = v.select(
+        F.try_variant_get("v", "$.pr", "string").alias("priority"),
+        F.try_variant_get("v", "$.k", "bigint").alias("k"),
+        F.try_variant_get("v", "$.nest.p", "double").alias("p"),
+    )
+    return (
+        parsed.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+            text.round4(
+                F.sum(F.col("p").cast("decimal(20,6)")).cast("double")
+            ).alias("price_sum"),
+        )
+        .orderBy("priority")
+    )
+
+
 def q_column_stats_drift(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — schema/statistics drift audit between two table versions:
     per-column profile (row count, min/max, decimal-exact sum, mean) of
@@ -682,6 +722,16 @@ ORACLES: dict[str, str | None] = {
                max(gx0) - min(gx0) AS gx_span,
                max(gy0) - min(gy0) AS gy_span
         FROM hil GROUP BY 1
+    """,
+    # variant round-trip identity (see q_json_roundtrip's twin comment)
+    "q_variant_extract": """
+        SELECT o_orderpriority AS priority,
+               count(*) AS n,
+               CAST(min(o_orderkey) AS BIGINT) AS min_key,
+               CAST(max(o_orderkey) AS BIGINT) AS max_key,
+               floor(CAST(sum(CAST(o_totalprice AS DECIMAL(20,6)))
+                          AS DOUBLE) * 10000 + 0.5) / 10000 AS price_sum
+        FROM orders GROUP BY priority ORDER BY priority
     """,
     "q_compaction_plan": """
         WITH files AS (

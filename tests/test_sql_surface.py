@@ -392,3 +392,25 @@ def test_grouping_sets_window_combo_in_pure_sql(spark):
                             ORDER BY cnt DESC, event_type, cohort) AS rnk
         FROM g
     """)
+
+
+def test_lateral_join_in_pure_sql(spark):
+    """Correlated LATERAL subquery with per-group ORDER BY + LIMIT —
+    the SQL-standard alternative spelling of top-k-per-group — must
+    match the window-function DataFrame form exactly."""
+    register_views(spark, SF_SMALL)
+    _assert_sql_matches(spark, "q_topk_per_group", """
+        WITH counted AS (
+          SELECT l_returnflag, l_linestatus, count(*) AS cnt
+          FROM lineitem GROUP BY 1, 2
+        ), grps AS (SELECT DISTINCT l_returnflag FROM counted)
+        SELECT t.l_returnflag, t.l_linestatus, t.cnt, CAST(t.rn AS INT) AS rn
+        FROM grps g,
+        LATERAL (
+          SELECT c.l_returnflag, c.l_linestatus, c.cnt,
+                 row_number() OVER (ORDER BY c.cnt DESC, c.l_linestatus)
+                   AS rn
+          FROM counted c WHERE c.l_returnflag = g.l_returnflag
+          ORDER BY c.cnt DESC, c.l_linestatus LIMIT 2
+        ) t
+    """)
