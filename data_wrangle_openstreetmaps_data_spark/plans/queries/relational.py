@@ -470,6 +470,93 @@ def q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_functional_dependency(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — functional-dependency discovery (the schema-profiling
+    primitive): for candidate FDs A → B, count the violating LHS values
+    (those determining > 1 distinct RHS) and the violation share.
+    Checked here: o_custkey → o_orderpriority (should fail — customers
+    order at many priorities) and o_orderkey → o_orderstatus (must
+    hold — key determines everything). Each FD is ONE
+    distinct+group-count pass over its column pair; at 100 TB you run
+    the candidate lattice level-wise with exactly this shape per
+    candidate. Exact counts only."""
+    o = table(spark, sf, "orders")
+
+    def fd(lhs: str, rhs: str) -> DataFrame:
+        per = (
+            o.select(lhs, rhs)
+            .distinct()
+            .groupBy(lhs)
+            .agg(F.count(F.lit(1)).alias("n_rhs"))
+        )
+        return per.agg(
+            F.lit(f"{lhs} -> {rhs}").alias("fd"),
+            F.count(F.lit(1)).alias("n_lhs"),
+            F.count(F.when(F.col("n_rhs") > 1, F.lit(1))).alias(
+                "n_violating"
+            ),
+            text.round4(
+                F.count(F.when(F.col("n_rhs") > 1, F.lit(1)))
+                / F.count(F.lit(1))
+            ).alias("violation_share"),
+        )
+    return (
+        fd("o_custkey", "o_orderpriority")
+        .unionByName(fd("o_orderkey", "o_orderstatus"))
+        .orderBy("fd")
+    )
+
+
+def q_change_point(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — single change-point detection (AMOC) on the daily event
+    count series per type: the split day t maximizing the between-
+    segment score n1·n2/(n1+n2)·(mean1 − mean2)², i.e. the strongest
+    mean shift. Prefix sums over the day-aggregated frame (calendar-
+    bounded) give every split's segment sums in one window pass; the
+    argmax is a deterministic struct-max (score 4dp-floored, day
+    tiebreak). Exact bigint sums; doubles only at the two means and the
+    final score — the classic offline changepoint screen you run per
+    key over a 100 TB log after one daily aggregate."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(catalog.event_ts(ev)).alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    tot = Window.partitionBy("event_type")
+    d = daily.select(
+        "event_type",
+        "day",
+        F.sum("y").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("s1"),
+        F.row_number().over(w).alias("n1"),
+        F.sum("y").over(tot).alias("st"),
+        F.count(F.lit(1)).over(tot).alias("nt"),
+    ).filter(F.col("n1") < F.col("nt"))  # split AFTER day, both sides non-empty
+    n1 = F.col("n1").cast("double")
+    n2 = (F.col("nt") - F.col("n1")).cast("double")
+    m1 = F.col("s1") / n1
+    m2 = (F.col("st") - F.col("s1")) / n2
+    score = text.round4(
+        n1 * n2 / (n1 + n2) * (m1 - m2) * (m1 - m2)
+    )
+    scored = d.select(
+        "event_type",
+        F.struct(
+            score.alias("score"),
+            F.date_format("day", "yyyy-MM-dd").alias("split_day"),
+        ).alias("cand"),
+    )
+    best = scored.groupBy("event_type").agg(F.max("cand").alias("b"))
+    return best.select(
+        "event_type",
+        F.col("b.split_day").alias("split_day"),
+        F.col("b.score").alias("score"),
+    ).orderBy("event_type")
+
+
 def q_pseudonymize(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — keyed pseudonymization (the third leg of the privacy
     battery next to k-anonymity and l-diversity): user ids are replaced
@@ -1021,6 +1108,72 @@ ORACLES: dict[str, str | None] = {
                floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                      * 10000 + 0.5) / 10000 AS val_sum
         FROM e GROUP BY GROUPING SETS ((event_type), (cohort), ())
+    """,
+    "q_functional_dependency": """
+        WITH v1 AS (
+          SELECT o_custkey AS lhs, count(*) AS n_rhs
+          FROM (SELECT DISTINCT o_custkey, o_orderpriority FROM orders)
+          GROUP BY 1
+        ),
+        v2 AS (
+          SELECT o_orderkey AS lhs, count(*) AS n_rhs
+          FROM (SELECT DISTINCT o_orderkey, o_orderstatus FROM orders)
+          GROUP BY 1
+        ),
+        f AS (
+          SELECT 'o_custkey -> o_orderpriority' AS fd,
+                 count(*) AS n_lhs,
+                 count(CASE WHEN n_rhs > 1 THEN 1 END) AS n_violating,
+                 floor(count(CASE WHEN n_rhs > 1 THEN 1 END)
+                       / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000
+                   AS violation_share
+          FROM v1
+          UNION ALL
+          SELECT 'o_orderkey -> o_orderstatus',
+                 count(*),
+                 count(CASE WHEN n_rhs > 1 THEN 1 END),
+                 floor(count(CASE WHEN n_rhs > 1 THEN 1 END)
+                       / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000
+          FROM v2
+        )
+        SELECT fd, n_lhs, n_violating, violation_share FROM f ORDER BY fd
+    """,
+    "q_change_point": """
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+          FROM events GROUP BY 1, 2
+        ),
+        pre AS (
+          SELECT event_type, day,
+                 sum(y) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS s1,
+                 row_number() OVER (PARTITION BY event_type ORDER BY day)
+                   AS n1,
+                 sum(y) OVER (PARTITION BY event_type) AS st,
+                 count(*) OVER (PARTITION BY event_type) AS nt
+          FROM daily
+        ),
+        cand AS (
+          SELECT event_type,
+                 strftime(day, '%Y-%m-%d') AS split_day,
+                 floor(
+                   CAST(n1 AS DOUBLE) * CAST(nt - n1 AS DOUBLE)
+                     / (CAST(n1 AS DOUBLE) + CAST(nt - n1 AS DOUBLE))
+                     * (s1 / CAST(n1 AS DOUBLE)
+                        - (st - s1) / CAST(nt - n1 AS DOUBLE))
+                     * (s1 / CAST(n1 AS DOUBLE)
+                        - (st - s1) / CAST(nt - n1 AS DOUBLE))
+                   * 10000 + 0.5) / 10000 AS score
+          FROM pre WHERE n1 < nt
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY event_type ORDER BY score DESC, split_day DESC
+          ) AS r
+          FROM cand
+        )
+        SELECT event_type, split_day, score FROM ranked
+        WHERE r = 1 ORDER BY event_type
     """,
     "q_pseudonymize": """
         SELECT substr(md5('pepper-2026|' || CAST(user_id AS VARCHAR)),
