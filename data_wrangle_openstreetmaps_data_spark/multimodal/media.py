@@ -622,6 +622,44 @@ def resize_bmp(blob: bytes, out_w: int, out_h: int) -> bytes:
     return header + b"".join(rows)
 
 
+WAV_SAMPLES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("samples", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def decode_wav_samples(df: DataFrame) -> DataFrame:
+    """REAL audio decode to the raw sample array (doc_id, samples):
+    the Arrow kernel that feeds relational signal processing (e.g. the
+    DFT query) — blob bytes cross the boundary once, the samples array
+    is bounded by the clip length."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
+                    n_ch, sampwidth, n_frames = (
+                        w.getnchannels(), w.getsampwidth(), w.getnframes()
+                    )
+                    if sampwidth != 2 or n_ch != 1:
+                        raise ValueError(
+                            f"unsupported WAV layout ch={n_ch} "
+                            f"width={sampwidth}"
+                        )
+                    raw = w.readframes(n_frames)
+                rows.append(
+                    (doc_id, list(struct.unpack(f"<{n_frames}h", raw)))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "samples"])
+
+    return df.select("doc_id", "media").mapInPandas(
+        kernel, WAV_SAMPLES_SCHEMA
+    )
+
+
 def resize_png(blob: bytes, out_w: int, out_h: int) -> bytes:
     """REAL PNG resize: decode (unfilter + inflate), nearest-neighbor
     resample with the same NN mapping as resize_bmp, re-encode as a

@@ -196,7 +196,79 @@ def q_media_resample_wav(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_audio_dft(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-M — relational signal processing on REAL decoded audio: the
+    magnitude of DFT bins k=1..3 over each WAV's samples, computed
+    entirely in higher-order column expressions (zip_with + aggregate)
+    over the decoded sample array. Float-sum order never arises: each
+    term s_n·cos(2πkn/N) is floored onto an exact 1e-6 grid integer
+    (both engines run the IDENTICAL expression text, same left-assoc
+    multiplication order, same pi()), summed as exact bigints, and only
+    the final sqrt touches the accumulated doubles. The oracle never
+    decodes — it regenerates the samples from the fixture's closed form
+    (s_n = base−500+13n), so the REAL wave-codec decode is implicitly
+    re-verified sample-for-sample by every hash match."""
+    from data_wrangle_openstreetmaps_data_spark.multimodal import media
+
+    docs = table(spark, sf, "documents").select("doc_id")
+    samples = media.decode_wav_samples(
+        media.synthesize_media(docs, "wav")
+    )
+
+    def fold(k: int, fn: str) -> F.Column:
+        return F.expr(
+            f"aggregate(zip_with(samples, "
+            f"sequence(0, size(samples) - 1), (s, i) -> "
+            f"CAST(floor(s * {fn}(2 * pi() * {k} * i / size(samples)) "
+            f"* 1000000 + 0.5) AS BIGINT)), "
+            f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+
+    out = samples.select(
+        "doc_id",
+        F.size("samples").alias("n_samples"),
+        *[
+            text.round4(
+                F.sqrt(
+                    F.pow(fold(k, "cos") / F.lit(1e6), F.lit(2.0))
+                    + F.pow(fold(k, "sin") / F.lit(1e6), F.lit(2.0))
+                )
+            ).alias(f"mag{k}")
+            for k in (1, 2, 3)
+        ],
+    )
+    return out
+
+
+def _dft_term_sql(k: int, fn: str) -> str:
+    return (
+        f"list_transform(range(0, n), j -> CAST(floor((s0 + 13 * j) * "
+        f"{fn}(2 * pi() * {k} * j / n) * 1000000 + 0.5) AS BIGINT))"
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    # closed-form DFT: samples regenerated from the WAV fixture's
+    # arithmetic series; identical grid-integer term expression
+    "q_audio_dft": f"""
+        WITH p AS (
+          SELECT doc_id,
+                 16 + doc_id % 17 AS n,
+                 doc_id % 1000 - 500 AS s0
+          FROM documents
+        )
+        SELECT doc_id, CAST(n AS INT) AS n_samples,
+               {', '.join(
+                   "floor(sqrt("
+                   f"pow(CAST(list_sum({_dft_term_sql(k, 'cos')}) AS DOUBLE)"
+                   " / 1e6, 2.0) + "
+                   f"pow(CAST(list_sum({_dft_term_sql(k, 'sin')}) AS DOUBLE)"
+                   " / 1e6, 2.0)"
+                   f") * 10000 + 0.5) / 10000 AS mag{k}"
+                   for k in (1, 2, 3)
+               )}
+        FROM p
+    """,
     # decimation oracle: surviving samples are s0 + 26j for
     # j in [0, ceil(n/2)) — arithmetic series again
     "q_media_resample_wav": """
