@@ -660,6 +660,65 @@ def decode_wav_samples(df: DataFrame) -> DataFrame:
     )
 
 
+PIXELS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("channel", T.StringType()),
+        T.StructField("values", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def decode_image_channels(df: DataFrame) -> DataFrame:
+    """REAL image decode to per-channel pixel-value arrays
+    (doc_id, channel r|g|b, values): the Arrow kernel feeding
+    relational image analytics (histograms, channel stats). Dispatches
+    on fmt (bmp/png); arrays are bounded by the image size."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, fmt, blob in zip(
+                pdf["doc_id"], pdf["fmt"], pdf["media"]
+            ):
+                b = bytes(blob)
+                if fmt == "png":
+                    w, h, px_rows = _decode_png_pixels(b)
+                    rgb = [
+                        [row[3 * x + c] for row in px_rows
+                         for x in range(w)]
+                        for c in range(3)
+                    ]
+                    chans = {"r": rgb[0], "g": rgb[1], "b": rgb[2]}
+                elif fmt == "bmp":
+                    # reuse the BMP pixel reader via resize-free walk
+                    (pixel_off,) = struct.unpack_from("<I", b, 10)
+                    _, w, h = struct.unpack_from("<Iii", b, 14)
+                    bottom_up = h > 0
+                    h = abs(h)
+                    stride = (3 * w + 3) // 4 * 4
+                    blue, green, red = [], [], []
+                    for y in range(h):
+                        src = (h - 1 - y) if bottom_up else y
+                        off = pixel_off + src * stride
+                        for x in range(w):
+                            blue.append(b[off + 3 * x])
+                            green.append(b[off + 3 * x + 1])
+                            red.append(b[off + 3 * x + 2])
+                    chans = {"r": red, "g": green, "b": blue}
+                else:
+                    raise NotImplementedError(
+                        f"decode_image_channels supports bmp|png, got {fmt!r}"
+                    )
+                for ch, vals in chans.items():
+                    rows.append((doc_id, ch, vals))
+            yield pd.DataFrame(rows, columns=["doc_id", "channel", "values"])
+
+    return df.select("doc_id", "fmt", "media").mapInPandas(
+        kernel, PIXELS_SCHEMA
+    )
+
+
 def resize_png(blob: bytes, out_w: int, out_h: int) -> bytes:
     """REAL PNG resize: decode (unfilter + inflate), nearest-neighbor
     resample with the same NN mapping as resize_bmp, re-encode as a

@@ -196,6 +196,33 @@ def q_media_resample_wav(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_image_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-M — corpus-level image analytics on REAL decoded pixels:
+    per-channel intensity histogram (16 buckets of width 16) across
+    every synthesized PNG, decoded executor-side (inflate + unfilter)
+    by the Arrow channel kernel and folded with one hash aggregate —
+    exact integer counts, the standard brightness/exposure audit of an
+    image-corpus ingest. The oracle regenerates every pixel from the
+    fixture's closed form on a generated (x, y) grid, so each hash
+    match re-verifies the real PNG decode pixel-for-pixel."""
+    from data_wrangle_openstreetmaps_data_spark.multimodal import media
+
+    docs = table(spark, sf, "documents").select("doc_id")
+    chans = media.decode_image_channels(
+        media.synthesize_media(docs, "png")
+    )
+    return (
+        chans.select(
+            "channel", F.explode("values").alias("v")
+        )
+        .groupBy(
+            "channel", F.expr("v div 16").cast("int").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("channel", "bucket")
+    )
+
+
 def q_audio_dft(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-M — relational signal processing on REAL decoded audio: the
     magnitude of DFT bins k=1..3 over each WAV's samples, computed
@@ -248,6 +275,32 @@ def _dft_term_sql(k: int, fn: str) -> str:
 
 
 ORACLES: dict[str, str | None] = {
+    # closed-form pixel regeneration on a generated (x, y) grid —
+    # the same channel formulas the PNG fixture encodes
+    "q_image_histogram": """
+        WITH p AS (
+          SELECT doc_id,
+                 3 + doc_id % 7 AS w,
+                 2 + doc_id % 5 AS h,
+                 doc_id % 100 AS base
+          FROM documents
+        ),
+        d1 AS (SELECT doc_id, w, h, base, unnest(range(w)) AS x FROM p),
+        d2 AS (SELECT doc_id, base, x, unnest(range(h)) AS y FROM d1),
+        px AS (
+          SELECT (base + x * y) % 256 AS r,
+                 (2 * base + x) % 256 AS g,
+                 (base + x + y) % 256 AS b
+          FROM d2
+        ),
+        long AS (
+          SELECT 'r' AS channel, r AS v FROM px
+          UNION ALL SELECT 'g', g FROM px
+          UNION ALL SELECT 'b', b FROM px
+        )
+        SELECT channel, CAST(v // 16 AS INT) AS bucket, count(*) AS cnt
+        FROM long GROUP BY 1, 2 ORDER BY channel, bucket
+    """,
     # closed-form DFT: samples regenerated from the WAV fixture's
     # arithmetic series; identical grid-integer term expression
     "q_audio_dft": f"""

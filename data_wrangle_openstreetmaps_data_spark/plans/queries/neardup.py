@@ -114,6 +114,61 @@ def q_containment_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_minhash_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D2 — sketch-accuracy EVALUATION: for every true near-dup
+    pair (exact trigram Jaccard >= 0.2), the MinHash estimate
+    (matching signature positions / 16) next to the exact value and
+    the absolute error — the calibration read you take before trusting
+    a banding config on a new corpus. Uses the PORTABLE md5 shingle
+    hash (not xxhash64) so the 16 permutation minima are value-oracled
+    in SQL with the (a_j, b_j) constants inlined from the same
+    md5-seeded parameter derivation."""
+    from data_wrangle_openstreetmaps_data_spark.functions.text import (
+        shingle_table,
+    )
+    from data_wrangle_openstreetmaps_data_spark.operators.dedup import (
+        _MINHASH_P,
+        _minhash_params,
+        portable_token_hash,
+    )
+
+    docs = table(spark, sf, "documents")
+    sh = (
+        shingle_table(docs, "text", "doc_id", 3)
+        .select(
+            "id", F.pmod(portable_token_hash(F.col("shingle")), F.lit(_MINHASH_P)).alias("h")
+        )
+        .distinct()
+    )
+    mins = [
+        F.min((F.col("h") * a + b) % _MINHASH_P).alias(f"m{j}")
+        for j, (a, b) in enumerate(_minhash_params(16))
+    ]
+    sig = sh.groupBy("id").agg(*mins).select(
+        "id", F.array(*[F.col(f"m{j}") for j in range(16)]).alias("sig")
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, shingle_k=3, threshold=0.2
+    )
+    j = (
+        pairs.join(sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sa")), "id_a")
+        .join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sb")), "id_b")
+    )
+    matches = F.aggregate(
+        F.zip_with("sa", "sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    est = text.round4(matches / F.lit(16.0))
+    return j.select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        est.alias("mh_est"),
+        text.round4(F.abs(est - F.col("jaccard"))).alias("abs_err"),
+    )
+
+
 def q_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-D — duplicate detection at sub-document granularity:
     non-overlapping 16-token windows fingerprinted and counted across the
@@ -375,6 +430,65 @@ ORACLES: dict[str, str | None] = {
         SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         FROM documents GROUP BY {_NORM_TEXT_SQL}
     """,
+    "q_minhash_accuracy": rf"""
+    WITH toked AS (
+      SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    shingled AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3 THEN
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> array_to_string(toks[i:i+2], ' ')))
+             ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM toked
+    ),
+    exploded AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+    hs AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h
+      FROM exploded
+    ),
+    sig AS (
+      SELECT doc_id,
+             {', '.join(
+                 f"min((h * {a} + {b}) % 2147483647) AS m{j}"
+                 for j, (a, b) in enumerate(dedup._minhash_params(16))
+             )}
+      FROM hs GROUP BY doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM exploded GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM exploded a JOIN exploded b
+        ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jpairs AS (
+      SELECT id_a, id_b,
+             floor(common / (sa.n + sb.n - common) * 10000 + 0.5) / 10000
+               AS jaccard
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE floor(common / (sa.n + sb.n - common) * 10000 + 0.5) / 10000
+            >= 0.2
+    ),
+    m AS (
+      SELECT id_a, id_b, jaccard,
+             ({' + '.join(
+                 f"CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END"
+                 for j in range(16)
+             )}) AS matches
+      FROM jpairs
+      JOIN sig a ON a.doc_id = id_a
+      JOIN sig b ON b.doc_id = id_b
+    )
+    SELECT id_a, id_b, jaccard,
+           floor(matches / 16.0 * 10000 + 0.5) / 10000 AS mh_est,
+           floor(abs(floor(matches / 16.0 * 10000 + 0.5) / 10000 - jaccard)
+                 * 10000 + 0.5) / 10000 AS abs_err
+    FROM m
+""",
     "q_containment_join": rf"""
     WITH toked AS (
       SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents

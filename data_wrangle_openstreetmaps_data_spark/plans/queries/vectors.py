@@ -115,6 +115,56 @@ def q_ann_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
     return idx.query(list(qvec), k=10, probes=2)
 
 
+def q_knn_classify(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-S — k-NN classification by majority vote: each of the 10
+    query vectors takes the modal label of its 3 nearest labeled
+    neighbors by exact cosine (labels synthesized as vec_id % 5 — the
+    weak-supervision/label-propagation shape). The 10-row query side is
+    a DOCUMENTED bounded broadcast product (like the fuzzy-match
+    candidate grid), so the 'all pairs' here is 10·n cosines, linear
+    in the corpus; at real scale the candidate stage swaps in the ANN
+    index (AnnIndex/IVF) with this exact same vote tail. Cosines are
+    4dp-floored before ranking, neighbor and label ties break on id —
+    fully deterministic, value-oracled."""
+    from pyspark.sql import Window
+
+    from data_wrangle_openstreetmaps_data_spark.functions.vectors import (
+        cosine,
+    )
+
+    emb = table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    labeled = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("nv"),
+        (F.col("vec_id") % 5).alias("label"),
+    )
+    pairs = labeled.crossJoin(F.broadcast(queries)).select(
+        "qid", "nid", "label",
+        text.round4(cosine(F.col("nv"), F.col("qv"))).alias("sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "nid")
+    top = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 3
+    )
+    votes = top.groupBy("qid", "label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    wv = Window.partitionBy("qid").orderBy(F.desc("votes"), "label")
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("label").alias("pred_label"),
+            "votes",
+        )
+        .orderBy("vec_id")
+    )
+
+
 def q_embedding_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-S — bucketed approximate k-NN self-join over the embeddings
     table (embedding-cosine near-dup). Approximate → rows-only check;
@@ -215,6 +265,38 @@ def q_random_projection(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLES: dict[str, str | None] = {
+    "q_knn_classify": f"""
+        WITH q AS (
+          SELECT vec_id AS qid, embedding AS qv FROM embeddings
+          WHERE vec_id < 10
+        ),
+        l AS (
+          SELECT vec_id AS nid, embedding AS nv, vec_id % 5 AS label
+          FROM embeddings WHERE vec_id >= 10
+        ),
+        p AS (
+          SELECT qid, nid, label,
+                 floor(({_COSINE_SQL.format(a='nv', b='qv')})
+                       * 10000 + 0.5) / 10000 AS sim
+          FROM l, q
+        ),
+        r AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY sim DESC, nid
+          ) AS rn FROM p
+        ),
+        v AS (
+          SELECT qid, label, count(*) AS votes FROM r
+          WHERE rn <= 3 GROUP BY 1, 2
+        ),
+        f AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY votes DESC, label
+          ) AS vr FROM v
+        )
+        SELECT qid AS vec_id, label AS pred_label, votes
+        FROM f WHERE vr = 1 ORDER BY vec_id
+    """,
     "q_random_projection": """
         WITH ex AS (
           SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
