@@ -730,6 +730,57 @@ def q_interval_overlap_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_interval_union(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — interval COALESCE (union of overlapping intervals): each
+    user's hourly activity spans are merged wherever they overlap or
+    touch, the interval-algebra complement of the overlap JOIN. Islands
+    form where an interval starts beyond the running max end of all
+    prior intervals (lag-of-running-max window — one user-keyed pass,
+    no self-join); output is the per-user audit (input intervals,
+    merged intervals, exact covered µs). This is how you compute true
+    coverage time from overlapping validity windows at 100 TB: the
+    window partitions by the entity key, state is one running max."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    hour_us = 3_600_000_000
+    e = ev.select("user_id", catalog.event_ts_us(ev).alias("tsn"))
+    spans = e.groupBy(
+        "user_id", F.floor(F.col("tsn") / hour_us).alias("hr")
+    ).agg(
+        F.min("tsn").alias("lo"),
+        (F.max("tsn") + F.lit(1)).alias("hi"),  # half-open [lo, hi)
+    )
+    w = Window.partitionBy("user_id").orderBy("lo", "hi")
+    prev_max = F.max("hi").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = spans.withColumn(
+        "new_island",
+        F.when(
+            prev_max.isNull() | (F.col("lo") > prev_max), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("n_in"),
+        F.min("lo").alias("mlo"),
+        F.max("hi").alias("mhi"),
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.sum("n_in").alias("n_intervals"),
+            F.count(F.lit(1)).alias("n_merged"),
+            F.sum(F.col("mhi") - F.col("mlo")).alias("covered_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_autocorrelation(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — lag-1 autocorrelation of the daily event-count series per
     type (the seasonality/burstiness diagnostic next to
@@ -977,6 +1028,44 @@ ORACLES: dict[str, str | None] = {
                      / CAST(n_days * sxx - sx * sx AS DOUBLE)
                      * 10000 + 0.5) / 10000 AS intercept
         FROM s ORDER BY event_type
+    """,
+    "q_interval_union": """
+        WITH e AS (SELECT user_id, epoch_us(ts) AS tsn FROM events),
+        spans AS (
+          SELECT user_id, min(tsn) AS lo, max(tsn) + 1 AS hi
+          FROM e GROUP BY user_id, tsn // 3600000000
+        ),
+        flagged AS (
+          SELECT user_id, lo, hi,
+                 CASE WHEN max(hi) OVER (
+                        PARTITION BY user_id ORDER BY lo, hi
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      ) IS NULL
+                      OR lo > max(hi) OVER (
+                        PARTITION BY user_id ORDER BY lo, hi
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      )
+                      THEN 1 ELSE 0 END AS new_island
+          FROM spans
+        ),
+        islands AS (
+          SELECT user_id, lo, hi,
+                 sum(new_island) OVER (
+                   PARTITION BY user_id ORDER BY lo, hi
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS island
+          FROM flagged
+        ),
+        merged AS (
+          SELECT user_id, island, count(*) AS n_in,
+                 min(lo) AS mlo, max(hi) AS mhi
+          FROM islands GROUP BY user_id, island
+        )
+        SELECT user_id,
+               CAST(sum(n_in) AS BIGINT) AS n_intervals,
+               count(*) AS n_merged,
+               CAST(sum(mhi - mlo) AS BIGINT) AS covered_us
+        FROM merged GROUP BY user_id ORDER BY user_id
     """,
     "q_theil_sen": """
         WITH daily AS (

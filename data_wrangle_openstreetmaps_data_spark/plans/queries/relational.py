@@ -470,6 +470,41 @@ def q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_join_skew_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — pre-join key-skew diagnostics for the lineitem join key:
+    distinct keys, max key frequency, the top-5 keys' share of all
+    rows, and the p99/median frequency ratio — the numbers that decide
+    between a plain shuffle join, AQE skew splitting, and salting
+    BEFORE you pay for the join at 100 TB. One group-count over the key
+    (map-side combined), then scalar aggregates over the |keys|-sized
+    frequency frame; the top-5 is a distributed TakeOrdered."""
+    li = table(spark, sf, "lineitem")
+    freq = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("f"))
+    top5 = (
+        freq.orderBy(F.desc("f"), "l_orderkey")
+        .limit(5)
+        .agg(F.sum("f").alias("top5_rows"))
+    )
+    stats = freq.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("f").alias("n_rows"),
+        F.max("f").alias("max_freq"),
+        F.expr("percentile(f, 0.5)").alias("_p50"),
+        F.expr("percentile(f, 0.99)").alias("_p99"),
+    )
+    return stats.crossJoin(F.broadcast(top5)).select(
+        "n_keys",
+        "n_rows",
+        "max_freq",
+        text.round4(F.col("top5_rows") / F.col("n_rows")).alias(
+            "top5_share"
+        ),
+        text.round4(F.col("_p99") / F.col("_p50")).alias(
+            "p99_over_median"
+        ),
+    )
+
+
 def q_functional_dependency(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — functional-dependency discovery (the schema-profiling
     primitive): for candidate FDs A → B, count the violating LHS values
@@ -1108,6 +1143,28 @@ ORACLES: dict[str, str | None] = {
                floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                      * 10000 + 0.5) / 10000 AS val_sum
         FROM e GROUP BY GROUPING SETS ((event_type), (cohort), ())
+    """,
+    "q_join_skew_metrics": """
+        WITH freq AS (
+          SELECT l_orderkey, count(*) AS f FROM lineitem GROUP BY 1
+        ),
+        t5 AS (
+          SELECT CAST(sum(f) AS BIGINT) AS top5_rows
+          FROM (SELECT f FROM freq ORDER BY f DESC, l_orderkey LIMIT 5)
+        ),
+        s AS (
+          SELECT count(*) AS n_keys,
+                 CAST(sum(f) AS BIGINT) AS n_rows,
+                 max(f) AS max_freq,
+                 quantile_cont(f, 0.5) AS p50,
+                 quantile_cont(f, 0.99) AS p99
+          FROM freq
+        )
+        SELECT n_keys, n_rows, max_freq,
+               floor(top5_rows / CAST(n_rows AS DOUBLE) * 10000 + 0.5)
+                 / 10000 AS top5_share,
+               floor(p99 / p50 * 10000 + 0.5) / 10000 AS p99_over_median
+        FROM s, t5
     """,
     "q_functional_dependency": """
         WITH v1 AS (

@@ -115,6 +115,57 @@ def q_ann_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
     return idx.query(list(qvec), k=10, probes=2)
 
 
+def q_embedding_bias_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-S — embedding hygiene: vectors whose MEAN COMPONENT (DC
+    offset) deviates most from the corpus — a biased embedding breaks
+    the zero-centered assumption cosine retrieval quality relies on
+    (the norm check is vacuous here: this corpus is unit-normalized,
+    norm² ≡ 1, which this query's sibling draft verified the hard way).
+    The component sum is the deterministic sequential fold; each sum is
+    floored to a 1e-9 grid integer so the corpus mean/std come from
+    DECIMAL-exact moment sums — no float-sum order anywhere (the
+    q_zipf_fit trick applied to the moment pass). Top-10 by |z| via
+    distributed TakeOrdered, deterministic id tiebreak."""
+    emb = table(spark, sf, "embeddings")
+    s = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    g = emb.select(
+        "vec_id",
+        F.floor(s * F.lit(1_000_000_000.0) + F.lit(0.5))
+        .cast("decimal(24,0)")
+        .alias("g9"),
+    )
+    mom = g.agg(
+        F.count(F.lit(1)).cast("decimal(24,0)").alias("n"),
+        F.sum("g9").alias("s1"),
+        F.sum(F.col("g9") * F.col("g9")).alias("s2"),
+    )
+    j = g.crossJoin(F.broadcast(mom))
+    mean = F.col("s1").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("s2").cast("double") / F.col("n").cast("double")
+        - mean * mean
+    )
+    z = (F.col("g9").cast("double") - mean) / F.sqrt(var)
+    scored = j.select(
+        "vec_id",
+        text.round4(
+            F.col("g9").cast("double") / F.lit(1e9) / F.lit(64.0)
+        ).alias("mean_comp"),
+        text.round4(z).alias("z"),
+    )
+    # TakeOrdered top-10 (distributed), never a global window
+    return (
+        scored.orderBy(F.desc(F.abs(F.col("z"))), "vec_id")
+        .limit(10)
+        .select("vec_id", "mean_comp", "z")
+        .orderBy("vec_id")
+    )
+
+
 def q_knn_classify(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-S — k-NN classification by majority vote: each of the 10
     query vectors takes the modal label of its 3 nearest labeled
@@ -265,6 +316,36 @@ def q_random_projection(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLES: dict[str, str | None] = {
+    "q_embedding_bias_outliers": """
+        WITH g AS (
+          SELECT vec_id,
+                 CAST(floor(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE)))
+                      * 1000000000.0 + 0.5) AS HUGEINT) AS g9
+          FROM embeddings
+        ),
+        mom AS (
+          SELECT CAST(count(*) AS HUGEINT) AS n,
+                 sum(g9) AS s1, sum(g9 * g9) AS s2
+          FROM g
+        ),
+        s AS (
+          SELECT vec_id,
+                 floor(CAST(g9 AS DOUBLE) / 1e9 / 64.0 * 10000 + 0.5)
+                   / 10000 AS mean_comp,
+                 floor(
+                   (CAST(g9 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                          - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                            * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                   * 10000 + 0.5) / 10000 AS z
+          FROM g, mom
+        )
+        SELECT vec_id, mean_comp, z FROM (
+          SELECT * FROM s ORDER BY abs(z) DESC, vec_id LIMIT 10
+        ) ORDER BY vec_id
+    """,
     "q_knn_classify": f"""
         WITH q AS (
           SELECT vec_id AS qid, embedding AS qv FROM embeddings
