@@ -438,6 +438,95 @@ def q_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — schema-evolution read: two parquet generations of the same
+    table (v1 without, v2 WITH a later-added column) are read together
+    under mergeSchema — the lakehouse reality where old files never get
+    rewritten. The merged frame must expose the union schema with NULLs
+    for the missing column in old files; the audit aggregates per
+    generation (rows, null-count of the new column, decimal-exact
+    price sum). Oracle reproduces the generational split from the raw
+    table. At 100 TB, schema merge is footer-only — no data rewrite."""
+    import os
+    import shutil
+
+    work = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "..", ".tmp",
+        f"schevo_{os.path.basename(sf.rstrip('/'))}",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    o = table(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).drop("o_orderpriority")
+    v2 = o.filter(F.col("o_orderkey") % 2 != 0)
+    v1.write.mode("overwrite").parquet(os.path.join(work, "gen=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(work, "gen=2"))
+    merged = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(work, "gen=1"), os.path.join(work, "gen=2")
+    )
+    return (
+        merged.groupBy(
+            (F.col("o_orderkey") % 2 == 0).alias("old_generation")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(
+                F.when(F.col("o_orderpriority").isNull(), F.lit(1))
+            ).alias("n_null_priority"),
+            text.round4(
+                F.sum(F.col("o_totalprice").cast("decimal(20,6)"))
+                .cast("double")
+            ).alias("price_sum"),
+        )
+        .orderBy("old_generation")
+    )
+
+
+def q_null_imputation(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — median imputation: values deterministically masked
+    (event_id ≡ 0 mod 11 → NULL, the synthetic missingness) are filled
+    with their event_type's median computed from the SURVIVING values —
+    the standard numeric-feature repair step. One per-type aggregate
+    row broadcast back over the scan (never a window over the fact
+    table); the audit reports, per type, how many were imputed and the
+    decimal-exact value sums before/after so the fill is fully
+    checkable."""
+    ev = table(spark, sf, "events")
+    masked = ev.select(
+        "event_type",
+        F.when(F.col("event_id") % 11 != 0, F.col("value")).alias("v"),
+    )
+    med = masked.filter(F.col("v").isNotNull()).groupBy(
+        "event_type"
+    ).agg(F.expr("percentile(v, 0.5)").alias("med"))
+    j = masked.join(F.broadcast(med), "event_type")
+    filled = j.select(
+        "event_type",
+        "v",
+        F.coalesce(F.col("v"), F.col("med")).alias("vf"),
+        F.col("med"),
+    )
+    return (
+        filled.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("v").isNull(), F.lit(1))).alias(
+                "n_imputed"
+            ),
+            text.round4(F.max("med")).alias("median_used"),
+            text.round4(
+                F.sum(F.col("v").cast("decimal(20,6)")).cast("double")
+            ).alias("sum_before"),
+            text.round4(
+                F.sum(F.col("vf").cast("decimal(20,6)")).cast("double")
+            ).alias("sum_after"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — CSV interchange round-trip: write lineitem's numeric core
     to headered CSV, read it back under an EXPLICIT schema (never
@@ -722,6 +811,37 @@ ORACLES: dict[str, str | None] = {
                max(gx0) - min(gx0) AS gx_span,
                max(gy0) - min(gy0) AS gy_span
         FROM hil GROUP BY 1
+    """,
+    # generational split reproduced from the raw table: old-gen files
+    # lack the priority column entirely, so its nulls = old-gen rows
+    "q_schema_evolution": """
+        SELECT (o_orderkey % 2 = 0) AS old_generation,
+               count(*) AS n_rows,
+               count(CASE WHEN o_orderkey % 2 = 0 THEN 1 END)
+                 AS n_null_priority,
+               floor(CAST(sum(CAST(o_totalprice AS DECIMAL(20,6)))
+                          AS DOUBLE) * 10000 + 0.5) / 10000 AS price_sum
+        FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    "q_null_imputation": """
+        WITH m AS (
+          SELECT event_type,
+                 CASE WHEN event_id % 11 != 0 THEN value END AS v
+          FROM events
+        ),
+        med AS (
+          SELECT event_type, quantile_cont(v, 0.5) AS med
+          FROM m WHERE v IS NOT NULL GROUP BY 1
+        )
+        SELECT event_type, count(*) AS n_rows,
+               count(CASE WHEN v IS NULL THEN 1 END) AS n_imputed,
+               floor(max(med) * 10000 + 0.5) / 10000 AS median_used,
+               floor(CAST(sum(CAST(v AS DECIMAL(20,6))) AS DOUBLE)
+                     * 10000 + 0.5) / 10000 AS sum_before,
+               floor(CAST(sum(CAST(coalesce(v, med) AS DECIMAL(20,6)))
+                          AS DOUBLE) * 10000 + 0.5) / 10000 AS sum_after
+        FROM m JOIN med USING (event_type)
+        GROUP BY event_type ORDER BY event_type
     """,
     # variant round-trip identity (see q_json_roundtrip's twin comment)
     "q_variant_extract": """
