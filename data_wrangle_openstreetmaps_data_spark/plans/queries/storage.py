@@ -527,6 +527,82 @@ def q_null_imputation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_partitioned_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — hive-partitioned write + partition-pruned read: events
+    written partitionBy(event_type), then ONE partition directory is
+    read back through the partition column filter — the layout whose
+    pruning means a 100 TB table scans only the partitions a query
+    names (the PartitionFilters plan guard lives in tests/test_plans).
+    The audit re-aggregates the pruned read; the oracle filters the
+    raw table — equality proves the round trip lost nothing and the
+    partition column survives the directory encoding."""
+    import os
+    import shutil
+
+    work = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "..", ".tmp",
+        f"part_{os.path.basename(sf.rstrip('/'))}",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    ev = table(spark, sf, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(work)
+    back = spark.read.parquet(work).filter(
+        F.col("event_type") == "purchase"
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        text.round4(
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("double")
+        ).alias("val_sum"),
+    )
+
+
+def q_sort_clustering(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — layout clustering factor: how well each candidate sort
+    key clusters the fact table, measured as the number of RUNS of
+    equal values in a reference scan order (ts, event_id) — runs ≈
+    distinct values means perfectly clustered (sort key worth its
+    write cost), runs ≈ rows means the key is shuffled noise. One
+    window lag per candidate over the same ordering; the min/max/avg
+    run lengths fall out of the run count arithmetically. This is the
+    measurement behind choosing a Z-order/Hilbert/sort layout."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    e = ev.select(
+        "event_type",
+        (F.col("user_id") % 10).alias("cohort"),
+        catalog.event_ts_us(ev).alias("tsn"),
+        "event_id",
+    )
+    w = Window.orderBy("tsn", "event_id")
+
+    def runs(col: str) -> DataFrame:
+        changed = F.when(
+            F.lag(col).over(w).isNull()
+            | (F.col(col) != F.lag(col).over(w)),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        return e.select(changed.alias("chg")).agg(
+            F.lit(col).alias("sort_key"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("chg").alias("n_runs"),
+            text.round4(
+                F.count(F.lit(1)) / F.sum("chg")
+            ).alias("avg_run_len"),
+        )
+
+    # NB: the global-order window runs at the DIAGNOSTIC tier — you
+    # measure clustering on a sample/partition at 100 TB, not the table
+    return runs("event_type").unionByName(runs("cohort")).orderBy(
+        "sort_key"
+    )
+
+
 def q_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — CSV interchange round-trip: write lineitem's numeric core
     to headered CSV, read it back under an EXPLICIT schema (never
@@ -811,6 +887,47 @@ ORACLES: dict[str, str | None] = {
                max(gx0) - min(gx0) AS gx_span,
                max(gy0) - min(gy0) AS gy_span
         FROM hil GROUP BY 1
+    """,
+    "q_partitioned_roundtrip": """
+        SELECT event_type, count(*) AS n_rows,
+               count(DISTINCT user_id) AS n_users,
+               floor(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                     * 10000 + 0.5) / 10000 AS val_sum
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY event_type
+    """,
+    "q_sort_clustering": """
+        WITH e AS (
+          SELECT event_type, user_id % 10 AS cohort,
+                 epoch_us(ts) AS tsn, event_id
+          FROM events
+        ),
+        r1 AS (
+          SELECT CASE WHEN lag(event_type) OVER w IS NULL
+                      OR event_type <> lag(event_type) OVER w
+                      THEN 1 ELSE 0 END AS chg
+          FROM e WINDOW w AS (ORDER BY tsn, event_id)
+        ),
+        r2 AS (
+          SELECT CASE WHEN lag(cohort) OVER w IS NULL
+                      OR cohort <> lag(cohort) OVER w
+                      THEN 1 ELSE 0 END AS chg
+          FROM e WINDOW w AS (ORDER BY tsn, event_id)
+        ),
+        u AS (
+          SELECT 'event_type' AS sort_key, count(*) AS n_rows,
+                 CAST(sum(chg) AS BIGINT) AS n_runs,
+                 floor(count(*) / CAST(sum(chg) AS DOUBLE)
+                       * 10000 + 0.5) / 10000 AS avg_run_len
+          FROM r1
+          UNION ALL
+          SELECT 'cohort', count(*), CAST(sum(chg) AS BIGINT),
+                 floor(count(*) / CAST(sum(chg) AS DOUBLE)
+                       * 10000 + 0.5) / 10000
+          FROM r2
+        )
+        SELECT sort_key, n_rows, n_runs, avg_run_len
+        FROM u ORDER BY sort_key
     """,
     # generational split reproduced from the raw table: old-gen files
     # lack the priority column entirely, so its nulls = old-gen rows
