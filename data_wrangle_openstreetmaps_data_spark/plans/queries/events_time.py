@@ -730,6 +730,43 @@ def q_interval_overlap_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_rolling_median(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — rolling MEDIAN over each user's last 10 events: the
+    robust-smoothing companion to q_ewma (a median filter shrugs off
+    the spike that drags any mean-family smoother). True streaming
+    rolling medians need an order-statistic tree; the bounded-frame
+    relational form is exact and cheap — ONE user-keyed window collects
+    the ≤10-value frame, an array sort + interpolated middle does the
+    rest array-side. Same scale shape as q_ewma: one shuffle on
+    user_id, per-row state bounded at 10 values."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    e = ev.select(
+        "user_id", "event_id", "value",
+        catalog.event_ts_us(ev).alias("tsn"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tsn", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    vals = F.array_sort(F.collect_list("value").over(w))
+    e = e.withColumn("s", vals)
+    n = F.size("s")
+    # integer-div indices only: double→int casts TRUNCATE in Spark but
+    # ROUND in DuckDB — div/- arithmetic sidesteps the divergence
+    odd = F.element_at("s", F.expr("CAST((size(s) + 1) div 2 AS INT)"))
+    even = (
+        F.element_at("s", F.expr("CAST(size(s) div 2 AS INT)"))
+        + F.element_at("s", F.expr("CAST(size(s) div 2 + 1 AS INT)"))
+    ) / F.lit(2.0)
+    med = F.when(n % 2 == 1, odd).otherwise(even)
+    return e.select(
+        "user_id", "event_id", text.round4(med).alias("roll_median")
+    )
+
+
 def q_interval_union(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — interval COALESCE (union of overlapping intervals): each
     user's hourly activity spans are merged wherever they overlap or
@@ -1028,6 +1065,25 @@ ORACLES: dict[str, str | None] = {
                      / CAST(n_days * sxx - sx * sx AS DOUBLE)
                      * 10000 + 0.5) / 10000 AS intercept
         FROM s ORDER BY event_type
+    """,
+    "q_rolling_median": """
+        WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS tsn
+                   FROM events),
+        l AS (
+          SELECT user_id, event_id,
+                 list_sort(list(value) OVER (
+                   PARTITION BY user_id ORDER BY tsn, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+                 )) AS s
+          FROM e
+        )
+        SELECT user_id, event_id,
+               floor(
+                 CASE WHEN len(s) % 2 = 1
+                      THEN s[(len(s) + 1) // 2]
+                      ELSE (s[len(s) // 2] + s[len(s) // 2 + 1]) / 2.0
+                 END * 10000 + 0.5) / 10000 AS roll_median
+        FROM l
     """,
     "q_interval_union": """
         WITH e AS (SELECT user_id, epoch_us(ts) AS tsn FROM events),
