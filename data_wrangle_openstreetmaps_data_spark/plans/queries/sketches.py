@@ -305,6 +305,55 @@ def q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_bloom_fpr_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — bloom-filter CALIBRATION: the measured false-positive rate
+    of the q_bloom_prune_join filter against the occupancy prediction
+    (bits_set/m)^k — the check that tells you whether m and k are sized
+    for the build side before you trust the filter at 100 TB (a filter
+    past ~50% fill stops pruning). Every number is an exact count over
+    the identical portable-md5 filter, so even the FPR comparison is
+    value-oracled; only the final two ratios are doubles."""
+    from data_wrangle_openstreetmaps_data_spark.operators.sketch import (
+        bloom_bits,
+        bloom_prune,
+    )
+
+    cust = (
+        table(spark, sf, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey")
+    )
+    orders = table(spark, sf, "orders")
+    bits = bloom_bits(cust, "c_custkey", m=1024, k=3)
+    pruned = bloom_prune(orders, "o_custkey", bits, m=1024, k=3)
+    flagged = pruned.join(
+        F.broadcast(cust.withColumn("_m", F.lit(1))),
+        pruned["o_custkey"] == cust["c_custkey"],
+        "left",
+    )
+    counts = flagged.agg(
+        F.count(F.lit(1)).alias("bloom_pass"),
+        F.count("_m").alias("true_match"),
+    )
+    total = orders.agg(F.count(F.lit(1)).alias("n_probes"))
+    res = (
+        bits.agg(F.count(F.lit(1)).alias("bits_set"))
+        .crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(total))
+    )
+    fp = F.col("bloom_pass") - F.col("true_match")
+    nonmatch = F.col("n_probes") - F.col("true_match")
+    fill = F.col("bits_set") / F.lit(1024.0)
+    return res.select(
+        "bits_set",
+        text.round4(fill).alias("fill"),
+        "n_probes",
+        fp.alias("false_positives"),
+        text.round4(fp / nonmatch).alias("measured_fpr"),
+        text.round4(fill * fill * fill).alias("occupancy_fpr"),
+    )
+
+
 def q_hll_merge(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — the HLL property that matters at 100 TB: MERGEABILITY.
     Per-event-type register tables (grp, bucket, max-rho) are folded to
@@ -409,6 +458,48 @@ _HLL_MERGE_SQL = """
 
 
 ORACLES: dict[str, str | None] = {
+    "q_bloom_fpr_eval": """
+        WITH build AS (
+          SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > 9000
+        ),
+        bits AS (
+          SELECT DISTINCT
+            ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '#' || j),
+                            1, 15))::BIGINT % 1024 AS bit
+          FROM build, range(3) t(j)
+        ),
+        pruned AS (
+          SELECT o_custkey FROM orders
+          WHERE ('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || '#0'),
+                                1, 15))::BIGINT % 1024
+                  IN (SELECT bit FROM bits)
+            AND ('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || '#1'),
+                                1, 15))::BIGINT % 1024
+                  IN (SELECT bit FROM bits)
+            AND ('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || '#2'),
+                                1, 15))::BIGINT % 1024
+                  IN (SELECT bit FROM bits)
+        ),
+        c AS (
+          SELECT (SELECT count(*) FROM bits) AS bits_set,
+                 (SELECT count(*) FROM pruned) AS bloom_pass,
+                 (SELECT count(*) FROM orders
+                  WHERE o_custkey IN (SELECT c_custkey FROM build))
+                   AS true_match,
+                 (SELECT count(*) FROM orders) AS n_probes
+        )
+        SELECT bits_set,
+               floor(bits_set / 1024.0 * 10000 + 0.5) / 10000 AS fill,
+               n_probes,
+               bloom_pass - true_match AS false_positives,
+               floor((bloom_pass - true_match)
+                     / CAST(n_probes - true_match AS DOUBLE)
+                     * 10000 + 0.5) / 10000 AS measured_fpr,
+               floor((bits_set / 1024.0) * (bits_set / 1024.0)
+                     * (bits_set / 1024.0) * 10000 + 0.5) / 10000
+                 AS occupancy_fpr
+        FROM c
+    """,
     "q_hll_merge": _HLL_MERGE_SQL,
     # identical HLL construction in SQL: same portable 60-bit md5 hash,
     # bucket = low 8 bits, rho from bin() bit length, exact-integer
