@@ -1036,7 +1036,106 @@ def q_time_to_convert(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ks_test(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — two-sample Kolmogorov–Smirnov test between the purchase
+    and click value distributions: the distribution-shift detector that
+    complements q_welch_ttest (means) and q_chi_square (categories) —
+    the canonical "did the metric's whole shape drift" check between an
+    A/B arm or two data vintages. D = max |F₁(v) − F₂(v)| over the
+    merged support. Fully integer until ONE division: values quantize
+    to cents (floor ×100 — deterministic on both engines, and it bounds
+    the ECDF support by the value RANGE, not the row count), per-cent
+    counts pre-aggregate with map-side combine, cumulative counts
+    cross-multiply — |Fp·Nc − Fc·Np| is an exact bigint (safe to ~3e9
+    rows per arm), so the argmax is engine-independent; D and the
+    location emerge from one broadcast scalar join. The cumulative
+    window is global but runs over the cent histogram (≤ range·100
+    rows); at true scale swap in the two-phase blocked cumsum with
+    driver-sampled literal boundaries (operators/sample.py pattern).
+    ks_at reports the SMALLEST cent where the max gap is attained
+    (deterministic tiebreak)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    h = ev.select(
+        F.floor(F.col("value") * 100).cast("long").alias("vc"),
+        "event_type",
+    ).groupBy("vc").agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("cp"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("cc"),
+    )
+    w = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, 0)
+    tot = h.agg(
+        F.sum("cp").cast("long").alias("np"),
+        F.sum("cc").cast("long").alias("nc"),
+    )
+    cum = h.select(
+        "vc",
+        F.sum("cp").over(w).alias("fp"),
+        F.sum("cc").over(w).alias("fc"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "vc",
+        "np",
+        "nc",
+        F.abs(
+            F.col("fp") * F.col("nc") - F.col("fc") * F.col("np")
+        ).alias("dint"),
+    )
+    mx = d.agg(F.max("dint").alias("dmax"))
+    hit = d.crossJoin(F.broadcast(mx)).filter(F.col("dint") == F.col("dmax"))
+    return hit.agg(
+        F.min("np").alias("n_purchase"),
+        F.min("nc").alias("n_click"),
+        text.round4(
+            F.min("dmax").cast("double")
+            / (F.min("np").cast("double") * F.min("nc").cast("double"))
+        ).alias("ks_stat"),
+        text.round4(F.min("vc").cast("double") / F.lit(100.0)).alias(
+            "ks_at"
+        ),
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_ks_test": """
+        WITH e AS (
+          SELECT CAST(floor(value * 100) AS BIGINT) AS vc, event_type
+          FROM events WHERE event_type IN ('purchase', 'click')
+        ),
+        h AS (
+          SELECT vc,
+                 count(CASE WHEN event_type = 'purchase' THEN 1 END) AS cp,
+                 count(CASE WHEN event_type = 'click' THEN 1 END) AS cc
+          FROM e GROUP BY vc
+        ),
+        t AS (
+          SELECT CAST(sum(cp) AS BIGINT) AS np,
+                 CAST(sum(cc) AS BIGINT) AS nc
+          FROM h
+        ),
+        c AS (
+          SELECT vc,
+                 CAST(sum(cp) OVER (ORDER BY vc) AS BIGINT) AS fp,
+                 CAST(sum(cc) OVER (ORDER BY vc) AS BIGINT) AS fc
+          FROM h
+        ),
+        d AS (
+          SELECT vc, np, nc, abs(fp * nc - fc * np) AS dint
+          FROM c, t
+        ),
+        m AS (SELECT max(dint) AS dmax FROM d)
+        SELECT CAST(min(np) AS BIGINT) AS n_purchase,
+               CAST(min(nc) AS BIGINT) AS n_click,
+               floor(CAST(min(dmax) AS DOUBLE)
+                       / (CAST(min(np) AS DOUBLE) * CAST(min(nc) AS DOUBLE))
+                     * 10000 + 0.5) / 10000 AS ks_stat,
+               floor(CAST(min(vc) AS DOUBLE) / 100.0 * 10000 + 0.5)
+                 / 10000 AS ks_at
+        FROM d, m WHERE dint = dmax
+    """,
     "q_ols_trend": """
         WITH daily AS (
           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y

@@ -255,7 +255,92 @@ def q_conversion_ci(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("seg")
 
 
+def q_gini_inequality(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — per-nation Gini coefficient of customer revenue: the
+    inequality KPI of a revenue-concentration report (0 = everyone
+    spends the same, →1 = one whale owns the nation). Uses the exact
+    rank-sum identity G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over revenues
+    sorted ascending — every term (ranks, cent-exact decimal revenues,
+    their products) stays integer-exact in BOTH engines; the only
+    float op is the final scalar division, mirrored expression-for-
+    expression. The rank window is PARTITIONED by nation (never a
+    global sort); per-customer revenue pre-aggregates with map-side
+    combine before the window, so the windowed frame is |customers|,
+    not |orders|. Tied revenues are rank-order-invariant in the sum
+    (equal x swaps i·x contributions), so the custkey tiebreak is for
+    determinism of the plan, not the value."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer")
+    nat = table(spark, sf, "nation")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    j = (
+        rev.join(cust, rev.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select("n_name", "o_custkey", "rev")
+    )
+    w = Window.partitionBy("n_name").orderBy("rev", "o_custkey")
+    ranked = j.withColumn("i", F.row_number().over(w))
+    g = ranked.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev").alias("s"),
+        F.sum(F.col("i") * F.col("rev")).alias("t"),
+    )
+    nd = F.col("n_customers").cast("double")
+    gini = (
+        F.lit(2.0)
+        * F.col("t").cast("double")
+        / (nd * F.col("s").cast("double"))
+        - (nd + F.lit(1.0)) / nd
+    )
+    return g.select(
+        "n_name",
+        "n_customers",
+        text.round4(F.col("s").cast("double")).alias("total_rev"),
+        text.round4(gini).alias("gini"),
+    ).orderBy("n_name")
+
+
 ORACLES: dict[str, str | None] = {
+    "q_gini_inequality": """
+        WITH rev AS (
+          SELECT o_custkey,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                      AS DECIMAL(18,2)) AS rev
+          FROM orders GROUP BY o_custkey
+        ),
+        j AS (
+          SELECT n_name, o_custkey, rev
+          FROM rev
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+        ),
+        ranked AS (
+          SELECT n_name, rev,
+                 row_number() OVER (PARTITION BY n_name
+                                    ORDER BY rev, o_custkey) AS i
+          FROM j
+        ),
+        g AS (
+          SELECT n_name, count(*) AS n_customers,
+                 sum(rev) AS s, sum(i * rev) AS t
+          FROM ranked GROUP BY n_name
+        )
+        SELECT n_name,
+               n_customers,
+               floor(CAST(s AS DOUBLE) * 10000 + 0.5) / 10000 AS total_rev,
+               floor((2.0 * CAST(t AS DOUBLE)
+                        / (CAST(n_customers AS DOUBLE) * CAST(s AS DOUBLE))
+                      - (CAST(n_customers AS DOUBLE) + 1.0)
+                        / CAST(n_customers AS DOUBLE))
+                     * 10000 + 0.5) / 10000 AS gini
+        FROM g ORDER BY n_name
+    """,
     "q_conversion_ci": """
         WITH per AS (
           SELECT user_id % 7 AS seg,

@@ -713,11 +713,109 @@ def q_record_linkage(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_mutual_information(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — mutual information between the documents' language and
+    source columns, with the marginal entropies: the feature-selection
+    / redundancy-detection primitive of a training-data profiler (an
+    MI near min(H) means one column is a function of the other — drop
+    it; near 0 means independent strata — safe to stratify on both).
+    MI = Σ p(x,y)·ln(n·c_xy / (c_x·c_y)) in nats. All counts are exact
+    bigints from three map-combined aggregates (joint + two broadcast
+    marginals + one broadcast grand total); the per-cell log terms are
+    doubles summed over only |langs|×|sources| cells, so the 4-dp floor
+    absorbs summation-order ulp. Scale shape: one shuffle for the joint
+    histogram; everything downstream is cell-cardinality-sized."""
+    d = table(spark, sf, "documents")
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    joint = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("cxy")
+    )
+    mlang = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cx"))
+    msrc = d.groupBy("source").agg(F.count(F.lit(1)).alias("cy"))
+    j = (
+        joint.join(F.broadcast(mlang), "lang")
+        .join(F.broadcast(msrc), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    nd = F.col("n").cast("double")
+    term = (F.col("cxy").cast("double") / nd) * F.log(
+        F.col("cxy").cast("double")
+        * nd
+        / (F.col("cx").cast("double") * F.col("cy").cast("double"))
+    )
+    hx = (F.col("cx").cast("double") / nd) * F.log(
+        F.col("cx").cast("double") / nd
+    )
+    hy = (F.col("cy").cast("double") / nd) * F.log(
+        F.col("cy").cast("double") / nd
+    )
+    mi = j.agg(F.min("n").alias("n_docs"), F.sum(term).alias("mi_raw"))
+    ent_x = mlang.crossJoin(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).alias("n_langs"),
+        (-F.sum(hx)).alias("h_lang_raw"),
+    )
+    ent_y = msrc.crossJoin(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        (-F.sum(hy)).alias("h_source_raw"),
+    )
+    return (
+        mi.crossJoin(F.broadcast(ent_x))
+        .crossJoin(F.broadcast(ent_y))
+        .select(
+            "n_docs",
+            "n_langs",
+            "n_sources",
+            text.round4(F.col("mi_raw")).alias("mi_nats"),
+            text.round4(F.col("h_lang_raw")).alias("h_lang"),
+            text.round4(F.col("h_source_raw")).alias("h_source"),
+        )
+    )
+
+
 _ER_GIVEN_SQL = _sql_pick("c_custkey", _ER_GIVEN)
 _ER_SURNAME_SQL = _sql_pick("(c_custkey // 40)", _ER_SURNAME)
 
 
 ORACLES: dict[str, str | None] = {
+    "q_mutual_information": """
+        WITH t AS (SELECT count(*) AS n FROM documents),
+        joint AS (
+          SELECT lang, source, count(*) AS cxy
+          FROM documents GROUP BY lang, source
+        ),
+        mlang AS (SELECT lang, count(*) AS cx FROM documents GROUP BY lang),
+        msrc AS (
+          SELECT source, count(*) AS cy FROM documents GROUP BY source
+        ),
+        mi AS (
+          SELECT min(n) AS n_docs,
+                 sum((CAST(cxy AS DOUBLE) / CAST(n AS DOUBLE))
+                     * ln(CAST(cxy AS DOUBLE) * CAST(n AS DOUBLE)
+                          / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))))
+                   AS mi_raw
+          FROM joint JOIN mlang USING (lang) JOIN msrc USING (source), t
+        ),
+        ex AS (
+          SELECT count(*) AS n_langs,
+                 -sum((CAST(cx AS DOUBLE) / CAST(n AS DOUBLE))
+                      * ln(CAST(cx AS DOUBLE) / CAST(n AS DOUBLE)))
+                   AS h_lang_raw
+          FROM mlang, t
+        ),
+        ey AS (
+          SELECT count(*) AS n_sources,
+                 -sum((CAST(cy AS DOUBLE) / CAST(n AS DOUBLE))
+                      * ln(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE)))
+                   AS h_source_raw
+          FROM msrc, t
+        )
+        SELECT CAST(n_docs AS BIGINT) AS n_docs,
+               n_langs, n_sources,
+               floor(mi_raw * 10000 + 0.5) / 10000 AS mi_nats,
+               floor(h_lang_raw * 10000 + 0.5) / 10000 AS h_lang,
+               floor(h_source_raw * 10000 + 0.5) / 10000 AS h_source
+        FROM mi, ex, ey
+    """,
     "q_record_linkage": f"""
         WITH base AS (
           SELECT c_custkey AS ck, c_custkey * 2 AS rec_id,
