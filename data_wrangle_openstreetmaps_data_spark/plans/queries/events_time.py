@@ -1099,7 +1099,112 @@ def q_ks_test(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — Mann–Whitney U rank-sum test between purchase and click
+    values: the nonparametric sibling of q_welch_ttest (no normality
+    assumption) and the location counterpart of q_ks_test's shape test.
+    Same cent-histogram skeleton as q_ks_test — and the quantization is
+    what makes tie handling EXACT: for a cent bucket with t tied values
+    after c_before smaller ones, the doubled midrank is the integer
+    2·c_before + t + 1, so the purchase-arm doubled rank sum
+    R2 = Σ cp·(2·c_before + t + 1), the doubled statistic
+    2U = R2 − n1(n1+1), and the tie correction T = Σ(t³−t) are ALL
+    exact bigints in both engines (t³ bounds the exactness at ~2M rows
+    per cent bucket; shard hot buckets first beyond that). Only the
+    normal-approximation z touches doubles, expression-mirrored. One
+    shuffle for the histogram; the cumulative window again runs over
+    the cent support, not the rows."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    h = ev.select(
+        F.floor(F.col("value") * 100).cast("long").alias("vc"),
+        "event_type",
+    ).groupBy("vc").agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("cp"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("cc"),
+    )
+    t = (F.col("cp") + F.col("cc")).alias("t")
+    h = h.select("vc", "cp", "cc", t)
+    w = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, -1)
+    h = h.withColumn(
+        "cb", F.coalesce(F.sum("t").over(w), F.lit(0)).cast("long")
+    )
+    agg = h.agg(
+        F.sum("cp").cast("long").alias("n1"),
+        F.sum("cc").cast("long").alias("n2"),
+        F.sum(
+            F.col("cp") * (F.lit(2) * F.col("cb") + F.col("t") + F.lit(1))
+        ).cast("long").alias("r2"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).cast("long").alias("tcorr"),
+    )
+    u2 = F.col("r2") - F.col("n1") * (F.col("n1") + F.lit(1))
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    var = (n1d * n2d / F.lit(12.0)) * (
+        (nd + F.lit(1.0))
+        - F.col("tcorr").cast("double") / (nd * (nd - F.lit(1.0)))
+    )
+    z = (u2.cast("double") - n1d * n2d) / (F.lit(2.0) * F.sqrt(var))
+    return agg.select(
+        F.col("n1").alias("n_purchase"),
+        F.col("n2").alias("n_click"),
+        u2.alias("u_doubled"),
+        text.round4(u2.cast("double") / F.lit(2.0)).alias("u_stat"),
+        text.round4(z).alias("z_stat"),
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_mann_whitney": """
+        WITH e AS (
+          SELECT CAST(floor(value * 100) AS BIGINT) AS vc, event_type
+          FROM events WHERE event_type IN ('purchase', 'click')
+        ),
+        h AS (
+          SELECT vc,
+                 count(CASE WHEN event_type = 'purchase' THEN 1 END) AS cp,
+                 count(CASE WHEN event_type = 'click' THEN 1 END) AS cc
+          FROM e GROUP BY vc
+        ),
+        h2 AS (
+          SELECT vc, cp, cc, cp + cc AS t,
+                 CAST(coalesce(sum(cp + cc) OVER (
+                   ORDER BY vc ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS cb
+          FROM h
+        ),
+        a AS (
+          SELECT CAST(sum(cp) AS BIGINT) AS n1,
+                 CAST(sum(cc) AS BIGINT) AS n2,
+                 CAST(sum(cp * (2 * cb + t + 1)) AS BIGINT) AS r2,
+                 CAST(sum(t * t * t - t) AS BIGINT) AS tcorr
+          FROM h2
+        ),
+        u AS (SELECT *, r2 - n1 * (n1 + 1) AS u2 FROM a),
+        v AS (
+          SELECT *,
+                 (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+                 * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                    - CAST(tcorr AS DOUBLE)
+                      / (CAST(n1 + n2 AS DOUBLE)
+                         * (CAST(n1 + n2 AS DOUBLE) - 1.0))) AS var
+          FROM u
+        )
+        SELECT n1 AS n_purchase, n2 AS n_click,
+               u2 AS u_doubled,
+               floor(CAST(u2 AS DOUBLE) / 2.0 * 10000 + 0.5) / 10000
+                 AS u_stat,
+               floor((CAST(u2 AS DOUBLE)
+                        - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                     / (2.0 * sqrt(var)) * 10000 + 0.5) / 10000 AS z_stat
+        FROM v
+    """,
     "q_ks_test": """
         WITH e AS (
           SELECT CAST(floor(value * 100) AS BIGINT) AS vc, event_type
