@@ -850,7 +850,70 @@ def q_benford(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sequence_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — gap detection in a key sequence: the top-20 longest
+    event_id ranges containing NO purchase event (the testdata's
+    event_ids are globally dense, so the purchase-filtered subsequence
+    has real gaps — ~1.6k at sf0.01) — the data-quality audit shape
+    for "did the loader drop a range" / "which id ranges miss a type".
+    Deliberately NOT a global-window lead: keys fall into fixed
+    4096-key blocks (block = k div 4096, a pure projection — no range
+    sampling, so every consumer sees the same blocks), within-block
+    gaps come from a BLOCK-PARTITIONED lead window, and the only
+    global window runs over the per-block (min,max) aggregate —
+    |blocks| rows, ~4100× smaller than the key count — to catch gaps
+    that straddle block boundaries (empty blocks fold in naturally:
+    the boundary lead skips to the next PRESENT block's min). The
+    DuckDB oracle is the naive global lead — the blocked plan must
+    reproduce it exactly. All-bigint arithmetic; deterministic
+    (gap_len DESC, gap_start) ordering."""
+    from pyspark.sql import Window
+
+    B = 4096
+    k = (
+        table(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("k"))
+        .distinct()
+        .withColumn("blk", F.expr(f"k div {B}"))
+    )
+    win = Window.partitionBy("blk").orderBy("k")
+    within = (
+        k.withColumn("nk", F.lead("k").over(win))
+        .filter(F.col("nk") > F.col("k") + 1)
+        .select("k", "nk")
+    )
+    blocks = k.groupBy("blk").agg(
+        F.min("k").alias("mn"), F.max("k").alias("mx")
+    )
+    bwin = Window.orderBy("blk")
+    across = (
+        blocks.withColumn("next_mn", F.lead("mn").over(bwin))
+        .filter(F.col("next_mn") > F.col("mx") + 1)
+        .select(F.col("mx").alias("k"), F.col("next_mn").alias("nk"))
+    )
+    gaps = within.unionByName(across)
+    return (
+        gaps.select(
+            (F.col("k") + 1).alias("gap_start"),
+            (F.col("nk") - 1).alias("gap_end"),
+            (F.col("nk") - F.col("k") - 1).alias("gap_len"),
+        )
+        .orderBy(F.desc("gap_len"), "gap_start")
+        .limit(20)
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_sequence_gaps": """
+        WITH k AS (SELECT DISTINCT event_id AS k FROM events
+                   WHERE event_type = 'purchase'),
+        l AS (SELECT k, lead(k) OVER (ORDER BY k) AS nk FROM k)
+        SELECT k + 1 AS gap_start, nk - 1 AS gap_end,
+               nk - k - 1 AS gap_len
+        FROM l WHERE nk > k + 1
+        ORDER BY gap_len DESC, gap_start LIMIT 20
+    """,
     "q_benford": """
         WITH d AS (
           SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
