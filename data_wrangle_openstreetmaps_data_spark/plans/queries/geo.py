@@ -53,7 +53,124 @@ def q_geo_grid(spark: SparkSession, sf: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def q_geo_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-G — grid-bucketed spatial nearest-neighbor JOIN: every
+    purchase point assigned to its nearest supplier "store", the
+    demand-allocation / nearest-facility query. NEVER an all-pairs
+    distance product: stores explode into their 3×3 neighbor cells
+    (9 rows each, cell = 0.1°) and meet points in an EQUALITY join on
+    the cell key, so candidates are bounded by local density and a
+    point's true nearest within one cell radius is always a candidate
+    (points with no store that close drop out — documented semantics).
+    Winner per point by (d², s_suppkey) — squared euclidean degrees,
+    no trig, the identical double expression on both engines — then a
+    per-store rollup reporting COUNT/MIN/MAX only (order-independent
+    aggregates; a mean of doubles would be summation-order-dependent
+    cross-engine). Store side is dimension-sized → broadcast; at scale
+    both sides shuffle on the cell key."""
+    from pyspark.sql import Window
+
+    ev = _fake_latlon(
+        table(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    ).select(
+        "event_id",
+        "lat",
+        "lon",
+        F.floor(F.col("lon") / 0.1).cast("long").alias("cx"),
+        F.floor(F.col("lat") / 0.1).cast("long").alias("cy"),
+    )
+    st = table(spark, sf, "supplier").select(
+        "s_suppkey",
+        (F.lit(22.0) + (F.col("s_suppkey") % 70) / 100.0).alias("slat"),
+        (F.lit(88.0) + (F.col("s_suppkey") * 7 % 100) / 100.0).alias("slon"),
+    )
+    d = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    st9 = (
+        st.withColumn("dx", d)
+        .withColumn("dy", d)
+        .select(
+            "s_suppkey",
+            "slat",
+            "slon",
+            (F.floor(F.col("slon") / 0.1).cast("long") + F.col("dx")).alias(
+                "cx"
+            ),
+            (F.floor(F.col("slat") / 0.1).cast("long") + F.col("dy")).alias(
+                "cy"
+            ),
+        )
+    )
+    cand = ev.join(F.broadcast(st9), ["cx", "cy"]).select(
+        "event_id",
+        "s_suppkey",
+        (
+            (F.col("lat") - F.col("slat")) * (F.col("lat") - F.col("slat"))
+            + (F.col("lon") - F.col("slon"))
+            * (F.col("lon") - F.col("slon"))
+        ).alias("d2"),
+    )
+    w = Window.partitionBy("event_id").orderBy("d2", "s_suppkey")
+    near = cand.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        near.groupBy("s_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            text.round4(F.sqrt(F.min("d2"))).alias("min_dist_deg"),
+            text.round4(F.sqrt(F.max("d2"))).alias("max_dist_deg"),
+        )
+        .orderBy(F.desc("n_assigned"), "s_suppkey")
+        .limit(20)
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_geo_nearest": """
+        WITH ev AS (
+          SELECT event_id,
+                 22.0 + value / 100.0 AS lat,
+                 88.0 + (user_id % 100) / 100.0 AS lon
+          FROM events WHERE event_type = 'purchase'
+        ),
+        evc AS (
+          SELECT *, CAST(floor(lon / 0.1) AS BIGINT) AS cx,
+                    CAST(floor(lat / 0.1) AS BIGINT) AS cy
+          FROM ev
+        ),
+        st AS (
+          SELECT s_suppkey,
+                 22.0 + (s_suppkey % 70) / 100.0 AS slat,
+                 88.0 + (s_suppkey * 7 % 100) / 100.0 AS slon
+          FROM supplier
+        ),
+        st9 AS (
+          SELECT s_suppkey, slat, slon,
+                 CAST(floor(slon / 0.1) AS BIGINT) + dx.d AS cx,
+                 CAST(floor(slat / 0.1) AS BIGINT) + dy.d AS cy
+          FROM st,
+               (SELECT unnest([-1, 0, 1]) AS d) dx,
+               (SELECT unnest([-1, 0, 1]) AS d) dy
+        ),
+        cand AS (
+          SELECT event_id, s_suppkey,
+                 (lat - slat) * (lat - slat)
+                 + (lon - slon) * (lon - slon) AS d2
+          FROM evc JOIN st9 USING (cx, cy)
+        ),
+        near AS (
+          SELECT event_id, s_suppkey, d2,
+                 row_number() OVER (PARTITION BY event_id
+                                    ORDER BY d2, s_suppkey) AS rn
+          FROM cand
+        )
+        SELECT s_suppkey, count(*) AS n_assigned,
+               floor(sqrt(min(d2)) * 10000 + 0.5) / 10000 AS min_dist_deg,
+               floor(sqrt(max(d2)) * 10000 + 0.5) / 10000 AS max_dist_deg
+        FROM near WHERE rn = 1
+        GROUP BY s_suppkey
+        ORDER BY n_assigned DESC, s_suppkey LIMIT 20
+    """,
     "q_geo_bbox": """
         WITH pts AS (
           SELECT event_id, 22.0 + value / 100.0 AS lat,
