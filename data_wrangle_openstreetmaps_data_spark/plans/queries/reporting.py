@@ -306,7 +306,66 @@ def q_gini_inequality(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("n_name")
 
 
+def q_segment_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — audience overlap matrix: for every pair of event-type
+    segments, how many users belong to both and the Jaccard overlap —
+    the "how much does my click audience overlap my purchase audience"
+    report behind campaign targeting. Distinct (type,user) memberships
+    self-join on user_id with a t1 < t2 predicate: each user emits at
+    most C(|types|,2) pairs, so the join output is LINEAR in users
+    (never quadratic — the segment count, not the audience size, bounds
+    the fan-out, which is exactly why the user-keyed self-join is safe
+    where a segment-keyed one would explode). Segment sizes are a
+    |types|-row broadcast; Jaccard's one division is the only double."""
+    ev = table(spark, sf, "events")
+    m = ev.select("event_type", "user_id").distinct()
+    sizes = m.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = m.select(F.col("event_type").alias("t1"), "user_id")
+    b = m.select(F.col("event_type").alias("t2"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    s1 = sizes.select(F.col("event_type").alias("t1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("event_type").alias("t2"), F.col("n").alias("n2"))
+    j = inter.join(F.broadcast(s1), "t1").join(F.broadcast(s2), "t2")
+    return j.select(
+        "t1",
+        "t2",
+        "n1",
+        "n2",
+        "n_both",
+        text.round4(
+            F.col("n_both").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("n_both")).cast("double")
+        ).alias("jaccard"),
+    ).orderBy("t1", "t2")
+
+
 ORACLES: dict[str, str | None] = {
+    "q_segment_overlap": """
+        WITH m AS (SELECT DISTINCT event_type, user_id FROM events),
+        sizes AS (
+          SELECT event_type, count(*) AS n FROM m GROUP BY event_type
+        ),
+        inter AS (
+          SELECT a.event_type AS t1, b.event_type AS t2,
+                 count(*) AS n_both
+          FROM m a JOIN m b USING (user_id)
+          WHERE a.event_type < b.event_type
+          GROUP BY t1, t2
+        )
+        SELECT t1, t2, s1.n AS n1, s2.n AS n2, n_both,
+               floor(CAST(n_both AS DOUBLE)
+                       / CAST(s1.n + s2.n - n_both AS DOUBLE)
+                     * 10000 + 0.5) / 10000 AS jaccard
+        FROM inter
+        JOIN sizes s1 ON s1.event_type = t1
+        JOIN sizes s2 ON s2.event_type = t2
+        ORDER BY t1, t2
+    """,
     "q_gini_inequality": """
         WITH rev AS (
           SELECT o_custkey,
