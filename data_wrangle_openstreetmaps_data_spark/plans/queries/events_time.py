@@ -1160,7 +1160,132 @@ def q_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_spearman_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — Spearman rank correlation between each user's purchase
+    spend and their total event count: "do heavy users spend more" as
+    a monotonic-association test, robust where q_ols_trend's Pearson
+    is not. Ranks use the same integer doubled-midrank device as
+    q_mann_whitney (2·c_before + t + 1 per tied value, from a
+    histogram cumsum joined back) — and since Pearson is invariant
+    under affine maps, the doubled ranks feed the correlation directly
+    with no halving, keeping ALL five sufficient statistics
+    (n, Σx, Σy, Σx², Σxy) exact bigints. The final combination
+    n·Σxy − Σx·Σy would overflow int64 (~4n⁴), so it widens to
+    DECIMAL on the Spark side and HUGEINT in DuckDB — still exact
+    integers (to n ≈ 1e6; shard ranks beyond) — and only the closing
+    divide/sqrt touches doubles, expression-mirrored. Spend sums as
+    cent-exact decimals (never double summation). Rank histograms'
+    global cumsum windows run over distinct-value counts; at scale
+    use the blocked two-phase cumsum (q_sequence_gaps pattern)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("b"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(18,2)"),
+                )
+            ),
+            F.lit(0).cast("decimal(18,2)"),
+        ).alias("spend"),
+    )
+    u = u.select(
+        "user_id",
+        (F.col("spend") * 100).cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+    )
+
+    def midranks(col: str) -> DataFrame:
+        h = u.groupBy(col).agg(F.count(F.lit(1)).alias("t"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return h.select(
+            col,
+            (
+                F.lit(2) * F.coalesce(F.sum("t").over(w), F.lit(0))
+                + F.col("t")
+                + F.lit(1)
+            ).cast("long").alias(f"r_{col}"),
+        )
+
+    j = u.join(midranks("a"), "a").join(midranks("b"), "b")
+    s = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r_a").cast("long").alias("sx"),
+        F.sum("r_b").cast("long").alias("sy"),
+        F.sum(F.col("r_a") * F.col("r_a")).cast("long").alias("sxx"),
+        F.sum(F.col("r_b") * F.col("r_b")).cast("long").alias("syy"),
+        F.sum(F.col("r_a") * F.col("r_b")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("decimal(12,0)")
+    num = nd * F.col("sxy").cast("decimal(22,0)") - F.col("sx").cast(
+        "decimal(16,0)"
+    ) * F.col("sy").cast("decimal(16,0)")
+    d1 = nd * F.col("sxx").cast("decimal(22,0)") - F.col("sx").cast(
+        "decimal(16,0)"
+    ) * F.col("sx").cast("decimal(16,0)")
+    d2 = nd * F.col("syy").cast("decimal(22,0)") - F.col("sy").cast(
+        "decimal(16,0)"
+    ) * F.col("sy").cast("decimal(16,0)")
+    rho = num.cast("double") / (
+        F.sqrt(d1.cast("double")) * F.sqrt(d2.cast("double"))
+    )
+    return s.select(
+        F.col("n").alias("n_users"),
+        text.round4(rho).alias("rho_spearman"),
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_spearman_corr": """
+        WITH u AS (
+          SELECT user_id,
+                 CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                        THEN CAST(value AS DECIMAL(18,2))
+                                   END), 0) * 100 AS BIGINT) AS a,
+                 count(*) AS b
+          FROM events GROUP BY user_id
+        ),
+        ha AS (SELECT a, count(*) AS t FROM u GROUP BY a),
+        ra AS (
+          SELECT a,
+                 CAST(2 * coalesce(sum(t) OVER (
+                        ORDER BY a ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) + t + 1 AS BIGINT) AS r_a
+          FROM ha
+        ),
+        hb AS (SELECT b, count(*) AS t FROM u GROUP BY b),
+        rb AS (
+          SELECT b,
+                 CAST(2 * coalesce(sum(t) OVER (
+                        ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) + t + 1 AS BIGINT) AS r_b
+          FROM hb
+        ),
+        j AS (
+          SELECT r_a, r_b FROM u JOIN ra USING (a) JOIN rb USING (b)
+        ),
+        s AS (
+          SELECT count(*) AS n,
+                 CAST(sum(r_a) AS BIGINT) AS sx,
+                 CAST(sum(r_b) AS BIGINT) AS sy,
+                 CAST(sum(r_a * r_a) AS BIGINT) AS sxx,
+                 CAST(sum(r_b * r_b) AS BIGINT) AS syy,
+                 CAST(sum(r_a * r_b) AS BIGINT) AS sxy
+          FROM j
+        )
+        SELECT n AS n_users,
+               floor(CAST(CAST(n AS HUGEINT) * sxy
+                            - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                     / (sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                                    - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                        * sqrt(CAST(CAST(n AS HUGEINT) * syy
+                                      - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+                     * 10000 + 0.5) / 10000 AS rho_spearman
+        FROM s
+    """,
     "q_mann_whitney": """
         WITH e AS (
           SELECT CAST(floor(value * 100) AS BIGINT) AS vc, event_type
