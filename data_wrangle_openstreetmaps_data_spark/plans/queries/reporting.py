@@ -344,7 +344,125 @@ def q_segment_overlap(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("t1", "t2")
 
 
+def q_srm_check(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — sample-ratio-mismatch (SRM) check, the first gate of any
+    A/B readout: allocate users to two arms by user_id parity and test
+    the observed split against the intended 50/50 with a 1-df
+    chi-square, which for equal expectations collapses to
+    (n0 − n1)² / n — an exact bigint numerator over one double
+    division. The flag applies the standard p<0.05 threshold
+    (chi² > 3.841, emitted as 0/1 int for cross-engine hashing).
+    One distinct-user aggregate; everything after is a 1-row frame."""
+    ev = table(spark, sf, "events")
+    users = ev.select("user_id").distinct()
+    agg = users.agg(
+        F.count(F.when(F.col("user_id") % 2 == 0, 1)).alias("n0"),
+        F.count(F.when(F.col("user_id") % 2 == 1, 1)).alias("n1"),
+    )
+    diff = F.col("n0") - F.col("n1")
+    chi2 = (diff * diff).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    return agg.select(
+        F.col("n0").alias("n_arm0"),
+        F.col("n1").alias("n_arm1"),
+        text.round4(chi2).alias("chi2"),
+        F.when(chi2 > 3.841, 1).otherwise(0).alias("srm_flag"),
+    )
+
+
+def q_cramers_v(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — Cramér's V effect size for the lang×source association:
+    the companion to q_chi_square (significance says "not independent";
+    V says "by how much", normalized to [0,1] across table shapes) and
+    the numeric sibling of q_mutual_information over the SAME cells.
+    Uses the algebraic identity chi² = n·(Σ c_xy²/(c_x·c_y) − 1): the
+    per-cell term is one rational from exact bigint counts (c_xy² is
+    exact to ~3e9 rows/cell), summed over only |langs|×|sources| cells
+    so the 4-dp floor absorbs order ulp; V = sqrt(chi²/(n·(min(r,c)−1)))
+    closes in mirrored doubles. Broadcast marginals; one joint shuffle."""
+    d = table(spark, sf, "documents")
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    joint = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("cxy"))
+    mlang = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cx"))
+    msrc = d.groupBy("source").agg(F.count(F.lit(1)).alias("cy"))
+    nl = mlang.agg(F.count(F.lit(1)).alias("r"))
+    ns = msrc.agg(F.count(F.lit(1)).alias("c"))
+    j = (
+        joint.join(F.broadcast(mlang), "lang")
+        .join(F.broadcast(msrc), "source")
+    )
+    phi = j.agg(
+        F.sum(
+            (F.col("cxy") * F.col("cxy")).cast("double")
+            / (F.col("cx") * F.col("cy")).cast("double")
+        ).alias("phi_sum")
+    )
+    out = (
+        phi.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(ns))
+    )
+    nd = F.col("n").cast("double")
+    chi2 = nd * (F.col("phi_sum") - F.lit(1.0))
+    v = F.sqrt(
+        chi2
+        / (nd * (F.least(F.col("r"), F.col("c")) - F.lit(1)).cast("double"))
+    )
+    return out.select(
+        F.col("n").alias("n_docs"),
+        F.col("r").alias("n_langs"),
+        F.col("c").alias("n_sources"),
+        text.round4(chi2).alias("chi2"),
+        text.round4(v).alias("cramers_v"),
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_srm_check": """
+        WITH u AS (SELECT DISTINCT user_id FROM events),
+        a AS (
+          SELECT count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n0,
+                 count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS n1
+          FROM u
+        )
+        SELECT n0 AS n_arm0, n1 AS n_arm1,
+               floor(CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+                     / CAST(n0 + n1 AS DOUBLE) * 10000 + 0.5) / 10000
+                 AS chi2,
+               CASE WHEN CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+                         / CAST(n0 + n1 AS DOUBLE) > 3.841
+                    THEN 1 ELSE 0 END AS srm_flag
+        FROM a
+    """,
+    "q_cramers_v": """
+        WITH t AS (SELECT count(*) AS n FROM documents),
+        joint AS (
+          SELECT lang, source, count(*) AS cxy
+          FROM documents GROUP BY lang, source
+        ),
+        mlang AS (SELECT lang, count(*) AS cx FROM documents GROUP BY lang),
+        msrc AS (
+          SELECT source, count(*) AS cy FROM documents GROUP BY source
+        ),
+        dims AS (
+          SELECT (SELECT count(*) FROM mlang) AS r,
+                 (SELECT count(*) FROM msrc) AS c
+        ),
+        phi AS (
+          SELECT sum(CAST(cxy * cxy AS DOUBLE)
+                     / CAST(cx * cy AS DOUBLE)) AS phi_sum
+          FROM joint JOIN mlang USING (lang) JOIN msrc USING (source)
+        )
+        SELECT CAST(n AS BIGINT) AS n_docs, r AS n_langs, c AS n_sources,
+               floor(CAST(n AS DOUBLE) * (phi_sum - 1.0) * 10000 + 0.5)
+                 / 10000 AS chi2,
+               floor(sqrt(CAST(n AS DOUBLE) * (phi_sum - 1.0)
+                          / (CAST(n AS DOUBLE)
+                             * CAST(least(r, c) - 1 AS DOUBLE)))
+                     * 10000 + 0.5) / 10000 AS cramers_v
+        FROM phi, t, dims
+    """,
     "q_segment_overlap": """
         WITH m AS (SELECT DISTINCT event_type, user_id FROM events),
         sizes AS (
