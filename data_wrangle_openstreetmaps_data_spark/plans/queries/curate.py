@@ -371,7 +371,83 @@ def q_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_js_divergence(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-Q — per-source corpus drift as the Jensen–Shannon divergence
+    (nats) between each source's language distribution P and the global
+    corpus distribution Q: JS = ½·KL(P‖M) + ½·KL(Q‖M) with M = (P+Q)/2.
+    The mixture-monitoring metric for a training-data pipeline — which
+    ingest feed's language mix is drifting from the corpus. JS needs no
+    smoothing: a zero cell (source lacks a language) contributes only
+    through the Q‖M term, where M > 0 whenever Q > 0, and 0·ln 0 = 0 is
+    the explicit CASE arm. Support grid = sources × global langs from two
+    tiny broadcast aggregates (left-join fills absent cells with 0), all
+    probabilities are exact bigint-count ratios widened to double once,
+    and the ≤|langs|-term per-source sum lands inside the shared 4-dp
+    floor. Two pushed-down (source, lang) scans; one shuffle each —
+    |sources|·|langs| stays tiny no matter the corpus row count."""
+    d = table(spark, sf, "documents")
+    per = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    gl = d.groupBy("lang").agg(F.count(F.lit(1)).alias("gcnt"))
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    srcn = d.groupBy("source").agg(F.count(F.lit(1)).alias("sn"))
+    grid = (
+        srcn.crossJoin(F.broadcast(gl))
+        .join(per, ["source", "lang"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.col("cnt").cast("double") / F.col("sn").cast("double")
+    q = F.col("gcnt").cast("double") / F.col("n").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = (
+        F.when(F.col("cnt") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+        + q * F.log(q / m)
+    ) / F.lit(2.0)
+    return (
+        grid.groupBy("source")
+        .agg(
+            F.max("sn").alias("n_docs"),
+            text.round4(F.sum(term)).alias("js_nats"),
+        )
+        .orderBy("source")
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_js_divergence": """
+        WITH per AS (
+          SELECT source, lang, count(*) AS cnt
+          FROM documents GROUP BY source, lang
+        ),
+        gl AS (SELECT lang, count(*) AS gcnt FROM documents GROUP BY lang),
+        srcn AS (SELECT source, count(*) AS sn FROM documents GROUP BY source),
+        tot AS (SELECT count(*) AS n FROM documents),
+        grid AS (
+          SELECT s.source, s.sn, g.lang, g.gcnt, coalesce(p.cnt, 0) AS cnt
+          FROM srcn s CROSS JOIN gl g
+          LEFT JOIN per p ON p.source = s.source AND p.lang = g.lang
+        ),
+        terms AS (
+          SELECT source, sn,
+                 (CASE WHEN cnt > 0
+                       THEN (CAST(cnt AS DOUBLE) / CAST(sn AS DOUBLE))
+                            * ln((CAST(cnt AS DOUBLE) / CAST(sn AS DOUBLE))
+                                 / ((CAST(cnt AS DOUBLE) / CAST(sn AS DOUBLE)
+                                     + CAST(gcnt AS DOUBLE)
+                                       / CAST(n AS DOUBLE)) / 2.0))
+                       ELSE 0.0 END
+                  + (CAST(gcnt AS DOUBLE) / CAST(n AS DOUBLE))
+                    * ln((CAST(gcnt AS DOUBLE) / CAST(n AS DOUBLE))
+                         / ((CAST(cnt AS DOUBLE) / CAST(sn AS DOUBLE)
+                             + CAST(gcnt AS DOUBLE)
+                               / CAST(n AS DOUBLE)) / 2.0))
+                 ) / 2.0 AS term
+          FROM grid, tot
+        )
+        SELECT source, max(sn) AS n_docs,
+               floor(sum(term) * 10000 + 0.5) / 10000 AS js_nats
+        FROM terms GROUP BY source ORDER BY source
+    """,
     "q_dataset_card": f"""
         WITH base AS (
           SELECT count(*) AS n_docs,

@@ -418,7 +418,144 @@ def q_cramers_v(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_cuped(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — CUPED variance reduction (Deng et al. 2013), the third leg of
+    the experiment-readout battery (with q_srm_check and q_conversion_ci):
+    per-user pre-period covariate X = event count before the time midpoint,
+    post-period metric Y = value sum after it, arms by user_id parity.
+    θ = cov(X,Y)/var(X) pooled, and the per-arm adjusted mean closes in
+    sufficient statistics — mean(Y_adj)_a = (ΣY_a − θ·(ΣX_a − n_a·mean X))
+    / n_a — so NO second pass over users is needed. All sums are exact:
+    value lands on a 1e-4 integer grid (the float-sum-free trick; value ≤
+    ~560 and per-user counts ≤ ~1e6 keep y² under the bigint/decimal(38)
+    ceiling), Spark sums in decimal(38,0) vs DuckDB HUGEINT, and the
+    double arithmetic after is mirrored expression-for-expression. One
+    user-keyed shuffle + a 2-row arm rollup; the midpoint and pooled stats
+    travel as broadcast scalars. var_reduction = θ²·var(X)/var(Y) is the
+    fraction of metric variance the covariate removes."""
+    ev = table(spark, sf, "events")
+    e = ev.select(
+        "user_id",
+        catalog.event_ts_us(ev).alias("tsn"),
+        F.floor(F.col("value") * F.lit(10000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("vi"),
+    )
+    bounds = e.agg(
+        F.min("tsn").alias("mn"), F.max("tsn").alias("mx")
+    ).select(F.expr("(mn + mx) div 2").alias("mid"))
+    pu = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("tsn") < F.col("mid"), 1)).alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("tsn") >= F.col("mid"), F.col("vi"))),
+                F.lit(0),
+            ).alias("y"),
+        )
+        .withColumn("arm", (F.col("user_id") % 2).cast("int"))
+    )
+    ybig = F.col("y").cast("decimal(19,0)")
+    st = pu.agg(
+        F.count(F.lit(1)).alias("nu"),
+        F.sum("x").alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum(ybig).alias("sy"),
+        F.sum((F.col("x") * ybig).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((ybig * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+    )
+    j = (
+        pu.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("na"),
+            F.sum("x").alias("sxa"),
+            F.sum(ybig).alias("sya"),
+        )
+        .crossJoin(F.broadcast(st))
+    )
+
+    def d(c: str) -> F.Column:
+        return F.col(c).cast("double")
+
+    cov = d("nu") * d("sxy") - d("sx") * d("sy")
+    varx = d("nu") * d("sxx") - d("sx") * d("sx")
+    vary = d("nu") * d("syy") - d("sy") * d("sy")
+    theta = F.when(varx > 0, cov / varx).otherwise(F.lit(0.0))
+    meanx = d("sx") / d("nu")
+    adj = (d("sya") - theta * (d("sxa") - d("na") * meanx)) / d("na")
+    vr = F.when(vary > 0, theta * theta * varx / vary).otherwise(F.lit(0.0))
+    return j.select(
+        "arm",
+        F.col("na").alias("n_users"),
+        text.round4(d("sya") / d("na") / F.lit(10000.0)).alias("mean_y"),
+        text.round4(adj / F.lit(10000.0)).alias("mean_y_adj"),
+        text.round4(theta / F.lit(10000.0)).alias("theta"),
+        text.round4(vr).alias("var_reduction"),
+    ).orderBy("arm")
+
+
 ORACLES: dict[str, str | None] = {
+    "q_cuped": """
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS tsn,
+                 CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vi
+          FROM events
+        ),
+        b AS (SELECT (min(tsn) + max(tsn)) // 2 AS mid FROM e),
+        pu AS (
+          SELECT user_id,
+                 count(CASE WHEN tsn < mid THEN 1 END) AS x,
+                 coalesce(sum(CASE WHEN tsn >= mid THEN vi END), 0) AS y,
+                 CAST(user_id % 2 AS INT) AS arm
+          FROM e, b GROUP BY user_id
+        ),
+        st AS (
+          SELECT count(*) AS nu, sum(x) AS sx,
+                 sum(CAST(x AS HUGEINT) * x) AS sxx,
+                 sum(CAST(y AS HUGEINT)) AS sy,
+                 sum(CAST(x AS HUGEINT) * y) AS sxy,
+                 sum(CAST(y AS HUGEINT) * y) AS syy
+          FROM pu
+        ),
+        arms AS (
+          SELECT arm, count(*) AS na, sum(x) AS sxa,
+                 sum(CAST(y AS HUGEINT)) AS sya
+          FROM pu GROUP BY arm
+        ),
+        calc AS (
+          SELECT arm, na, sxa, sya, nu, sx,
+                 CAST(nu AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+                 CAST(nu AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx,
+                 CAST(nu AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary
+          FROM arms, st
+        ),
+        th AS (
+          SELECT arm, na, sxa, sya, nu, sx, varx, vary,
+                 CASE WHEN varx > 0 THEN cov / varx ELSE 0.0 END AS theta
+          FROM calc
+        )
+        SELECT arm, na AS n_users,
+               floor(CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) / 10000.0
+                     * 10000 + 0.5) / 10000 AS mean_y,
+               floor((CAST(sya AS DOUBLE)
+                      - theta * (CAST(sxa AS DOUBLE)
+                                 - CAST(na AS DOUBLE)
+                                   * (CAST(sx AS DOUBLE)
+                                      / CAST(nu AS DOUBLE))))
+                     / CAST(na AS DOUBLE) / 10000.0
+                     * 10000 + 0.5) / 10000 AS mean_y_adj,
+               floor(theta / 10000.0 * 10000 + 0.5) / 10000 AS theta,
+               floor(CASE WHEN vary > 0
+                          THEN theta * theta * varx / vary
+                          ELSE 0.0 END * 10000 + 0.5) / 10000
+                 AS var_reduction
+        FROM th
+        ORDER BY arm
+    """,
     "q_srm_check": """
         WITH u AS (SELECT DISTINCT user_id FROM events),
         a AS (
