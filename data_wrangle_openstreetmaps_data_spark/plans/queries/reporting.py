@@ -495,7 +495,111 @@ def q_cuped(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("arm")
 
 
+def q_decile_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — decile lift / gains table, the standard scoring-model
+    readout: users bucketed into activity deciles (score = total event
+    count) vs an "above-average purchaser" outcome, reporting per-decile
+    conversion rate and lift over the global rate. Deciles use the
+    RFM-style no-ntile pattern — 9 percentile boundaries as ONE
+    4-dp-floored broadcast row, decile = boundaries-exceeded count — so
+    no global sort ever touches the |users| frame. The outcome threshold
+    is scale-free AND float-free: purchases > mean purchases/user is
+    evaluated as the exact bigint cross-multiplication pc·nu > tp. One
+    user-keyed shuffle, then ≤10-row arithmetic."""
+    ev = table(spark, sf, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("score"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("pc"),
+    )
+    gt = pu.agg(F.count(F.lit(1)).alias("nu"), F.sum("pc").alias("tp"))
+    pu = pu.crossJoin(F.broadcast(gt)).withColumn(
+        "conv",
+        F.when(F.col("pc") * F.col("nu") > F.col("tp"), 1).otherwise(0),
+    )
+    qs = [i / 10.0 for i in range(1, 10)]
+    bounds = pu.agg(
+        *[
+            text.round4(F.percentile(F.col("score"), F.lit(q))).alias(
+                f"b{i}"
+            )
+            for i, q in enumerate(qs)
+        ]
+    )
+    dec = F.lit(1)
+    for i in range(9):
+        dec = dec + F.when(F.col("score") > F.col(f"b{i}"), 1).otherwise(0)
+    per = (
+        pu.crossJoin(F.broadcast(bounds))
+        .select(dec.alias("decile"), "conv")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count(F.when(F.col("conv") == 1, 1)).alias("n_conv"),
+        )
+    )
+    tot = per.agg(F.sum("n_users").alias("tu"), F.sum("n_conv").alias("tc"))
+    j = per.crossJoin(F.broadcast(tot))
+    rate = F.col("n_conv").cast("double") / F.col("n_users").cast("double")
+    grate = F.col("tc").cast("double") / F.col("tu").cast("double")
+    return j.select(
+        "decile",
+        "n_users",
+        "n_conv",
+        text.round4(rate).alias("conv_rate"),
+        text.round4(rate / grate).alias("lift"),
+    ).orderBy("decile")
+
+
 ORACLES: dict[str, str | None] = {
+    "q_decile_lift": """
+        WITH pu AS (
+          SELECT user_id, count(*) AS score,
+                 count(CASE WHEN event_type = 'purchase' THEN 1 END) AS pc
+          FROM events GROUP BY user_id
+        ),
+        gt AS (SELECT count(*) AS nu, sum(pc) AS tp FROM pu),
+        pc AS (
+          SELECT score,
+                 CASE WHEN pc * nu > tp THEN 1 ELSE 0 END AS conv
+          FROM pu, gt
+        ),
+        b AS (
+          SELECT floor(quantile_cont(score, 0.1) * 10000 + 0.5) / 10000 AS b0,
+                 floor(quantile_cont(score, 0.2) * 10000 + 0.5) / 10000 AS b1,
+                 floor(quantile_cont(score, 0.3) * 10000 + 0.5) / 10000 AS b2,
+                 floor(quantile_cont(score, 0.4) * 10000 + 0.5) / 10000 AS b3,
+                 floor(quantile_cont(score, 0.5) * 10000 + 0.5) / 10000 AS b4,
+                 floor(quantile_cont(score, 0.6) * 10000 + 0.5) / 10000 AS b5,
+                 floor(quantile_cont(score, 0.7) * 10000 + 0.5) / 10000 AS b6,
+                 floor(quantile_cont(score, 0.8) * 10000 + 0.5) / 10000 AS b7,
+                 floor(quantile_cont(score, 0.9) * 10000 + 0.5) / 10000 AS b8
+          FROM pu
+        ),
+        per AS (
+          SELECT 1 + (CASE WHEN score > b0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN score > b1 THEN 1 ELSE 0 END)
+                   + (CASE WHEN score > b2 THEN 1 ELSE 0 END)
+                   + (CASE WHEN score > b3 THEN 1 ELSE 0 END)
+                   + (CASE WHEN score > b4 THEN 1 ELSE 0 END)
+                   + (CASE WHEN score > b5 THEN 1 ELSE 0 END)
+                   + (CASE WHEN score > b6 THEN 1 ELSE 0 END)
+                   + (CASE WHEN score > b7 THEN 1 ELSE 0 END)
+                   + (CASE WHEN score > b8 THEN 1 ELSE 0 END) AS decile,
+                 count(*) AS n_users,
+                 count(CASE WHEN conv = 1 THEN 1 END) AS n_conv
+          FROM pc, b
+          GROUP BY 1
+        ),
+        tot AS (SELECT sum(n_users) AS tu, sum(n_conv) AS tc FROM per)
+        SELECT decile, n_users, n_conv,
+               floor(CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)
+                     * 10000 + 0.5) / 10000 AS conv_rate,
+               floor((CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE))
+                     / (CAST(tc AS DOUBLE) / CAST(tu AS DOUBLE))
+                     * 10000 + 0.5) / 10000 AS lift
+        FROM per, tot
+        ORDER BY decile
+    """,
     "q_cuped": """
         WITH e AS (
           SELECT user_id, epoch_us(ts) AS tsn,

@@ -772,11 +772,92 @@ def q_mutual_information(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — ROC AUC (+ Gini) of token count as a classifier score for
+    lang='en': the classification-eval counterpart of the ranking metrics
+    in q_retrieval_metrics. AUC is computed rank-wise on the score
+    HISTOGRAM — the same integer doubled-midrank device as
+    q_mann_whitney (AUC ≡ U/(P·N)): for a score bucket with `pos`
+    positives, `neg` tied negatives and `nb` negatives strictly below,
+    the doubled numerator Σ pos·(2·nb + neg) is an exact bigint (ties
+    counted half, the trapezoidal ROC rule), and only the final
+    division by 2·P·N touches doubles, expression-mirrored. One shuffle
+    to the histogram; the cumulative window runs over the score SUPPORT
+    (distinct token counts), not the corpus rows — bigint holds to
+    ~3e9 docs/class, shard the histogram beyond."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf, "documents")
+    h = (
+        d.select(
+            text.token_count(F.col("text")).alias("s"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        )
+        .groupBy("s")
+        .agg(
+            F.count(F.when(F.col("y") == 1, 1)).alias("pos"),
+            F.count(F.when(F.col("y") == 0, 1)).alias("neg"),
+        )
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    h = h.withColumn(
+        "nb", F.coalesce(F.sum("neg").over(w), F.lit(0)).cast("long")
+    )
+    agg = h.agg(
+        F.sum("pos").cast("long").alias("p"),
+        F.sum("neg").cast("long").alias("n"),
+        F.sum(
+            F.col("pos") * (F.lit(2) * F.col("nb") + F.col("neg"))
+        ).cast("long").alias("num2"),
+    )
+    auc = F.col("num2").cast("double") / (
+        F.lit(2.0) * F.col("p").cast("double") * F.col("n").cast("double")
+    )
+    return agg.select(
+        F.col("p").alias("n_pos"),
+        F.col("n").alias("n_neg"),
+        F.col("num2").alias("auc_num_doubled"),
+        text.round4(auc).alias("auc"),
+        text.round4(F.lit(2.0) * auc - F.lit(1.0)).alias("gini"),
+    )
+
+
 _ER_GIVEN_SQL = _sql_pick("c_custkey", _ER_GIVEN)
 _ER_SURNAME_SQL = _sql_pick("(c_custkey // 40)", _ER_SURNAME)
 
 
 ORACLES: dict[str, str | None] = {
+    "q_auc": f"""
+        WITH h AS (
+          SELECT len({_TOKENS_SQL}) AS s,
+                 count(CASE WHEN lang = 'en' THEN 1 END) AS pos,
+                 count(CASE WHEN lang <> 'en' THEN 1 END) AS neg
+          FROM documents GROUP BY 1
+        ),
+        c AS (
+          SELECT s, pos, neg,
+                 coalesce(sum(neg) OVER (
+                   ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS nb
+          FROM h
+        ),
+        a AS (
+          SELECT CAST(sum(pos) AS BIGINT) AS p,
+                 CAST(sum(neg) AS BIGINT) AS n,
+                 CAST(sum(pos * (2 * nb + neg)) AS BIGINT) AS num2
+          FROM c
+        )
+        SELECT p AS n_pos, n AS n_neg, num2 AS auc_num_doubled,
+               floor(CAST(num2 AS DOUBLE)
+                     / (2.0 * CAST(p AS DOUBLE) * CAST(n AS DOUBLE))
+                     * 10000 + 0.5) / 10000 AS auc,
+               floor((2.0 * (CAST(num2 AS DOUBLE)
+                             / (2.0 * CAST(p AS DOUBLE)
+                                * CAST(n AS DOUBLE))) - 1.0)
+                     * 10000 + 0.5) / 10000 AS gini
+        FROM a
+    """,
     "q_mutual_information": """
         WITH t AS (SELECT count(*) AS n FROM documents),
         joint AS (
