@@ -267,6 +267,50 @@ def q_audio_dft(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+def q_audio_rms(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-M — windowed loudness profile on REAL decoded audio: per
+    8-sample window of each WAV clip, RMS level and absolute peak — the
+    time-domain companion to q_audio_dft's frequency bins (clipping /
+    silence detection in a media-ingest pipeline). The decode path is
+    the same Arrow kernel; analysis is fully relational — posexplode to
+    (doc, window = pos div 8) and ONE hash aggregate, no higher-order
+    lambdas in the hot path. WAV samples are int16, so Σs² is an exact
+    bigint (≤ 2³¹·window) and only the closing sqrt(Σs²/n) touches
+    doubles, expression-mirrored. The oracle never decodes — it
+    regenerates samples from the fixture's closed form (s_j = s0 + 13j),
+    so the wave-codec decode is re-verified value-for-value on every
+    hash match. Shuffle keyed by (doc, window): scales linearly in
+    total sample count, windows stay ~clip-sized."""
+    from data_wrangle_openstreetmaps_data_spark.multimodal import media
+
+    docs = table(spark, sf, "documents").select("doc_id")
+    samples = media.decode_wav_samples(
+        media.synthesize_media(docs, "wav")
+    )
+    e = samples.select(
+        "doc_id", F.posexplode("samples").alias("i", "s")
+    ).select(
+        "doc_id",
+        F.expr("CAST(i div 8 AS BIGINT)").alias("win"),
+        F.col("s").cast("long").alias("s"),
+    )
+    g = e.groupBy("doc_id", "win").agg(
+        F.count(F.lit(1)).alias("n_win"),
+        F.sum(F.col("s") * F.col("s")).alias("ss"),
+        F.max(F.abs(F.col("s"))).alias("peak"),
+    )
+    rms = F.sqrt(
+        F.col("ss").cast("double") / F.col("n_win").cast("double")
+    )
+    return g.select(
+        "doc_id",
+        "win",
+        "n_win",
+        "peak",
+        text.round4(rms).alias("rms"),
+    ).orderBy("doc_id", "win")
+
+
 def _dft_term_sql(k: int, fn: str) -> str:
     return (
         f"list_transform(range(0, n), j -> CAST(floor((s0 + 13 * j) * "
@@ -303,6 +347,27 @@ ORACLES: dict[str, str | None] = {
     """,
     # closed-form DFT: samples regenerated from the WAV fixture's
     # arithmetic series; identical grid-integer term expression
+    "q_audio_rms": """
+        WITH p AS (
+          SELECT doc_id,
+                 16 + doc_id % 17 AS n,
+                 doc_id % 1000 - 500 AS s0
+          FROM documents
+        ),
+        d AS (SELECT doc_id, s0, unnest(range(n)) AS j FROM p),
+        g AS (
+          SELECT doc_id, j // 8 AS win,
+                 count(*) AS n_win,
+                 sum((s0 + 13 * j) * (s0 + 13 * j)) AS ss,
+                 max(abs(s0 + 13 * j)) AS peak
+          FROM d GROUP BY doc_id, j // 8
+        )
+        SELECT doc_id, win, n_win, peak,
+               floor(sqrt(CAST(ss AS DOUBLE) / CAST(n_win AS DOUBLE))
+                     * 10000 + 0.5) / 10000 AS rms
+        FROM g
+        ORDER BY doc_id, win
+    """,
     "q_audio_dft": f"""
         WITH p AS (
           SELECT doc_id,
