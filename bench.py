@@ -93,6 +93,13 @@ HEADLINE = [
     "q_column_stats_drift",
     "q_retrieval_metrics",
     "q_hll_merge",
+    # round-8 late wave: experiment readouts, drift, classifier eval,
+    # windowed audio loudness
+    "q_cuped",
+    "q_js_divergence",
+    "q_auc",
+    "q_decile_lift",
+    "q_audio_rms",
 ]
 
 
