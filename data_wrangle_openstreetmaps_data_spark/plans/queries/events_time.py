@@ -1238,7 +1238,125 @@ def q_spearman_corr(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — Kaplan–Meier product-limit survival curve for user churn:
+    lifetime = hours between a user's first and last event, death =
+    churn (no activity within the final 12 h of the observation window,
+    the same inactivity gap as the sessionizers), everyone else
+    right-censored at their observed lifetime. The estimator runs
+    entirely on the lifetime-hour SUPPORT: one user-keyed aggregate →
+    an |hours|-sized histogram of (deaths, censored), risk sets by a
+    prefix-sum window (n_t = total − exits before t), and the product
+    Π(1 − d/n) as exp of a running Σ ln(1 − d/n) — the log-sum trick
+    keeps the cross-engine arithmetic a mirrored sum like the entropy
+    queries, never a float product fold. A terminal n = d step yields
+    ln 0 = −inf → S = 0 identically in both engines. Only death steps
+    are emitted (the standard KM table). Windows run over the support,
+    not users; scales by the user-keyed shuffle alone."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    us = catalog.event_ts_us(ev)
+    e = ev.select("user_id", us.alias("tsn"))
+    pu = e.groupBy("user_id").agg(
+        F.min("tsn").alias("f"), F.max("tsn").alias("l")
+    )
+    te = e.agg(F.max("tsn").alias("te"))
+    gap = F.lit(_SESSION_GAP_US)
+    d = (
+        pu.crossJoin(F.broadcast(te))
+        .select(
+            F.expr("(l - f) div 3600000000").alias("hr"),
+            F.when(F.col("te") - F.col("l") >= gap, 1)
+            .otherwise(0)
+            .alias("dead"),
+        )
+        .groupBy("hr")
+        .agg(
+            F.count(F.when(F.col("dead") == 1, 1)).alias("deaths"),
+            F.count(F.when(F.col("dead") == 0, 1)).alias("censored"),
+        )
+    )
+    wp = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, -1)
+    ws = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, 0)
+    tot = d.agg(F.sum(F.col("deaths") + F.col("censored")).alias("nu"))
+    r = (
+        d.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n_risk",
+            F.col("nu")
+            - F.coalesce(
+                F.sum(F.col("deaths") + F.col("censored")).over(wp),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "lnterm",
+            F.when(
+                F.col("deaths") > 0,
+                F.log(
+                    F.lit(1.0)
+                    - F.col("deaths").cast("double")
+                    / F.col("n_risk").cast("double")
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("ls", F.sum("lnterm").over(ws))
+    )
+    return (
+        r.filter(F.col("deaths") > 0)
+        .select(
+            "hr",
+            "n_risk",
+            "deaths",
+            "censored",
+            text.round4(F.exp(F.col("ls"))).alias("survival"),
+        )
+        .orderBy("hr")
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_kaplan_meier": f"""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS tsn FROM events),
+        pu AS (
+          SELECT user_id, min(tsn) AS f, max(tsn) AS l FROM e GROUP BY 1
+        ),
+        te AS (SELECT max(tsn) AS te FROM e),
+        h AS (
+          SELECT (l - f) // 3600000000 AS hr,
+                 count(CASE WHEN te - l >= {_SESSION_GAP_US} THEN 1 END)
+                   AS deaths,
+                 count(CASE WHEN te - l < {_SESSION_GAP_US} THEN 1 END)
+                   AS censored
+          FROM pu, te GROUP BY 1
+        ),
+        tot AS (SELECT sum(deaths + censored) AS nu FROM h),
+        r AS (
+          SELECT hr, deaths, censored,
+                 CAST(nu - coalesce(sum(deaths + censored) OVER (
+                   ORDER BY hr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) AS n_risk
+          FROM h, tot
+        ),
+        s AS (
+          SELECT hr, deaths, censored, n_risk,
+                 sum(CASE WHEN deaths > 0
+                          THEN ln(1.0 - CAST(deaths AS DOUBLE)
+                                  / CAST(n_risk AS DOUBLE))
+                          ELSE 0.0 END) OVER (
+                   ORDER BY hr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS ls
+          FROM r
+        )
+        SELECT hr, n_risk, deaths, censored,
+               floor(exp(ls) * 10000 + 0.5) / 10000 AS survival
+        FROM s
+        WHERE deaths > 0
+        ORDER BY hr
+    """,
     "q_spearman_corr": """
         WITH u AS (
           SELECT user_id,
