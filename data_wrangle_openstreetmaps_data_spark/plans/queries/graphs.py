@@ -168,7 +168,58 @@ _PR_EDGES = """
   )
 """
 
+def q_recursive_hierarchy(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — hierarchy walk (org-chart / BOM-explosion shape): each
+    customer key climbs its synthetic parent chain k → k div 7 to the
+    root, reporting walk depth and the exact path-sum of visited keys.
+    The registry callable is the PLAN-LITERAL unrolled loop (4 fixed
+    union stages — ceil(log₇ 2400) bounds every start key < 200, same
+    device as q_pagerank's literal iterations), so Catalyst sees a
+    static DAG with no fixpoint operator; the engine ALSO runs the
+    identical traversal as literal ``WITH RECURSIVE`` spark.sql text
+    (Spark 4 recursive CTEs — parity pinned in
+    tests/test_sql_surface.py), and the DuckDB oracle is the same
+    recursive CTE. Start set bounded (< 200) so the fan-out is a
+    constant ~200·4 rows regardless of table scale."""
+    cust = table(spark, sf, "customer")
+    base = cust.filter(F.col("c_custkey") < 200).select(
+        F.col("c_custkey").alias("k0"),
+        F.col("c_custkey").alias("k"),
+        F.lit(0).alias("d"),
+    )
+    frames = [base]
+    cur = base
+    for _ in range(4):
+        cur = cur.filter(F.col("k") > 0).select(
+            "k0", F.expr("k div 7").alias("k"), (F.col("d") + 1).alias("d")
+        )
+        frames.append(cur)
+    walk = frames[0]
+    for fdf in frames[1:]:
+        walk = walk.unionAll(fdf)
+    return (
+        walk.groupBy("k0")
+        .agg(F.max("d").alias("depth"), F.sum("k").alias("path_sum"))
+        .select(F.col("k0").alias("custkey"), "depth", "path_sum")
+        .orderBy("custkey")
+    )
+
+
+RECURSIVE_HIERARCHY_SQL = """
+    WITH RECURSIVE walk AS (
+      SELECT c_custkey AS k0, c_custkey AS k, 0 AS d
+      FROM customer WHERE c_custkey < 200
+      UNION ALL
+      SELECT k0, k {div} 7 AS k, d + 1 AS d FROM walk WHERE k > 0
+    )
+    SELECT k0 AS custkey, max(d) AS depth,
+           CAST(sum(k) AS BIGINT) AS path_sum
+    FROM walk GROUP BY k0 ORDER BY custkey
+"""
+
+
 ORACLES: dict[str, str | None] = {
+    "q_recursive_hierarchy": RECURSIVE_HIERARCHY_SQL.format(div="//"),
     "q_triangle_count": f"""
         WITH {_PART_EDGES},
         tri AS (

@@ -414,3 +414,19 @@ def test_lateral_join_in_pure_sql(spark):
           ORDER BY c.cnt DESC, c.l_linestatus LIMIT 2
         ) t
     """)
+
+
+def test_recursive_cte_in_pure_sql(spark):
+    """Spark 4 ``WITH RECURSIVE`` as literal SQL text must reproduce the
+    registry's plan-literal unrolled hierarchy walk exactly (the DuckDB
+    oracle runs the very same CTE with `//` in place of `div`)."""
+    from data_wrangle_openstreetmaps_data_spark.plans.queries.graphs import (
+        RECURSIVE_HIERARCHY_SQL,
+    )
+
+    register_views(spark, SF_SMALL)
+    _assert_sql_matches(
+        spark,
+        "q_recursive_hierarchy",
+        RECURSIVE_HIERARCHY_SQL.format(div="div"),
+    )
