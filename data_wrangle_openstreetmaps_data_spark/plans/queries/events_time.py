@@ -1238,6 +1238,84 @@ def q_spearman_corr(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_cross_correlation(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — lead–lag cross-correlogram between the click and purchase
+    hourly series ("does click activity lead purchases, and by how
+    many hours"): Pearson r between click(t−L) and purchase(t) for
+    L = 0..6, the multivariate big sibling of q_autocorrelation. The
+    series is DENSIFIED first (sequence over the hour span, absent
+    hours = 0 — skipping this biases r toward busy hours), then each
+    lag is one arm of a 7-way explode joined back on the shifted hour —
+    an equijoin on (h − L), so Catalyst hashes it; the grid is
+    support-sized (hours, not events) and travels broadcast. All five
+    sufficient statistics per lag are exact integers (counts ×
+    counts widened decimal/HUGEINT before summing), one mirrored
+    double expression closes r. Scales by the hour-keyed count
+    aggregate alone — the correlogram arithmetic is O(|hours|·|lags|)
+    regardless of event volume."""
+    ev = table(spark, sf, "events")
+    us = catalog.event_ts_us(ev)
+    e = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        us.alias("tsn"), "event_type"
+    )
+    cnt = (
+        e.select(F.expr("tsn div 3600000000").alias("h"), "event_type")
+        .groupBy("h")
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("c"),
+            F.count(
+                F.when(F.col("event_type") == "purchase", 1)
+            ).alias("p"),
+        )
+    )
+    bounds = cnt.agg(F.min("h").alias("mh"), F.max("h").alias("xh"))
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("mh"), F.col("xh"))).alias("h")
+    )
+    g = (
+        grid.join(cnt, "h", "left")
+        .select(
+            "h",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+            F.coalesce(F.col("p"), F.lit(0)).alias("p"),
+        )
+    )
+    y = g.select(
+        "h",
+        F.col("p").alias("y"),
+        F.explode(F.array(*[F.lit(i) for i in range(7)])).alias("lag"),
+    )
+    x = g.select(F.col("h").alias("hx"), F.col("c").alias("x"))
+    j = y.join(
+        F.broadcast(x), F.col("hx") == F.col("h") - F.col("lag")
+    )
+    xb = F.col("x").cast("decimal(19,0)")
+    yb = F.col("y").cast("decimal(19,0)")
+    st = j.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((xb * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((xb * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((yb * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+    )
+
+    def d(c: str) -> F.Column:
+        return F.col(c).cast("double")
+
+    cov = d("n") * d("sxy") - d("sx") * d("sy")
+    varx = d("n") * d("sxx") - d("sx") * d("sx")
+    vary = d("n") * d("syy") - d("sy") * d("sy")
+    r = F.when(
+        (varx > 0) & (vary > 0), cov / F.sqrt(varx * vary)
+    ).otherwise(F.lit(0.0))
+    return st.select(
+        "lag",
+        F.col("n").alias("n_pairs"),
+        text.round4(r).alias("r"),
+    ).orderBy("lag")
+
+
 def q_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — Kaplan–Meier product-limit survival curve for user churn:
     lifetime = hours between a user's first and last event, death =
@@ -1317,6 +1395,57 @@ def q_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLES: dict[str, str | None] = {
+    "q_cross_correlation": """
+        WITH e AS (
+          SELECT epoch_us(ts) // 3600000000 AS h, event_type
+          FROM events WHERE event_type IN ('click', 'purchase')
+        ),
+        cnt AS (
+          SELECT h,
+                 count(CASE WHEN event_type = 'click' THEN 1 END) AS c,
+                 count(CASE WHEN event_type = 'purchase' THEN 1 END) AS p
+          FROM e GROUP BY h
+        ),
+        b AS (SELECT min(h) AS mh, max(h) AS xh FROM cnt),
+        grid AS (SELECT unnest(range(mh, xh + 1)) AS h FROM b),
+        g AS (
+          SELECT grid.h, coalesce(c, 0) AS c, coalesce(p, 0) AS p
+          FROM grid LEFT JOIN cnt ON grid.h = cnt.h
+        ),
+        l AS (SELECT unnest(range(0, 7)) AS lag),
+        j AS (
+          SELECT l.lag, y.p AS y, x.c AS x
+          FROM l CROSS JOIN g AS y
+          INNER JOIN g AS x ON x.h = y.h - l.lag
+        ),
+        st AS (
+          SELECT lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(CAST(x AS HUGEINT) * y) AS sxy,
+                 sum(CAST(x AS HUGEINT) * x) AS sxx,
+                 sum(CAST(y AS HUGEINT) * y) AS syy
+          FROM j GROUP BY lag
+        )
+        SELECT CAST(lag AS INT) AS lag, n AS n_pairs,
+               floor(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                               > 0
+                          AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                               > 0
+                          THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                               / sqrt((CAST(n AS DOUBLE)
+                                       * CAST(sxx AS DOUBLE)
+                                       - CAST(sx AS DOUBLE)
+                                         * CAST(sx AS DOUBLE))
+                                      * (CAST(n AS DOUBLE)
+                                         * CAST(syy AS DOUBLE)
+                                         - CAST(sy AS DOUBLE)
+                                           * CAST(sy AS DOUBLE)))
+                          ELSE 0.0 END * 10000 + 0.5) / 10000 AS r
+        FROM st
+        ORDER BY lag
+    """,
     "q_kaplan_meier": f"""
         WITH e AS (SELECT user_id, epoch_us(ts) AS tsn FROM events),
         pu AS (
