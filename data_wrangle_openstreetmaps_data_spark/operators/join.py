@@ -36,9 +36,12 @@ def asof_join(
     left_time: str = "ts",
     right_time: str = "ts",
     value_cols: tuple[str, ...] = ("state",),
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
-    right_time <= left_time within the same `by` key.
+    right_time <= left_time within the same `by` key ("backward", the
+    default), or the earliest right row with right_time >= left_time
+    ("forward" — next-quote-after-trade / time-to-next-event shape).
 
     Spark has no native as-of join; the scalable composition is the
     union + last_value(ignorenulls) window trick: tag both sides, sort by
@@ -52,6 +55,8 @@ def asof_join(
     """
     from pyspark.sql import Window
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join direction must be backward|forward, got {direction!r}")
     reserved = {"_t", "_side", "_rt"} | {f"_r_{v}" for v in value_cols}
     # output names clash too: the result adds matched_<value> / matched_time
     reserved |= {"matched_time"} | {f"matched_{v}" for v in value_cols}
@@ -79,9 +84,13 @@ def asof_join(
         F.col(right_time).alias("_rt"),
     )
     unioned = l_tagged.unionByName(r_tagged)
+    # scan order: time ascending (backward) or descending (forward); at
+    # equal timestamps right rows (_side 0) precede left rows so the
+    # equal-time match is inclusive in BOTH directions.
+    tkey = F.col("_t") if direction == "backward" else F.col("_t").desc()
     w = (
         Window.partitionBy(by)
-        .orderBy("_t", "_side")
+        .orderBy(tkey, "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(

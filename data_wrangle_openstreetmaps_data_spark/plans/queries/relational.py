@@ -213,6 +213,38 @@ def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_asof_join_forward(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — FORWARD as-of join: each click matched to the user's next
+    purchase at-or-after it (time-to-next-purchase), the mirror of
+    q_asof_join's backward match. Same union + fill window composition,
+    scanned time-DESCENDING with right rows first at equal timestamps
+    so the equal-time match stays inclusive; still ONE shuffle on the
+    by-key and one row of window state — the 100 TB plan is unchanged
+    by direction. Also emits the wait in µs (exact integers)."""
+    ev = table(spark, sf, "events")
+    ev = ev.withColumn("tsn", catalog.event_ts_us(ev))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id"), F.col("tsn").alias("ts")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("tsn").alias("ts"))
+        .agg(F.max("value").alias("state"))
+    )
+    out = join_ops.asof_join(
+        clicks, purchases, by="user_id", left_time="ts", right_time="ts",
+        value_cols=("state",), direction="forward",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "matched_time",
+        "matched_state",
+        (F.col("matched_time") - F.col("ts")).alias("wait_us"),
+    )
+
+
 def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — range join via domain bucketing (equality join on buckets +
     residual filter; never a nested-loop cross product)."""
@@ -1118,6 +1150,23 @@ ORACLES: dict[str, str | None] = {
         FROM purchases p
         ASOF LEFT JOIN signups s
           ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+    "q_asof_join_forward": """
+        WITH ev AS (SELECT *, epoch_us(ts) AS tsn FROM events),
+        clicks AS (
+          SELECT user_id, event_id, tsn AS ts FROM ev
+          WHERE event_type = 'click'
+        ),
+        purchases AS (
+          SELECT user_id, tsn AS ts, max(value) AS state FROM ev
+          WHERE event_type = 'purchase' GROUP BY user_id, tsn
+        )
+        SELECT c.user_id, c.event_id, c.ts,
+               p.ts AS matched_time, p.state AS matched_state,
+               p.ts - c.ts AS wait_us
+        FROM clicks c
+        ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.ts <= p.ts
     """,
     "q_range_join": """
         WITH intervals AS (

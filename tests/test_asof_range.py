@@ -24,6 +24,36 @@ def test_asof_inclusive_and_no_future_match(spark):
     assert got["d"] == (None, None)    # right exists only in the future
 
 
+def test_asof_forward_inclusive_and_no_past_match(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 12, "b"), (1, 20, "c"), (2, 70, "d")],
+        ["k", "ts", "payload"],
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 60, 600.0)],
+        ["k", "ts", "state"],
+    )
+    got = {
+        r["payload"]: (r["matched_time"], r["matched_state"])
+        for r in join_ops.asof_join(
+            left, right, by="k", direction="forward"
+        ).collect()
+    }
+    assert got["a"] == (10, 100.0)     # inclusive: rt == lt matches
+    assert got["b"] == (15, 150.0)     # earliest at-or-after
+    assert got["c"] == (None, None)    # nothing after → null (left join)
+    assert got["d"] == (None, None)    # right exists only in the past
+
+
+def test_asof_invalid_direction_rejected(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 10, "a")], ["k", "ts", "payload"])
+    right = spark.createDataFrame([(1, 10, 1.0)], ["k", "ts", "state"])
+    with pytest.raises(ValueError, match="direction"):
+        join_ops.asof_join(left, right, by="k", direction="sideways")
+
+
 def test_asof_rejects_reserved_output_names(spark):
     import pytest
 
