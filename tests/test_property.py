@@ -349,3 +349,54 @@ def test_event_ts_magnitude_dispatch_property(us, unit):
     else:
         got = raw * 1_000_000
     assert got == expect, (unit, raw, got, expect)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 3), st.integers(-50, 50)),
+        min_size=1, max_size=12,
+    ),
+    st.lists(
+        st.tuples(st.integers(1, 3), st.integers(-50, 50)),
+        min_size=1, max_size=12,
+    ),
+)
+@settings(max_examples=15, deadline=None)
+def test_asof_forward_is_backward_under_time_negation(spark, lrows, rrows):
+    """asof_join(direction="forward") must equal the backward join run
+    on NEGATED timestamps (with matched_time un-negated): the two scan
+    directions are exact mirrors, including inclusive equal-time
+    matches and duplicate timestamps on the left."""
+    from data_wrangle_openstreetmaps_data_spark.operators import (
+        join as join_ops,
+    )
+
+    # right side must be unique per (k, ts) — the operator's contract
+    rdict = {(k, t): float(k * 100 + t) for k, t in rrows}
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)],
+        ["k", "ts", "row_id"],
+    )
+    right = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in rdict.items()], ["k", "ts", "state"]
+    )
+    fwd = {
+        r["row_id"]: (r["matched_time"], r["matched_state"])
+        for r in join_ops.asof_join(
+            left, right, by="k", direction="forward"
+        ).collect()
+    }
+    from pyspark.sql import functions as F
+
+    neg_l = left.withColumn("ts", -F.col("ts"))
+    neg_r = right.withColumn("ts", -F.col("ts"))
+    bwd = {
+        r["row_id"]: (
+            None if r["matched_time"] is None else -r["matched_time"],
+            r["matched_state"],
+        )
+        for r in join_ops.asof_join(
+            neg_l, neg_r, by="k", direction="backward"
+        ).collect()
+    }
+    assert fwd == bwd
