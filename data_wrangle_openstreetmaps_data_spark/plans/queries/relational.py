@@ -245,6 +245,82 @@ def q_asof_join_forward(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_inventory_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — clamped-at-zero running inventory per part (stock can't go
+    negative): the Lindley recursion W_t = max(0, W_{t−1} + x_t), which
+    LOOKS inherently sequential/stateful, solved fully relationally via
+    the reflection identity W_t = P_t − min(0, min_{j≤t} P_j) — one
+    prefix-sum window plus one running-min window over the same
+    part-keyed order, no recursion, no UDF, no state. Movements are
+    exact bigints (+qty on returns 'R', −qty otherwise; quantities are
+    integer-valued), order is made total with (shipdate, orderkey,
+    linenumber). Reports the 20 busiest parts: final balance (max_by
+    on row number), peak balance, clamp count (rows where the running
+    min reaches a NEW strict minimum below zero ⇔ the stock actually
+    floored). Scales by the part-keyed shuffle; windows never leave
+    the partition."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf, "lineitem").select(
+        "l_partkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        F.when(
+            F.col("l_returnflag") == "R",
+            F.col("l_quantity").cast("long"),
+        )
+        .otherwise(-F.col("l_quantity").cast("long"))
+        .alias("mv"),
+    )
+    order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    wc = (
+        Window.partitionBy("l_partkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wp = (
+        Window.partitionBy("l_partkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = (
+        li.withColumn("pfx", F.sum("mv").over(wc))
+        .withColumn("rmin", F.min("pfx").over(wc))
+        .withColumn("rmin_prev", F.min("pfx").over(wp))
+        .withColumn("rn", F.row_number().over(Window.partitionBy("l_partkey").orderBy(*order)))
+    )
+    w = F.col("pfx") - F.least(F.lit(0), F.col("rmin"))
+    clamp = F.when(
+        (F.col("pfx") < 0)
+        & (
+            F.col("rmin_prev").isNull()
+            | (F.col("pfx") < F.col("rmin_prev"))
+        ),
+        1,
+    ).otherwise(0)
+    out = (
+        r.withColumn("w", w)
+        .withColumn("clamp", clamp)
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_mov"),
+            F.max_by("w", "rn").alias("final_balance"),
+            F.max("w").alias("peak_balance"),
+            F.sum("clamp").cast("long").alias("n_clamps"),
+        )
+        .orderBy(F.desc("n_mov"), "l_partkey")
+        .limit(20)
+    )
+    return out.select(
+        F.col("l_partkey").alias("partkey"),
+        "n_mov",
+        "final_balance",
+        "peak_balance",
+        "n_clamps",
+    )
+
+
 def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — range join via domain bucketing (equality join on buckets +
     residual filter; never a nested-loop cross product)."""
@@ -1150,6 +1226,54 @@ ORACLES: dict[str, str | None] = {
         FROM purchases p
         ASOF LEFT JOIN signups s
           ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+    "q_inventory_balance": """
+        WITH li AS (
+          SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
+                 CASE WHEN l_returnflag = 'R'
+                      THEN CAST(l_quantity AS BIGINT)
+                      ELSE -CAST(l_quantity AS BIGINT) END AS mv
+          FROM lineitem
+        ),
+        p AS (
+          SELECT l_partkey,
+                 sum(mv) OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS pfx,
+                 row_number() OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ) AS rn
+          FROM li
+        ),
+        r AS (
+          SELECT l_partkey, rn, pfx,
+                 min(pfx) OVER (
+                   PARTITION BY l_partkey ORDER BY rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS rmin,
+                 min(pfx) OVER (
+                   PARTITION BY l_partkey ORDER BY rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) AS rmin_prev
+          FROM p
+        ),
+        f AS (
+          SELECT l_partkey, rn,
+                 pfx - least(0, rmin) AS w,
+                 CASE WHEN pfx < 0
+                       AND (rmin_prev IS NULL OR pfx < rmin_prev)
+                      THEN 1 ELSE 0 END AS clamp
+          FROM r
+        )
+        SELECT l_partkey AS partkey, count(*) AS n_mov,
+               CAST(max_by(w, rn) AS BIGINT) AS final_balance,
+               CAST(max(w) AS BIGINT) AS peak_balance,
+               CAST(sum(clamp) AS BIGINT) AS n_clamps
+        FROM f GROUP BY l_partkey
+        ORDER BY n_mov DESC, partkey LIMIT 20
     """,
     "q_asof_join_forward": """
         WITH ev AS (SELECT *, epoch_us(ts) AS tsn FROM events),

@@ -400,3 +400,18 @@ def test_asof_forward_is_backward_under_time_negation(spark, lrows, rrows):
         ).collect()
     }
     assert fwd == bwd
+
+
+@given(st.lists(st.integers(-30, 30), min_size=1, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_lindley_reflection_identity(xs):
+    """The clamped recursion W_t = max(0, W_{t-1} + x_t) equals the
+    reflection form W_t = P_t - min(0, min_{j<=t} P_j) used by
+    q_inventory_balance — the oracle mirrors the FORMULA, so the
+    identity itself is pinned here against the literal recursion."""
+    w, p, rmin = 0, 0, 0
+    for x in xs:
+        w = max(0, w + x)
+        p += x
+        rmin = min(rmin, p)
+        assert w == p - min(0, rmin)
