@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 
 def copurchase_part_edges(
-    lineitem: DataFrame, min_orders: int = 2
+    lineitem: DataFrame, min_orders: int = 2, keep_weight: bool = False
 ) -> DataFrame:
     """Part-part co-purchase edges: (s1, s2) with s1 < s2 iff the two
     parts appear together in at least ``min_orders`` distinct orders.
@@ -29,20 +29,22 @@ def copurchase_part_edges(
     an item-item cross product), and the ``min_orders`` support cut is
     what keeps the projected graph sparse: unlike the customer↔supplier
     projection (near-complete at any scale), repeated co-purchase is
-    rare, so |E| stays O(|parts|) as the fact table grows."""
+    rare, so |E| stays O(|parts|) as the fact table grows.
+    ``keep_weight`` retains the co-purchase count ``n_ab`` (the edge
+    strength the weighted traversals invert into a distance)."""
     e = lineitem.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
     a = e.select("o", F.col("p").alias("s1"))
     b = e.select("o", F.col("p").alias("s2"))
-    return (
+    out = (
         a.join(b, "o")
         .filter(F.col("s1") < F.col("s2"))
         .groupBy("s1", "s2")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= min_orders)
-        .select("s1", "s2")
     )
+    return out if keep_weight else out.select("s1", "s2")
 
 
 def triangle_counts(edges: DataFrame) -> DataFrame:

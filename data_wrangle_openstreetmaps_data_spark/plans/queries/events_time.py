@@ -1394,7 +1394,220 @@ def q_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_multitouch_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — position-based (U-shaped) multi-touch attribution, the
+    fractional-credit companion to q_session_attribution's first-touch
+    winner-take-all: every click/view before a user's FIRST purchase
+    earns credit 1.0 (solo), 0.5/0.5 (two touches), else 0.4 first +
+    0.4 last + 0.2/(n−2) split across middles, rolled up by channel
+    (props.k mod 7). Per-row credit is an IEEE double computed by the
+    identical expression on both engines, then summed through an exact
+    decimal(20,10) cast — the double-sum-order trap never reaches the
+    4dp boundary. All windows partition by user; the rollup is one
+    bounded-key aggregate."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    ev = ev.withColumn("tsn", catalog.event_ts_us(ev))
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("tsn").alias("fp_ts"))
+    )
+    touches = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .join(fp, "user_id")
+        .where(F.col("tsn") < F.col("fp_ts"))
+        .select(
+            "user_id",
+            "tsn",
+            "event_id",
+            (F.get_json_object("props", "$.k").cast("long") % 7).alias(
+                "channel"
+            ),
+        )
+    )
+    wu = Window.partitionBy("user_id")
+    wo = wu.orderBy("tsn", "event_id")
+    t = touches.withColumn("rn", F.row_number().over(wo)).withColumn(
+        "n", F.count(F.lit(1)).over(wu)
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2).cast("double"))
+    )
+    return (
+        t.withColumn("credit", credit)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum(F.col("credit").cast("decimal(20,10)"))
+            .cast("double")
+            .alias("credit_raw"),
+        )
+        .select(
+            "channel",
+            "n_touches",
+            "n_users",
+            text.round4(F.col("credit_raw")).alias("credit"),
+        )
+        .orderBy("channel")
+    )
+
+
+def q_runs_test(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — Wald–Wolfowitz runs test for serial randomness of the daily
+    purchase-revenue series: days classified above/below the overall
+    daily mean, runs counted from sign changes, z-score against the
+    analytic E[R] and Var[R]. The above-mean indicator is FLOAT-FREE —
+    rev·n_days > total compared in exact decimals (cross-multiplication,
+    never rev > total/n in doubles) — so both engines classify every
+    boundary day identically. The data-sized work is one day-keyed
+    aggregate; the lag/agg runs over the bounded calendar-day dimension
+    (one row per day, not per event)."""
+    from pyspark.sql import Window
+
+    df = table(spark, sf, "events")
+    daily = (
+        df.where(F.col("event_type") == "purchase")
+        .select(F.to_date(catalog.event_ts(df)).alias("d"), "value")
+        .groupBy("d")
+        .agg(F.sum(F.col("value").cast("decimal(20,6)")).alias("rev"))
+    )
+    tot = daily.agg(
+        F.sum("rev").alias("total"), F.count(F.lit(1)).alias("nd")
+    )
+    s = daily.crossJoin(F.broadcast(tot)).withColumn(
+        "sgn",
+        F.when(F.col("rev") * F.col("nd") > F.col("total"), 1).otherwise(
+            0
+        ),
+    )
+    s = s.withColumn(
+        "chg",
+        F.when(
+            F.lag("sgn").over(Window.orderBy("d")).isNotNull()
+            & (F.lag("sgn").over(Window.orderBy("d")) != F.col("sgn")),
+            1,
+        ).otherwise(0),
+    )
+    a = s.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("sgn").cast("long").alias("n_above"),
+        (F.count(F.lit(1)) - F.sum("sgn")).cast("long").alias("n_below"),
+        (F.lit(1) + F.sum("chg")).cast("long").alias("runs"),
+    )
+    n1 = F.col("n_above").cast("double")
+    n2 = F.col("n_below").cast("double")
+    nd = F.col("n_days").cast("double")
+    e = F.lit(2.0) * n1 * n2 / nd + F.lit(1.0)
+    var = (
+        F.lit(2.0)
+        * n1
+        * n2
+        * (F.lit(2.0) * n1 * n2 - nd)
+        / (nd * nd * (nd - F.lit(1.0)))
+    )
+    return a.select(
+        "n_days",
+        "n_above",
+        "n_below",
+        "runs",
+        text.round4(e).alias("e_runs"),
+        text.round4(
+            F.when(
+                var > 0,
+                (F.col("runs").cast("double") - e) / F.sqrt(var),
+            )
+        ).alias("z"),
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_multitouch_attribution": """
+        WITH ev AS (SELECT *, epoch_us(ts) AS tsn FROM events),
+        fp AS (
+          SELECT user_id, min(tsn) AS fp_ts
+          FROM ev WHERE event_type = 'purchase' GROUP BY user_id
+        ),
+        touches AS (
+          SELECT ev.user_id, tsn, event_id,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) % 7
+                   AS channel
+          FROM ev JOIN fp ON ev.user_id = fp.user_id
+          WHERE event_type IN ('click', 'view') AND tsn < fp_ts
+        ),
+        t AS (
+          SELECT channel, user_id,
+                 row_number() OVER (
+                   PARTITION BY user_id ORDER BY tsn, event_id
+                 ) AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS n
+          FROM touches
+        ),
+        c AS (
+          SELECT channel, user_id,
+                 CASE WHEN n = 1 THEN 1.0
+                      WHEN n = 2 THEN 0.5
+                      WHEN rn = 1 OR rn = n THEN 0.4
+                      ELSE 0.2 / CAST(n - 2 AS DOUBLE) END AS credit
+          FROM t
+        )
+        SELECT channel, count(*) AS n_touches,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               floor(CAST(sum(CAST(credit AS DECIMAL(20,10))) AS DOUBLE)
+                     * 10000 + 0.5) / 10000 AS credit
+        FROM c GROUP BY channel ORDER BY channel
+    """,
+    "q_runs_test": """
+        WITH daily AS (
+          SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+                 sum(CAST(value AS DECIMAL(20,6))) AS rev
+          FROM events WHERE event_type = 'purchase' GROUP BY d
+        ),
+        t AS (SELECT sum(rev) AS total, count(*) AS nd FROM daily),
+        s AS (
+          SELECT d,
+                 CASE WHEN rev * nd > total THEN 1 ELSE 0 END AS sgn
+          FROM daily, t
+        ),
+        c AS (
+          SELECT sgn,
+                 CASE WHEN lag(sgn) OVER (ORDER BY d) IS NOT NULL
+                       AND lag(sgn) OVER (ORDER BY d) <> sgn
+                      THEN 1 ELSE 0 END AS chg
+          FROM s
+        ),
+        a AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(sum(sgn) AS BIGINT) AS n_above,
+                 CAST(count(*) - sum(sgn) AS BIGINT) AS n_below,
+                 CAST(1 + sum(chg) AS BIGINT) AS runs
+          FROM c
+        ),
+        f AS (
+          SELECT n_days, n_above, n_below, runs,
+                 2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+                   / CAST(n_days AS DOUBLE) + 1.0 AS e,
+                 2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+                   * (2.0 * CAST(n_above AS DOUBLE)
+                        * CAST(n_below AS DOUBLE)
+                      - CAST(n_days AS DOUBLE))
+                   / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)
+                      * (CAST(n_days AS DOUBLE) - 1.0)) AS var
+          FROM a
+        )
+        SELECT n_days, n_above, n_below, runs,
+               floor(e * 10000 + 0.5) / 10000 AS e_runs,
+               CASE WHEN var > 0 THEN
+                 floor((CAST(runs AS DOUBLE) - e) / sqrt(var)
+                       * 10000 + 0.5) / 10000
+               END AS z
+        FROM f
+    """,
     "q_cross_correlation": """
         WITH e AS (
           SELECT epoch_us(ts) // 3600000000 AS h, event_type

@@ -150,6 +150,154 @@ def q_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_graph_bfs(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-GRAPH — breadth-first reachability levels from a seed node
+    (the smallest part key in the edge set) over the part co-purchase
+    graph: per-level node count and exact id-sum for levels 0..3. The
+    registry plan is the UNROLLED frontier expansion — each hop is one
+    edge-keyed join + one anti-join against the visited set, the same
+    plan-literal-iterations device as q_pagerank, with per-hop
+    ``localCheckpoint`` so the static plan never re-expands earlier
+    frontiers. The anti-join IS the min-level guarantee (a node joins
+    the first frontier that reaches it), which is exactly the oracle's
+    ``WITH RECURSIVE`` + min(level) semantics. Every step is a
+    key-equality shuffle on node id; nothing driver-side."""
+    edges = graph.copurchase_part_edges(
+        table(spark, sf, "lineitem"), min_orders=2
+    ).localCheckpoint(eager=True)
+    und = (
+        edges.select(F.col("s1").alias("z"), F.col("s2").alias("x"))
+        .unionAll(
+            edges.select(F.col("s2").alias("z"), F.col("s1").alias("x"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    seed = edges.agg(F.min("s1").alias("node"))
+    frontier = seed.select("node", F.lit(0).alias("level"))
+    visited = frontier
+    for i in range(1, 4):
+        nxt = (
+            und.join(
+                F.broadcast(frontier.select(F.col("node").alias("z"))),
+                "z",
+            )
+            .select(F.col("x").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(i).alias("level"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionAll(nxt)
+        frontier = nxt
+    return (
+        visited.groupBy("level")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("node").cast("long").alias("sum_nodes"),
+        )
+        .orderBy("level")
+    )
+
+
+def q_shortest_path(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-GRAPH — single-source weighted shortest paths, 3 rounds of
+    Bellman-Ford relaxation from the smallest part key, edge length
+    1/n_ab (strong co-purchase ties are short). Each unrolled round is
+    one edge-keyed join + one min-aggregate — d_{i+1}(v) = min(d_i(v),
+    min_u d_i(u)+w(u,v)) — with per-round ``localCheckpoint`` lineage
+    cuts (the q_pagerank device). Distances are IEEE doubles but still
+    cross-engine exact: every path length is the same left-to-right sum
+    of the same 1/n doubles, and min() over an identical value set is
+    order-free. Top-20 nearest by (4dp distance, node id)."""
+    edges = graph.copurchase_part_edges(
+        table(spark, sf, "lineitem"), min_orders=2, keep_weight=True
+    ).localCheckpoint(eager=True)
+    w = F.lit(1.0) / F.col("n_ab").cast("double")
+    und = (
+        edges.select(
+            F.col("s1").alias("z"), F.col("s2").alias("x"), w.alias("w")
+        )
+        .unionAll(
+            edges.select(
+                F.col("s2").alias("z"),
+                F.col("s1").alias("x"),
+                w.alias("w"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    d = edges.agg(F.min("s1").alias("node")).select(
+        "node", F.lit(0.0).alias("dist")
+    )
+    for _ in range(3):
+        relax = (
+            und.join(
+                d.select(F.col("node").alias("z"), "dist"), "z"
+            )
+            .select(
+                F.col("x").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        d = (
+            d.unionAll(relax)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        d.select("node", text.round4(F.col("dist")).alias("dist"))
+        .orderBy("dist", "node")
+        .limit(20)
+    )
+
+
+def q_assortativity(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-GRAPH — degree assortativity of the part co-purchase graph:
+    Pearson correlation of (deg(u), deg(v)) over the DIRECTED edge list
+    (both orientations of each undirected edge — Newman's convention),
+    from exact bigint sufficient statistics (n·Σxy − Σx·Σy over exact
+    integer degree sums — the float-sum-free correlation pattern), so
+    the correlation is bit-identical cross-engine before the final
+    double division. Degrees ride broadcasts onto the edge list; one
+    map-side-combining aggregate produces the 1-row stats. Headroom:
+    Σdeg² per edge needs Σ deg_u²·deg_v⁰ < 9.2e18 — at web scale switch
+    the stats to decimal(38,0)."""
+    edges = graph.copurchase_part_edges(
+        table(spark, sf, "lineitem"), min_orders=2
+    ).localCheckpoint(eager=True)
+    und = edges.select(
+        F.col("s1").alias("u"), F.col("s2").alias("v")
+    ).unionAll(edges.select(F.col("s2").alias("u"), F.col("s1").alias("v")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    du = deg.select(F.col("u").alias("u"), F.col("deg").alias("dx"))
+    dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("dy"))
+    j = und.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    a = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return a.select(
+        F.col("n").alias("n_directed_edges"),
+        text.round4(
+            F.when((vx > 0) & (vy > 0), num / F.sqrt(vx * vy))
+        ).alias("assortativity"),
+    )
+
+
 _PART_EDGES = """
   pe AS (
     SELECT a.p AS s1, b.p AS s2
@@ -220,6 +368,107 @@ RECURSIVE_HIERARCHY_SQL = """
 
 ORACLES: dict[str, str | None] = {
     "q_recursive_hierarchy": RECURSIVE_HIERARCHY_SQL.format(div="//"),
+    "q_shortest_path": """
+        WITH pe AS (
+          SELECT a.p AS s1, b.p AS s2, count(*) AS n_ab
+          FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem) a
+          JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem) b
+            ON a.o = b.o AND a.p < b.p
+          GROUP BY 1, 2
+          HAVING count(*) >= 2
+        ),
+        und AS (
+          SELECT s1 AS z, s2 AS x, 1.0 / CAST(n_ab AS DOUBLE) AS w
+          FROM pe
+          UNION ALL
+          SELECT s2, s1, 1.0 / CAST(n_ab AS DOUBLE) FROM pe
+        ),
+        d0 AS (
+          SELECT min(s1) AS node, CAST(0.0 AS DOUBLE) AS dist FROM pe
+        ),
+        r1 AS (
+          SELECT u.x AS node, d.dist + u.w AS dist
+          FROM d0 d JOIN und u ON u.z = d.node
+        ),
+        d1 AS (
+          SELECT node, min(dist) AS dist
+          FROM (SELECT * FROM d0 UNION ALL SELECT * FROM r1)
+          GROUP BY node
+        ),
+        r2 AS (
+          SELECT u.x AS node, d.dist + u.w AS dist
+          FROM d1 d JOIN und u ON u.z = d.node
+        ),
+        d2 AS (
+          SELECT node, min(dist) AS dist
+          FROM (SELECT * FROM d1 UNION ALL SELECT * FROM r2)
+          GROUP BY node
+        ),
+        r3 AS (
+          SELECT u.x AS node, d.dist + u.w AS dist
+          FROM d2 d JOIN und u ON u.z = d.node
+        ),
+        d3 AS (
+          SELECT node, min(dist) AS dist
+          FROM (SELECT * FROM d2 UNION ALL SELECT * FROM r3)
+          GROUP BY node
+        )
+        SELECT node, floor(dist * 10000 + 0.5) / 10000 AS dist
+        FROM d3 ORDER BY dist, node LIMIT 20
+    """,
+    "q_graph_bfs": f"""
+        WITH RECURSIVE {_PART_EDGES},
+        und AS (
+          SELECT s1 AS z, s2 AS x FROM pe
+          UNION ALL SELECT s2, s1 FROM pe
+        ),
+        seed AS (SELECT min(s1) AS node FROM pe),
+        walk AS (
+          SELECT node, 0 AS level FROM seed
+          UNION
+          SELECT u.x AS node, w.level + 1 AS level
+          FROM walk w JOIN und u ON u.z = w.node
+          WHERE w.level < 3
+        ),
+        d AS (SELECT node, min(level) AS level FROM walk GROUP BY node)
+        SELECT level, count(*) AS n_nodes,
+               CAST(sum(node) AS BIGINT) AS sum_nodes
+        FROM d GROUP BY level ORDER BY level
+    """,
+    "q_assortativity": f"""
+        WITH {_PART_EDGES},
+        und AS (
+          SELECT s1 AS u, s2 AS v FROM pe
+          UNION ALL SELECT s2, s1 FROM pe
+        ),
+        deg AS (SELECT u, count(*) AS deg FROM und GROUP BY u),
+        j AS (
+          SELECT du.deg AS dx, dv.deg AS dy
+          FROM und
+          JOIN deg du ON und.u = du.u
+          JOIN deg dv ON und.v = dv.u
+        ),
+        a AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(dx) AS BIGINT) AS sx,
+                 CAST(sum(dy) AS BIGINT) AS sy,
+                 CAST(sum(dx * dy) AS BIGINT) AS sxy,
+                 CAST(sum(dx * dx) AS BIGINT) AS sxx,
+                 CAST(sum(dy * dy) AS BIGINT) AS syy
+          FROM j
+        )
+        SELECT n AS n_directed_edges,
+               CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                     AND CAST(n * syy - sy * sy AS DOUBLE) > 0 THEN
+                 floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE))
+                       * 10000 + 0.5) / 10000
+               END AS assortativity
+        FROM a
+    """,
     "q_triangle_count": f"""
         WITH {_PART_EDGES},
         tri AS (

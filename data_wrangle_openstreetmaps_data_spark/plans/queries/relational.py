@@ -321,6 +321,79 @@ def q_inventory_balance(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dp_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — differentially-private count release (ε=1 Laplace
+    mechanism), the third leg of the privacy battery next to
+    q_k_anonymity / q_l_diversity: per-event-type counts plus Laplace
+    noise drawn by inverse-CDF — noise = −b·sign(u−½)·ln(1−2|u−½|),
+    b = 1/ε — from the portable 60-bit md5 uniform, so the "random"
+    draw is a pure function of the group key and both engines release
+    the identical noised value. (A seeded release is how you make a DP
+    pipeline auditable/replayable; the privacy budget accounting is
+    unchanged.) One map-side-combining aggregate; noise is O(#groups)
+    arithmetic."""
+    from data_wrangle_openstreetmaps_data_spark.operators.dedup import (
+        portable_token_hash,
+    )
+
+    ev = table(spark, sf, "events")
+    c = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    u = portable_token_hash(
+        F.concat(F.lit("dp:"), F.col("event_type"))
+    ) / F.lit(float(1 << 60))
+    half = u - F.lit(0.5)
+    noise = (
+        -F.lit(1.0)
+        * F.signum(half)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(half))
+    )
+    return c.select(
+        "event_type",
+        "n",
+        text.round4(F.col("n") + noise).alias("n_dp"),
+    ).orderBy("event_type")
+
+
+def q_grouped_ols(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — grouped OLS slopes with a pooled row (the Simpson's-paradox
+    screen): slope of extended price on quantity per return-flag AND
+    pooled over all rows, via ``rollup`` so both granularities come out
+    of ONE aggregate pass. Sufficient statistics are EXACT — Σx, Σx²
+    bigint, Σy, Σxy decimal (quantity is integer-valued; price casts to
+    decimal(20,6)) — and only THEN cast to double, so the slope
+    (Σxy − ΣxΣy/n)/(Σx² − (Σx)²/n) is the same IEEE expression over the
+    same four doubles on both engines (the Zipf-fit exact-stats lesson;
+    the n·Σxy cross-multiplied form is avoided deliberately — it
+    overflows decimal(38) at scale). Map-side combine does the heavy
+    lifting; the rollup adds one extra partial per partition, not a
+    second scan."""
+    li = table(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.col("l_extendedprice").cast("decimal(20,6)").alias("y"),
+    )
+    a = li.rollup("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    num = F.col("sxy").cast("double") - sxd * F.col("sy").cast(
+        "double"
+    ) / nd
+    den = F.col("sxx").cast("double") - sxd * sxd / nd
+    return a.select(
+        F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("grp"),
+        "n",
+        text.round4(
+            F.when(den > 0, num / den)
+        ).alias("slope"),
+    ).orderBy("grp")
+
+
 def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — range join via domain bucketing (equality join on buckets +
     residual filter; never a nested-loop cross product)."""
@@ -1226,6 +1299,51 @@ ORACLES: dict[str, str | None] = {
         FROM purchases p
         ASOF LEFT JOIN signups s
           ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+    "q_dp_counts": """
+        WITH c AS (
+          SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+        ),
+        u AS (
+          SELECT event_type, n,
+                 ('0x' || substr(md5('dp:' || event_type), 1, 15))::BIGINT
+                   / 1152921504606846976.0 AS u
+          FROM c
+        )
+        SELECT event_type, n,
+               floor((n + (-1.0) * sign(u - 0.5)
+                          * ln(1.0 - 2.0 * abs(u - 0.5)))
+                     * 10000 + 0.5) / 10000 AS n_dp
+        FROM u ORDER BY event_type
+    """,
+    "q_grouped_ols": """
+        WITH li AS (
+          SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+                 CAST(l_extendedprice AS DECIMAL(20,6)) AS y
+          FROM lineitem
+        ),
+        a AS (
+          SELECT l_returnflag,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 sum(y) AS sy,
+                 sum(x * y) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx
+          FROM li GROUP BY ROLLUP (l_returnflag)
+        )
+        SELECT coalesce(l_returnflag, 'ALL') AS grp, n,
+               CASE WHEN (CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                            / CAST(n AS DOUBLE)) > 0 THEN
+                 floor((CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                       / (CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                            / CAST(n AS DOUBLE))
+                       * 10000 + 0.5) / 10000
+               END AS slope
+        FROM a ORDER BY grp
     """,
     "q_inventory_balance": """
         WITH li AS (

@@ -550,7 +550,331 @@ def q_decile_lift(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("decile")
 
 
+def q_apportionment(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — Hamilton largest-remainder apportionment: allocate a fixed
+    budget of 1000 units across nations proportionally to revenue, with
+    EXACT integer arithmetic throughout (the float-free allocation
+    pattern): revenue as exact decimal cents, quota = cents·1000 with
+    integer DIV/%, leftover seats to the largest remainders (tiebreak
+    nationkey). Guarantees Σseats = 1000 bit-exactly on any engine — a
+    float quota would not. The per-nation aggregate is the only
+    data-sized shuffle; totals ride 1-row broadcasts and the remainder
+    rank is a window over the bounded nation dimension (≤25 rows).
+    Headroom: cents·1000 needs Σrevenue < 9.2e16 cents (~920 T$) before
+    the bigint quota overflows — switch to decimal(38,0) beyond that."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer")
+    nat = table(spark, sf, "nation")
+    rev = (
+        orders.select("o_custkey", "o_totalprice")
+        .join(
+            cust.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(20,6)")).alias("rev")
+        )
+        .withColumn("cents", (F.col("rev") * 100).cast("long"))
+    )
+    tot = rev.agg(F.sum("cents").cast("long").alias("total"))
+    f = rev.crossJoin(F.broadcast(tot)).select(
+        "c_nationkey",
+        "cents",
+        F.expr("CAST(cents * 1000 DIV total AS BIGINT)").alias(
+            "floor_seats"
+        ),
+        F.expr("CAST(cents * 1000 % total AS BIGINT)").alias("rem"),
+    )
+    used = f.agg(F.sum("floor_seats").cast("long").alias("used"))
+    r = f.crossJoin(F.broadcast(used)).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.desc("rem"), F.asc("c_nationkey"))
+        ),
+    )
+    return (
+        r.join(
+            F.broadcast(nat),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("cents").alias("rev_cents"),
+            "floor_seats",
+            (
+                F.col("floor_seats")
+                + F.when(
+                    F.col("rn") <= F.lit(1000) - F.col("used"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("seats"),
+        )
+        .orderBy(F.desc("seats"), "nation")
+    )
+
+
+def q_rank_movers(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — month-over-month rank movers: nations ranked by monthly
+    revenue, then each nation's rank delta vs its previous month; top 15
+    biggest absolute moves. Ranks are deterministic because the ranking
+    key is the EXACT decimal revenue (tiebreak nation name) — a double
+    sum could order ties differently per engine/partitioning. Two
+    bounded windows: rank partitions by month (≤25 rows each), lag
+    partitions by nation (≤ #months rows each); the data-sized work is
+    the one (nation, month) aggregate."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer")
+    nat = table(spark, sf, "nation")
+    rev = (
+        orders.select("o_custkey", "o_totalprice", "o_orderdate")
+        .join(
+            cust.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nat),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(20,6)")).alias("rev")
+        )
+    )
+    wm = Window.partitionBy("month").orderBy(F.desc("rev"), "nation")
+    wn = Window.partitionBy("nation").orderBy("month")
+    r = rev.withColumn("rnk", F.row_number().over(wm)).withColumn(
+        "prev_rnk", F.lag("rnk").over(wn)
+    )
+    return (
+        r.where(F.col("prev_rnk").isNotNull())
+        .select(
+            "month",
+            "nation",
+            F.col("rnk").cast("long").alias("rnk"),
+            F.col("prev_rnk").cast("long").alias("prev_rnk"),
+            (F.col("prev_rnk") - F.col("rnk")).cast("long").alias("delta"),
+        )
+        .orderBy(F.abs(F.col("delta")).desc(), "month", "nation")
+        .limit(15)
+    )
+
+
+# Poisson(1) CDF thresholds for the deterministic Poisson bootstrap:
+# P(X <= k) for k = 0..5; counts cap at 6 (P > 0.9999). Built once in
+# Python so the Spark literals and the oracle SQL literals are the SAME
+# doubles — the inverse-CDF comparison is then bit-identical per engine.
+import math as _math
+
+_POIS_CDF: list[float] = []
+_acc = 0.0
+for _k in range(6):
+    _acc += _math.exp(-1.0) / _math.factorial(_k)
+    _POIS_CDF.append(_acc)
+
+
+def q_poisson_bootstrap(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — Poisson bootstrap confidence intervals, THE resampling
+    scheme that scales (classic bootstrap needs n-sized samples drawn
+    WITH replacement — impossible distributed; Poisson bootstrap gives
+    each row an independent Poisson(1) weight per replicate, one
+    streaming pass, no global state). B=200 replicates of the per-type
+    mean event value: weight = inverse-CDF of Poisson(1) at a portable
+    uniform u = md5(event_id#b)/2^60, replicate means from EXACT decimal
+    weighted sums (so replicate ordering is cross-engine deterministic),
+    CI = 5th / 196th order statistic of the 200 means. The 200× row
+    fan-out collapses map-side into G×B partial aggregates — at 100 TB
+    the shuffle carries #groups·200 rows, not n·200."""
+    from data_wrangle_openstreetmaps_data_spark.operators.dedup import (
+        portable_token_hash,
+    )
+    from pyspark.sql import Window
+
+    B = 200
+    ev = table(spark, sf, "events").select(
+        "event_id", "event_type", "value"
+    )
+    rep = ev.withColumn(
+        "b", F.explode(F.sequence(F.lit(0), F.lit(B - 1)))
+    ).withColumn(
+        "u",
+        portable_token_hash(
+            F.concat_ws(
+                "#",
+                F.col("event_id").cast("string"),
+                F.col("b").cast("string"),
+            )
+        )
+        / F.lit(float(1 << 60)),
+    )
+    w = F.when(F.col("u") < F.lit(_POIS_CDF[0]), 0)
+    for k in range(1, 6):
+        w = w.when(F.col("u") < F.lit(_POIS_CDF[k]), k)
+    rep = rep.withColumn("w", w.otherwise(6))
+    m = (
+        rep.groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("value").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("s"),
+            F.sum("w").cast("long").alias("n"),
+        )
+        .where(F.col("n") > 0)
+        .withColumn("mean_b", F.col("s") / F.col("n").cast("double"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("mean_b", "b")
+    )
+    ci = (
+        m.withColumn("rn", rn)
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("rn") == 5, F.col("mean_b"))).alias("lo"),
+            F.max(F.when(F.col("rn") == 196, F.col("mean_b"))).alias(
+                "hi"
+            ),
+        )
+    )
+    pt = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_v"),
+    )
+    return (
+        pt.join(F.broadcast(ci), "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            text.round4(F.col("mean_v")).alias("mean_value"),
+            text.round4(F.col("lo")).alias("ci_lo"),
+            text.round4(F.col("hi")).alias("ci_hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_POIS_CASE_SQL = "CASE {} ELSE 6 END".format(
+    " ".join(
+        f"WHEN u < {cdf!r} THEN {k}" for k, cdf in enumerate(_POIS_CDF)
+    )
+)
+
 ORACLES: dict[str, str | None] = {
+    "q_apportionment": """
+        WITH rev AS (
+          SELECT c_nationkey,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) * 100
+                      AS BIGINT) AS cents
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_nationkey
+        ),
+        t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM rev),
+        f AS (
+          SELECT c_nationkey, cents,
+                 CAST((cents * 1000) // total AS BIGINT) AS floor_seats,
+                 CAST((cents * 1000) % total AS BIGINT) AS rem
+          FROM rev, t
+        ),
+        u AS (SELECT CAST(sum(floor_seats) AS BIGINT) AS used FROM f),
+        r AS (
+          SELECT f.*, used,
+                 row_number() OVER (ORDER BY rem DESC, c_nationkey) AS rn
+          FROM f, u
+        )
+        SELECT n_name AS nation, cents AS rev_cents, floor_seats,
+               CAST(floor_seats
+                    + CASE WHEN rn <= 1000 - used THEN 1 ELSE 0 END
+                    AS BIGINT) AS seats
+        FROM r JOIN nation ON n_nationkey = c_nationkey
+        ORDER BY seats DESC, nation
+    """,
+    "q_rank_movers": """
+        WITH rev AS (
+          SELECT n_name AS nation,
+                 strftime(o_orderdate, '%Y-%m') AS month,
+                 sum(CAST(o_totalprice AS DECIMAL(20,6))) AS rev
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON n_nationkey = c_nationkey
+          GROUP BY n_name, strftime(o_orderdate, '%Y-%m')
+        ),
+        r1 AS (
+          SELECT month, nation,
+                 row_number() OVER (
+                   PARTITION BY month ORDER BY rev DESC, nation
+                 ) AS rnk
+          FROM rev
+        ),
+        r AS (
+          SELECT month, nation, rnk,
+                 lag(rnk) OVER (
+                   PARTITION BY nation ORDER BY month
+                 ) AS prev_rnk
+          FROM r1
+        )
+        SELECT month, nation, CAST(rnk AS BIGINT) AS rnk,
+               CAST(prev_rnk AS BIGINT) AS prev_rnk,
+               CAST(prev_rnk - rnk AS BIGINT) AS delta
+        FROM r WHERE prev_rnk IS NOT NULL
+        ORDER BY abs(prev_rnk - rnk) DESC, month, nation
+        LIMIT 15
+    """,
+    "q_poisson_bootstrap": f"""
+        WITH rep AS (
+          SELECT event_type, b, value,
+                 ('0x' || substr(md5(CAST(event_id AS VARCHAR) || '#'
+                                     || CAST(b AS VARCHAR)), 1, 15))::BIGINT
+                   / 1152921504606846976.0 AS u
+          FROM events
+          CROSS JOIN (SELECT unnest(generate_series(0, 199)) AS b) bs
+        ),
+        wt AS (SELECT event_type, b, value, {_POIS_CASE_SQL} AS w FROM rep),
+        m AS (
+          SELECT event_type, b,
+                 CAST(sum(w * CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS s,
+                 CAST(sum(w) AS BIGINT) AS n
+          FROM wt GROUP BY event_type, b
+        ),
+        mm AS (
+          SELECT event_type, b, s / CAST(n AS DOUBLE) AS mean_b
+          FROM m WHERE n > 0
+        ),
+        r AS (
+          SELECT event_type, mean_b,
+                 row_number() OVER (
+                   PARTITION BY event_type ORDER BY mean_b, b
+                 ) AS rn
+          FROM mm
+        ),
+        ci AS (
+          SELECT event_type,
+                 max(CASE WHEN rn = 5 THEN mean_b END) AS lo,
+                 max(CASE WHEN rn = 196 THEN mean_b END) AS hi
+          FROM r GROUP BY event_type
+        ),
+        pt AS (
+          SELECT event_type, count(*) AS n_events,
+                 CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS mean_v
+          FROM events GROUP BY event_type
+        )
+        SELECT pt.event_type, CAST(n_events AS BIGINT) AS n_events,
+               floor(mean_v * 10000 + 0.5) / 10000 AS mean_value,
+               floor(lo * 10000 + 0.5) / 10000 AS ci_lo,
+               floor(hi * 10000 + 0.5) / 10000 AS ci_hi
+        FROM pt JOIN ci USING (event_type)
+        ORDER BY event_type
+    """,
     "q_decile_lift": """
         WITH pu AS (
           SELECT user_id, count(*) AS score,

@@ -873,7 +873,81 @@ def q_column_stats_drift(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("stat")
 
 
+def q_delta_encoding(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-S — posting-list delta (gap) encoding audit, the storage-side
+    companion to q_inverted_index: per token, sort the distinct doc-id
+    postings, take successive gaps (the first posting codes its absolute
+    id), and cost each value at its exact BIT LENGTH via length(bin(v))
+    — integer bit math, never floating log2 (the HLL rho lesson) — vs
+    the 64-bit/posting raw encoding. Reports the 20 highest-df tokens
+    with their compression ratio: the measurement that justifies
+    gap+varint layouts for inverted indexes at corpus scale. One explode
+    + two token-keyed ops; the lag window partitions by token."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf, "documents").select(
+        "doc_id", F.explode(text.tokens("text")).alias("token")
+    )
+    p = d.groupBy("token", "doc_id").agg(F.lit(1).alias("one"))
+    g = p.withColumn(
+        "gap",
+        F.coalesce(
+            F.col("doc_id")
+            - F.lag("doc_id").over(
+                Window.partitionBy("token").orderBy("doc_id")
+            ),
+            F.col("doc_id"),
+        ),
+    )
+    return (
+        g.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length(F.bin("gap"))).cast("long").alias(
+                "delta_bits"
+            ),
+        )
+        .select(
+            "token",
+            "n_docs",
+            "delta_bits",
+            text.round4(
+                F.col("delta_bits").cast("double")
+                / (F.lit(64.0) * F.col("n_docs").cast("double"))
+            ).alias("ratio"),
+        )
+        .orderBy(F.desc("n_docs"), "token")
+        .limit(20)
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_delta_encoding": f"""
+        WITH toked AS (
+          SELECT doc_id, {{tokens}} AS toks FROM documents
+        ),
+        p AS (
+          SELECT DISTINCT unnest(toks) AS token, doc_id FROM toked
+        ),
+        g AS (
+          SELECT token,
+                 coalesce(doc_id - lag(doc_id) OVER (
+                   PARTITION BY token ORDER BY doc_id
+                 ), doc_id) AS gap
+          FROM p
+        ),
+        a AS (
+          SELECT token, count(*) AS n_docs,
+                 CAST(sum(length(bin(gap))) AS BIGINT) AS delta_bits
+          FROM g GROUP BY token
+        )
+        SELECT token, n_docs, delta_bits,
+               floor(CAST(delta_bits AS DOUBLE)
+                     / (64.0 * CAST(n_docs AS DOUBLE))
+                     * 10000 + 0.5) / 10000 AS ratio
+        FROM a
+        ORDER BY n_docs DESC, token LIMIT 20
+    """.format(tokens=_TOKENS_SQL),
     "q_hilbert_layout": f"""
         WITH src AS (
           SELECT CAST(floor(value / 5) AS INT) AS gx0,

@@ -124,6 +124,58 @@ def q_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_log_odds_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-T — distinctive terms per language via log-odds with an
+    informed Dirichlet prior (Monroe et al.'s "Fightin' Words", the
+    corpus-comparison statistic that fixes both raw-count hub bias and
+    TF-IDF's rare-term bias): per (lang, token),
+    δ = ln((y+α)/(n_l+A−y−α)) − ln((y'+α)/(N−n_l+A−y'−α)) with the
+    rest-of-corpus counts y' = g−y, prior α = g/100 ∝ corpus frequency,
+    z = δ/√(1/(y+α) + 1/(y'+α)); top-3 per language by z. Every input
+    to the doubles is an EXACT integer count scaled by literal 0.01, so
+    both engines hit ln/sqrt with identical doubles. Two token-keyed
+    aggregates + a broadcast of the per-lang totals; the top-k window
+    partitions by the bounded lang dimension."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf, "documents").select(
+        "lang", F.explode(text.tokens("text")).alias("token")
+    )
+    ylw = d.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    gw = ylw.groupBy("token").agg(F.sum("y").cast("long").alias("g"))
+    nl = ylw.groupBy("lang").agg(F.sum("y").cast("long").alias("n_l"))
+    nn = nl.agg(F.sum("n_l").cast("long").alias("nn"))
+    j = (
+        ylw.join(gw, "token")
+        .join(F.broadcast(nl), "lang")
+        .crossJoin(F.broadcast(nn))
+    )
+    a = F.col("g").cast("double") * F.lit(0.01)
+    aa = F.col("nn").cast("double") * F.lit(0.01)
+    y = F.col("y").cast("double")
+    yr = (F.col("g") - F.col("y")).cast("double")
+    n_l = F.col("n_l").cast("double")
+    nrest = (F.col("nn") - F.col("n_l")).cast("double")
+    delta = F.log((y + a) / (n_l + aa - y - a)) - F.log(
+        (yr + a) / (nrest + aa - yr - a)
+    )
+    z = delta / F.sqrt(
+        F.lit(1.0) / (y + a) + F.lit(1.0) / (yr + a)
+    )
+    scored = j.select(
+        "lang", "token", "y", "g", text.round4(z).alias("z")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("z"), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("lang", "token", "y", "g", "z")
+        .orderBy("lang", F.desc("z"), "token")
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-T — deterministic document fingerprint (md5 of normalized text)."""
     df = table(spark, sf, "documents")
@@ -1132,6 +1184,51 @@ ORACLES: dict[str, str | None] = {
                substr(md5(array_to_string(toks[start + 1 : start + 32], ' ')),
                       1, 16) AS fp
         FROM st
+    """,
+    "q_log_odds_terms": f"""
+        WITH toked AS (
+          SELECT lang, unnest({_TOKENS_SQL}) AS token FROM documents
+        ),
+        ylw AS (
+          SELECT lang, token, count(*) AS y
+          FROM toked GROUP BY lang, token
+        ),
+        gw AS (
+          SELECT token, CAST(sum(y) AS BIGINT) AS g
+          FROM ylw GROUP BY token
+        ),
+        nl AS (
+          SELECT lang, CAST(sum(y) AS BIGINT) AS n_l
+          FROM ylw GROUP BY lang
+        ),
+        nt AS (SELECT CAST(sum(n_l) AS BIGINT) AS nn FROM nl),
+        s AS (
+          SELECT lang, token, y, g,
+                 (ln((CAST(y AS DOUBLE) + CAST(g AS DOUBLE) * 0.01)
+                     / (CAST(n_l AS DOUBLE) + CAST(nn AS DOUBLE) * 0.01
+                        - CAST(y AS DOUBLE) - CAST(g AS DOUBLE) * 0.01))
+                  - ln((CAST(g - y AS DOUBLE) + CAST(g AS DOUBLE) * 0.01)
+                     / (CAST(nn - n_l AS DOUBLE)
+                        + CAST(nn AS DOUBLE) * 0.01
+                        - CAST(g - y AS DOUBLE)
+                        - CAST(g AS DOUBLE) * 0.01)))
+                 / sqrt(1.0 / (CAST(y AS DOUBLE)
+                               + CAST(g AS DOUBLE) * 0.01)
+                        + 1.0 / (CAST(g - y AS DOUBLE)
+                                 + CAST(g AS DOUBLE) * 0.01)) AS zraw
+          FROM ylw JOIN gw USING (token) JOIN nl USING (lang), nt
+        ),
+        r AS (
+          SELECT lang, token, y, g,
+                 floor(zraw * 10000 + 0.5) / 10000 AS z,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY floor(zraw * 10000 + 0.5) / 10000 DESC, token
+                 ) AS rn
+          FROM s
+        )
+        SELECT lang, token, y, g, z FROM r WHERE rn <= 3
+        ORDER BY lang, z DESC, token
     """,
     "q_inverted_index": f"""
         WITH toked AS (

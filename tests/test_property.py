@@ -415,3 +415,60 @@ def test_lindley_reflection_identity(xs):
         p += x
         rmin = min(rmin, p)
         assert w == p - min(0, rmin)
+
+
+@given(
+    st.lists(st.integers(0, 10**9), min_size=1, max_size=40),
+    st.integers(1, 2000),
+)
+@settings(max_examples=200, deadline=None)
+def test_hamilton_apportionment_quota_rule(cents, budget):
+    """The largest-remainder allocation used by q_apportionment: seats
+    must sum EXACTLY to the budget and every party must receive its
+    quota floor or ceiling (Hamilton's method satisfies the quota rule
+    by construction) — mirrored here against the literal formula."""
+    total = sum(cents)
+    if total == 0:
+        return
+    floors = [(c * budget) // total for c in cents]
+    rems = [(c * budget) % total for c in cents]
+    leftover = budget - sum(floors)
+    order = sorted(range(len(cents)), key=lambda i: (-rems[i], i))
+    seats = list(floors)
+    for i in order[:leftover]:
+        seats[i] += 1
+    assert sum(seats) == budget
+    for c, s in zip(cents, seats):
+        q = c * budget / total
+        assert s in (int(q // 1), int(q // 1) + 1)
+
+
+@given(st.lists(st.integers(0, 1), min_size=1, max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_runs_count_equals_one_plus_sign_changes(signs):
+    """q_runs_test counts runs as 1 + Σ(sign ≠ lag(sign)); pin that
+    identity against a literal group-by-consecutive scan."""
+    runs = 1
+    for a, b in zip(signs, signs[1:]):
+        if a != b:
+            runs += 1
+    brute = len([1 for i, s in enumerate(signs) if i == 0 or signs[i - 1] != s])
+    assert runs == brute
+
+
+def test_poisson_cdf_literals_are_the_math():
+    """The Poisson(1) inverse-CDF thresholds inlined into both engines'
+    q_poisson_bootstrap SQL must be the true cumulative e⁻¹/k! doubles,
+    strictly increasing, with the cap branch below 1e-3 tail mass."""
+    import math
+
+    from data_wrangle_openstreetmaps_data_spark.plans.queries.reporting import (
+        _POIS_CDF,
+    )
+
+    acc = 0.0
+    for k, t in enumerate(_POIS_CDF):
+        acc += math.exp(-1.0) / math.factorial(k)
+        assert t == acc
+    assert all(a < b for a, b in zip(_POIS_CDF, _POIS_CDF[1:]))
+    assert 1.0 - _POIS_CDF[-1] < 1e-3
