@@ -145,6 +145,35 @@ def lang_id_table(df, text_col: str = "text", id_col: str = "doc_id"):
     return scores.select("id", pred.alias("pred"))
 
 
+SOUNDEX_DIGITS = "01230120022455012623010202"
+_AZ = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+def soundex_code(c: Column | str) -> Column:
+    """Simplified American Soundex (without the H/W-transparency rule),
+    built ONLY from engine-portable string primitives — upper, strip
+    non-letters, translate letters→digit classes, collapse adjacent
+    equal digits, drop the leading code, delete zeros, pad to
+    letter+3 — so the identical algorithm runs as DuckDB SQL in the
+    oracle (engine-native soundex() variants disagree across engines on
+    exactly the H/W corner, which is why the shared spec avoids it).
+    NULL for inputs with no letters. The phonetic blocking key for
+    record linkage: 'kolkata' and 'Kolkata' and near-misspellings land
+    in one block."""
+    col = F.col(c) if isinstance(c, str) else c
+    u = F.upper(F.regexp_replace(col, "[^A-Za-z]", ""))
+    digits = F.translate(u, _AZ, SOUNDEX_DIGITS)
+    collapsed = F.regexp_replace(digits, r"(\d)\1+", "$1")
+    cleaned = F.translate(
+        collapsed.substr(F.lit(2), F.length(collapsed)), "0", ""
+    )
+    sdx = F.concat(
+        F.substring(u, 1, 1),
+        F.rpad(F.substring(cleaned, 1, 3), 3, "0"),
+    )
+    return F.when(F.length(u) > 0, sdx)
+
+
 def fingerprint(text: Column | str, length: int = 16) -> Column:
     """Deterministic document fingerprint: md5 of the whitespace-normalized
     lowercase text, truncated. (Rolling-hash analog with an exact,

@@ -298,6 +298,59 @@ def q_assortativity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-GRAPH — 2-core decomposition by iterative degree pruning
+    (3 unrolled rounds): repeatedly drop nodes with degree < 2 and the
+    edges touching them, reporting (round, n_nodes, n_edges) — the
+    shrinking-core profile that tells you how much of an interaction
+    graph is load-bearing vs pendant fuzz before running community/
+    triangle algorithms on it. Each round is a degree aggregate + two
+    semi-join filters (all key-equality shuffles), ``localCheckpoint``
+    per round (the q_pagerank lineage device); stats rows are 1-row
+    aggregates unioned into the 4-row output."""
+    edges = graph.copurchase_part_edges(
+        table(spark, sf, "lineitem"), min_orders=2
+    ).localCheckpoint(eager=True)
+
+    def stats(e: DataFrame, r: int) -> DataFrame:
+        nn = (
+            e.select(F.col("s1").alias("node"))
+            .unionAll(e.select(F.col("s2").alias("node")))
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        )
+        ne = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        return nn.crossJoin(ne).select(
+            F.lit(r).cast("int").alias("round"), "n_nodes", "n_edges"
+        )
+
+    out = [stats(edges, 0)]
+    cur = edges
+    for r in range(1, 4):
+        deg = (
+            cur.select(F.col("s1").alias("node"))
+            .unionAll(cur.select(F.col("s2").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= 2)
+            .select("node")
+        )
+        cur = (
+            cur.join(
+                deg.select(F.col("node").alias("s1")), "s1", "left_semi"
+            )
+            .join(
+                deg.select(F.col("node").alias("s2")), "s2", "left_semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+        out.append(stats(cur, r))
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionAll(o)
+    return res.orderBy("round")
+
+
 _PART_EDGES = """
   pe AS (
     SELECT a.p AS s1, b.p AS s2
@@ -368,6 +421,58 @@ RECURSIVE_HIERARCHY_SQL = """
 
 ORACLES: dict[str, str | None] = {
     "q_recursive_hierarchy": RECURSIVE_HIERARCHY_SQL.format(div="//"),
+    "q_kcore": f"""
+        WITH {_PART_EDGES},
+        e0 AS MATERIALIZED (SELECT s1, s2 FROM pe),
+        k1 AS (
+          SELECT node FROM (
+            SELECT s1 AS node FROM e0 UNION ALL SELECT s2 FROM e0
+          ) GROUP BY node HAVING count(*) >= 2
+        ),
+        e1 AS MATERIALIZED (
+          SELECT e0.s1, e0.s2 FROM e0
+          JOIN k1 a ON e0.s1 = a.node JOIN k1 b ON e0.s2 = b.node
+        ),
+        k2 AS (
+          SELECT node FROM (
+            SELECT s1 AS node FROM e1 UNION ALL SELECT s2 FROM e1
+          ) GROUP BY node HAVING count(*) >= 2
+        ),
+        e2 AS MATERIALIZED (
+          SELECT e1.s1, e1.s2 FROM e1
+          JOIN k2 a ON e1.s1 = a.node JOIN k2 b ON e1.s2 = b.node
+        ),
+        k3 AS (
+          SELECT node FROM (
+            SELECT s1 AS node FROM e2 UNION ALL SELECT s2 FROM e2
+          ) GROUP BY node HAVING count(*) >= 2
+        ),
+        e3 AS MATERIALIZED (
+          SELECT e2.s1, e2.s2 FROM e2
+          JOIN k3 a ON e2.s1 = a.node JOIN k3 b ON e2.s2 = b.node
+        )
+        SELECT 0 AS round,
+               (SELECT count(DISTINCT node) FROM
+                 (SELECT s1 AS node FROM e0 UNION ALL SELECT s2 FROM e0))
+                 AS n_nodes,
+               (SELECT count(*) FROM e0) AS n_edges
+        UNION ALL
+        SELECT 1,
+               (SELECT count(DISTINCT node) FROM
+                 (SELECT s1 AS node FROM e1 UNION ALL SELECT s2 FROM e1)),
+               (SELECT count(*) FROM e1)
+        UNION ALL
+        SELECT 2,
+               (SELECT count(DISTINCT node) FROM
+                 (SELECT s1 AS node FROM e2 UNION ALL SELECT s2 FROM e2)),
+               (SELECT count(*) FROM e2)
+        UNION ALL
+        SELECT 3,
+               (SELECT count(DISTINCT node) FROM
+                 (SELECT s1 AS node FROM e3 UNION ALL SELECT s2 FROM e3)),
+               (SELECT count(*) FROM e3)
+        ORDER BY round
+    """,
     "q_shortest_path": """
         WITH pe AS (
           SELECT a.p AS s1, b.p AS s2, count(*) AS n_ab

@@ -763,6 +763,141 @@ def q_poisson_bootstrap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_diff_in_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — difference-in-differences estimator, the fourth leg of the
+    experiment-readout battery (q_srm_check / q_conversion_ci /
+    q_cuped): arms by user-id parity, periods split at the time
+    midpoint, DiD = (T̄post − T̄pre) − (C̄post − C̄pre) from the four
+    cell means. Cell sums are EXACT — value on the 1e-4 integer grid
+    (the q_cuped float-sum-free trick) in bigint — and the four means
+    + DiD are mirrored double expressions, so the estimate is
+    bit-identical cross-engine. One (arm, period) aggregate (4 groups,
+    full map-side combine) + 4-row arithmetic; the midpoint travels as
+    a broadcast scalar."""
+    ev = table(spark, sf, "events")
+    e = ev.select(
+        "user_id",
+        catalog.event_ts_us(ev).alias("tsn"),
+        F.floor(F.col("value") * F.lit(10000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("vi"),
+    )
+    bounds = e.agg(
+        F.min("tsn").alias("mn"), F.max("tsn").alias("mx")
+    ).select(F.expr("(mn + mx) div 2").alias("mid"))
+    cells = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            (F.col("user_id") % 2).cast("int").alias("arm"),
+            F.when(F.col("tsn") < F.col("mid"), "pre")
+            .otherwise("post")
+            .alias("period"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vi").cast("long").alias("s"),
+        )
+    )
+
+    def cell(arm: int, period: str, col: str) -> F.Column:
+        return F.max(
+            F.when(
+                (F.col("arm") == arm) & (F.col("period") == period),
+                F.col(col),
+            )
+        )
+
+    one = cells.agg(
+        cell(0, "pre", "n").alias("n_c_pre"),
+        cell(0, "post", "n").alias("n_c_post"),
+        cell(1, "pre", "n").alias("n_t_pre"),
+        cell(1, "post", "n").alias("n_t_post"),
+        cell(0, "pre", "s").alias("s_c_pre"),
+        cell(0, "post", "s").alias("s_c_post"),
+        cell(1, "pre", "s").alias("s_t_pre"),
+        cell(1, "post", "s").alias("s_t_post"),
+    )
+
+    def mean(tag: str) -> F.Column:
+        return (
+            F.col(f"s_{tag}").cast("double")
+            / F.lit(10000.0)
+            / F.col(f"n_{tag}").cast("double")
+        )
+
+    did = (mean("t_post") - mean("t_pre")) - (
+        mean("c_post") - mean("c_pre")
+    )
+    return one.select(
+        "n_c_pre",
+        "n_c_post",
+        "n_t_pre",
+        "n_t_post",
+        text.round4(mean("c_pre")).alias("m_c_pre"),
+        text.round4(mean("c_post")).alias("m_c_post"),
+        text.round4(mean("t_pre")).alias("m_t_pre"),
+        text.round4(mean("t_post")).alias("m_t_post"),
+        text.round4(did).alias("did"),
+    )
+
+
+def q_hhi_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — Herfindahl–Hirschman market-concentration index per
+    region: HHI = Σᵢ sᵢ² over nation revenue shares, computed as
+    Σ centsᵢ² / (Σ cents)² with the squares in EXACT decimal(38,0)
+    (Spark) vs HUGEINT (DuckDB) — the q_cuped big-integer pattern —
+    and ONE double division at the end. Also reports the top nation's
+    share (max/total, exact integers → double). The data-sized work is
+    the (region, nation) aggregate; region totals are a 25-row rollup.
+    HHI ranges 1/n (perfect competition) to 1 (monopoly)."""
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer")
+    nat = table(spark, sf, "nation")
+    reg = table(spark, sf, "region")
+    cents = (
+        orders.select("o_custkey", "o_totalprice")
+        .join(
+            cust.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_regionkey", "c_nationkey")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(20,6)")) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    c19 = F.col("cents").cast("decimal(19,0)")
+    per = cents.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.sum("cents").cast("long").alias("tot"),
+        F.sum(c19 * c19).cast("decimal(38,0)").alias("sumsq"),
+        F.max("cents").cast("long").alias("top"),
+    )
+    totd = F.col("tot").cast("double")
+    return (
+        per.join(
+            F.broadcast(reg),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            "n_nations",
+            text.round4(
+                F.col("sumsq").cast("double") / (totd * totd)
+            ).alias("hhi"),
+            text.round4(F.col("top").cast("double") / totd).alias(
+                "top_share"
+            ),
+        )
+        .orderBy("region")
+    )
+
+
 _POIS_CASE_SQL = "CASE {} ELSE 6 END".format(
     " ".join(
         f"WHEN u < {cdf!r} THEN {k}" for k, cdf in enumerate(_POIS_CDF)
@@ -770,6 +905,82 @@ _POIS_CASE_SQL = "CASE {} ELSE 6 END".format(
 )
 
 ORACLES: dict[str, str | None] = {
+    "q_diff_in_diff": """
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS tsn,
+                 CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS vi
+          FROM events
+        ),
+        b AS (SELECT (min(tsn) + max(tsn)) // 2 AS mid FROM e),
+        cells AS (
+          SELECT CAST(user_id % 2 AS INT) AS arm,
+                 CASE WHEN tsn < mid THEN 'pre' ELSE 'post' END AS period,
+                 count(*) AS n, CAST(sum(vi) AS BIGINT) AS s
+          FROM e, b GROUP BY 1, 2
+        ),
+        one AS (
+          SELECT
+            max(CASE WHEN arm = 0 AND period = 'pre' THEN n END) AS n_c_pre,
+            max(CASE WHEN arm = 0 AND period = 'post' THEN n END) AS n_c_post,
+            max(CASE WHEN arm = 1 AND period = 'pre' THEN n END) AS n_t_pre,
+            max(CASE WHEN arm = 1 AND period = 'post' THEN n END) AS n_t_post,
+            max(CASE WHEN arm = 0 AND period = 'pre' THEN s END) AS s_c_pre,
+            max(CASE WHEN arm = 0 AND period = 'post' THEN s END) AS s_c_post,
+            max(CASE WHEN arm = 1 AND period = 'pre' THEN s END) AS s_t_pre,
+            max(CASE WHEN arm = 1 AND period = 'post' THEN s END) AS s_t_post
+          FROM cells
+        )
+        SELECT n_c_pre, n_c_post, n_t_pre, n_t_post,
+               floor(CAST(s_c_pre AS DOUBLE) / 10000.0
+                     / CAST(n_c_pre AS DOUBLE) * 10000 + 0.5) / 10000
+                 AS m_c_pre,
+               floor(CAST(s_c_post AS DOUBLE) / 10000.0
+                     / CAST(n_c_post AS DOUBLE) * 10000 + 0.5) / 10000
+                 AS m_c_post,
+               floor(CAST(s_t_pre AS DOUBLE) / 10000.0
+                     / CAST(n_t_pre AS DOUBLE) * 10000 + 0.5) / 10000
+                 AS m_t_pre,
+               floor(CAST(s_t_post AS DOUBLE) / 10000.0
+                     / CAST(n_t_post AS DOUBLE) * 10000 + 0.5) / 10000
+                 AS m_t_post,
+               floor(((CAST(s_t_post AS DOUBLE) / 10000.0
+                         / CAST(n_t_post AS DOUBLE)
+                       - CAST(s_t_pre AS DOUBLE) / 10000.0
+                         / CAST(n_t_pre AS DOUBLE))
+                      - (CAST(s_c_post AS DOUBLE) / 10000.0
+                           / CAST(n_c_post AS DOUBLE)
+                         - CAST(s_c_pre AS DOUBLE) / 10000.0
+                           / CAST(n_c_pre AS DOUBLE)))
+                     * 10000 + 0.5) / 10000 AS did
+        FROM one
+    """,
+    "q_hhi_concentration": """
+        WITH cents AS (
+          SELECT n_regionkey, c_nationkey,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) * 100
+                      AS BIGINT) AS cents
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_regionkey, c_nationkey
+        ),
+        per AS (
+          SELECT n_regionkey,
+                 CAST(count(*) AS BIGINT) AS n_nations,
+                 CAST(sum(cents) AS BIGINT) AS tot,
+                 sum(CAST(cents AS HUGEINT) * cents) AS sumsq,
+                 CAST(max(cents) AS BIGINT) AS top
+          FROM cents GROUP BY n_regionkey
+        )
+        SELECT r_name AS region, n_nations,
+               floor(CAST(sumsq AS DOUBLE)
+                     / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))
+                     * 10000 + 0.5) / 10000 AS hhi,
+               floor(CAST(top AS DOUBLE) / CAST(tot AS DOUBLE)
+                     * 10000 + 0.5) / 10000 AS top_share
+        FROM per JOIN region ON r_regionkey = n_regionkey
+        ORDER BY region
+    """,
     "q_apportionment": """
         WITH rev AS (
           SELECT c_nationkey,

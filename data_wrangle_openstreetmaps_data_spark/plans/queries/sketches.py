@@ -457,7 +457,138 @@ _HLL_MERGE_SQL = """
 """
 
 
+def q_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-SK — mergeable stride-sample quantile sketch with a VERIFIED
+    rank-error bound: rows hash into 8 blocks (portable md5 — never
+    ``spark_partition_id`` over range partitioning, the round-2
+    nondeterminism lesson), each block keeps every 64th order statistic
+    (rn % 64 == 1), the merged candidate set answers p50/p90/p99, and a
+    second exact pass counts the TRUE rank of each estimate so the
+    output certifies |true_rank − target_rank| ≤ stride·blocks. This is
+    the classic distributed-quantile shape (GK/KLL's ancestor): the
+    data-sized work is one block-partitioned window + one conditional
+    count; only the n/64 candidates ever meet a global sort, and stride
+    scales with n to keep that bounded. Values are exact cents so rank
+    arithmetic is pure integers cross-engine."""
+    from pyspark.sql import Window
+
+    from data_wrangle_openstreetmaps_data_spark.operators.dedup import (
+        portable_token_hash,
+    )
+
+    STRIDE, BLOCKS = 64, 8
+    o = table(spark, sf, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(20,6)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    o = o.withColumn(
+        "blk",
+        F.pmod(
+            portable_token_hash(F.col("o_orderkey").cast("string")),
+            F.lit(BLOCKS),
+        ),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("blk").orderBy("cents", "o_orderkey")
+    )
+    cand = o.withColumn("rn", rn).where(
+        F.pmod(F.col("rn"), F.lit(STRIDE)) == 1
+    )
+    rc = F.row_number().over(Window.orderBy("cents", "o_orderkey"))
+    cand = cand.select("cents", "o_orderkey").withColumn("rc", rc)
+    nc = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    nr = o.agg(F.count(F.lit(1)).alias("n_rows"))
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias(
+            "q"
+        )
+    )
+    est = (
+        qs.crossJoin(F.broadcast(nc))
+        .join(
+            cand,
+            F.col("rc")
+            == F.ceil(F.col("q") * F.col("n_cand")).cast("int"),
+        )
+        .select("q", F.col("cents").alias("est_cents"))
+    )
+    ranks = (
+        o.crossJoin(F.broadcast(est))
+        .groupBy("q", "est_cents")
+        .agg(
+            F.count(F.when(F.col("cents") <= F.col("est_cents"), 1))
+            .cast("long")
+            .alias("true_rank")
+        )
+    )
+    return (
+        ranks.crossJoin(F.broadcast(nr))
+        .select(
+            "q",
+            "est_cents",
+            "true_rank",
+            F.ceil(F.col("q") * F.col("n_rows"))
+            .cast("long")
+            .alias("target_rank"),
+            (
+                F.abs(
+                    F.col("true_rank")
+                    - F.ceil(F.col("q") * F.col("n_rows"))
+                )
+                <= F.lit(STRIDE * BLOCKS)
+            ).alias("within_bound"),
+        )
+        .orderBy("q")
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_quantile_sketch": """
+        WITH o AS (
+          SELECT o_orderkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(20,6)) * 100
+                      AS BIGINT) AS cents,
+                 ((('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                   1, 15))::BIGINT % 8) + 8) % 8 AS blk
+          FROM orders
+        ),
+        w AS (
+          SELECT cents, o_orderkey,
+                 row_number() OVER (
+                   PARTITION BY blk ORDER BY cents, o_orderkey
+                 ) AS rn
+          FROM o
+        ),
+        cand AS (
+          SELECT cents, o_orderkey,
+                 row_number() OVER (ORDER BY cents, o_orderkey) AS rc
+          FROM w WHERE rn % 64 = 1
+        ),
+        nc AS (SELECT count(*) AS n_cand FROM cand),
+        nr AS (SELECT count(*) AS n_rows FROM o),
+        qs AS (
+          SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q
+        ),
+        est AS (
+          SELECT q, cents AS est_cents
+          FROM qs CROSS JOIN nc
+          JOIN cand ON rc = CAST(ceil(q * n_cand) AS INT)
+        ),
+        ranks AS (
+          SELECT q, est_cents,
+                 count(CASE WHEN o.cents <= est_cents THEN 1 END)
+                   AS true_rank
+          FROM o, est GROUP BY q, est_cents
+        )
+        SELECT q, est_cents, CAST(true_rank AS BIGINT) AS true_rank,
+               CAST(ceil(q * n_rows) AS BIGINT) AS target_rank,
+               abs(true_rank - CAST(ceil(q * n_rows) AS BIGINT))
+                 <= 512 AS within_bound
+        FROM ranks, nr
+        ORDER BY q
+    """,
     "q_bloom_fpr_eval": """
         WITH build AS (
           SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > 9000

@@ -873,6 +873,53 @@ def q_column_stats_drift(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("stat")
 
 
+def q_dict_encoding(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-S — dictionary-encoding planner, the categorical companion
+    to q_delta_encoding's gap audit: for each candidate string column,
+    compare raw layout bits (8·Σ len) against dictionary layout bits
+    (8·Σ distinct len + n·code_width) with code_width the exact BIT
+    LENGTH of n_distinct−1 via length(bin(·)) — integer bit math
+    throughout, so the ratio divides exact bigints. Per column the plan
+    is a value-keyed count aggregate (map-side combine collapses to
+    |dict| rows) + a |dict|-row rollup; columns union as independent
+    branches. The decision table a columnar writer consults before
+    choosing PLAIN vs DICT at 100 TB."""
+    orders = table(spark, sf, "orders")
+
+    def audit(col: str) -> DataFrame:
+        d = orders.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        return d.agg(
+            F.lit(col).alias("column"),
+            F.sum("cnt").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            (F.lit(8) * F.sum(F.length("v") * F.col("cnt")))
+            .cast("long")
+            .alias("raw_bits"),
+            (
+                F.lit(8) * F.sum(F.length("v"))
+                + F.sum("cnt")
+                * F.length(F.bin(F.count(F.lit(1)) - F.lit(1)))
+            )
+            .cast("long")
+            .alias("dict_bits"),
+        )
+
+    u = audit("o_orderstatus").unionAll(audit("o_orderpriority"))
+    return u.select(
+        "column",
+        "n",
+        "n_distinct",
+        "raw_bits",
+        "dict_bits",
+        text.round4(
+            F.col("dict_bits").cast("double")
+            / F.col("raw_bits").cast("double")
+        ).alias("ratio"),
+    ).orderBy("column")
+
+
 def q_delta_encoding(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-S — posting-list delta (gap) encoding audit, the storage-side
     companion to q_inverted_index: per token, sort the distinct doc-id
@@ -921,7 +968,32 @@ def q_delta_encoding(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _dict_audit_sql(col: str) -> str:
+    return f"""
+        SELECT '{col}' AS "column",
+               CAST(sum(cnt) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(8 * sum(length(v) * cnt) AS BIGINT) AS raw_bits,
+               CAST(8 * sum(length(v))
+                    + sum(cnt) * length(bin(count(*) - 1))
+                    AS BIGINT) AS dict_bits
+        FROM (SELECT {col} AS v, count(*) AS cnt
+              FROM orders GROUP BY {col})
+    """
+
+
 ORACLES: dict[str, str | None] = {
+    "q_dict_encoding": f"""
+        WITH u AS (
+          {_dict_audit_sql("o_orderstatus")}
+          UNION ALL
+          {_dict_audit_sql("o_orderpriority")}
+        )
+        SELECT "column", n, n_distinct, raw_bits, dict_bits,
+               floor(CAST(dict_bits AS DOUBLE) / CAST(raw_bits AS DOUBLE)
+                     * 10000 + 0.5) / 10000 AS ratio
+        FROM u ORDER BY "column"
+    """,
     "q_delta_encoding": f"""
         WITH toked AS (
           SELECT doc_id, {{tokens}} AS toks FROM documents

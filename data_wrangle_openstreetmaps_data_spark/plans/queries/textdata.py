@@ -124,6 +124,35 @@ def q_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_soundex_blocking(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-T — phonetic blocking for record linkage: city spellings
+    grouped by their Soundex code (functions/text.py::soundex_code, the
+    engine-portable simplified variant), reporting per block the row
+    count, distinct-spelling count, and the sorted spelling set —
+    'kolkata'/'Kolkata' and 'saltlake'/'Salt Lake' collapse into one
+    block each, the cheap candidate-generation tier that precedes the
+    Levenshtein verify (q_fuzzy_street_match) exactly like LSH bands
+    precede exact Jaccard. One code-keyed aggregate; the code is pure
+    per-row string arithmetic, so blocking scales as a map + one
+    shuffle on the block key."""
+    cust = table(spark, sf, "customer")
+    d = cust.select(
+        _pick(F.col("c_custkey"), DIRTY_CITIES).alias("city")
+    )
+    return (
+        d.withColumn("sdx", text.soundex_code(F.col("city")))
+        .groupBy("sdx")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("city").alias("n_spellings"),
+            F.array_join(
+                F.array_sort(F.collect_set("city")), "|"
+            ).alias("spellings"),
+        )
+        .orderBy("sdx")
+    )
+
+
 def q_log_odds_terms(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-T — distinctive terms per language via log-odds with an
     informed Dirichlet prior (Monroe et al.'s "Fightin' Words", the
@@ -1184,6 +1213,38 @@ ORACLES: dict[str, str | None] = {
                substr(md5(array_to_string(toks[start + 1 : start + 32], ' ')),
                       1, 16) AS fp
         FROM st
+    """,
+    "q_soundex_blocking": f"""
+        WITH base AS (
+          SELECT {_CITY_SQL} AS city FROM customer
+        ),
+        s1 AS (
+          SELECT city,
+                 upper(regexp_replace(city, '[^A-Za-z]', '', 'g')) AS u
+          FROM base
+        ),
+        s2 AS (
+          SELECT city, u,
+                 regexp_replace(
+                   translate(u, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                             '01230120022455012623010202'),
+                   '(\\d)\\1+', '\\1', 'g') AS collapsed
+          FROM s1
+        ),
+        s3 AS (
+          SELECT city,
+                 CASE WHEN length(u) > 0 THEN
+                   substr(u, 1, 1)
+                   || rpad(substr(translate(substr(collapsed, 2),
+                                            '0', ''), 1, 3), 3, '0')
+                 END AS sdx
+          FROM s2
+        )
+        SELECT sdx, count(*) AS n_rows,
+               CAST(count(DISTINCT city) AS BIGINT) AS n_spellings,
+               array_to_string(list_sort(list(DISTINCT city)), '|')
+                 AS spellings
+        FROM s3 GROUP BY sdx ORDER BY sdx
     """,
     "q_log_odds_terms": f"""
         WITH toked AS (

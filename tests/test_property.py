@@ -472,3 +472,43 @@ def test_poisson_cdf_literals_are_the_math():
         assert t == acc
     assert all(a < b for a, b in zip(_POIS_CDF, _POIS_CDF[1:]))
     assert 1.0 - _POIS_CDF[-1] < 1e-3
+
+
+def py_soundex(s: str) -> str | None:
+    """Pure-python mirror of functions/text.py::soundex_code (the
+    simplified no-H/W-rule variant both engines share)."""
+    u = re.sub(r"[^A-Za-z]", "", s).upper()
+    if not u:
+        return None
+    digits = "".join("01230120022455012623010202"[ord(ch) - 65] for ch in u)
+    collapsed = re.sub(r"(\d)\1+", r"\1", digits)
+    cleaned = collapsed[1:].replace("0", "")
+    return u[0] + (cleaned[:3] + "000")[:3]
+
+
+@given(st.lists(
+    st.one_of(
+        st.sampled_from(
+            ["kolkata", "Kolkata", "saltlake", "Salt Lake", "Robert",
+             "Rupert", "Ashcraft", "Tymczak", "Pfister", "a", "", "42",
+             "dum dum cantt"]
+        ),
+        st.text(alphabet=st.sampled_from(list("abcdefgAB 123/,.xyz")),
+                max_size=12),
+    ),
+    min_size=1, max_size=20, unique=True,
+))
+@settings(max_examples=50, deadline=None)
+def test_soundex_matches_python_model(spark, names):
+    from data_wrangle_openstreetmaps_data_spark.functions import text as tx
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+    got = {
+        r["name"]: r["sdx"]
+        for r in df.select(
+            "name", tx.soundex_code(F.col("name")).alias("sdx")
+        ).collect()
+    }
+    for n in names:
+        assert got[n] == py_soundex(n), repr(n)
