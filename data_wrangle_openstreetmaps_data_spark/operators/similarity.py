@@ -90,6 +90,68 @@ def cosine_topk_arrow(
     )
 
 
+def gram_partial(
+    embeddings: DataFrame,
+    dims: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Gram/covariance sufficient statistics over the first
+    ``dims`` embedding components: each Arrow batch contributes ONE
+    dims+1-square integer matrix (the map-side combine a 100 TB
+    covariance/PCA pass lives on — executors ship O(d²) numbers, never
+    rows), reduced by a (i,j)-keyed sum.
+
+    Components quantize to the 1e-4 grid (floor(x·1e4+0.5) in float64 —
+    float32→float64 is exact, so both engines see identical doubles)
+    and the matrix product runs in int64: sums are EXACT and
+    order-independent, the float-sum-free discipline. The vector is
+    augmented with a constant 1 column, so one product yields Σxᵢxⱼ
+    (i,j<dims), the per-dim sums Σxᵢ (j=dims), and the count n
+    (i=j=dims) — mean-centering needs no second pass.
+
+    Returns rows (i, j, s) for i ≤ j ≤ dims."""
+    from pyspark.sql import types as T
+    from typing import Iterator
+
+    schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("s", T.LongType()),
+        ]
+    )
+    iu = np.triu_indices(dims + 1)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack(
+                pdf[vec_col]
+                .map(lambda x: np.asarray(x[:dims], dtype=np.float64))
+                .values
+            )
+            vi = np.floor(m * 10000.0 + 0.5).astype(np.int64)
+            aug = np.hstack(
+                [vi, np.ones((vi.shape[0], 1), dtype=np.int64)]
+            )
+            g = aug.T @ aug
+            yield pd.DataFrame(
+                {
+                    "i": iu[0].astype("int32"),
+                    "j": iu[1].astype("int32"),
+                    "s": g[iu],
+                }
+            )
+
+    return (
+        embeddings.select(vec_col)
+        .mapInPandas(kernel, schema)
+        .groupBy("i", "j")
+        .agg(F.sum("s").cast("long").alias("s"))
+    )
+
+
 def lsh_bucket(vec_col, planes: list[list[float]]):
     """Sign-random-projection bucket id (one long per vector): bit p = sign
     of <v, plane_p>. Pure column expr — vectorizable, no UDF."""
@@ -541,6 +603,70 @@ def assign_nearest(
         F.col("rn") == 1
     )
     return best.select("vid", "label", "assigned")
+
+
+def centroid_margin(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector cluster-separation margin — (vid, label, m4): the gap
+    between the best and second-best centroid similarity, in EXACT
+    1e-4-grid integer units (this corpus is unit-normalized, so
+    dot/|c| IS the cosine score; both scores are round4-floored BEFORE
+    the subtraction, making the margin an integer no float-sum ordering
+    can perturb). The silhouette-style statistic: m≈0 flags vectors
+    sitting on a cluster boundary. Same plan as :func:`assign_nearest`
+    (broadcast long-form centroids, pos-equality join, (vec,label)
+    aggregation), keeping window ranks 1 AND 2."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    cent = label_centroids(df, label_col, vec_col, rounded=False).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    v = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("pos", "x"),
+    )
+    dots = (
+        v.join(
+            F.broadcast(
+                cent.select(
+                    F.col("label").alias("assigned"), "pos", "centroid"
+                )
+            ),
+            "pos",
+        )
+        .groupBy("vid", "label", "assigned")
+        .agg(
+            F.sum(F.col("x").cast("double") * F.col("centroid")).alias("dot")
+        )
+    )
+    cnorm = cent.groupBy(F.col("label").alias("assigned")).agg(
+        F.sqrt(F.sum(F.col("centroid") * F.col("centroid"))).alias("cn")
+    )
+    scored = dots.join(F.broadcast(cnorm), "assigned").withColumn(
+        "c4",
+        F.floor(F.col("dot") / F.col("cn") * 10000 + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("c4"), F.col("assigned"))
+    ranked = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 2
+    )
+    return (
+        ranked.groupBy("vid", "label")
+        .agg(
+            (
+                F.max(F.when(F.col("rn") == 1, F.col("c4")))
+                - F.max(F.when(F.col("rn") == 2, F.col("c4")))
+            ).alias("m4")
+        )
+    )
 
 
 def nearest_centroid(

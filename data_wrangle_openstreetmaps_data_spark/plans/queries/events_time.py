@@ -1526,7 +1526,127 @@ def q_runs_test(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_activity_bitmap(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — weekly activity bitmaps: each user folds to a 28-bit
+    pattern (bit 4·d+s set iff the user has any event on epoch-day ≡ d
+    mod 7 in six-hour slot s — pure integer day/hour arithmetic, NEVER
+    an engine dayofweek() whose week-start convention differs across
+    engines), then the pattern distribution: n_users per bitmap with
+    its popcount. The bitmap-index/engagement-segmentation shape: two
+    key-equality aggregates (user → bit_or, pattern → count), and the
+    bitmap itself is what a roaring-style index would store per user at
+    100 TB. ``shiftleft`` + ``bit_or`` + ``bit_count`` keep everything
+    in exact integer bit math cross-engine."""
+    ev = table(spark, sf, "events")
+    ev = ev.withColumn("tsn", catalog.event_ts_us(ev))
+    b = F.expr(
+        "CAST(((tsn div 86400000000) % 7) * 4"
+        " + ((tsn div 3600000000) % 24) div 6 AS INT)"
+    )
+    per_user = (
+        ev.select("user_id", b.alias("b"))
+        .withColumn("bit", F.expr("shiftleft(1L, b)"))
+        .groupBy("user_id")
+        .agg(F.bit_or("bit").alias("pattern"))
+    )
+    return (
+        per_user.groupBy("pattern")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            "pattern",
+            F.bit_count("pattern").alias("n_slots"),
+            "n_users",
+        )
+        .orderBy(F.desc("n_users"), "pattern")
+        .limit(20)
+    )
+
+
+def q_fano_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — per-user burstiness as the Fano factor of daily event
+    counts over the full observed span: F = var/mean of the D daily
+    counts (zero days included — they add nothing to Σc or Σc², and D
+    comes from the global min/max day as a broadcast scalar), computed
+    as (D·Σc² − (Σc)²) / (Σc·D) from EXACT bigint sufficient statistics
+    with ONE double division (the grid-integer discipline — float sums
+    never cross engines). F≈1 is Poisson traffic; F≫1 flags bursty
+    bot-like users — the rate-anomaly screen. Plan: (user,day) count
+    aggregate → user aggregate → top-20; all key-equality shuffles with
+    map-side combine."""
+    ev = table(spark, sf, "events")
+    ev = ev.withColumn("tsn", catalog.event_ts_us(ev))
+    day = F.expr("tsn div 86400000000")
+    daily = (
+        ev.select("user_id", day.alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    span = ev.select(day.alias("day")).agg(
+        (F.max("day") - F.min("day") + 1).alias("d_days")
+    )
+    per = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("active_days"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sc2"),
+    )
+    return (
+        per.crossJoin(F.broadcast(span))
+        .select(
+            "user_id",
+            "active_days",
+            F.col("sc").alias("n_events"),
+            text.round4(
+                (
+                    F.col("d_days") * F.col("sc2")
+                    - F.col("sc") * F.col("sc")
+                ).cast("double")
+                / (F.col("sc") * F.col("d_days")).cast("double")
+            ).alias("fano"),
+        )
+        .orderBy(F.desc("fano"), "user_id")
+        .limit(20)
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_activity_bitmap": """
+        WITH per_user AS (
+          SELECT user_id,
+                 bit_or(1::BIGINT <<
+                   CAST(((epoch_us(ts) // 86400000000) % 7) * 4
+                        + ((epoch_us(ts) // 3600000000) % 24) // 6
+                        AS INT)) AS pattern
+          FROM events GROUP BY user_id
+        )
+        SELECT pattern,
+               CAST(bit_count(pattern) AS INT) AS n_slots,
+               count(*) AS n_users
+        FROM per_user GROUP BY pattern
+        ORDER BY n_users DESC, pattern LIMIT 20
+    """,
+    "q_fano_burstiness": """
+        WITH daily AS (
+          SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                 count(*) AS c
+          FROM events GROUP BY user_id, day
+        ),
+        span AS (
+          SELECT max(day) - min(day) + 1 AS d_days
+          FROM (SELECT epoch_us(ts) // 86400000000 AS day FROM events)
+        ),
+        per AS (
+          SELECT user_id, count(*) AS active_days,
+                 CAST(sum(c) AS BIGINT) AS sc,
+                 CAST(sum(c * c) AS BIGINT) AS sc2
+          FROM daily GROUP BY user_id
+        )
+        SELECT user_id, active_days, sc AS n_events,
+               floor(CAST(d_days * sc2 - sc * sc AS DOUBLE)
+                     / CAST(sc * d_days AS DOUBLE) * 10000 + 0.5) / 10000
+                 AS fano
+        FROM per, span
+        ORDER BY fano DESC, user_id LIMIT 20
+    """,
     "q_multitouch_attribution": """
         WITH ev AS (SELECT *, epoch_us(ts) AS tsn FROM events),
         fp AS (

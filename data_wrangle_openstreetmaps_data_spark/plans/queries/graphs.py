@@ -351,6 +351,85 @@ def q_kcore(spark: SparkSession, sf: str) -> DataFrame:
     return res.orderBy("round")
 
 
+def q_modularity(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-GRAPH — Newman modularity of the brand partition on the
+    co-purchase part graph: per community c (= p_brand, the natural
+    attribute partition), Q_c = e_c/m − (d_c/2m)² where e_c = edges
+    with both endpoints in c, d_c = Σ degrees of c's nodes, m = |E|.
+    Positive Σ Q_c means brands cluster in the basket graph more than a
+    degree-preserving random rewiring predicts — the community-quality
+    score every Louvain-style algorithm maximizes, here evaluated for a
+    GIVEN labeling (the cheap first question before running detection).
+    All sufficient statistics are EXACT bigint counts; the two
+    quadratic-form doubles appear once per output row. Plan: edges join
+    a broadcast part-brand dim twice; three small key aggregates; m
+    rides along as a broadcast scalar."""
+    edges = graph.copurchase_part_edges(
+        table(spark, sf, "lineitem"), min_orders=2
+    )
+    brand = F.broadcast(
+        table(spark, sf, "part").select(
+            F.col("p_partkey").alias("node"), F.col("p_brand").alias("b")
+        )
+    )
+    be = (
+        edges.join(brand.withColumnRenamed("b", "b1"), edges.s1 == F.col("node"))
+        .drop("node")
+        .join(brand.withColumnRenamed("b", "b2"), edges.s2 == F.col("node"))
+        .drop("node")
+        # four consumers (m, within, deg, nodes) — truncate the lineage
+        # or the static plan re-expands the basket self-join 4×
+        # (the q_pagerank device)
+        .localCheckpoint(eager=True)
+    )
+    m = be.agg(F.count(F.lit(1)).alias("m"))
+    within = (
+        be.filter(F.col("b1") == F.col("b2"))
+        .groupBy(F.col("b1").alias("brand"))
+        .agg(F.count(F.lit(1)).alias("e_within"))
+    )
+    deg = (
+        be.select(F.col("b1").alias("brand"))
+        .unionAll(be.select(F.col("b2").alias("brand")))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("d_sum"))
+    )
+    nodes = (
+        be.select(F.col("s1").alias("node"), F.col("b1").alias("brand"))
+        .unionAll(
+            be.select(F.col("s2").alias("node"), F.col("b2").alias("brand"))
+        )
+        .distinct()
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    md = F.col("m").cast("double")
+    return (
+        deg.join(within, "brand", "left")
+        .join(nodes, "brand")
+        .withColumn("e_within", F.coalesce("e_within", F.lit(0)))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "brand",
+            "n_nodes",
+            F.col("e_within").cast("long").alias("e_within"),
+            F.col("d_sum").cast("long").alias("d_sum"),
+            text.round4(
+                F.col("e_within").cast("double") / md
+                - (
+                    F.col("d_sum").cast("double")
+                    / (F.lit(2.0) * md)
+                )
+                * (
+                    F.col("d_sum").cast("double")
+                    / (F.lit(2.0) * md)
+                )
+            ).alias("q_contrib"),
+        )
+        .orderBy("brand")
+    )
+
+
 _PART_EDGES = """
   pe AS (
     SELECT a.p AS s1, b.p AS s2
@@ -421,6 +500,48 @@ RECURSIVE_HIERARCHY_SQL = """
 
 ORACLES: dict[str, str | None] = {
     "q_recursive_hierarchy": RECURSIVE_HIERARCHY_SQL.format(div="//"),
+    "q_modularity": f"""
+        WITH {_PART_EDGES},
+        be AS (
+          SELECT s1, s2, pa.p_brand AS b1, pb.p_brand AS b2
+          FROM pe
+          JOIN part pa ON s1 = pa.p_partkey
+          JOIN part pb ON s2 = pb.p_partkey
+        ),
+        mm AS (SELECT count(*) AS m FROM be),
+        deg AS (
+          SELECT brand, count(*) AS d_sum FROM (
+            SELECT b1 AS brand FROM be UNION ALL SELECT b2 FROM be
+          ) GROUP BY brand
+        ),
+        win AS (
+          SELECT b1 AS brand, count(*) AS e_within
+          FROM be WHERE b1 = b2 GROUP BY b1
+        ),
+        nodes AS (
+          SELECT brand, count(*) AS n_nodes FROM (
+            SELECT DISTINCT node, brand FROM (
+              SELECT s1 AS node, b1 AS brand FROM be
+              UNION ALL SELECT s2, b2 FROM be
+            )
+          ) GROUP BY brand
+        )
+        SELECT deg.brand AS brand, n_nodes,
+               CAST(coalesce(e_within, 0) AS BIGINT) AS e_within,
+               CAST(d_sum AS BIGINT) AS d_sum,
+               floor((CAST(coalesce(e_within, 0) AS DOUBLE)
+                        / CAST(m AS DOUBLE)
+                      - (CAST(d_sum AS DOUBLE)
+                          / (2.0 * CAST(m AS DOUBLE)))
+                        * (CAST(d_sum AS DOUBLE)
+                          / (2.0 * CAST(m AS DOUBLE))))
+                     * 10000 + 0.5) / 10000 AS q_contrib
+        FROM deg
+        LEFT JOIN win ON deg.brand = win.brand
+        JOIN nodes ON deg.brand = nodes.brand
+        CROSS JOIN mm
+        ORDER BY deg.brand
+    """,
     "q_kcore": f"""
         WITH {_PART_EDGES},
         e0 AS MATERIALIZED (SELECT s1, s2 FROM pe),

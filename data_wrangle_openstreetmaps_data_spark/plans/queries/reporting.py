@@ -841,6 +841,63 @@ def q_diff_in_diff(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — Population Stability Index between the first and second
+    half of the event stream (split at the time midpoint, the
+    q_diff_in_diff broadcast scalar): values bucket into 10 fixed-width
+    bins (floor(value/50), capped at 9), and each bin contributes
+    (p_a − p_b)·ln(p_a/p_b) with Laplace smoothing p = (c+1)/(n+10) so
+    an empty side stays finite. PSI is THE industry drift gate on model
+    features (rule of thumb: <0.1 stable, >0.25 shifted); emitting the
+    per-bin terms (not just the sum) keeps every float op a mirrored
+    per-row expression — no cross-engine float SUM ordering anywhere —
+    and shows which bins moved. Plan: one (bin)-keyed conditional
+    aggregate over the stream + a broadcast 1-row total; 10 output
+    rows."""
+    ev = table(spark, sf, "events")
+    e = ev.select(
+        catalog.event_ts_us(ev).alias("tsn"),
+        F.least(
+            F.floor(F.col("value") / F.lit(50.0)).cast("int"), F.lit(9)
+        ).alias("bin"),
+    )
+    bounds = e.agg(
+        F.min("tsn").alias("mn"), F.max("tsn").alias("mx")
+    ).select(F.expr("(mn + mx) div 2").alias("mid"))
+    cnt = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("bin")
+        .agg(
+            F.count(F.when(F.col("tsn") < F.col("mid"), 1))
+            .cast("long")
+            .alias("n_a"),
+            F.count(F.when(F.col("tsn") >= F.col("mid"), 1))
+            .cast("long")
+            .alias("n_b"),
+        )
+    )
+    tot = cnt.agg(
+        F.sum("n_a").cast("long").alias("ta"),
+        F.sum("n_b").cast("long").alias("tb"),
+    )
+    pa = (F.col("n_a") + 1).cast("double") / (
+        F.col("ta") + 10
+    ).cast("double")
+    pb = (F.col("n_b") + 1).cast("double") / (
+        F.col("tb") + 10
+    ).cast("double")
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_a",
+            "n_b",
+            text.round4((pa - pb) * F.log(pa / pb)).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )
+
+
 def q_hhi_concentration(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — Herfindahl–Hirschman market-concentration index per
     region: HHI = Σᵢ sᵢ² over nation revenue shares, computed as
@@ -905,6 +962,35 @@ _POIS_CASE_SQL = "CASE {} ELSE 6 END".format(
 )
 
 ORACLES: dict[str, str | None] = {
+    "q_psi_drift": """
+        WITH e AS (
+          SELECT epoch_us(ts) AS tsn,
+                 least(CAST(floor(value / 50.0) AS INT), 9) AS bin
+          FROM events
+        ),
+        b AS (SELECT (min(tsn) + max(tsn)) // 2 AS mid FROM e),
+        cnt AS (
+          SELECT bin,
+                 count(CASE WHEN tsn < mid THEN 1 END) AS n_a,
+                 count(CASE WHEN tsn >= mid THEN 1 END) AS n_b
+          FROM e, b GROUP BY bin
+        ),
+        tot AS (
+          SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+                 CAST(sum(n_b) AS BIGINT) AS tb
+          FROM cnt
+        )
+        SELECT bin, CAST(n_a AS BIGINT) AS n_a,
+               CAST(n_b AS BIGINT) AS n_b,
+               floor((CAST(n_a + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE)
+                      - CAST(n_b + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE))
+                     * ln((CAST(n_a + 1 AS DOUBLE)
+                             / CAST(ta + 10 AS DOUBLE))
+                          / (CAST(n_b + 1 AS DOUBLE)
+                             / CAST(tb + 10 AS DOUBLE)))
+                     * 10000 + 0.5) / 10000 AS psi_term
+        FROM cnt, tot ORDER BY bin
+    """,
     "q_diff_in_diff": """
         WITH e AS (
           SELECT user_id, epoch_us(ts) AS tsn,

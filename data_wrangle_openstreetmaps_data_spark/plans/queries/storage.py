@@ -920,6 +920,82 @@ def q_dict_encoding(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("column")
 
 
+def q_rle_encoding(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-S — run-length-encoding planner, the third leg of the layout
+    audits (q_dict_encoding chooses PLAIN vs DICT, q_delta_encoding
+    audits posting gaps): for each candidate column under the layout
+    'sorted by o_orderkey within 8192-key blocks', count the value runs
+    and compare raw bits (8·Σ len) against RLE bits (Σ over runs of
+    8·len(run value) + 16 length bits), computed as a conditional sum
+    over run-START rows only (lag ≠ current marks a start). The block
+    id is KEY-derived (o_orderkey div 8192) — never a global-order
+    window (single-partition sort) and never spark_partition_id (the
+    round-2 nondeterminism trap) — so the window shuffles on blk and
+    scales embarrassingly; runs that straddle block borders count once
+    per block, the same per-page reset a real columnar writer does.
+    One window + one aggregate per column; two columns union."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf, "orders")
+
+    def audit(col: str) -> DataFrame:
+        d = orders.select(
+            F.expr("o_orderkey div 8192").alias("blk"),
+            F.col("o_orderkey").alias("k"),
+            F.col(col).alias("v"),
+        )
+        w = Window.partitionBy("blk").orderBy("k")
+        lagv = F.lag("v").over(w)
+        start = lagv.isNull() | (lagv != F.col("v"))
+        return d.withColumn("st", start).agg(
+            F.lit(col).alias("column"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count_distinct("blk").cast("long").alias("n_blocks"),
+            F.count(F.when(F.col("st"), 1)).cast("long").alias("n_runs"),
+            (F.lit(8) * F.sum(F.length("v")))
+            .cast("long")
+            .alias("raw_bits"),
+            F.sum(
+                F.when(F.col("st"), F.lit(8) * F.length("v") + F.lit(16))
+            )
+            .cast("long")
+            .alias("rle_bits"),
+        )
+
+    u = audit("o_orderstatus").unionAll(audit("o_orderpriority"))
+    return u.select(
+        "column",
+        "n",
+        "n_blocks",
+        "n_runs",
+        "raw_bits",
+        "rle_bits",
+        text.round4(
+            F.col("rle_bits").cast("double")
+            / F.col("raw_bits").cast("double")
+        ).alias("ratio"),
+    ).orderBy("column")
+
+
+def _rle_audit_sql(col: str) -> str:
+    return f"""
+        SELECT '{col}' AS "column",
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT blk) AS BIGINT) AS n_blocks,
+               CAST(count(CASE WHEN st THEN 1 END) AS BIGINT) AS n_runs,
+               CAST(8 * sum(length(v)) AS BIGINT) AS raw_bits,
+               CAST(sum(CASE WHEN st THEN 8 * length(v) + 16 END)
+                    AS BIGINT) AS rle_bits
+        FROM (
+          SELECT blk,
+                 lag(v) OVER (PARTITION BY blk ORDER BY k) IS DISTINCT
+                   FROM v AS st, v
+          FROM (SELECT o_orderkey // 8192 AS blk, o_orderkey AS k,
+                       {col} AS v FROM orders)
+        )
+    """
+
+
 def q_delta_encoding(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-S — posting-list delta (gap) encoding audit, the storage-side
     companion to q_inverted_index: per token, sort the distinct doc-id
@@ -983,6 +1059,17 @@ def _dict_audit_sql(col: str) -> str:
 
 
 ORACLES: dict[str, str | None] = {
+    "q_rle_encoding": f"""
+        WITH u AS (
+          {_rle_audit_sql("o_orderstatus")}
+          UNION ALL
+          {_rle_audit_sql("o_orderpriority")}
+        )
+        SELECT "column", n, n_blocks, n_runs, raw_bits, rle_bits,
+               floor(CAST(rle_bits AS DOUBLE) / CAST(raw_bits AS DOUBLE)
+                     * 10000 + 0.5) / 10000 AS ratio
+        FROM u ORDER BY "column"
+    """,
     "q_dict_encoding": f"""
         WITH u AS (
           {_dict_audit_sql("o_orderstatus")}

@@ -315,7 +315,163 @@ def q_random_projection(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_cluster_margin(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-E — silhouette-style cluster-separation audit: per true
+    label, the count, mean and minimum of the per-vector margin between
+    best and second-best centroid cosine similarity
+    (similarity.centroid_margin — margins are EXACT 1e-4-grid integers
+    because both scores are floor-rounded before subtracting, so the
+    mean is an integer-sum ratio, immune to float summation order).
+    Mean near 0 says the label's cluster overlaps another; min < 0
+    never happens (rank-1 ≥ rank-2 by construction) but boundary
+    vectors show up as min = 0. One broadcast-centroid score pass + a
+    |labels|-row rollup."""
+    m = similarity.centroid_margin(table(spark, sf, "embeddings"))
+    return (
+        m.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("m4").cast("long").alias("sum_m4"),
+            F.min("m4").cast("long").alias("min_m4"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            text.round4(
+                F.col("sum_m4").cast("double")
+                / (F.col("n_vecs").cast("double") * F.lit(10000.0))
+            ).alias("mean_margin"),
+            text.round4(
+                F.col("min_m4").cast("double") / F.lit(10000.0)
+            ).alias("min_margin"),
+        )
+        .orderBy("label")
+    )
+
+
+def q_embedding_covariance(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-S — exact covariance matrix of the first 8 embedding
+    dimensions via ONE distributed pass: ``similarity.gram_partial``
+    (an Arrow ``mapInPandas`` kernel — each batch ships a single
+    9×9 int64 Gram of 1e-4-grid-quantized, ones-augmented vectors, the
+    map-side-combine shape a 100 TB PCA/whitening pass needs) reduced
+    by an (i,j) sum, then cov(i,j) = (n·Σxᵢxⱼ − Σxᵢ·Σxⱼ)/(n²·1e8) with
+    the numerator in decimal(38,0) — every statistic is an exact
+    integer until one final double division, so the kernel matches the
+    relational DuckDB oracle bit-for-bit. 36 output rows (upper
+    triangle); driver-side work is O(d²)."""
+    g = similarity.gram_partial(
+        table(spark, sf, "embeddings"), dims=8
+    )
+    n = g.filter((F.col("i") == 8) & (F.col("j") == 8)).select(
+        F.col("s").alias("n")
+    )
+    sx = g.filter((F.col("i") < 8) & (F.col("j") == 8)).select(
+        F.col("i").alias("d"), F.col("s").alias("sd")
+    )
+    pairs = g.filter(F.col("j") < 8)
+    n38 = F.col("n").cast("decimal(38,0)")
+    numer = n38 * F.col("s").cast("decimal(38,0)") - F.col("sx").cast(
+        "decimal(38,0)"
+    ) * F.col("sy").cast("decimal(38,0)")
+    nd = F.col("n").cast("double")
+    return (
+        pairs.join(
+            F.broadcast(sx.select(F.col("d").alias("i"), F.col("sd").alias("sx"))),
+            "i",
+        )
+        .join(
+            F.broadcast(sx.select(F.col("d").alias("j"), F.col("sd").alias("sy"))),
+            "j",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            "n",
+            F.col("s").alias("sxy"),
+            text.round4(
+                numer.cast("double") / (nd * nd * F.lit(1.0e8))
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_cluster_margin": """
+        WITH e AS (
+          SELECT vec_id, label,
+                 unnest(range(len(embedding))) AS pos,
+                 unnest(embedding) AS x
+          FROM embeddings
+        ),
+        c AS (
+          SELECT label AS assigned, pos, avg(CAST(x AS DOUBLE)) AS c
+          FROM e GROUP BY 1, 2
+        ),
+        n AS (SELECT assigned, sqrt(sum(c * c)) AS cn FROM c GROUP BY 1),
+        d AS (
+          SELECT e.vec_id, e.label, c.assigned,
+                 sum(CAST(e.x AS DOUBLE) * c.c) AS dot
+          FROM e JOIN c ON e.pos = c.pos
+          GROUP BY 1, 2, 3
+        ),
+        s AS (
+          SELECT d.vec_id, d.label,
+                 CAST(floor(d.dot / n.cn * 10000 + 0.5) AS BIGINT) AS c4,
+                 row_number() OVER (
+                   PARTITION BY d.vec_id
+                   ORDER BY floor(d.dot / n.cn * 10000 + 0.5) DESC,
+                            d.assigned
+                 ) AS rn
+          FROM d JOIN n ON n.assigned = d.assigned
+        ),
+        m AS (
+          SELECT vec_id, label,
+                 max(CASE WHEN rn = 1 THEN c4 END)
+                   - max(CASE WHEN rn = 2 THEN c4 END) AS m4
+          FROM s WHERE rn <= 2 GROUP BY vec_id, label
+        )
+        SELECT label, count(*) AS n_vecs,
+               floor(CAST(sum(m4) AS DOUBLE)
+                     / (CAST(count(*) AS DOUBLE) * 10000.0)
+                     * 10000 + 0.5) / 10000 AS mean_margin,
+               floor(CAST(min(m4) AS DOUBLE) / 10000.0
+                     * 10000 + 0.5) / 10000 AS min_margin
+        FROM m GROUP BY label ORDER BY label
+    """,
+    "q_embedding_covariance": """
+        WITH ex AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                            * 10000 + 0.5) AS BIGINT) AS vi
+          FROM embeddings
+        ),
+        e8 AS (SELECT * FROM ex WHERE i < 8),
+        g AS (
+          SELECT a.i AS i, b.i AS j,
+                 CAST(sum(a.vi * b.vi) AS BIGINT) AS sxy
+          FROM e8 a JOIN e8 b ON a.vec_id = b.vec_id AND a.i <= b.i
+          GROUP BY a.i, b.i
+        ),
+        sx AS (
+          SELECT i AS d, CAST(sum(vi) AS BIGINT) AS sd
+          FROM e8 GROUP BY i
+        ),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+        SELECT g.i AS i, g.j AS j, n, sxy,
+               floor(CAST(CAST(n AS HUGEINT) * sxy
+                          - CAST(a.sd AS HUGEINT) * b.sd AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                        * 100000000.0)
+                     * 10000 + 0.5) / 10000 AS cov
+        FROM g
+        JOIN sx a ON g.i = a.d
+        JOIN sx b ON g.j = b.d
+        CROSS JOIN nn
+        ORDER BY i, j
+    """,
     "q_embedding_bias_outliers": """
         WITH g AS (
           SELECT vec_id,
