@@ -1562,6 +1562,142 @@ def q_activity_bitmap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sax_symbolic(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — SAX (Symbolic Aggregate approXimation) of the daily
+    event-count series: zero-filled day spine → 5-day PAA segment
+    means → z-normalization against the whole series → 4-letter
+    alphabet by the Gaussian quartile breakpoints ±0.6745 — the
+    time-series-mining representation that turns a series into a
+    string for motif/novelty search. Every sufficient statistic
+    (daily counts, segment sums, ΣC, ΣC², D) is an EXACT bigint off
+    the zero-filled spine; mean/std/z are mirrored double expressions
+    and the letter CASE compares the 4-dp-rounded z so a boundary ulp
+    can't flip symbols cross-engine. The day spine is a generated
+    sequence off two broadcast scalars — no row-order dependence
+    anywhere."""
+    ev = table(spark, sf, "events")
+    ev = ev.withColumn("tsn", catalog.event_ts_us(ev))
+    daily = (
+        ev.select(F.expr("tsn div 86400000000").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bounds = daily.agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.lit(0), (F.col("mx") - F.col("mn")).cast("int"))
+        ).alias("idx"),
+        "mn",
+    )
+    filled = (
+        spine.join(
+            daily,
+            spine.idx + spine.mn == daily.day,
+            "left",
+        )
+        .select("idx", F.coalesce("c", F.lit(0)).cast("long").alias("c"))
+    )
+    glob = filled.agg(
+        F.count(F.lit(1)).cast("long").alias("d_days"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    seg = (
+        filled.groupBy(F.expr("idx div 5").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("c").cast("long").alias("seg_c"),
+        )
+    )
+    dd = F.col("d_days").cast("double")
+    mean = F.col("sc").cast("double") / dd
+    std = (
+        F.sqrt(
+            (
+                F.col("d_days") * F.col("s2")
+                - F.col("sc") * F.col("sc")
+            ).cast("double")
+        )
+        / dd
+    )
+    paa = F.col("seg_c").cast("double") / F.col("n_days").cast("double")
+    z4 = text.round4((paa - mean) / std)
+    sym = (
+        F.when(z4 < -0.6745, "a")
+        .when(z4 < 0.0, "b")
+        .when(z4 < 0.6745, "c")
+        .otherwise("d")
+    )
+    return (
+        seg.crossJoin(F.broadcast(glob))
+        .select(
+            "segment",
+            "n_days",
+            text.round4(paa).alias("paa"),
+            z4.alias("z"),
+            sym.alias("symbol"),
+        )
+        .orderBy("segment")
+    )
+
+
+def q_out_of_order_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — event-time disorder audit, the measurement that SIZES a
+    streaming watermark: events land on 8 ingest shards (portable md5
+    of user_id — the bounded Kafka-partition topology a real source
+    has; the watermark is a per-source-partition property, so 8 is the
+    data's shape, not a scale cap) and each ARRIVES at its event time
+    plus a planted per-event delay (portable md5 of event_id, 0..2 h —
+    the testdata itself ships perfectly ordered, so the jitter is the
+    deterministic disorder harness, exactly like the DIRTY_CITIES typo
+    planting). Lateness = running max of EVENT time seen so far on the
+    shard in ARRIVAL order minus own event time; the histogram buckets
+    it by bit length in ms (0 = in order; bucket b covers
+    [2^(b-1), 2^b) ms) — the top occupied bucket is the
+    allowed-lateness to configure. One shard-partitioned window + a
+    ≤64-row aggregate; pure integer µs/ms arithmetic cross-engine."""
+    from pyspark.sql import Window
+
+    from data_wrangle_openstreetmaps_data_spark.operators.dedup import (
+        portable_token_hash,
+    )
+
+    ev = table(spark, sf, "events")
+    ev = ev.withColumn("tsn", catalog.event_ts_us(ev))
+    arrival = F.col("tsn") + F.pmod(
+        portable_token_hash(F.col("event_id").cast("string")),
+        F.lit(7_200_000_000),
+    )
+    shard = F.pmod(
+        portable_token_hash(F.col("user_id").cast("string")), F.lit(8)
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("arr", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late_ms = F.expr("(rmax - tsn) div 1000")
+    d = ev.select(
+        shard.alias("shard"),
+        "event_id",
+        "tsn",
+        arrival.alias("arr"),
+    ).withColumn("rmax", F.max("tsn").over(w))
+    bucket = F.when(late_ms == 0, F.lit(0)).otherwise(
+        F.length(F.bin(late_ms)).cast("int")
+    )
+    return (
+        d.groupBy(bucket.alias("late_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(late_ms).cast("long").alias("max_late_ms"),
+        )
+        .orderBy("late_bucket")
+    )
+
+
 def q_fano_burstiness(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — per-user burstiness as the Fano factor of daily event
     counts over the full observed span: F = var/mean of the D daily
@@ -1623,6 +1759,79 @@ ORACLES: dict[str, str | None] = {
                count(*) AS n_users
         FROM per_user GROUP BY pattern
         ORDER BY n_users DESC, pattern LIMIT 20
+    """,
+    "q_sax_symbolic": """
+        WITH daily AS (
+          SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS c
+          FROM events GROUP BY day
+        ),
+        b AS (SELECT min(day) AS mn, max(day) AS mx FROM daily),
+        spine AS (
+          SELECT unnest(range(0, CAST(mx - mn + 1 AS BIGINT))) AS idx, mn
+          FROM b
+        ),
+        filled AS (
+          SELECT idx, CAST(coalesce(c, 0) AS BIGINT) AS c
+          FROM spine LEFT JOIN daily ON spine.idx + spine.mn = daily.day
+        ),
+        gstats AS (
+          SELECT CAST(count(*) AS BIGINT) AS d_days,
+                 CAST(sum(c) AS BIGINT) AS sc,
+                 CAST(sum(c * c) AS BIGINT) AS s2
+          FROM filled
+        ),
+        seg AS (
+          SELECT idx // 5 AS segment, count(*) AS n_days,
+                 CAST(sum(c) AS BIGINT) AS seg_c
+          FROM filled GROUP BY segment
+        ),
+        sz AS (
+          SELECT segment, n_days,
+                 CAST(seg_c AS DOUBLE) / CAST(n_days AS DOUBLE) AS paa,
+                 floor((CAST(seg_c AS DOUBLE) / CAST(n_days AS DOUBLE)
+                        - CAST(sc AS DOUBLE) / CAST(d_days AS DOUBLE))
+                       / (sqrt(CAST(d_days * s2 - sc * sc AS DOUBLE))
+                          / CAST(d_days AS DOUBLE))
+                       * 10000 + 0.5) / 10000 AS z
+          FROM seg, gstats
+        )
+        SELECT segment, n_days,
+               floor(paa * 10000 + 0.5) / 10000 AS paa,
+               z,
+               CASE WHEN z < -0.6745 THEN 'a'
+                    WHEN z < 0.0 THEN 'b'
+                    WHEN z < 0.6745 THEN 'c'
+                    ELSE 'd' END AS symbol
+        FROM sz ORDER BY segment
+    """,
+    "q_out_of_order_audit": """
+        WITH e AS (
+          SELECT event_id, epoch_us(ts) AS tsn,
+                 epoch_us(ts)
+                   + ((('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                               1, 15))::BIGINT % 7200000000)
+                      + 7200000000) % 7200000000 AS arr,
+                 ((('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                            1, 15))::BIGINT % 8) + 8) % 8 AS shard
+          FROM events
+        ),
+        d AS (
+          SELECT event_id, tsn,
+                 max(tsn) OVER (
+                   PARTITION BY shard ORDER BY arr, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS rmax
+          FROM e
+        ),
+        lt AS (
+          SELECT (rmax - tsn) // 1000 AS late_ms FROM d
+        )
+        SELECT CASE WHEN late_ms = 0 THEN 0
+                    ELSE CAST(length(bin(late_ms)) AS INT)
+               END AS late_bucket,
+               count(*) AS n_events,
+               CAST(max(late_ms) AS BIGINT) AS max_late_ms
+        FROM lt GROUP BY late_bucket ORDER BY late_bucket
     """,
     "q_fano_burstiness": """
         WITH daily AS (

@@ -829,6 +829,72 @@ def q_l_diversity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_t_closeness(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — the third leg of the privacy trio (q_k_anonymity,
+    q_l_diversity): t-closeness audits how far each quasi-identifier
+    group's SENSITIVE-value distribution strays from the table-wide
+    one — a group can be k-anonymous AND l-diverse yet still leak
+    ('90% of this group is AUTOMOBILE, the base rate is 20%'). For the
+    categorical sensitive attribute (market segment) the distance is
+    total variation: t = ½ Σ_s |p_s − q_s|, evaluated EXACTLY as
+    Σ_s |c_s·N − g_s·n_c| / (2·n_c·N) — integer numerators on the
+    common denominator, so no float sum ever forms; one division per
+    group at the end. Support grid = groups × global segments from a
+    broadcast 5-row aggregate (left join fills absent cells with 0,
+    which still contribute |0·N − g_s·n_c|). Returns the 20 leakiest
+    groups. Two (QI)-keyed aggregates + one broadcast; map-side
+    combine carries the scan."""
+    c = table(spark, sf, "customer")
+    qi = c.select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+        "c_mktsegment",
+    )
+    cell = qi.groupBy("c_nationkey", "bal_band", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cs")
+    )
+    gsize = qi.groupBy("c_nationkey", "bal_band").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    gseg = qi.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("gs")
+    )
+    total = qi.agg(F.count(F.lit(1)).alias("n_total"))
+    grid = (
+        gsize.crossJoin(F.broadcast(gseg))
+        .join(cell, ["c_nationkey", "bal_band", "c_mktsegment"], "left")
+        .withColumn("cs", F.coalesce("cs", F.lit(0)))
+        .crossJoin(F.broadcast(total))
+    )
+    num = F.abs(
+        F.col("cs").cast("long") * F.col("n_total")
+        - F.col("gs") * F.col("n_rows")
+    )
+    return (
+        grid.groupBy("c_nationkey", "bal_band")
+        .agg(
+            F.max("n_rows").alias("n_rows"),
+            F.sum(num).cast("long").alias("tv_num"),
+            F.max(F.col("n_rows") * F.col("n_total"))
+            .cast("long")
+            .alias("denom"),
+        )
+        .select(
+            "c_nationkey",
+            "bal_band",
+            "n_rows",
+            text.round4(
+                F.col("tv_num").cast("double")
+                / (F.lit(2.0) * F.col("denom").cast("double"))
+            ).alias("t_closeness"),
+        )
+        .orderBy(
+            F.desc("t_closeness"), "c_nationkey", "bal_band"
+        )
+        .limit(20)
+    )
+
+
 def q_data_quality(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — ingest-gate quality report: null counts, range violations,
     duplicate keys, and referential-integrity violations in one row."""
@@ -1086,6 +1152,46 @@ def q_sequence_gaps(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLES: dict[str, str | None] = {
+    "q_t_closeness": """
+        WITH qi AS (
+          SELECT c_nationkey,
+                 CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+                 c_mktsegment
+          FROM customer
+        ),
+        cell AS (
+          SELECT c_nationkey, bal_band, c_mktsegment, count(*) AS cs
+          FROM qi GROUP BY 1, 2, 3
+        ),
+        gsize AS (
+          SELECT c_nationkey, bal_band, count(*) AS n_rows
+          FROM qi GROUP BY 1, 2
+        ),
+        gseg AS (SELECT c_mktsegment, count(*) AS gs FROM qi GROUP BY 1),
+        tot AS (SELECT count(*) AS n_total FROM qi),
+        grid AS (
+          SELECT g.c_nationkey, g.bal_band, g.n_rows, s.gs,
+                 coalesce(c.cs, 0) AS cs, n_total
+          FROM gsize g CROSS JOIN gseg s CROSS JOIN tot
+          LEFT JOIN cell c
+            ON c.c_nationkey = g.c_nationkey
+           AND c.bal_band = g.bal_band
+           AND c.c_mktsegment = s.c_mktsegment
+        ),
+        agg AS (
+          SELECT c_nationkey, bal_band, max(n_rows) AS n_rows,
+                 CAST(sum(abs(cs * n_total - gs * n_rows)) AS BIGINT)
+                   AS tv_num,
+                 CAST(max(n_rows * n_total) AS BIGINT) AS denom
+          FROM grid GROUP BY 1, 2
+        )
+        SELECT c_nationkey, bal_band, n_rows,
+               floor(CAST(tv_num AS DOUBLE)
+                     / (2.0 * CAST(denom AS DOUBLE))
+                     * 10000 + 0.5) / 10000 AS t_closeness
+        FROM agg
+        ORDER BY t_closeness DESC, c_nationkey, bal_band LIMIT 20
+    """,
     "q_sequence_gaps": """
         WITH k AS (SELECT DISTINCT event_id AS k FROM events
                    WHERE event_type = 'purchase'),

@@ -315,6 +315,98 @@ def q_retrieval_metrics(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ndcg(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-T — graded ranking quality of the BM25 top-10: MRR, DCG@10,
+    ideal DCG, and nDCG@10 against the same conjunctive-match relevance
+    labels as q_retrieval_metrics. Every discount term 1/log2(rank+1)
+    is floored onto the 1e-9 grid BEFORE summation (the zipf-fit
+    discipline: bigint sums are order-independent, so the 10-term DCG
+    can never flake on cross-engine float addition order; ln(2) is a
+    hardcoded double literal so both engines evaluate the identical
+    expression). Ideal DCG sums the same grid terms over ranks
+    1..min(10, n_rel) from a 10-row range. One ranking pass + two tiny
+    aggregates; n_rel rides as a broadcast scalar."""
+    import functools
+
+    from pyspark.sql import Window
+
+    LN2 = 0.6931471805599453
+    docs = table(spark, sf, "documents")
+    top = similarity.bm25_search(docs, SEARCH_TERMS, k=10)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("score"), F.col("id"))
+        ),
+    )
+    toks = text.tokens("text")
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [F.array_contains(toks, t) for t in SEARCH_TERMS],
+    )
+    rel = docs.filter(cond).select(
+        F.col("doc_id").alias("id"), F.lit(1).alias("isrel")
+    )
+    n_rel = rel.agg(F.count(F.lit(1)).alias("n_rel"))
+
+    def d9(rank):
+        return F.floor(
+            F.lit(1.0e9)
+            * F.lit(LN2)
+            / F.log((rank + F.lit(1)).cast("double"))
+            + F.lit(0.5)
+        ).cast("long")
+
+    got = (
+        ranked.join(rel, "id", "left")
+        .withColumn("isrel", F.coalesce("isrel", F.lit(0)))
+        .agg(
+            F.sum("isrel").cast("long").alias("hits"),
+            F.min(
+                F.when(F.col("isrel") == 1, F.col("rank"))
+            ).alias("first_rel"),
+            F.sum(
+                F.when(F.col("isrel") == 1, d9(F.col("rank"))).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("dcg9"),
+        )
+    )
+    ideal = (
+        spark.range(1, 11)
+        .select(F.col("id").alias("r"))
+        .crossJoin(F.broadcast(n_rel))
+        .filter(F.col("r") <= F.col("n_rel"))
+        .agg(F.sum(d9(F.col("r"))).cast("long").alias("idcg9"))
+    )
+    return (
+        got.crossJoin(F.broadcast(ideal))
+        .crossJoin(F.broadcast(n_rel))
+        .select(
+            "n_rel",
+            "hits",
+            text.round4(
+                F.when(
+                    F.col("first_rel").isNotNull(),
+                    F.lit(1.0) / F.col("first_rel").cast("double"),
+                ).otherwise(F.lit(0.0))
+            ).alias("mrr"),
+            text.round4(
+                F.col("dcg9").cast("double") / F.lit(1.0e9)
+            ).alias("dcg_at_10"),
+            text.round4(
+                F.col("idcg9").cast("double") / F.lit(1.0e9)
+            ).alias("idcg_at_10"),
+            text.round4(
+                F.col("dcg9").cast("double")
+                / F.col("idcg9").cast("double")
+            ).alias("ndcg_at_10"),
+        )
+    )
+
+
 def q_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-Q — Zipf's-law fit of the corpus frequency spectrum: OLS of
     ln(tf) on ln(rank) over the top-200 vocabulary (a natural corpus
@@ -1433,6 +1525,78 @@ ORACLES: dict[str, str | None] = {
                  AS recall_at_10
         FROM m
     """,
+    "q_ndcg": f"""
+        WITH toked AS (
+          SELECT doc_id AS id, {{tokens}} AS toks FROM documents
+        ),
+        dl AS (SELECT id, len(toks) AS dl FROM toked),
+        stats AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 avg(len(toks)) AS avgdl
+          FROM toked
+        ),
+        fhits AS (
+          SELECT id, tok FROM (SELECT id, unnest(toks) AS tok FROM toked)
+          WHERE tok IN ({{terms}})
+        ),
+        dft AS (SELECT tok, count(DISTINCT id) AS df FROM fhits GROUP BY tok),
+        tf AS (SELECT id, tok, count(*) AS tf FROM fhits GROUP BY id, tok),
+        scored AS (
+          SELECT id,
+                 floor(sum(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                   * (tf * (1.2 + 1))
+                     / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                 ) * 10000 + 0.5) / 10000 AS score
+          FROM tf JOIN dft USING (tok) JOIN dl USING (id), stats
+          GROUP BY id
+        ),
+        top AS (
+          SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank
+          FROM scored ORDER BY score DESC, id LIMIT 10
+        ),
+        rel AS (
+          SELECT id FROM toked
+          WHERE {{conj}}
+        ),
+        nr AS (SELECT CAST(count(*) AS BIGINT) AS n_rel FROM rel),
+        got AS (
+          SELECT
+            CAST(count(CASE WHEN rel.id IS NOT NULL THEN 1 END)
+                 AS BIGINT) AS hits,
+            min(CASE WHEN rel.id IS NOT NULL THEN rank END) AS first_rel,
+            CAST(coalesce(sum(CASE WHEN rel.id IS NOT NULL THEN
+              CAST(floor(1.0e9 * 0.6931471805599453
+                         / ln(CAST(rank + 1 AS DOUBLE)) + 0.5) AS BIGINT)
+              ELSE 0 END), 0) AS BIGINT) AS dcg9
+          FROM top LEFT JOIN rel ON top.id = rel.id
+        ),
+        ideal AS (
+          SELECT CAST(sum(
+            CAST(floor(1.0e9 * 0.6931471805599453
+                       / ln(CAST(r + 1 AS DOUBLE)) + 0.5) AS BIGINT))
+            AS BIGINT) AS idcg9
+          FROM (SELECT unnest(range(1, 11)) AS r), nr
+          WHERE r <= n_rel
+        )
+        SELECT n_rel, hits,
+               floor(CASE WHEN first_rel IS NOT NULL
+                          THEN 1.0 / CAST(first_rel AS DOUBLE)
+                          ELSE 0.0 END * 10000 + 0.5) / 10000 AS mrr,
+               floor(CAST(dcg9 AS DOUBLE) / 1.0e9 * 10000 + 0.5) / 10000
+                 AS dcg_at_10,
+               floor(CAST(idcg9 AS DOUBLE) / 1.0e9 * 10000 + 0.5) / 10000
+                 AS idcg_at_10,
+               floor(CAST(dcg9 AS DOUBLE) / CAST(idcg9 AS DOUBLE)
+                     * 10000 + 0.5) / 10000 AS ndcg_at_10
+        FROM got, ideal, nr
+    """.format(
+        tokens=_TOKENS_SQL,
+        terms=", ".join(f"'{t}'" for t in SEARCH_TERMS),
+        conj=" AND ".join(
+            f"list_contains(toks, '{t}')" for t in SEARCH_TERMS
+        ),
+    ),
     "q_zipf_fit": f"""
         WITH tok AS (
           SELECT unnest(toks) AS tok
