@@ -53,6 +53,57 @@ def q_geo_grid(spark: SparkSession, sf: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("cnt"))
 
 
+_GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_sql(div: str) -> dict[str, str]:
+    """Geohash-6 encode as THREE engine-shared SQL stages (the Hilbert
+    device: ONE text generates both the Spark withColumn chain and the
+    DuckDB CTE chain, so the bit math cannot drift between engines).
+    Integer-only after the two floor quantizations: 15-bit lon/lat
+    cells, bit-interleaved MSB-first (lon leads, per the geohash spec),
+    then 6 base-32 characters off the 30-bit code."""
+    quant = {
+        "xlon": "least(CAST(floor((lon + 180.0) / 360.0 * 32768.0) "
+        "AS BIGINT), 32767)",
+        "xlat": "least(CAST(floor((lat + 90.0) / 180.0 * 32768.0) "
+        "AS BIGINT), 32767)",
+    }
+    terms = []
+    for i in range(15):
+        terms.append(f"((xlon {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"((xlat {div} {1 << i}) % 2) * {1 << (2 * i)}")
+    code = " + ".join(terms)
+    chars = " || ".join(
+        f"substr('{_GH32}', CAST((code {div} {1 << (25 - 5 * k)}) % 32 "
+        "AS INT) + 1, 1)"
+        for k in range(6)
+    )
+    return {**quant, "code": code, "geohash": chars}
+
+
+def q_geohash(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-G — geohash-6 cell counts: the prefix-friendly spatial key
+    (truncate the string = coarsen the cell; neighbors usually share
+    prefixes) that spatial stores shard on. Encode is pure per-row
+    integer bit interleaving + base-32 lookup from ONE SQL text shared
+    by both engines (see _geohash_sql); the only shuffle is the cell
+    aggregate. Top-20 cells by count."""
+    stages = _geohash_sql("div")
+    d = _fake_latlon(table(spark, sf, "events"))
+    for name in ("xlon", "xlat", "code", "geohash"):
+        d = d.withColumn(name, F.expr(stages[name]))
+    return (
+        d.groupBy("geohash")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("code").cast("long").alias("code"),
+        )
+        .orderBy(F.desc("n_points"), "geohash")
+        .limit(20)
+    )
+
+
 def q_geo_nearest(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-G — grid-bucketed spatial nearest-neighbor JOIN: every
     purchase point assigned to its nearest supplier "store", the
@@ -125,7 +176,29 @@ def q_geo_nearest(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _geohash_oracle() -> str:
+    s = _geohash_sql("//")
+    return f"""
+        WITH pts AS (
+          SELECT event_id,
+                 22.0 + value / 100.0 AS lat,
+                 88.0 + (user_id % 100) / 100.0 AS lon
+          FROM events
+        ),
+        q AS (
+          SELECT *, {s["xlon"]} AS xlon, {s["xlat"]} AS xlat FROM pts
+        ),
+        c AS (SELECT *, {s["code"]} AS code FROM q),
+        g AS (SELECT *, {s["geohash"]} AS geohash FROM c)
+        SELECT geohash, count(*) AS n_points,
+               CAST(min(code) AS BIGINT) AS code
+        FROM g GROUP BY geohash
+        ORDER BY n_points DESC, geohash LIMIT 20
+    """
+
+
 ORACLES: dict[str, str | None] = {
+    "q_geohash": _geohash_oracle(),
     "q_geo_nearest": """
         WITH ev AS (
           SELECT event_id,

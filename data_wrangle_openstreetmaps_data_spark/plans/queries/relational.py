@@ -488,6 +488,60 @@ def q_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — weighted median per group (the operator plain
+    percentile() can't express): per part brand, the line-item price
+    at which HALF the total QUANTITY sits below — lower weighted
+    median = first value whose running weight reaches ceil(W/2),
+    found with one cumulative-sum window ordered by (cents, key
+    tiebreak) inside each brand partition and an argmin window on top.
+    All weights and prices are exact integers (quantity bigint, price
+    cents), so the crossing row is unambiguous cross-engine. Two
+    brand-partitioned windows + one small join; no global sort."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf, "lineitem").join(
+        F.broadcast(
+            table(spark, sf, "part").select("p_partkey", "p_brand")
+        ),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    d = li.select(
+        F.col("p_brand").alias("brand"),
+        (F.col("l_extendedprice").cast("decimal(20,6)") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    tot = d.groupBy("brand").agg(F.sum("w").cast("long").alias("wtot"))
+    wcum = (
+        Window.partitionBy("brand")
+        .orderBy("cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cw", F.sum("w").over(wcum)).join(
+        F.broadcast(tot), "brand"
+    )
+    hit = c.filter(
+        F.col("cw") * 2 >= F.col("wtot")
+    )
+    first = Window.partitionBy("brand").orderBy(
+        "cents", "l_orderkey", "l_linenumber"
+    )
+    return (
+        hit.withColumn("rn", F.row_number().over(first))
+        .filter(F.col("rn") == 1)
+        .select(
+            "brand",
+            "wtot",
+            F.col("cents").alias("wmedian_cents"),
+        )
+        .orderBy("brand")
+    )
+
+
 def q_stats_moments(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — avg/stddev/min/max + correlation, rounded portably."""
     df = table(spark, sf, "lineitem")
@@ -1152,6 +1206,39 @@ def q_sequence_gaps(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLES: dict[str, str | None] = {
+    "q_weighted_median": """
+        WITH d AS (
+          SELECT p_brand AS brand,
+                 CAST(CAST(l_extendedprice AS DECIMAL(20,6)) * 100
+                      AS BIGINT) AS cents,
+                 CAST(l_quantity AS BIGINT) AS w,
+                 l_orderkey, l_linenumber
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+        ),
+        tot AS (
+          SELECT brand, CAST(sum(w) AS BIGINT) AS wtot
+          FROM d GROUP BY brand
+        ),
+        c AS (
+          SELECT d.brand, cents, l_orderkey, l_linenumber, wtot,
+                 sum(w) OVER (
+                   PARTITION BY d.brand
+                   ORDER BY cents, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS cw
+          FROM d JOIN tot ON d.brand = tot.brand
+        ),
+        hit AS (
+          SELECT brand, wtot, cents,
+                 row_number() OVER (
+                   PARTITION BY brand
+                   ORDER BY cents, l_orderkey, l_linenumber
+                 ) AS rn
+          FROM c WHERE cw * 2 >= wtot
+        )
+        SELECT brand, wtot, cents AS wmedian_cents
+        FROM hit WHERE rn = 1 ORDER BY brand
+    """,
     "q_t_closeness": """
         WITH qi AS (
           SELECT c_nationkey,

@@ -841,6 +841,74 @@ def q_diff_in_diff(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_mde_power(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — minimum detectable effect at 80% power / 5% two-sided α
+    for the standing experiment split (user-id parity arms): MDE =
+    (z_{α/2} + z_β)·√(σ²_pooled·(1/n_a + 1/n_b)), the pre-registration
+    number every experiment readout starts from (and the fifth leg of
+    the battery: q_srm_check → q_mde_power → q_conversion_ci → q_cuped
+    → q_diff_in_diff). Sufficient statistics are exact 1e-4-grid bigint
+    sums per arm; pooled variance, the z constants (hardcoded double
+    literals, identical both engines), and the final √ are mirrored
+    double expressions. One 2-group aggregate; 1 output row."""
+    Z = 1.959963984540054 + 0.8416212335729143  # z_{.975} + z_{.80}
+    ev = table(spark, sf, "events")
+    e = ev.select(
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.floor(F.col("value") * F.lit(10000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("vi"),
+    )
+    arms = e.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("vi").cast("long").alias("s1"),
+        F.sum(
+            F.col("vi").cast("decimal(19,0)")
+            * F.col("vi").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+
+    def pick(arm: int, col: str):
+        return F.max(F.when(F.col("arm") == arm, F.col(col)))
+
+    one = arms.agg(
+        pick(0, "n").alias("n_a"),
+        pick(1, "n").alias("n_b"),
+        pick(0, "s1").alias("s1_a"),
+        pick(1, "s1").alias("s1_b"),
+        pick(0, "s2").alias("s2_a"),
+        pick(1, "s2").alias("s2_b"),
+    )
+
+    def ss(tag: str):
+        # within-arm sum of squared deviations, grid² units, exact
+        n38 = F.col(f"n_{tag}").cast("decimal(38,0)")
+        return (
+            n38 * F.col(f"s2_{tag}")
+            - F.col(f"s1_{tag}").cast("decimal(38,0)")
+            * F.col(f"s1_{tag}").cast("decimal(38,0)")
+        ).cast("double") / F.col(f"n_{tag}").cast("double")
+
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    var_pooled = (ss("a") + ss("b")) / (na + nb - F.lit(2.0)) / F.lit(
+        1.0e8
+    )
+    mde = F.lit(Z) * F.sqrt(
+        var_pooled * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    mean_ctl = F.col("s1_a").cast("double") / F.lit(10000.0) / na
+    return one.select(
+        "n_a",
+        "n_b",
+        text.round4(F.sqrt(var_pooled)).alias("sd_pooled"),
+        text.round4(mde).alias("mde_abs"),
+        text.round4(mde / mean_ctl).alias("mde_rel"),
+    )
+
+
 def q_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — Population Stability Index between the first and second
     half of the event stream (split at the time midpoint, the
@@ -962,6 +1030,55 @@ _POIS_CASE_SQL = "CASE {} ELSE 6 END".format(
 )
 
 ORACLES: dict[str, str | None] = {
+    "q_mde_power": """
+        WITH e AS (
+          SELECT CAST(user_id % 2 AS INT) AS arm,
+                 CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS vi
+          FROM events
+        ),
+        arms AS (
+          SELECT arm, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(vi) AS BIGINT) AS s1,
+                 sum(CAST(vi AS HUGEINT) * vi) AS s2
+          FROM e GROUP BY arm
+        ),
+        one AS (
+          SELECT
+            max(CASE WHEN arm = 0 THEN n END) AS n_a,
+            max(CASE WHEN arm = 1 THEN n END) AS n_b,
+            max(CASE WHEN arm = 0 THEN s1 END) AS s1_a,
+            max(CASE WHEN arm = 1 THEN s1 END) AS s1_b,
+            max(CASE WHEN arm = 0 THEN s2 END) AS s2_a,
+            max(CASE WHEN arm = 1 THEN s2 END) AS s2_b
+          FROM arms
+        ),
+        v AS (
+          SELECT n_a, n_b, s1_a,
+                 (CAST(CAST(n_a AS HUGEINT) * s2_a
+                       - CAST(s1_a AS HUGEINT) * s1_a AS DOUBLE)
+                    / CAST(n_a AS DOUBLE)
+                  + CAST(CAST(n_b AS HUGEINT) * s2_b
+                         - CAST(s1_b AS HUGEINT) * s1_b AS DOUBLE)
+                    / CAST(n_b AS DOUBLE))
+                 / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0)
+                 / 1.0e8 AS var_pooled
+          FROM one
+        )
+        SELECT n_a, n_b,
+               floor(sqrt(var_pooled) * 10000 + 0.5) / 10000
+                 AS sd_pooled,
+               floor(2.8015852181129683
+                     * sqrt(var_pooled * (1.0 / CAST(n_a AS DOUBLE)
+                                          + 1.0 / CAST(n_b AS DOUBLE)))
+                     * 10000 + 0.5) / 10000 AS mde_abs,
+               floor(2.8015852181129683
+                     * sqrt(var_pooled * (1.0 / CAST(n_a AS DOUBLE)
+                                          + 1.0 / CAST(n_b AS DOUBLE)))
+                     / (CAST(s1_a AS DOUBLE) / 10000.0
+                        / CAST(n_a AS DOUBLE))
+                     * 10000 + 0.5) / 10000 AS mde_rel
+        FROM v
+    """,
     "q_psi_drift": """
         WITH e AS (
           SELECT epoch_us(ts) AS tsn,

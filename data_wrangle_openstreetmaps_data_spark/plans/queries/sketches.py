@@ -544,7 +544,135 @@ def q_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_quantile_sketch_grouped(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-SK — the GROUP BY form of q_quantile_sketch, the shape that
+    proves the stride sample is MERGEABLE per key (a t-digest/KLL
+    stand-in for 'p50 latency per service' dashboards at 100 TB): rows
+    hash into 8 blocks WITHIN each order-priority, each (group, block)
+    keeps every 64th order statistic, the merged per-group candidates
+    answer the group median, and an exact second pass certifies
+    |true_rank − target| ≤ stride·blocks PER GROUP. All windows
+    partition on (group, blk) — group cardinality only ever widens the
+    key space, never a single sort. Exact cents; integer ranks."""
+    from pyspark.sql import Window
+
+    from data_wrangle_openstreetmaps_data_spark.operators.dedup import (
+        portable_token_hash,
+    )
+
+    STRIDE, BLOCKS = 64, 8
+    o = table(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(20,6)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    o = o.withColumn(
+        "blk",
+        F.pmod(
+            portable_token_hash(F.col("o_orderkey").cast("string")),
+            F.lit(BLOCKS),
+        ),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("grp", "blk").orderBy("cents", "o_orderkey")
+    )
+    cand = o.withColumn("rn", rn).where(
+        F.pmod(F.col("rn"), F.lit(STRIDE)) == 1
+    )
+    rc = F.row_number().over(
+        Window.partitionBy("grp").orderBy("cents", "o_orderkey")
+    )
+    cand = cand.select("grp", "cents", "o_orderkey").withColumn("rc", rc)
+    nc = cand.groupBy("grp").agg(F.count(F.lit(1)).alias("n_cand"))
+    nr = o.groupBy("grp").agg(F.count(F.lit(1)).alias("n_rows"))
+    est = (
+        cand.join(F.broadcast(nc), "grp")
+        .filter(
+            F.col("rc")
+            == F.ceil(F.lit(0.5) * F.col("n_cand")).cast("int")
+        )
+        .select("grp", F.col("cents").alias("est_cents"))
+    )
+    ranks = (
+        o.join(F.broadcast(est), "grp")
+        .groupBy("grp", "est_cents")
+        .agg(
+            F.count(F.when(F.col("cents") <= F.col("est_cents"), 1))
+            .cast("long")
+            .alias("true_rank")
+        )
+    )
+    return (
+        ranks.join(F.broadcast(nr), "grp")
+        .select(
+            "grp",
+            "n_rows",
+            "est_cents",
+            "true_rank",
+            F.ceil(F.lit(0.5) * F.col("n_rows"))
+            .cast("long")
+            .alias("target_rank"),
+            (
+                F.abs(
+                    F.col("true_rank")
+                    - F.ceil(F.lit(0.5) * F.col("n_rows"))
+                )
+                <= F.lit(STRIDE * BLOCKS)
+            ).alias("within_bound"),
+        )
+        .orderBy("grp")
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_quantile_sketch_grouped": """
+        WITH o AS (
+          SELECT o_orderpriority AS grp, o_orderkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(20,6)) * 100
+                      AS BIGINT) AS cents,
+                 ((('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                   1, 15))::BIGINT % 8) + 8) % 8 AS blk
+          FROM orders
+        ),
+        w AS (
+          SELECT grp, cents, o_orderkey,
+                 row_number() OVER (
+                   PARTITION BY grp, blk ORDER BY cents, o_orderkey
+                 ) AS rn
+          FROM o
+        ),
+        cand AS (
+          SELECT grp, cents, o_orderkey,
+                 row_number() OVER (
+                   PARTITION BY grp ORDER BY cents, o_orderkey
+                 ) AS rc
+          FROM w WHERE rn % 64 = 1
+        ),
+        nc AS (SELECT grp, count(*) AS n_cand FROM cand GROUP BY grp),
+        nr AS (SELECT grp, count(*) AS n_rows FROM o GROUP BY grp),
+        est AS (
+          SELECT cand.grp, cents AS est_cents
+          FROM cand JOIN nc ON cand.grp = nc.grp
+          WHERE rc = CAST(ceil(0.5 * n_cand) AS INT)
+        ),
+        ranks AS (
+          SELECT o.grp, est_cents,
+                 count(CASE WHEN o.cents <= est_cents THEN 1 END)
+                   AS true_rank
+          FROM o JOIN est ON o.grp = est.grp
+          GROUP BY o.grp, est_cents
+        )
+        SELECT ranks.grp AS grp, CAST(n_rows AS BIGINT) AS n_rows,
+               est_cents,
+               CAST(true_rank AS BIGINT) AS true_rank,
+               CAST(ceil(0.5 * n_rows) AS BIGINT) AS target_rank,
+               abs(true_rank - CAST(ceil(0.5 * n_rows) AS BIGINT))
+                 <= 512 AS within_bound
+        FROM ranks JOIN nr ON ranks.grp = nr.grp
+        ORDER BY grp
+    """,
     "q_quantile_sketch": """
         WITH o AS (
           SELECT o_orderkey,

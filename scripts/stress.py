@@ -414,6 +414,29 @@ def main() -> None:
         time.perf_counter() - t0, 2
     )
 
+    # Arrow partial-Gram covariance kernel at 500k vectors: each batch
+    # ships one 9x9 int64 matrix, so the reduce is O(partitions), not
+    # O(rows). Exactness invariant: int64 grid sums are associative, so
+    # two different partitionings MUST produce bit-identical cells —
+    # that equality is the whole point of the grid-integer design.
+    from data_wrangle_openstreetmaps_data_spark.operators.similarity import (
+        gram_partial,
+    )
+
+    t0 = time.perf_counter()
+    g1 = {
+        (r["i"], r["j"]): r["s"]
+        for r in gram_partial(vecs.repartition(64), dims=8).collect()
+    }
+    timings["gram_covariance_500k_vecs"] = round(
+        time.perf_counter() - t0, 2
+    )
+    g2 = {
+        (r["i"], r["j"]): r["s"]
+        for r in gram_partial(vecs.repartition(7), dims=8).collect()
+    }
+    gram_exact = g1 == g2 and g1[(8, 8)] == n_vecs
+
     print(
         json.dumps(
             {
@@ -437,6 +460,11 @@ def main() -> None:
                     "verified_pairs": n_vpairs,
                     "candidate_pairs": int(v_cand),
                     "candidate_ratio": round(v_cand / n_vecs, 4),
+                },
+                "gram_500k": {
+                    "vectors": n_vecs,
+                    "cells": len(g1),
+                    "partitioning_invariant": gram_exact,
                 },
                 "timings": timings,
                 "value": round(sum(timings.values()), 2),

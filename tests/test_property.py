@@ -512,3 +512,65 @@ def test_soundex_matches_python_model(spark, names):
     }
     for n in names:
         assert got[n] == py_soundex(n), repr(n)
+
+
+def py_geohash6(lat: float, lon: float) -> str:
+    """Independent textbook geohash encoder (interval bisection, the
+    canonical algorithm) — 6 characters."""
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_r, lon_r = [-90.0, 90.0], [-180.0, 180.0]
+    bits, out, even = 0, [], True
+    ch = 0
+    for _ in range(30):
+        if even:
+            mid = (lon_r[0] + lon_r[1]) / 2
+            if lon >= mid:
+                ch = (ch << 1) | 1
+                lon_r[0] = mid
+            else:
+                ch = ch << 1
+                lon_r[1] = mid
+        else:
+            mid = (lat_r[0] + lat_r[1]) / 2
+            if lat >= mid:
+                ch = (ch << 1) | 1
+                lat_r[0] = mid
+            else:
+                ch = ch << 1
+                lat_r[1] = mid
+        even = not even
+        bits += 1
+        if bits % 5 == 0:
+            out.append(b32[ch & 31])
+            ch = 0
+    return "".join(out)
+
+
+def test_geohash_sql_matches_textbook_encoder(spark):
+    """The shared-SQL bit-interleave encode must agree with the
+    canonical bisection algorithm on a grid of points spanning all
+    quadrants (the 15-bit quantization is exactly 30 bits = 6 chars,
+    so the two constructions are the same function)."""
+    from pyspark.sql import functions as F
+
+    from data_wrangle_openstreetmaps_data_spark.plans.queries.geo import (
+        _geohash_sql,
+    )
+
+    pts = [
+        (22.5726, 88.3639),   # Kolkata
+        (0.0, 0.0),
+        (-33.8688, 151.2093),  # Sydney
+        (40.7128, -74.0060),   # New York
+        (-54.8019, -68.3030),  # Ushuaia
+        (64.1466, -21.9426),   # Reykjavik
+        (89.999, 179.999),
+        (-89.999, -179.999),
+    ]
+    stages = _geohash_sql("div")
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    for name in ("xlon", "xlat", "code", "geohash"):
+        df = df.withColumn(name, F.expr(stages[name]))
+    got = {(r["lat"], r["lon"]): r["geohash"] for r in df.collect()}
+    for lat, lon in pts:
+        assert got[(lat, lon)] == py_geohash6(lat, lon), (lat, lon)

@@ -228,3 +228,58 @@ def test_kmeans_iteration_pulls_defector_into_right_cluster(spark):
     cent = {(r["assigned"], r["pos"]): r["centroid"] for r in out}
     assert cent[(0, 0)] > 0.9 and cent[(0, 4)] == 0.0
     assert cent[(1, 4)] > 0.9 and cent[(1, 0)] == 0.0
+
+
+def test_gram_partial_matches_numpy_exactly(spark):
+    """gram_partial's int64 partial Grams must equal a single-process
+    numpy computation on the same 1e-4 grid — across multiple Arrow
+    batches/partitions (sums are exact integers, so equality is exact,
+    not approximate)."""
+    import numpy as np
+
+    rng_vals = [
+        [((i * 31 + j * 17) % 200 - 100) / 73.0 for j in range(8)]
+        for i in range(257)
+    ]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng_vals)],
+        "vec_id long, embedding array<double>",
+    ).repartition(5)
+    got = {
+        (r["i"], r["j"]): r["s"]
+        for r in similarity.gram_partial(emb, dims=8).collect()
+    }
+    m = np.asarray(rng_vals, dtype=np.float64)
+    vi = np.floor(m * 10000.0 + 0.5).astype(np.int64)
+    aug = np.hstack([vi, np.ones((vi.shape[0], 1), dtype=np.int64)])
+    g = aug.T @ aug
+    for i in range(9):
+        for j in range(i, 9):
+            assert got[(i, j)] == g[i, j], (i, j)
+    assert got[(8, 8)] == 257  # the count cell
+
+
+def test_centroid_margin_planted_boundary_vector(spark):
+    """The defector corpus again: vectors firmly on one axis get a
+    large margin; a vector exactly between the two centroids gets a
+    margin of ~0 (it is the boundary case the audit exists to flag)."""
+    rows = []
+    for i in range(40):
+        v = [0.0] * 8
+        v[0 if i < 20 else 4] = 1.0
+        rows.append((i, v, 0 if i < 20 else 1))
+    straddler = [0.0] * 8
+    straddler[0] = 1.0
+    straddler[4] = 1.0  # equidistant from both centroids
+    rows.append((99, straddler, 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = {
+        r["vid"]: r["m4"]
+        for r in similarity.centroid_margin(emb).collect()
+    }
+    assert got[0] > 5000  # firmly clustered: margin >> 0
+    # boundary vector: an order of magnitude tighter than the firm ones
+    # (not exactly 0 — the straddler pulls its own cluster's centroid)
+    assert got[99] < got[0] / 10
