@@ -562,6 +562,77 @@ def q_ewma(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _holt_coeffs() -> list[list[float]]:
+    """Exact dyadic forecast weights for Holt's linear trend with
+    α=β=1/2 over a window of n=1..10 values: unrolling the recursion
+    ℓ_t = ½y_t + ½(ℓ+b), b_t = ½(ℓ_t−ℓ)+½b symbolically gives the
+    1-step forecast ℓ+b = Σ c_i·y_i with every c_i a power-of-2
+    fraction — EXACT as a double, so both engines evaluate identical
+    products (the α=½ device from q_ewma, extended to a 2-state
+    recursion). Weights sum to 1; old values get negative weight (the
+    trend extrapolation)."""
+    from fractions import Fraction as Fr
+
+    out = []
+    for n in range(1, 11):
+        lvl = [Fr(0)] * n
+        trd = [Fr(0)] * n
+        lvl[0] = Fr(1)
+        for t in range(1, n):
+            lp = lvl[:]
+            lvl = [(lp[i] + trd[i]) / 2 for i in range(n)]
+            lvl[t] += Fr(1, 2)
+            trd = [(lvl[i] - lp[i]) / 2 + trd[i] / 2 for i in range(n)]
+        out.append([float(lvl[i] + trd[i]) for i in range(n)])
+    return out
+
+
+def q_holt_linear(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — Holt's linear-trend 1-step forecast of each user's value
+    stream over the last 10 events: the level+trend upgrade of q_ewma
+    (which cannot follow a drifting series). The recursion is unrolled
+    into EXACT dyadic weights (see _holt_coeffs) selected by frame
+    length from a literal weight table, applied with one
+    zip_with/aggregate fold over the same bounded collect_list window —
+    fully relational, one user-keyed shuffle, per-row state ≤ 10
+    values. Top-20 largest forecasts (forecast desc, ids) keep the
+    output bounded."""
+    from pyspark.sql import Window
+
+    W = _holt_coeffs()
+    w_spark = "array({})".format(
+        ", ".join(
+            "array({})".format(", ".join(repr(c) + "D" for c in row))
+            for row in W
+        )
+    )
+    ev = table(spark, sf, "events")
+    e = ev.select(
+        "user_id", "event_id", "value",
+        catalog.event_ts_us(ev).alias("tsn"),
+    )
+    fw = (
+        Window.partitionBy("user_id")
+        .orderBy("tsn", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    e = e.withColumn("vals", F.collect_list("value").over(fw))
+    forecast = F.expr(
+        "aggregate(zip_with(vals, element_at("
+        + w_spark
+        + ", size(vals)), (v, c) -> v * c), 0.0D, (acc, x) -> acc + x)"
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            text.round4(forecast).alias("holt_forecast"),
+        )
+        .orderBy(F.desc("holt_forecast"), "user_id", "event_id")
+        .limit(20)
+    )
+
+
 def q_session_attribution(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — first-touch attribution: each session's purchases credited
     to the session's FIRST event type (the marketing-attribution shape).
@@ -2438,6 +2509,32 @@ ORACLES: dict[str, str | None] = {
     # same bounded-window EWMA: DuckDB's indexed list lambda applies
     # weight 0.5^(len-i) (i is 1-based → newest weight 1), same
     # normalizer, same exact binary weights
+    "q_holt_linear": """
+        WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS tsn
+                   FROM events),
+        l AS (
+          SELECT user_id, event_id,
+                 list(value) OVER (
+                   PARTITION BY user_id ORDER BY tsn, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+                 ) AS vals
+          FROM e
+        )
+        SELECT user_id, event_id,
+               floor(
+                 list_sum(list_transform(vals,
+                   (x, i) -> x * ({weights}[len(vals)])[i]))
+                 * 10000 + 0.5) / 10000 AS holt_forecast
+        FROM l
+        ORDER BY holt_forecast DESC, user_id, event_id LIMIT 20
+    """.format(
+        weights="[{}]".format(
+            ", ".join(
+                "[{}]".format(", ".join(repr(c) for c in row))
+                for row in _holt_coeffs()
+            )
+        )
+    ),
     "q_ewma": """
         WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS tsn
                    FROM events),

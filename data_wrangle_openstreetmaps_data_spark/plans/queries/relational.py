@@ -705,6 +705,42 @@ def q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_join_cardinality(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — join-cardinality estimation WITHOUT running the join (the
+    optimizer-statistics question): for the orders⋈orders self-join on
+    order date, the exact output size is Σ_k n(k)² from one per-key
+    count aggregate, compared against the uniform-assumption estimate
+    N²/d that a naive cost model uses — their ratio IS the key-skew
+    factor that decides broadcast vs salted strategies. At 100 TB this
+    is why you maintain per-key histograms: the |keys|-row aggregate
+    costs one shuffle, the mis-planned join it prevents costs hours.
+    All counts exact bigint (Σn² in decimal(38,0)/HUGEINT); two double
+    divisions at the end."""
+    o = table(spark, sf, "orders").select(
+        F.to_date("o_orderdate").alias("d")
+    )
+    per = o.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    n19 = F.col("n").cast("decimal(19,0)")
+    agg = per.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(n19 * n19).cast("decimal(38,0)").alias("actual_pairs"),
+        F.max("n").cast("long").alias("max_key"),
+    )
+    nr = F.col("n_rows").cast("double")
+    uniform = nr * nr / F.col("n_keys").cast("double")
+    return agg.select(
+        "n_rows",
+        "n_keys",
+        F.col("actual_pairs").cast("long").alias("actual_pairs"),
+        F.floor(uniform).cast("long").alias("uniform_estimate"),
+        text.round4(
+            F.col("actual_pairs").cast("double") / uniform
+        ).alias("skew_factor"),
+        "max_key",
+    )
+
+
 def q_join_skew_metrics(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — pre-join key-skew diagnostics for the lineitem join key:
     distinct keys, max key frequency, the top-5 keys' share of all
@@ -1206,6 +1242,30 @@ def q_sequence_gaps(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLES: dict[str, str | None] = {
+    "q_join_cardinality": """
+        WITH per AS (
+          SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n
+          FROM orders GROUP BY d
+        ),
+        agg AS (
+          SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+                 CAST(count(*) AS BIGINT) AS n_keys,
+                 sum(CAST(n AS HUGEINT) * n) AS actual_pairs,
+                 CAST(max(n) AS BIGINT) AS max_key
+          FROM per
+        )
+        SELECT n_rows, n_keys,
+               CAST(actual_pairs AS BIGINT) AS actual_pairs,
+               CAST(floor(CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)
+                          / CAST(n_keys AS DOUBLE)) AS BIGINT)
+                 AS uniform_estimate,
+               floor(CAST(actual_pairs AS DOUBLE)
+                     / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)
+                        / CAST(n_keys AS DOUBLE))
+                     * 10000 + 0.5) / 10000 AS skew_factor,
+               max_key
+        FROM agg
+    """,
     "q_weighted_median": """
         WITH d AS (
           SELECT p_brand AS brand,

@@ -626,7 +626,108 @@ def q_quantile_sketch_grouped(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sample_extrapolation(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-SK — approximate query processing with a SELF-CERTIFYING
+    answer: a 1/16 deterministic hash sample of orders (portable md5 —
+    repeatable across engines and runs, unlike TABLESAMPLE) scales up
+    to estimated row count and revenue with a 95% binomial CI
+    (half = 1.96·√(n_s·(1−p))/p), and the output carries the exact
+    truth next to the estimate plus the within-CI verdict — the
+    sampling-error contract an AQP layer must surface, here oracled so
+    the arithmetic itself is verified. The sample is a pushed-down
+    filter (scan-time, no shuffle); truth is one exact aggregate."""
+    from data_wrangle_openstreetmaps_data_spark.operators.dedup import (
+        portable_token_hash,
+    )
+
+    P = 16
+    o = table(spark, sf, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(20,6)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    h = F.pmod(
+        portable_token_hash(F.col("o_orderkey").cast("string")),
+        F.lit(P),
+    )
+    s = o.filter(h == 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sample"),
+        F.sum("cents").cast("long").alias("s_cents"),
+    )
+    t = o.agg(
+        F.count(F.lit(1)).cast("long").alias("true_count"),
+        F.sum("cents").cast("long").alias("true_cents"),
+    )
+    ns = F.col("n_sample").cast("double")
+    half = F.lit(1.96) * F.sqrt(
+        ns * F.lit(1.0 - 1.0 / P)
+    ) * F.lit(float(P))
+    est = ns * F.lit(float(P))
+    return s.crossJoin(F.broadcast(t)).select(
+        "n_sample",
+        (F.col("n_sample") * P).cast("long").alias("est_count"),
+        F.floor(est - half).cast("long").alias("ci_lo"),
+        F.ceil(est + half).cast("long").alias("ci_hi"),
+        "true_count",
+        (
+            (F.col("true_count") >= F.floor(est - half))
+            & (F.col("true_count") <= F.ceil(est + half))
+        ).alias("count_within_ci"),
+        (F.col("s_cents") * P).cast("long").alias("est_cents"),
+        "true_cents",
+        text.round4(
+            (F.col("s_cents") * P).cast("double")
+            / F.col("true_cents").cast("double")
+        ).alias("revenue_ratio"),
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_sample_extrapolation": """
+        WITH o AS (
+          SELECT o_orderkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(20,6)) * 100
+                      AS BIGINT) AS cents,
+                 ((('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                   1, 15))::BIGINT % 16) + 16) % 16 AS h
+          FROM orders
+        ),
+        s AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_sample,
+                 CAST(sum(cents) AS BIGINT) AS s_cents
+          FROM o WHERE h = 0
+        ),
+        t AS (
+          SELECT CAST(count(*) AS BIGINT) AS true_count,
+                 CAST(sum(cents) AS BIGINT) AS true_cents
+          FROM o
+        )
+        SELECT n_sample,
+               CAST(n_sample * 16 AS BIGINT) AS est_count,
+               CAST(floor(CAST(n_sample AS DOUBLE) * 16.0
+                          - 1.96 * sqrt(CAST(n_sample AS DOUBLE)
+                                        * 0.9375) * 16.0) AS BIGINT)
+                 AS ci_lo,
+               CAST(ceil(CAST(n_sample AS DOUBLE) * 16.0
+                         + 1.96 * sqrt(CAST(n_sample AS DOUBLE)
+                                       * 0.9375) * 16.0) AS BIGINT)
+                 AS ci_hi,
+               true_count,
+               true_count >= CAST(floor(CAST(n_sample AS DOUBLE) * 16.0
+                          - 1.96 * sqrt(CAST(n_sample AS DOUBLE)
+                                        * 0.9375) * 16.0) AS BIGINT)
+               AND true_count <= CAST(ceil(CAST(n_sample AS DOUBLE) * 16.0
+                         + 1.96 * sqrt(CAST(n_sample AS DOUBLE)
+                                       * 0.9375) * 16.0) AS BIGINT)
+                 AS count_within_ci,
+               CAST(s_cents * 16 AS BIGINT) AS est_cents,
+               true_cents,
+               floor(CAST(s_cents * 16 AS DOUBLE)
+                     / CAST(true_cents AS DOUBLE) * 10000 + 0.5) / 10000
+                 AS revenue_ratio
+        FROM s, t
+    """,
     "q_quantile_sketch_grouped": """
         WITH o AS (
           SELECT o_orderpriority AS grp, o_orderkey,

@@ -574,3 +574,26 @@ def test_geohash_sql_matches_textbook_encoder(spark):
     got = {(r["lat"], r["lon"]): r["geohash"] for r in df.collect()}
     for lat, lon in pts:
         assert got[(lat, lon)] == py_geohash6(lat, lon), (lat, lon)
+
+
+@given(st.lists(st.floats(min_value=-100, max_value=100,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=10))
+@settings(max_examples=100, deadline=None)
+def test_holt_coeffs_equal_direct_recursion(ys):
+    """The unrolled dyadic weight table must reproduce the direct
+    Holt recursion (alpha=beta=1/2, level=y0, trend=0) to float
+    accuracy on arbitrary inputs."""
+    from data_wrangle_openstreetmaps_data_spark.plans.queries.events_time import (
+        _holt_coeffs,
+    )
+
+    lvl, trd = ys[0], 0.0
+    for y in ys[1:]:
+        new_lvl = 0.5 * y + 0.5 * (lvl + trd)
+        trd = 0.5 * (new_lvl - lvl) + 0.5 * trd
+        lvl = new_lvl
+    direct = lvl + trd
+    w = _holt_coeffs()[len(ys) - 1]
+    unrolled = sum(c * y for c, y in zip(w, ys))
+    assert abs(direct - unrolled) <= 1e-9 * max(1.0, abs(direct))
