@@ -100,6 +100,16 @@ HEADLINE = [
     "q_auc",
     "q_decile_lift",
     "q_audio_rms",
+    # round-8 final wave: Arrow Gram kernel, graph modularity, geohash,
+    # mergeable quantile sketches, trend forecasting, nearest as-of
+    "q_embedding_covariance",
+    "q_modularity",
+    "q_geohash",
+    "q_quantile_sketch_grouped",
+    "q_holt_linear",
+    "q_asof_nearest",
+    "q_weighted_median",
+    "q_out_of_order_audit",
 ]
 
 

@@ -333,6 +333,70 @@ def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ltv_cohort(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — cumulative LTV matrix, the revenue companion of
+    q_cohort_retention: users cohorted by first-active epoch-week
+    (integer day div 7 — no engine week-of-year conventions), purchase
+    revenue accumulated per (cohort_week, age_weeks) and divided by
+    cohort size to give LTV-per-user at each age. Revenue stays on the
+    exact 1e-4 grid (bigint) through the (cohort, age) aggregate AND
+    the running cumulative (the window runs over the tiny
+    cohort×age matrix, not the fact table), so the only double is the
+    final per-user division. Shuffles: user-keyed dedup/min + one
+    matrix aggregate."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    ev = ev.withColumn("tsn", catalog.event_ts_us(ev))
+    e = ev.select(
+        "user_id",
+        F.expr("(tsn div 86400000000) div 7").alias("week"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * F.lit(10000.0) + F.lit(0.5)).cast(
+                "long"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("vi"),
+    )
+    first = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    cells = (
+        e.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("age_weeks"),
+        )
+        .agg(F.sum("vi").cast("long").alias("rev_i"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.withColumn("cum_i", F.sum("rev_i").over(w))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_weeks",
+            "cohort_users",
+            text.round4(
+                F.col("rev_i").cast("double") / F.lit(10000.0)
+            ).alias("revenue"),
+            text.round4(
+                F.col("cum_i").cast("double")
+                / F.lit(10000.0)
+                / F.col("cohort_users").cast("double")
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )
+
+
 def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — robust (median/MAD) outlier counts per event type: values
     more than 3 MADs from the per-type median. Medians are exact
@@ -1633,6 +1697,89 @@ def q_activity_bitmap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_new_vs_returning(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — daily new-vs-returning split, the first product-analytics
+    chart on any dashboard: a user is NEW on their first-event day
+    (one per-user min aggregate), returning on every later active day.
+    Plan: (user) min-day aggregate joined back to the (user, day)
+    distinct activity — both key-equality shuffles with map-side
+    combine — then a |days|-row rollup. Pure integer day arithmetic."""
+    ev = table(spark, sf, "events")
+    ev = ev.withColumn("tsn", catalog.event_ts_us(ev))
+    ud = ev.select(
+        "user_id", F.expr("tsn div 86400000000").alias("day")
+    ).distinct()
+    first = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        ud.join(first, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.when(F.col("day") == F.col("first_day"), 1))
+            .cast("long")
+            .alias("new_users"),
+            F.count(F.when(F.col("day") != F.col("first_day"), 1))
+            .cast("long")
+            .alias("returning_users"),
+        )
+        .orderBy("day")
+        .limit(40)
+    )
+
+
+def q_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — STL-lite decomposition of the daily event-count series
+    with a FLOAT-SUM-FREE trick: the centered 7-day moving average
+    enters in units of 1/7 (t7 = Σ±3 days of counts, an exact bigint
+    window sum), so the detrended series 7·c − t7 is an exact INTEGER
+    per day and the day-of-week seasonal component is an exact-integer
+    ratio Σ(7c − t7) / (7·n_dow) — no double is ever summed, the
+    failure mode every naive decomposition has cross-engine. Output:
+    per day-of-week (epoch-day mod 7, engine-neutral), the seasonal
+    offset and its share of the mean. One day aggregate + one 7-row
+    rollup; the MA window is a 7-row frame over |days| rows."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    ev = ev.withColumn("tsn", catalog.event_ts_us(ev))
+    daily = (
+        ev.select(F.expr("tsn div 86400000000").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    d = (
+        daily.withColumn("t7", F.sum("c").over(w))
+        .withColumn("nw", F.count("c").over(w))
+        .filter(F.col("nw") == 7)  # full centered window only
+    )
+    det = d.select(
+        F.pmod(F.col("day"), F.lit(7)).cast("int").alias("dow"),
+        (F.lit(7) * F.col("c") - F.col("t7")).alias("d7"),
+        "c",
+    )
+    return (
+        det.groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("d7").cast("long").alias("sd7"),
+            F.sum("c").cast("long").alias("sc"),
+        )
+        .select(
+            "dow",
+            "n_days",
+            text.round4(
+                F.col("sd7").cast("double")
+                / (F.lit(7.0) * F.col("n_days").cast("double"))
+            ).alias("seasonal"),
+            text.round4(
+                F.col("sd7").cast("double")
+                / (F.lit(7.0) * F.col("sc").cast("double"))
+            ).alias("seasonal_share"),
+        )
+        .orderBy("dow")
+    )
+
+
 def q_sax_symbolic(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — SAX (Symbolic Aggregate approXimation) of the daily
     event-count series: zero-filled day spine → 5-day PAA segment
@@ -1830,6 +1977,83 @@ ORACLES: dict[str, str | None] = {
                count(*) AS n_users
         FROM per_user GROUP BY pattern
         ORDER BY n_users DESC, pattern LIMIT 20
+    """,
+    "q_ltv_cohort": """
+        WITH e AS (
+          SELECT user_id,
+                 (epoch_us(ts) // 86400000000) // 7 AS week,
+                 CASE WHEN event_type = 'purchase'
+                      THEN CAST(floor(value * 10000.0 + 0.5) AS BIGINT)
+                      ELSE 0 END AS vi
+          FROM events
+        ),
+        f AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),
+        sz AS (
+          SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+          FROM f GROUP BY 1
+        ),
+        cells AS (
+          SELECT cohort_week, week - cohort_week AS age_weeks,
+                 CAST(sum(vi) AS BIGINT) AS rev_i
+          FROM e JOIN f USING (user_id)
+          GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT cohort_week, age_weeks, rev_i,
+                 sum(rev_i) OVER (
+                   PARTITION BY cohort_week ORDER BY age_weeks
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS cum_i
+          FROM cells
+        )
+        SELECT cohort_week, age_weeks, cohort_users,
+               floor(CAST(rev_i AS DOUBLE) / 10000.0 * 10000 + 0.5)
+                 / 10000 AS revenue,
+               floor(CAST(cum_i AS DOUBLE) / 10000.0
+                     / CAST(cohort_users AS DOUBLE) * 10000 + 0.5)
+                 / 10000 AS ltv_per_user
+        FROM cum JOIN sz USING (cohort_week)
+        ORDER BY cohort_week, age_weeks
+    """,
+    "q_new_vs_returning": """
+        WITH ud AS (
+          SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+          FROM events
+        ),
+        f AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1)
+        SELECT day,
+               count(CASE WHEN day = first_day THEN 1 END) AS new_users,
+               count(CASE WHEN day <> first_day THEN 1 END)
+                 AS returning_users
+        FROM ud JOIN f USING (user_id)
+        GROUP BY day ORDER BY day LIMIT 40
+    """,
+    "q_seasonal_decompose": """
+        WITH daily AS (
+          SELECT epoch_us(ts) // 86400000000 AS day,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY day
+        ),
+        ma AS (
+          SELECT day, c,
+                 sum(c) OVER (ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS t7,
+                 count(c) OVER (ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS nw
+          FROM daily
+        ),
+        det AS (
+          SELECT CAST(day % 7 AS INT) AS dow, 7 * c - t7 AS d7, c
+          FROM ma WHERE nw = 7
+        )
+        SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+               floor(CAST(sum(d7) AS DOUBLE)
+                     / (7.0 * CAST(count(*) AS DOUBLE))
+                     * 10000 + 0.5) / 10000 AS seasonal,
+               floor(CAST(sum(d7) AS DOUBLE)
+                     / (7.0 * CAST(sum(c) AS DOUBLE))
+                     * 10000 + 0.5) / 10000 AS seasonal_share
+        FROM det GROUP BY dow ORDER BY dow
     """,
     "q_sax_symbolic": """
         WITH daily AS (

@@ -245,6 +245,78 @@ def q_asof_join_forward(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — NEAREST as-of join, completing the direction family
+    (backward q_asof_join, forward q_asof_join_forward): each click
+    matched to the user's temporally CLOSEST purchase, either side,
+    backward winning exact-distance ties. One union + ONE keyed sort
+    feeds BOTH fills (last_value ignorenulls backward, first_value
+    ignorenulls forward) — still one shuffle and O(1) window state per
+    partition, proof the 100 TB as-of plan extends to the nearest
+    variant without a range join. Equal timestamps stay inclusive
+    (right rows sort before left). Deltas are exact µs integers."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    ev = ev.withColumn("tsn", catalog.event_ts_us(ev))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "event_id",
+        F.col("tsn").alias("t"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("rts"),
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.lit(None).cast("long").alias("event_id"),
+            F.col("tsn").alias("t"),
+            F.lit(0).alias("side"),
+            F.col("tsn").alias("rts"),
+        )
+        .distinct()
+    )
+    u = clicks.unionAll(purch)
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    u = u.withColumn(
+        "prev_t", F.last("rts", ignorenulls=True).over(back)
+    ).withColumn("next_t", F.first("rts", ignorenulls=True).over(fwd))
+    db = F.col("t") - F.col("prev_t")
+    df_ = F.col("next_t") - F.col("t")
+    nearest = (
+        F.when(F.col("prev_t").isNull(), F.col("next_t"))
+        .when(F.col("next_t").isNull(), F.col("prev_t"))
+        .when(db <= df_, F.col("prev_t"))
+        .otherwise(F.col("next_t"))
+    )
+    direction = (
+        F.when(nearest.isNull(), F.lit(None).cast("string"))
+        .when(nearest == F.col("prev_t"), "backward")
+        .otherwise("forward")
+    )
+    return (
+        u.filter(F.col("side") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.col("t").alias("ts"),
+            nearest.alias("matched_time"),
+            direction.alias("direction"),
+            F.abs(nearest - F.col("t")).alias("delta_us"),
+        )
+    )
+
+
 def q_inventory_balance(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — clamped-at-zero running inventory per part (stock can't go
     negative): the Lindley recursion W_t = max(0, W_{t−1} + x_t), which
@@ -702,6 +774,95 @@ def q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("share"),
         )
         .orderBy("c_mktsegment", "c_nationkey", "bal_band")
+    )
+
+
+def q_target_encoding(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — smoothed target encoding (the ML feature-engineering op):
+    each customer nation encoded as (Σ target + m·global_mean)/(n + m)
+    with prior weight m=10 — the shrinkage that keeps rare categories
+    from memorizing noise. Target = order totalprice in exact cents;
+    the global mean enters as an exact cents ratio, so the encode is
+    (cents_k·N + 10·cents_tot·n_k/N ...) — evaluated as doubles from
+    exact bigints in ONE mirrored expression. One (nation) aggregate +
+    a broadcast global; 25 output rows, the encoding table a feature
+    store would publish."""
+    o = table(spark, sf, "orders").join(
+        table(spark, sf, "customer").select("c_custkey", "c_nationkey"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    per = o.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(F.col("o_totalprice").cast("decimal(20,6)")) * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("cents").cast("long").alias("ct"),
+    )
+    gmean = F.col("ct").cast("double") / F.col("nt").cast("double")
+    enc = (
+        F.col("cents").cast("double") + F.lit(10.0) * gmean
+    ) / (F.col("n").cast("double") + F.lit(10.0))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "c_nationkey",
+            "n",
+            text.round4(
+                F.col("cents").cast("double")
+                / F.col("n").cast("double")
+                / F.lit(100.0)
+            ).alias("raw_mean"),
+            text.round4(enc / F.lit(100.0)).alias("encoded"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def q_woe_iv(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — weight of evidence / information value per market segment
+    against the binary outcome 'order went F(ailed)' — the
+    credit-scoring feature screen: WoE_k = ln(p_event,k / p_nonevent,k)
+    and the IV term (p_e − p_n)·WoE per category (terms emitted PER ROW
+    like q_psi_drift, so no cross-engine float sum exists; Σ terms > 0.1
+    reads 'predictive'). Counts are exact; the two ratios and the ln
+    are one mirrored expression. One (segment, outcome) aggregate
+    (map-side combined) + a broadcast 1-row total."""
+    o = table(spark, sf, "orders").join(
+        F.broadcast(
+            table(spark, sf, "customer").select(
+                "c_custkey", "c_mktsegment"
+            )
+        ),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    per = o.groupBy("c_mktsegment").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1))
+        .cast("long")
+        .alias("ev"),
+        F.count(F.when(F.col("o_orderstatus") != "F", 1))
+        .cast("long")
+        .alias("ne"),
+    )
+    tot = per.agg(
+        F.sum("ev").cast("long").alias("evt"),
+        F.sum("ne").cast("long").alias("net"),
+    )
+    pe = F.col("ev").cast("double") / F.col("evt").cast("double")
+    pn = F.col("ne").cast("double") / F.col("net").cast("double")
+    woe = F.log(pe / pn)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "c_mktsegment",
+            "ev",
+            "ne",
+            text.round4(woe).alias("woe"),
+            text.round4((pe - pn) * woe).alias("iv_term"),
+        )
+        .orderBy("c_mktsegment")
     )
 
 
@@ -1242,6 +1403,92 @@ def q_sequence_gaps(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLES: dict[str, str | None] = {
+    "q_asof_nearest": """
+        WITH ev AS (SELECT *, epoch_us(ts) AS tsn FROM events),
+        u AS (
+          SELECT user_id, event_id, tsn AS t, 1 AS side,
+                 NULL::BIGINT AS rts
+          FROM ev WHERE event_type = 'click'
+          UNION ALL
+          SELECT DISTINCT user_id, NULL::BIGINT, tsn, 0, tsn
+          FROM ev WHERE event_type = 'purchase'
+        ),
+        f AS (
+          SELECT *,
+                 last_value(rts IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY t, side
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS prev_t,
+                 first_value(rts IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY t, side
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                 ) AS next_t
+          FROM u
+        ),
+        n AS (
+          SELECT user_id, event_id, t AS ts,
+                 CASE WHEN prev_t IS NULL THEN next_t
+                      WHEN next_t IS NULL THEN prev_t
+                      WHEN t - prev_t <= next_t - t THEN prev_t
+                      ELSE next_t END AS matched_time,
+                 prev_t, next_t
+          FROM f WHERE side = 1
+        )
+        SELECT user_id, event_id, ts, matched_time,
+               CASE WHEN matched_time IS NULL THEN NULL
+                    WHEN matched_time = prev_t THEN 'backward'
+                    ELSE 'forward' END AS direction,
+               abs(matched_time - ts) AS delta_us
+        FROM n
+    """,
+    "q_target_encoding": """
+        WITH per AS (
+          SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) * 100
+                      AS BIGINT) AS cents
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_nationkey
+        ),
+        tot AS (
+          SELECT CAST(sum(n) AS BIGINT) AS nt,
+                 CAST(sum(cents) AS BIGINT) AS ct
+          FROM per
+        )
+        SELECT c_nationkey, n,
+               floor(CAST(cents AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+                     * 10000 + 0.5) / 10000 AS raw_mean,
+               floor((CAST(cents AS DOUBLE)
+                      + 10.0 * (CAST(ct AS DOUBLE) / CAST(nt AS DOUBLE)))
+                     / (CAST(n AS DOUBLE) + 10.0) / 100.0
+                     * 10000 + 0.5) / 10000 AS encoded
+        FROM per, tot ORDER BY c_nationkey
+    """,
+    "q_woe_iv": """
+        WITH per AS (
+          SELECT c_mktsegment,
+                 CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+                      AS BIGINT) AS ev,
+                 CAST(count(CASE WHEN o_orderstatus <> 'F' THEN 1 END)
+                      AS BIGINT) AS ne
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_mktsegment
+        ),
+        tot AS (
+          SELECT CAST(sum(ev) AS BIGINT) AS evt,
+                 CAST(sum(ne) AS BIGINT) AS net
+          FROM per
+        )
+        SELECT c_mktsegment, ev, ne,
+               floor(ln((CAST(ev AS DOUBLE) / CAST(evt AS DOUBLE))
+                        / (CAST(ne AS DOUBLE) / CAST(net AS DOUBLE)))
+                     * 10000 + 0.5) / 10000 AS woe,
+               floor((CAST(ev AS DOUBLE) / CAST(evt AS DOUBLE)
+                      - CAST(ne AS DOUBLE) / CAST(net AS DOUBLE))
+                     * ln((CAST(ev AS DOUBLE) / CAST(evt AS DOUBLE))
+                          / (CAST(ne AS DOUBLE) / CAST(net AS DOUBLE)))
+                     * 10000 + 0.5) / 10000 AS iv_term
+        FROM per, tot ORDER BY c_mktsegment
+    """,
     "q_join_cardinality": """
         WITH per AS (
           SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n
