@@ -267,6 +267,64 @@ def q_audio_dft(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+def q_audio_spectral_centroid(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-M — spectral centroid over the k=1..3 DFT bins of each REAL
+    decoded WAV (the brightness feature an audio-curation pipeline
+    thresholds on): centroid = Σ k·|X_k| / Σ |X_k|. Each magnitude is
+    floored onto the exact 1e-4 grid BEFORE the ratio — the weighted
+    sum of three grid integers is exact, so the centroid is one double
+    division over exact bigints (the q_audio_dft grid-integer folds
+    underneath; the oracle regenerates samples closed-form, so every
+    hash match re-verifies the wave codec sample-for-sample)."""
+    from data_wrangle_openstreetmaps_data_spark.multimodal import media
+
+    docs = table(spark, sf, "documents").select("doc_id")
+    samples = media.decode_wav_samples(
+        media.synthesize_media(docs, "wav")
+    )
+
+    def fold(k: int, fn: str) -> F.Column:
+        return F.expr(
+            f"aggregate(zip_with(samples, "
+            f"sequence(0, size(samples) - 1), (s, i) -> "
+            f"CAST(floor(s * {fn}(2 * pi() * {k} * i / size(samples)) "
+            f"* 1000000 + 0.5) AS BIGINT)), "
+            f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+
+    def m4(k: int) -> F.Column:
+        return F.floor(
+            F.sqrt(
+                F.pow(fold(k, "cos") / F.lit(1e6), F.lit(2.0))
+                + F.pow(fold(k, "sin") / F.lit(1e6), F.lit(2.0))
+            )
+            * 10000
+            + F.lit(0.5)
+        ).cast("long")
+
+    d = samples.select(
+        "doc_id",
+        F.size("samples").alias("n_samples"),
+        m4(1).alias("m1"),
+        m4(2).alias("m2"),
+        m4(3).alias("m3"),
+    )
+    den = F.col("m1") + F.col("m2") + F.col("m3")
+    num = F.col("m1") + 2 * F.col("m2") + 3 * F.col("m3")
+    return d.select(
+        "doc_id",
+        "n_samples",
+        "m1",
+        "m2",
+        "m3",
+        text.round4(
+            F.when(
+                den > 0, num.cast("double") / den.cast("double")
+            )
+        ).alias("centroid"),
+    )
+
+
 def q_audio_rms(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-M — windowed loudness profile on REAL decoded audio: per
     8-sample window of each WAV clip, RMS level and absolute peak — the
@@ -367,6 +425,34 @@ ORACLES: dict[str, str | None] = {
                      * 10000 + 0.5) / 10000 AS rms
         FROM g
         ORDER BY doc_id, win
+    """,
+    "q_audio_spectral_centroid": f"""
+        WITH p AS (
+          SELECT doc_id,
+                 16 + doc_id % 17 AS n,
+                 doc_id % 1000 - 500 AS s0
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id, CAST(n AS INT) AS n_samples,
+                 {', '.join(
+                     "CAST(floor(sqrt("
+                     f"pow(CAST(list_sum({_dft_term_sql(k, 'cos')}) AS DOUBLE)"
+                     " / 1e6, 2.0) + "
+                     f"pow(CAST(list_sum({_dft_term_sql(k, 'sin')}) AS DOUBLE)"
+                     " / 1e6, 2.0)"
+                     f") * 10000 + 0.5) AS BIGINT) AS m{k}"
+                     for k in (1, 2, 3)
+                 )}
+          FROM p
+        )
+        SELECT doc_id, n_samples, m1, m2, m3,
+               CASE WHEN m1 + m2 + m3 > 0 THEN
+                 floor(CAST(m1 + 2 * m2 + 3 * m3 AS DOUBLE)
+                       / CAST(m1 + m2 + m3 AS DOUBLE)
+                       * 10000 + 0.5) / 10000
+               END AS centroid
+        FROM m
     """,
     "q_audio_dft": f"""
         WITH p AS (

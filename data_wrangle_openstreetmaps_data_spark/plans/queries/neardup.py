@@ -27,6 +27,60 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.dedup_exact(table(spark, sf, "documents"))
 
 
+def q_dup_rate_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D — the dedup REPORT a data-curation team actually reads:
+    per ingest source, how many rows are exact duplicates (normalized
+    text, same key as q_dedup_exact), the duplicate rate, and how many
+    of the dup rows have their cluster's keeper (min doc_id) in a
+    DIFFERENT source — cross-source contamination, the number that
+    tells you whether a feed is re-crawling another feed. Two keyed
+    aggregates (norm-text clusters, then source rollup); rates are
+    single divisions over exact counts."""
+    d = table(spark, sf, "documents").select(
+        "doc_id", "source", text.normalize_ws(F.col("text")).alias("k")
+    )
+    clus = d.groupBy("k").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    keep_src = d.select(
+        F.col("doc_id").alias("keep_id"), F.col("source").alias("keep_source")
+    )
+    j = (
+        d.join(clus, "k")
+        .join(keep_src, "keep_id")
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count(F.when(F.col("doc_id") != F.col("keep_id"), 1))
+            .cast("long")
+            .alias("n_dup_rows"),
+            F.count(
+                F.when(
+                    (F.col("doc_id") != F.col("keep_id"))
+                    & (F.col("keep_source") != F.col("source")),
+                    1,
+                )
+            )
+            .cast("long")
+            .alias("n_cross_source"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_rows",
+            text.round4(
+                F.col("n_dup_rows").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("dup_rate"),
+            "n_cross_source",
+        )
+        .orderBy("source")
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-D2 — exact n-gram Jaccard similarity join, SCALE-GUARDED form:
     top-100 pairs by (jaccard desc, id_a, id_b) plus a ``total_pairs``
@@ -429,6 +483,31 @@ ORACLES: dict[str, str | None] = {
     "q_dedup_exact": f"""
         SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         FROM documents GROUP BY {_NORM_TEXT_SQL}
+    """,
+    "q_dup_rate_by_source": f"""
+        WITH d AS (
+          SELECT doc_id, source, {_NORM_TEXT_SQL} AS k FROM documents
+        ),
+        clus AS (
+          SELECT k, min(doc_id) AS keep_id FROM d GROUP BY k
+        ),
+        j AS (
+          SELECT d.doc_id, d.source, clus.keep_id, ks.source AS keep_source
+          FROM d
+          JOIN clus ON d.k = clus.k
+          JOIN d ks ON ks.doc_id = clus.keep_id
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(CASE WHEN doc_id <> keep_id THEN 1 END)
+                    AS BIGINT) AS n_dup_rows,
+               floor(CAST(count(CASE WHEN doc_id <> keep_id THEN 1 END)
+                          AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000
+                 AS dup_rate,
+               CAST(count(CASE WHEN doc_id <> keep_id
+                               AND keep_source <> source THEN 1 END)
+                    AS BIGINT) AS n_cross_source
+        FROM j GROUP BY source ORDER BY source
     """,
     "q_minhash_accuracy": rf"""
     WITH toked AS (
