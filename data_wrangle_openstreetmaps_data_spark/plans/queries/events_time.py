@@ -1697,6 +1697,54 @@ def q_activity_bitmap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_forecast_backtest(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — walk-forward backtest of the Holt linear forecaster on the
+    daily event-count series: each day is predicted from the trailing
+    ≤10 days EXCLUDING itself (frame -10..-1 — no leakage), using the
+    same exact dyadic weight table as q_holt_linear, and scored with
+    its absolute percentage error. THE eval loop that must exist before
+    any forecast ships; per-day rows keep every float op a mirrored
+    per-row expression (no error-sum crosses engines). The window runs
+    over the |days|-row DAILY AGGREGATE, not the fact table."""
+    from pyspark.sql import Window
+
+    W = _holt_coeffs()
+    w_spark = "array({})".format(
+        ", ".join(
+            "array({})".format(", ".join(repr(c) + "D" for c in row))
+            for row in W
+        )
+    )
+    ev = table(spark, sf, "events")
+    ev = ev.withColumn("tsn", catalog.event_ts_us(ev))
+    daily = (
+        ev.select(F.expr("tsn div 86400000000").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    fw = Window.orderBy("day").rowsBetween(-10, -1)
+    d = daily.withColumn("vals", F.collect_list("c").over(fw)).filter(
+        F.size("vals") >= 1
+    )
+    forecast = F.expr(
+        "aggregate(zip_with(vals, element_at("
+        + w_spark
+        + ", size(vals)), (v, c) -> v * c), 0.0D, (acc, x) -> acc + x)"
+    )
+    return (
+        d.select(
+            "day",
+            F.col("c").cast("long").alias("actual"),
+            text.round4(forecast).alias("forecast"),
+            text.round4(
+                F.abs(forecast - F.col("c")) / F.col("c")
+            ).alias("ape"),
+        )
+        .orderBy("day")
+        .limit(60)
+    )
+
+
 def q_new_vs_returning(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — daily new-vs-returning split, the first product-analytics
     chart on any dashboard: a user is NEW on their first-event day
@@ -1978,6 +2026,36 @@ ORACLES: dict[str, str | None] = {
         FROM per_user GROUP BY pattern
         ORDER BY n_users DESC, pattern LIMIT 20
     """,
+    "q_forecast_backtest": """
+        WITH daily AS (
+          SELECT epoch_us(ts) // 86400000000 AS day,
+                 CAST(count(*) AS DOUBLE) AS c
+          FROM events GROUP BY day
+        ),
+        l AS (
+          SELECT day, c,
+                 list(c) OVER (ORDER BY day
+                   ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS vals
+          FROM daily
+        ),
+        f AS (
+          SELECT day, c,
+                 list_sum(list_transform(vals,
+                   (x, i) -> x * ({weights}[len(vals)])[i])) AS fc
+          FROM l WHERE len(vals) >= 1
+        )
+        SELECT day, CAST(c AS BIGINT) AS actual,
+               floor(fc * 10000 + 0.5) / 10000 AS forecast,
+               floor(abs(fc - c) / c * 10000 + 0.5) / 10000 AS ape
+        FROM f ORDER BY day LIMIT 60
+    """.format(
+        weights="[{}]".format(
+            ", ".join(
+                "[{}]".format(", ".join(repr(c) for c in row))
+                for row in _holt_coeffs()
+            )
+        )
+    ),
     "q_ltv_cohort": """
         WITH e AS (
           SELECT user_id,

@@ -683,7 +683,55 @@ def q_sample_extrapolation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_bloom_size_planner(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-SK — Bloom-filter sizing table (the planner consulted before
+    q_bloom_prune_join builds anything): per ingest source, the exact
+    distinct-document count n drives the closed forms
+    m = ⌈−n·ln(p)/ln(2)²⌉ bits and k = ⌊m/n·ln2 + ½⌋ hashes at target
+    fpr p = 0.01. Counts are exact; the ln constants fold identically
+    on both engines; one rounding per output column. One distinct-count
+    aggregate; |sources| output rows."""
+    d = table(spark, sf, "documents")
+    per = d.groupBy("source").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_keys")
+    )
+    nd = F.col("n_keys").cast("double")
+    LN2SQ = 0.4804530139182014  # ln(2)^2, exact double literal
+    LNP = -4.605170185988091  # ln(0.01)
+    m = F.ceil(nd * F.lit(-LNP) / F.lit(LN2SQ)).cast("long")
+    k = F.floor(
+        m.cast("double") / nd * F.lit(0.6931471805599453) + F.lit(0.5)
+    ).cast("int")
+    return per.select(
+        "source",
+        "n_keys",
+        m.alias("m_bits"),
+        k.alias("k_hashes"),
+        text.round4(m.cast("double") / nd).alias("bits_per_key"),
+    ).orderBy("source")
+
+
 ORACLES: dict[str, str | None] = {
+    "q_bloom_size_planner": """
+        WITH per AS (
+          SELECT source,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS n_keys
+          FROM documents GROUP BY source
+        ),
+        m AS (
+          SELECT source, n_keys,
+                 CAST(ceil(CAST(n_keys AS DOUBLE) * 4.605170185988091
+                           / 0.4804530139182014) AS BIGINT) AS m_bits
+          FROM per
+        )
+        SELECT source, n_keys, m_bits,
+               CAST(floor(CAST(m_bits AS DOUBLE)
+                          / CAST(n_keys AS DOUBLE)
+                          * 0.6931471805599453 + 0.5) AS INT) AS k_hashes,
+               floor(CAST(m_bits AS DOUBLE) / CAST(n_keys AS DOUBLE)
+                     * 10000 + 0.5) / 10000 AS bits_per_key
+        FROM m ORDER BY source
+    """,
     "q_sample_extrapolation": """
         WITH o AS (
           SELECT o_orderkey,

@@ -430,3 +430,44 @@ def test_recursive_cte_in_pure_sql(spark):
         "q_recursive_hierarchy",
         RECURSIVE_HIERARCHY_SQL.format(div="div"),
     )
+
+
+def test_weighted_median_in_pure_sql(spark):
+    """Weighted median as one literal SQL statement — the
+    cumulative-weight-crossing argmin shape (running sum window +
+    row_number over the crossing rows), matching the DataFrame form
+    exactly."""
+    register_views(spark, SF_SMALL)
+    _assert_sql_matches(spark, "q_weighted_median", """
+        WITH d AS (
+          SELECT p_brand AS brand,
+                 CAST(CAST(l_extendedprice AS DECIMAL(20,6)) * 100
+                      AS BIGINT) AS cents,
+                 CAST(l_quantity AS BIGINT) AS w,
+                 l_orderkey, l_linenumber
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+        ),
+        tot AS (
+          SELECT brand, CAST(sum(w) AS BIGINT) AS wtot
+          FROM d GROUP BY brand
+        ),
+        c AS (
+          SELECT d.brand, cents, l_orderkey, l_linenumber, wtot,
+                 sum(w) OVER (
+                   PARTITION BY d.brand
+                   ORDER BY cents, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS cw
+          FROM d JOIN tot ON d.brand = tot.brand
+        ),
+        hit AS (
+          SELECT brand, wtot, cents,
+                 row_number() OVER (
+                   PARTITION BY brand
+                   ORDER BY cents, l_orderkey, l_linenumber
+                 ) AS rn
+          FROM c WHERE cw * 2 >= wtot
+        )
+        SELECT brand, wtot, cents AS wmedian_cents
+        FROM hit WHERE rn = 1 ORDER BY brand
+    """)
