@@ -247,6 +247,60 @@ def q_streaming_cms(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_streaming_quantile(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming — quantiles OVER A STREAM via a mergeable histogram:
+    a 50-bin equi-width value histogram is a running (bin) count, so
+    micro-batch partials merge by summation (the q_streaming_cms
+    argument) and the complete-mode drain equals the batch histogram
+    exactly; p50/p90/p99 are then read from the drained ≤50-row table
+    as the first bin whose cumulative count reaches ⌈q·n⌉ — the answer
+    is certified within one bin width, the bound the oracle replays in
+    SQL. Streaming state is 50 rows regardless of stream length."""
+    import uuid
+
+    from pyspark.sql import Window
+
+    from data_wrangle_openstreetmaps_data_spark.streaming import events as se
+
+    name = f"qtl_{uuid.uuid4().hex[:8]}"
+    stream = se.stage_events_stream(spark, sf, "qtl")
+    hist = stream.groupBy(
+        F.least(
+            F.floor(F.col("value") / F.lit(10.0)).cast("int"), F.lit(49)
+        ).alias("bin")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    se.run_to_memory(hist, name, output_mode="complete")
+    h = spark.table(name)
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = h.agg(F.sum("cnt").cast("long").alias("n"))
+    c = h.withColumn("cum", F.sum("cnt").over(w)).crossJoin(
+        F.broadcast(tot)
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("q")
+    )
+    hit = (
+        qs.join(
+            c,
+            F.col("cum") >= F.ceil(F.col("q") * F.col("n")).cast("long"),
+        )
+        .groupBy("q")
+        .agg(
+            F.min("bin").cast("int").alias("bin"),
+            F.max("n").alias("n"),
+        )
+    )
+    return hit.select(
+        "q",
+        "bin",
+        (F.col("bin") * 10).cast("long").alias("lo_value"),
+        ((F.col("bin") + 1) * 10).cast("long").alias("hi_value"),
+        "n",
+    ).orderBy("q")
+
+
 def q_streaming_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming — CDC apply through foreachBatch: the q_cdc_merge change
     set arrives as a 2-micro-batch stream and each batch full-outer-merges
@@ -540,6 +594,30 @@ ORACLES: dict[str, str | None] = {
         FROM assign, m
         WHERE ws + INTERVAL 2 DAY <= wm
         GROUP BY 1, 2, 3
+    """,
+    "q_streaming_quantile": """
+        WITH h AS (
+          SELECT least(CAST(floor(value / 10.0) AS INT), 49) AS bin,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY bin
+        ),
+        c AS (
+          SELECT bin, cnt,
+                 sum(cnt) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+                 (SELECT CAST(sum(cnt) AS BIGINT) FROM h) AS n
+          FROM h
+        ),
+        qs AS (
+          SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q
+        )
+        SELECT q, CAST(min(bin) AS INT) AS bin,
+               CAST(min(bin) * 10 AS BIGINT) AS lo_value,
+               CAST((min(bin) + 1) * 10 AS BIGINT) AS hi_value,
+               CAST(max(n) AS BIGINT) AS n
+        FROM qs JOIN c ON cum >= CAST(ceil(q * n) AS BIGINT)
+        GROUP BY q ORDER BY q
     """,
     "q_streaming_cms": """
         WITH rows AS (SELECT unnest(generate_series(0, 3)) AS i)

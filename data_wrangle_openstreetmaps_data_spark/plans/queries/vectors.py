@@ -398,7 +398,116 @@ def q_embedding_covariance(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_pca_power_step(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-S — one PCA power-iteration step in EXACT integer
+    arithmetic: y = C·c₀ (C applied to its own first column — two
+    implicit applications of the covariance to the e₀ seed), where
+    every covariance cell enters as its exact integer NUMERATOR
+    n·Σxᵢxⱼ − Σxᵢ·Σxⱼ over the common denominator n²·10⁸ (the grid
+    sums from similarity.gram_partial's Arrow kernel). The denominator
+    is a positive scalar, so it cannot change the eigendirection —
+    products stay ≤ ~6e30 (decimal(38,0) / HUGEINT-safe at these SFs)
+    and the ONLY float op is the final max-|y| normalization. The
+    matrix-vector multiply is an 8-row broadcast join + keyed sum —
+    the iteration shape a distributed PCA runs at 100 TB, with the
+    data-sized work all inside the one-pass Gram kernel."""
+    g = similarity.gram_partial(table(spark, sf, "embeddings"), dims=8)
+    n = g.filter((F.col("i") == 8) & (F.col("j") == 8)).select(
+        F.col("s").alias("n")
+    )
+    sx = g.filter((F.col("i") < 8) & (F.col("j") == 8)).select(
+        F.col("i").alias("d"), F.col("s").alias("sd")
+    )
+    pairs = g.filter(F.col("j") < 8)
+    # mirror the upper triangle so every (i, j) cell exists
+    cells = pairs.unionAll(
+        pairs.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "s"
+        )
+    )
+    cnum = (
+        F.col("n").cast("decimal(20,0)") * F.col("s").cast("decimal(20,0)")
+        - F.col("sx").cast("decimal(20,0)")
+        * F.col("sy").cast("decimal(20,0)")
+    ).cast("decimal(20,0)")
+    cells = (
+        cells.join(
+            F.broadcast(
+                sx.select(F.col("d").alias("i"), F.col("sd").alias("sx"))
+            ),
+            "i",
+        )
+        .join(
+            F.broadcast(
+                sx.select(F.col("d").alias("j"), F.col("sd").alias("sy"))
+            ),
+            "j",
+        )
+        .crossJoin(F.broadcast(n))
+        .select("i", "j", cnum.alias("c"))
+    )
+    c0 = cells.filter(F.col("j") == 0).select(
+        F.col("i").alias("j"), F.col("c").alias("v")
+    )
+    y = (
+        cells.join(F.broadcast(c0), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("c") * F.col("v")).cast("decimal(38,0)").alias("y"))
+    )
+    mx = y.agg(F.max(F.abs(F.col("y"))).alias("m"))
+    return (
+        y.crossJoin(F.broadcast(mx))
+        .select(
+            "i",
+            text.round4(
+                F.col("y").cast("double") / F.col("m").cast("double")
+            ).alias("v"),
+        )
+        .orderBy("i")
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_pca_power_step": """
+        WITH ex AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                            * 10000 + 0.5) AS BIGINT) AS vi
+          FROM embeddings
+        ),
+        e8 AS (SELECT * FROM ex WHERE i < 8),
+        g AS (
+          SELECT a.i AS i, b.i AS j,
+                 CAST(sum(a.vi * b.vi) AS BIGINT) AS sxy
+          FROM e8 a JOIN e8 b ON a.vec_id = b.vec_id
+          GROUP BY a.i, b.i
+        ),
+        sx AS (
+          SELECT i AS d, CAST(sum(vi) AS BIGINT) AS sd
+          FROM e8 GROUP BY i
+        ),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+        cells AS (
+          SELECT g.i, g.j,
+                 CAST(n AS HUGEINT) * sxy
+                   - CAST(a.sd AS HUGEINT) * b.sd AS c
+          FROM g
+          JOIN sx a ON g.i = a.d
+          JOIN sx b ON g.j = b.d
+          CROSS JOIN nn
+        ),
+        c0 AS (SELECT i AS j, c AS v FROM cells WHERE j = 0),
+        y AS (
+          SELECT cells.i, sum(cells.c * c0.v) AS y
+          FROM cells JOIN c0 ON cells.j = c0.j
+          GROUP BY cells.i
+        ),
+        mx AS (SELECT max(abs(y)) AS m FROM y)
+        SELECT i,
+               floor(CAST(y AS DOUBLE) / CAST(m AS DOUBLE)
+                     * 10000 + 0.5) / 10000 AS v
+        FROM y, mx ORDER BY i
+    """,
     "q_cluster_margin": """
         WITH e AS (
           SELECT vec_id, label,
