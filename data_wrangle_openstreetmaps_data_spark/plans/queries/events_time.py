@@ -697,6 +697,56 @@ def q_holt_linear(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_session_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — session path mining: the top 20 opening paths (first ≤3
+    event types, '>'-joined) across gaps-and-islands sessions (12 h
+    gap, the q_session_attribution islands) with session counts and
+    conversion share (sessions whose path reached a purchase among the
+    first 3 steps). The path prefix tree every journey-analysis tool
+    draws. Deterministic end to end: the per-session order is (tsn,
+    event_id), prefixes collect as sorted (rank, type) structs, and
+    counts are exact. Two user-keyed windows + one path rollup."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    e = ev.select(
+        "user_id", "event_id", "event_type",
+        catalog.event_ts_us(ev).alias("tsn"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tsn", "event_id")
+    new_s = F.when(
+        F.lag("tsn").over(w).isNull()
+        | (F.col("tsn") - F.lag("tsn").over(w) > _SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    s = e.withColumn("sid", F.sum(new_s).over(w))
+    ws = Window.partitionBy("user_id", "sid").orderBy("tsn", "event_id")
+    s = s.withColumn("rn", F.row_number().over(ws)).filter(
+        F.col("rn") <= 3
+    )
+    per = s.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    return (
+        per.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("converted").cast("long").alias("n_converted"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
+
+
 def q_session_attribution(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — first-touch attribution: each session's purchases credited
     to the session's FIRST event type (the marketing-attribution shape).
@@ -2026,6 +2076,44 @@ ORACLES: dict[str, str | None] = {
         FROM per_user GROUP BY pattern
         ORDER BY n_users DESC, pattern LIMIT 20
     """,
+    "q_session_paths": f"""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS tsn
+          FROM events
+        ),
+        m AS (
+          SELECT *,
+                 CASE WHEN lag(tsn) OVER w IS NULL
+                        OR tsn - lag(tsn) OVER w > {{gap}}
+                      THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)
+        ),
+        s AS (
+          SELECT *, sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY tsn, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS sid
+          FROM m
+        ),
+        r AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY user_id, sid ORDER BY tsn, event_id
+                 ) AS rn
+          FROM s
+        ),
+        per AS (
+          SELECT user_id, sid,
+                 array_to_string(list(event_type ORDER BY rn), '>')
+                   AS path,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+          FROM r WHERE rn <= 3 GROUP BY user_id, sid
+        )
+        SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(converted) AS BIGINT) AS n_converted
+        FROM per GROUP BY path
+        ORDER BY n_sessions DESC, path LIMIT 20
+    """.format(gap=_SESSION_GAP_US),
     "q_forecast_backtest": """
         WITH daily AS (
           SELECT epoch_us(ts) // 86400000000 AS day,

@@ -351,6 +351,49 @@ def q_kcore(spark: SparkSession, sf: str) -> DataFrame:
     return res.orderBy("round")
 
 
+def q_clustering_coefficient(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-GRAPH — local clustering coefficient cc(v) = 2·T(v)/(d(v)·
+    (d(v)−1)) per node of the co-purchase graph, plus the exact integer
+    sufficient statistics (triangles, degree): the
+    how-clique-ish-is-my-neighborhood metric that separates organic
+    communities from star-shaped hub spam. Triangles come from the
+    degree-oriented compact-forward counter (operators/graph.py —
+    wedge fan-out bounded O(√|E|) under skew); degrees are one keyed
+    count; cc is a single mirrored double ratio per node. Top-20 by
+    (cc desc, degree desc, node) over nodes with d ≥ 2."""
+    edges = graph.copurchase_part_edges(
+        table(spark, sf, "lineitem"), min_orders=2
+    ).localCheckpoint(eager=True)
+    tri = graph.triangle_counts(edges)
+    deg = (
+        edges.select(F.col("s1").alias("node"))
+        .unionAll(edges.select(F.col("s2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    d = F.col("deg").cast("double")
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri, "node", "left")
+        .withColumn(
+            "n_triangles",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long"),
+        )
+        .select(
+            "node",
+            "deg",
+            "n_triangles",
+            text.round4(
+                F.lit(2.0)
+                * F.col("n_triangles").cast("double")
+                / (d * (d - F.lit(1.0)))
+            ).alias("cc"),
+        )
+        .orderBy(F.desc("cc"), F.desc("deg"), "node")
+        .limit(20)
+    )
+
+
 def q_modularity(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-GRAPH — Newman modularity of the brand partition on the
     co-purchase part graph: per community c (= p_brand, the natural
@@ -694,6 +737,33 @@ ORACLES: dict[str, str | None] = {
                        * 10000 + 0.5) / 10000
                END AS assortativity
         FROM a
+    """,
+    "q_clustering_coefficient": f"""
+        WITH {_PART_EDGES},
+        tri AS (
+          SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+          FROM pe e1
+          JOIN pe e2 ON e1.s2 = e2.s1
+          JOIN pe e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+        ),
+        tcnt AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+          FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+          GROUP BY node
+        ),
+        deg AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT s1 AS node FROM pe UNION ALL SELECT s2 FROM pe
+          ) GROUP BY node
+        )
+        SELECT deg.node AS node, deg,
+               CAST(coalesce(n_triangles, 0) AS BIGINT) AS n_triangles,
+               floor(2.0 * CAST(coalesce(n_triangles, 0) AS DOUBLE)
+                     / (CAST(deg AS DOUBLE) * (CAST(deg AS DOUBLE) - 1.0))
+                     * 10000 + 0.5) / 10000 AS cc
+        FROM deg LEFT JOIN tcnt ON deg.node = tcnt.node
+        WHERE deg >= 2
+        ORDER BY cc DESC, deg DESC, deg.node LIMIT 20
     """,
     "q_triangle_count": f"""
         WITH {_PART_EDGES},
