@@ -841,6 +841,52 @@ def q_diff_in_diff(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sla_aging(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — fulfilment SLA aging report: order→ship latency
+    (ship − order date, integer days) bucketed into the standard
+    aging bands (≤7, 8–30, 31–90, >90 days) per order priority, with
+    the per-priority share of each band — the ops dashboard every
+    fulfilment team runs, here as one broadcast-dimensioned fact
+    aggregate (20 output rows) over exact day-diff integers. The
+    latency histogram is computed once; shares divide exact counts."""
+    li = table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    d = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias(
+            "days"
+        ),
+    )
+    band = (
+        F.when(F.col("days") <= 7, "a_0_7")
+        .when(F.col("days") <= 30, "b_8_30")
+        .when(F.col("days") <= 90, "c_31_90")
+        .otherwise("d_90_plus")
+    )
+    per = d.groupBy(
+        F.col("o_orderpriority").alias("priority"), band.alias("band")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = per.groupBy("priority").agg(
+        F.sum("n").cast("long").alias("nt")
+    )
+    return (
+        per.join(F.broadcast(tot), "priority")
+        .select(
+            "priority",
+            "band",
+            "n",
+            text.round4(
+                F.col("n").cast("double") / F.col("nt").cast("double")
+            ).alias("share"),
+        )
+        .orderBy("priority", "band")
+    )
+
+
 def q_mde_power(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — minimum detectable effect at 80% power / 5% two-sided α
     for the standing experiment split (user-id parity arms): MDE =
@@ -1030,6 +1076,31 @@ _POIS_CASE_SQL = "CASE {} ELSE 6 END".format(
 )
 
 ORACLES: dict[str, str | None] = {
+    "q_sla_aging": """
+        WITH d AS (
+          SELECT o_orderpriority AS priority,
+                 date_diff('day', o_orderdate, l_shipdate) AS days
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        per AS (
+          SELECT priority,
+                 CASE WHEN days <= 7 THEN 'a_0_7'
+                      WHEN days <= 30 THEN 'b_8_30'
+                      WHEN days <= 90 THEN 'c_31_90'
+                      ELSE 'd_90_plus' END AS band,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM d GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT priority, CAST(sum(n) AS BIGINT) AS nt
+          FROM per GROUP BY priority
+        )
+        SELECT per.priority AS priority, band, n,
+               floor(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)
+                     * 10000 + 0.5) / 10000 AS share
+        FROM per JOIN tot ON per.priority = tot.priority
+        ORDER BY priority, band
+    """,
     "q_mde_power": """
         WITH e AS (
           SELECT CAST(user_id % 2 AS INT) AS arm,

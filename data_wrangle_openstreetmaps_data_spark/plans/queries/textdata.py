@@ -315,6 +315,133 @@ def q_retrieval_metrics(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-T — POSITIONAL phrase search, the index shape BM25's
+    bag-of-words cannot express: find documents containing the exact
+    bigram phrase 'spark query' by posexploding tokens into a
+    positional index and closing adjacency with a (doc, pos+1)
+    equality self-join — exactly how a search engine's positional
+    postings verify phrases, and at 100 TB still two key-equality
+    shuffles (term-filtered BEFORE the join, so the index slice is
+    only the phrase's terms). Returns per-doc occurrence counts plus
+    the first match position, deterministic tiebreaks."""
+    docs = table(spark, sf, "documents")
+    toked = docs.select(
+        F.col("doc_id").alias("id"),
+        F.posexplode(text.tokens("text")).alias("pos", "tok"),
+    )
+    t1 = toked.filter(F.col("tok") == "spark").select(
+        "id", F.col("pos").alias("p1")
+    )
+    t2 = toked.filter(F.col("tok") == "query").select(
+        "id", F.col("pos").alias("p2")
+    )
+    hits = t1.join(
+        t2,
+        (t1.id == t2.id) & (t2.p2 == t1.p1 + 1),
+    ).select(t1.id.alias("id"), "p1")
+    return (
+        hits.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("p1").cast("int").alias("first_pos"),
+        )
+        .orderBy(F.desc("n_occurrences"), "id")
+        .limit(20)
+    )
+
+
+def q_spell_suggest(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-T — SymSpell-style spell suggestion via the DELETION
+    NEIGHBORHOOD: every vocabulary term generates its ≤|t| single-
+    deletion variants, and two terms are edit-distance-≤2 candidates
+    when a deletion of one equals a deletion of the other (or the term
+    itself) — candidate generation is a key-equality JOIN on variant
+    strings, never an all-pairs Levenshtein (the trick that makes
+    spell-check feasible on a 100 TB corpus vocabulary: O(Σ|t|)
+    variants, bucket join). Candidates verify with one exact
+    levenshtein() call; suggestions rank by corpus frequency. The
+    synthetic vocabulary has no natural typos, so the harness PLANTS
+    them (the DIRTY_CITIES device): each of the 10 most frequent
+    length-≥5 terms loses one md5-chosen character, and the output
+    shows the suggester recovering the original (recovered flag).
+    Deterministic tiebreaks everywhere."""
+    from data_wrangle_openstreetmaps_data_spark.operators.dedup import (
+        portable_token_hash,
+    )
+
+    docs = table(spark, sf, "documents")
+    tf = (
+        docs.select(F.explode(text.tokens("text")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .filter(F.length("t") >= 3)
+    )
+
+    def dels(col):
+        return F.array_union(
+            F.array(col),
+            F.transform(
+                F.sequence(F.lit(1), F.length(col)),
+                lambda i: F.concat(
+                    col.substr(F.lit(1), i - F.lit(1)),
+                    col.substr(i + F.lit(1), F.length(col)),
+                ),
+            ),
+        )
+
+    v = tf.select(
+        "t", "tf", F.explode(dels(F.col("t"))).alias("var")
+    ).distinct()
+    top = (
+        tf.filter(F.length("t") >= 5)
+        .orderBy(F.desc("tf"), "t")
+        .limit(10)
+        .select(F.col("t").alias("orig"))
+    )
+    p = F.pmod(portable_token_hash(F.col("orig")), F.length("orig")) + 1
+    typos = top.select(
+        "orig",
+        F.concat(
+            F.col("orig").substr(F.lit(1), p - F.lit(1)),
+            F.col("orig").substr(p + F.lit(1), F.length("orig")),
+        ).alias("typo"),
+    )
+    tv = typos.select(
+        "orig", "typo", F.explode(dels(F.col("typo"))).alias("var")
+    ).distinct()
+    cand = (
+        tv.join(
+            v.select(
+                F.col("t").alias("sugg"),
+                F.col("tf").alias("sugg_tf"),
+                "var",
+            ),
+            "var",
+        )
+        .filter(F.col("sugg") != F.col("typo"))
+        .select("orig", "typo", "sugg", "sugg_tf")
+        .distinct()
+        .filter(F.levenshtein("typo", "sugg") <= 2)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("typo").orderBy(
+        F.desc("sugg_tf"), F.col("sugg")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "typo",
+            "sugg",
+            "sugg_tf",
+            (F.col("sugg") == F.col("orig")).alias("recovered"),
+        )
+        .orderBy("typo")
+    )
+
+
 def q_ndcg(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-T — graded ranking quality of the BM25 top-10: MRR, DCG@10,
     ideal DCG, and nDCG@10 against the same conjunctive-match relevance
@@ -1524,6 +1651,74 @@ ORACLES: dict[str, str | None] = {
                floor(hits / CAST(n_rel AS DOUBLE) * 10000 + 0.5) / 10000
                  AS recall_at_10
         FROM m
+    """,
+    "q_phrase_search": f"""
+        WITH toked AS (
+          SELECT doc_id AS id, unnest(toks) AS tok,
+                 generate_subscripts(toks, 1) - 1 AS pos
+          FROM (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)
+        ),
+        t1 AS (SELECT id, pos AS p1 FROM toked WHERE tok = 'spark'),
+        t2 AS (SELECT id, pos AS p2 FROM toked WHERE tok = 'query')
+        SELECT t1.id AS id, count(*) AS n_occurrences,
+               CAST(min(p1) AS INT) AS first_pos
+        FROM t1 JOIN t2 ON t1.id = t2.id AND t2.p2 = t1.p1 + 1
+        GROUP BY t1.id
+        ORDER BY n_occurrences DESC, id LIMIT 20
+    """,
+    "q_spell_suggest": f"""
+        WITH tf AS (
+          SELECT t, CAST(count(*) AS BIGINT) AS tf FROM (
+            SELECT unnest({_TOKENS_SQL}) AS t FROM documents
+          ) GROUP BY t HAVING length(t) >= 3
+        ),
+        v AS (
+          SELECT DISTINCT t, tf, var FROM (
+            SELECT t, tf,
+                   unnest(list_append(
+                     list_transform(range(1, length(t) + 1),
+                       i -> substr(t, 1, i - 1) || substr(t, i + 1)),
+                     t)) AS var
+            FROM tf
+          )
+        ),
+        top AS (
+          SELECT t AS orig FROM tf
+          WHERE length(t) >= 5 ORDER BY tf DESC, t LIMIT 10
+        ),
+        typos AS (
+          SELECT orig,
+                 substr(orig, 1, p - 1) || substr(orig, p + 1) AS typo
+          FROM (
+            SELECT orig,
+                   CAST(((('0x' || substr(md5(orig), 1, 15))::BIGINT
+                          % length(orig)) + length(orig))
+                        % length(orig) + 1 AS INT) AS p
+            FROM top
+          )
+        ),
+        tv AS (
+          SELECT DISTINCT orig, typo, var FROM (
+            SELECT orig, typo,
+                   unnest(list_append(
+                     list_transform(range(1, length(typo) + 1),
+                       i -> substr(typo, 1, i - 1) || substr(typo, i + 1)),
+                     typo)) AS var
+            FROM typos
+          )
+        ),
+        cand AS (
+          SELECT DISTINCT orig, typo, s.t AS sugg, s.tf AS sugg_tf
+          FROM tv JOIN v s ON s.var = tv.var AND s.t <> tv.typo
+        ),
+        ok AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY typo ORDER BY sugg_tf DESC, sugg
+                 ) AS rn
+          FROM cand WHERE levenshtein(typo, sugg) <= 2
+        )
+        SELECT typo, sugg, sugg_tf, sugg = orig AS recovered
+        FROM ok WHERE rn = 1 ORDER BY typo
     """,
     "q_ndcg": f"""
         WITH toked AS (
