@@ -152,6 +152,67 @@ def gram_partial(
     )
 
 
+def knn_graph_arrow(
+    sources: DataFrame,
+    corpus: list[tuple[int, list[float]]],
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact k-NN graph edges (src, dst, sim) from each source vector to
+    its k nearest corpus vectors by cosine — the navigable-graph BUILD
+    step of a graph-ANN index (HNSW's layer-0 ancestor). One Arrow
+    ``mapInPandas`` kernel: a batch of sources crosses the boundary
+    once, similarities come from a single BLAS matmul against the
+    broadcast corpus matrix, scores round to the 4-dp grid BEFORE the
+    top-k cut (ties break by dst id), so the graph is deterministic and
+    cross-engine checkable. The corpus rides the closure (n·d doubles —
+    fine to ~10⁵ vectors; beyond that you shard the corpus side and
+    merge per-shard top-k, the same partial-top-k merge as cosine_topk)."""
+    from pyspark.sql import types as T
+    from typing import Iterator
+
+    ids = np.asarray([i for i, _ in corpus], dtype=np.int64)
+    m = np.asarray([v for _, v in corpus], dtype=np.float64)
+    norms = np.sqrt((m * m).sum(axis=1))
+
+    schema = T.StructType(
+        [
+            T.StructField("src", T.LongType()),
+            T.StructField("dst", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.vstack(
+                pdf[vec_col]
+                .map(lambda x: np.asarray(x, dtype=np.float64))
+                .values
+            )
+            qn = np.sqrt((q * q).sum(axis=1))
+            sims = (q @ m.T) / (qn[:, None] * norms[None, :])
+            s4 = np.floor(sims * 10000 + 0.5) / 10000
+            out_src, out_dst, out_sim = [], [], []
+            for r, src in enumerate(pdf[id_col].values):
+                row = s4[r]
+                mask = ids != src
+                cand_ids, cand = ids[mask], row[mask]
+                # top-k by (sim desc, id asc): lexsort on (-sim, id)
+                order = np.lexsort((cand_ids, -cand))[:k]
+                out_src.extend([src] * len(order))
+                out_dst.extend(cand_ids[order])
+                out_sim.extend(cand[order])
+            yield pd.DataFrame(
+                {"src": out_src, "dst": out_dst, "sim": out_sim}
+            )
+
+    return sources.select(id_col, vec_col).mapInPandas(kernel, schema)
+
+
 def lsh_bucket(vec_col, planes: list[list[float]]):
     """Sign-random-projection bucket id (one long per vector): bit p = sign
     of <v, plane_p>. Pure column expr — vectorizable, no UDF."""
