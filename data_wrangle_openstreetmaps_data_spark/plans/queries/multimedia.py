@@ -223,6 +223,53 @@ def q_image_histogram(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_image_equalize(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-M — corpus-level histogram EQUALIZATION plan on REAL decoded
+    pixels (the contrast-enhancement everyone's image pipeline applies
+    before feature extraction): the red-channel 16-bucket histogram
+    (exact counts off the Arrow PNG decode) drives the classic CDF
+    remap new_level = ((cdf − cdf_min)·15) div (N − cdf_min) — pure
+    bigint arithmetic, no rounding ambiguity — emitting per bucket its
+    count, CDF, and equalized target level, i.e. the lookup table the
+    per-pixel remap kernel would broadcast. The pixel-sized work is the
+    one decode+histogram pass; the equalization math runs on 16 rows.
+    Every hash match re-verifies the PNG inflate/unfilter pixel-for-
+    pixel (the fixture's closed form regenerates the oracle's pixels)."""
+    from pyspark.sql import Window
+
+    from data_wrangle_openstreetmaps_data_spark.multimodal import media
+
+    docs = table(spark, sf, "documents").select("doc_id")
+    chans = media.decode_image_channels(
+        media.synthesize_media(docs, "png")
+    )
+    hist = (
+        chans.filter(F.col("channel") == "r")
+        .select(F.explode("values").alias("v"))
+        .groupBy(F.expr("v div 16").cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = hist.withColumn("cdf", F.sum("cnt").over(w))
+    tot = c.agg(
+        F.max("cdf").alias("n"), F.min("cdf").alias("cdf_min")
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "cnt",
+            "cdf",
+            F.expr(
+                "CAST((cdf - cdf_min) * 15 div (n - cdf_min) AS INT)"
+            ).alias("new_level"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def q_audio_dft(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-M — relational signal processing on REAL decoded audio: the
     magnitude of DFT bins k=1..3 over each WAV's samples, computed
@@ -379,6 +426,36 @@ def _dft_term_sql(k: int, fn: str) -> str:
 ORACLES: dict[str, str | None] = {
     # closed-form pixel regeneration on a generated (x, y) grid —
     # the same channel formulas the PNG fixture encodes
+    "q_image_equalize": """
+        WITH p AS (
+          SELECT doc_id,
+                 3 + doc_id % 7 AS w,
+                 2 + doc_id % 5 AS h,
+                 doc_id % 100 AS base
+          FROM documents
+        ),
+        d1 AS (SELECT doc_id, w, h, base, unnest(range(w)) AS x FROM p),
+        d2 AS (SELECT doc_id, base, x, unnest(range(h)) AS y FROM d1),
+        hist AS (
+          SELECT CAST(((base + x * y) % 256) // 16 AS INT) AS bucket,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM d2 GROUP BY 1
+        ),
+        c AS (
+          SELECT bucket, cnt,
+                 CAST(sum(cnt) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cdf
+          FROM hist
+        ),
+        tot AS (
+          SELECT max(cdf) AS n, min(cdf) AS cdf_min FROM c
+        )
+        SELECT bucket, cnt, cdf,
+               CAST((cdf - cdf_min) * 15 // (n - cdf_min) AS INT)
+                 AS new_level
+        FROM c, tot ORDER BY bucket
+    """,
     "q_image_histogram": """
         WITH p AS (
           SELECT doc_id,

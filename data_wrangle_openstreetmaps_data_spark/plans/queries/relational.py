@@ -777,6 +777,41 @@ def q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_keyset_pagination(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — keyset (seek) pagination, page 3 of orders by
+    (totalprice DESC, orderkey): the boundary row of page 2 becomes a
+    PUSHED-DOWN predicate `(price, key) after boundary` + LIMIT 20 —
+    the pagination that stays O(page) at 100 TB, where OFFSET must
+    sort-and-skip everything before it. The boundary is a 1-row driver
+    lookup (like the ANN query vectors); prices compare as exact cents.
+    The oracle runs the OFFSET form — the hash match IS the
+    keyset ≡ offset equivalence proof."""
+    o = table(spark, sf, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(20,6)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    boundary = (
+        o.orderBy(F.desc("cents"), "o_orderkey")
+        .limit(40)
+        .orderBy("cents", F.desc("o_orderkey"))
+        .first()
+    )
+    p0, k0 = boundary["cents"], boundary["o_orderkey"]
+    return (
+        o.filter(
+            (F.col("cents") < F.lit(p0))
+            | (
+                (F.col("cents") == F.lit(p0))
+                & (F.col("o_orderkey") > F.lit(k0))
+            )
+        )
+        .orderBy(F.desc("cents"), "o_orderkey")
+        .limit(20)
+    )
+
+
 def q_target_encoding(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — smoothed target encoding (the ML feature-engineering op):
     each customer nation encoded as (Σ target + m·global_mean)/(n + m)
@@ -1403,6 +1438,14 @@ def q_sequence_gaps(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLES: dict[str, str | None] = {
+    "q_keyset_pagination": """
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(20,6)) * 100
+                    AS BIGINT) AS cents
+        FROM orders
+        ORDER BY cents DESC, o_orderkey
+        LIMIT 20 OFFSET 40
+    """,
     "q_asof_nearest": """
         WITH ev AS (SELECT *, epoch_us(ts) AS tsn FROM events),
         u AS (

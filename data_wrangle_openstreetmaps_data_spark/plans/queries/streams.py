@@ -247,6 +247,46 @@ def q_streaming_cms(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_streaming_bitmap(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming — per-user activity bitmaps maintained UNDER the
+    stream: ``bit_or`` is idempotent AND mergeable, so the 28-bit
+    (day-of-week × six-hour-slot) pattern of q_activity_bitmap is a
+    perfect complete-mode streaming aggregate (micro-batch partials OR
+    together; re-delivery cannot corrupt a bitmap the way a count
+    inflates — the idempotence argument, one better than
+    q_streaming_cms's summable counts). Drain → the same ≤128-row
+    pattern rollup; the batch oracle IS the equivalence check. State:
+    one long per user."""
+    import uuid
+
+    from data_wrangle_openstreetmaps_data_spark.streaming import events as se
+
+    name = f"bmp_{uuid.uuid4().hex[:8]}"
+    stream = se.stage_events_stream(spark, sf, "bmp")
+    b = F.expr(
+        "shiftleft(1L, CAST(((ts div 86400000000) % 7) * 4"
+        " + ((ts div 3600000000) % 24) div 6 AS INT))"
+    )
+    per_user = (
+        stream.withColumn("bit", b)
+        .groupBy("user_id")
+        .agg(F.bit_or("bit").alias("pattern"))
+    )
+    se.run_to_memory(per_user, name, output_mode="complete")
+    return (
+        spark.table(name)
+        .groupBy("pattern")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            "pattern",
+            F.bit_count("pattern").alias("n_slots"),
+            "n_users",
+        )
+        .orderBy(F.desc("n_users"), "pattern")
+        .limit(20)
+    )
+
+
 def q_streaming_quantile(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming — quantiles OVER A STREAM via a mergeable histogram:
     a 50-bin equi-width value histogram is a running (bin) count, so
@@ -594,6 +634,21 @@ ORACLES: dict[str, str | None] = {
         FROM assign, m
         WHERE ws + INTERVAL 2 DAY <= wm
         GROUP BY 1, 2, 3
+    """,
+    "q_streaming_bitmap": """
+        WITH per_user AS (
+          SELECT user_id,
+                 bit_or(1::BIGINT <<
+                   CAST(((epoch_us(ts) // 86400000000) % 7) * 4
+                        + ((epoch_us(ts) // 3600000000) % 24) // 6
+                        AS INT)) AS pattern
+          FROM events GROUP BY user_id
+        )
+        SELECT pattern,
+               CAST(bit_count(pattern) AS INT) AS n_slots,
+               count(*) AS n_users
+        FROM per_user GROUP BY pattern
+        ORDER BY n_users DESC, pattern LIMIT 20
     """,
     "q_streaming_quantile": """
         WITH h AS (
