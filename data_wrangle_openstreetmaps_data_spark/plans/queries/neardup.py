@@ -168,6 +168,37 @@ def q_containment_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D — the threshold-TUNING curve every dedup rollout reads
+    before picking its cut: from ONE exact trigram-Jaccard pass (the
+    inverted-index join at its 0.2 floor), the count of qualifying
+    pairs at or above each candidate threshold 0.2..0.9 — a reversed
+    cumulative over 0.05-wide similarity bands, so the curve costs one
+    extra ≤14-row rollup, not eight joins. Band ids floor the ALREADY
+    4-dp-rounded jaccard, so banding is exact cross-engine. Reading
+    the curve: the knee is the threshold; the 979×-at-10× output
+    explosion documented on q_ngram_jaccard is visible here as the
+    low-threshold tail."""
+    from pyspark.sql import Window
+
+    pairs = dedup.ngram_jaccard_pairs(
+        table(spark, sf, "documents"), shingle_k=3, threshold=0.2
+    )
+    band = (F.floor(F.col("jaccard") * 20) / 20).alias("band")
+    per = pairs.groupBy(band).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    w = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per.withColumn(
+            "n_at_or_above", F.sum("n_pairs").over(w).cast("long")
+        )
+        .orderBy("band")
+    )
+
+
 def q_minhash_accuracy(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-D2 — sketch-accuracy EVALUATION: for every true near-dup
     pair (exact trigram Jaccard >= 0.2), the MinHash estimate
@@ -617,6 +648,19 @@ ORACLES: dict[str, str | None] = {
            (SELECT count(*) FROM p) AS total_pairs
     FROM p ORDER BY jaccard DESC, id_a, id_b LIMIT 100
 """,
+    "q_dedup_threshold_sweep": f"""
+        WITH pairs AS ({_NGRAM_JACCARD_SQL}),
+        per AS (
+          SELECT floor(jaccard * 20) / 20 AS band,
+                 CAST(count(*) AS BIGINT) AS n_pairs
+          FROM pairs GROUP BY band
+        )
+        SELECT band, n_pairs,
+               CAST(sum(n_pairs) OVER (ORDER BY band DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS n_at_or_above
+        FROM per ORDER BY band
+    """,
     "q_similarity_join": _NGRAM_JACCARD_SQL,
     "q_similarity_join_maxdf": _ngram_jaccard_maxdf_sql(0.2, 0.1),
     # prefix filtering is lossless → same result as the full index join
