@@ -2060,7 +2060,89 @@ def q_fano_burstiness(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_peak_concurrency(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — peak concurrent users per day via the classic +1/−1
+    boundary sweep: each user's daily presence interval is
+    [min ts, max ts] of their events, boundaries collapse to one row
+    per (day, ts) carrying (net delta, #starts), and the peak candidate
+    at each instant is cumsum(net before this ts) + starts(this ts) —
+    starts are applied before ends at the same instant, so touching
+    intervals count as concurrent and zero-length (single-event)
+    intervals still register. Collapsing to per-instant NET deltas
+    before the window removes any within-timestamp ordering ambiguity —
+    the peak is exact integer arithmetic, deterministic cross-engine.
+    At 100 TB this is two key-equality aggregates plus one per-day
+    window over distinct instants (bounded by events/day), the standard
+    capacity-planning sweep over session logs."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    ev = ev.withColumn("tsn", catalog.event_ts_us(ev))
+    iv = ev.groupBy(
+        F.expr("tsn div 86400000000").alias("day"), "user_id"
+    ).agg(F.min("tsn").alias("lo"), F.max("tsn").alias("hi"))
+    pts = iv.select(
+        "day", F.col("lo").alias("tsn"), F.lit(1).alias("d")
+    ).unionAll(iv.select("day", F.col("hi").alias("tsn"), F.lit(-1).alias("d")))
+    per_ts = pts.groupBy("day", "tsn").agg(
+        F.sum("d").alias("net"),
+        F.count(F.when(F.col("d") == 1, F.lit(1))).alias("starts"),
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("tsn")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = per_ts.withColumn(
+        "peak_here",
+        F.coalesce(F.sum("net").over(w), F.lit(0)) + F.col("starts"),
+    )
+    peaks = run.groupBy("day").agg(
+        F.max("peak_here").alias("peak_concurrency")
+    )
+    n_users = iv.groupBy("day").agg(F.count(F.lit(1)).alias("n_users"))
+    return (
+        peaks.join(n_users, "day")
+        .select("day", "n_users", "peak_concurrency")
+        .orderBy(F.desc("peak_concurrency"), "day")
+        .limit(20)
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_peak_concurrency": """
+        WITH iv AS (
+          SELECT epoch_us(ts) // 86400000000 AS day, user_id,
+                 min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+          FROM events GROUP BY 1, 2
+        ),
+        pts AS (
+          SELECT day, lo AS tsn, 1 AS d FROM iv
+          UNION ALL
+          SELECT day, hi, -1 FROM iv
+        ),
+        per_ts AS (
+          SELECT day, tsn, CAST(sum(d) AS BIGINT) AS net,
+                 count(CASE WHEN d = 1 THEN 1 END) AS starts
+          FROM pts GROUP BY day, tsn
+        ),
+        run AS (
+          SELECT day,
+                 coalesce(sum(net) OVER (
+                   PARTITION BY day ORDER BY tsn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) + starts AS peak_here
+          FROM per_ts
+        ),
+        peaks AS (
+          SELECT day, CAST(max(peak_here) AS BIGINT) AS peak_concurrency
+          FROM run GROUP BY day
+        ),
+        nu AS (SELECT day, count(*) AS n_users FROM iv GROUP BY day)
+        SELECT peaks.day AS day, n_users, peak_concurrency
+        FROM peaks JOIN nu ON peaks.day = nu.day
+        ORDER BY peak_concurrency DESC, peaks.day LIMIT 20
+    """,
     "q_activity_bitmap": """
         WITH per_user AS (
           SELECT user_id,

@@ -528,6 +528,56 @@ def q_recursive_hierarchy(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_resource_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-GRAPH — resource-allocation link prediction (Zhou, Lü &
+    Zhang 2009): RA(s1,s2) = Σ_c 1/deg(c) over common customer
+    neighbors c — the degree-weighted companion to q_link_prediction's
+    unweighted Jaccard (hub customers contribute less evidence than
+    exclusive ones). Pairs come from the same customer-keyed self-join
+    as q_supplier_similarity (C(deg_cust, 2) per customer, never an
+    item-item cross product; whale keys get capped or sampled before
+    pairing at 100 TB). 1/deg is a SINGLE IEEE division floored to an
+    exact 1e-9 grid integer per edge — the pair score is then an exact
+    BIGINT sum, so ranking, top-20 membership, and the 4dp output are
+    all deterministic cross-engine (no float-sum ordering anywhere,
+    unlike Adamic-Adar's 1/ln(deg) whose libm log can drift an ulp
+    between engines)."""
+    edges = graph.copurchase_edges(
+        table(spark, sf, "lineitem"), table(spark, sf, "orders")
+    ).localCheckpoint(eager=True)
+    cdeg = edges.groupBy("custkey").agg(F.count(F.lit(1)).alias("cdeg"))
+    wt = edges.join(F.broadcast(cdeg), "custkey").select(
+        "custkey",
+        F.col("suppkey").alias("s1"),
+        F.floor(F.lit(1_000_000_000.0) / F.col("cdeg") + F.lit(0.5))
+        .cast("long")
+        .alias("w"),
+    )
+    b = edges.select("custkey", F.col("suppkey").alias("s2"))
+    pairs = (
+        wt.join(b, "custkey")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(
+            F.sum("w").alias("ra9"),
+            F.count(F.lit(1)).alias("common"),
+        )
+    )
+    return (
+        pairs.select(
+            "s1",
+            "s2",
+            "common",
+            text.round4(F.col("ra9").cast("double") / F.lit(1e9)).alias(
+                "ra_score"
+            ),
+            F.col("ra9").alias("ra9"),
+        )
+        .orderBy(F.desc("ra9"), "s1", "s2")
+        .limit(20)
+    )
+
+
 RECURSIVE_HIERARCHY_SQL = """
     WITH RECURSIVE walk AS (
       SELECT c_custkey AS k0, c_custkey AS k, 0 AS d
@@ -543,6 +593,26 @@ RECURSIVE_HIERARCHY_SQL = """
 
 ORACLES: dict[str, str | None] = {
     "q_recursive_hierarchy": RECURSIVE_HIERARCHY_SQL.format(div="//"),
+    "q_resource_allocation": f"""
+        WITH {_PR_EDGES},
+        cdeg AS (SELECT c, count(*) AS cdeg FROM edges GROUP BY c),
+        wt AS (
+          SELECT e.c, e.s,
+                 CAST(floor(1000000000.0 / cdeg + 0.5) AS BIGINT) AS w
+          FROM edges e JOIN cdeg ON e.c = cdeg.c
+        ),
+        pairs AS (
+          SELECT a.s AS s1, b.s AS s2,
+                 CAST(sum(a.w) AS BIGINT) AS ra9, count(*) AS common
+          FROM wt a JOIN edges b ON a.c = b.c AND a.s < b.s
+          GROUP BY a.s, b.s
+        )
+        SELECT s1, s2, common,
+               floor(ra9 / 1000000000.0 * 10000 + 0.5) / 10000
+                 AS ra_score,
+               ra9
+        FROM pairs ORDER BY ra9 DESC, s1, s2 LIMIT 20
+    """,
     "q_modularity": f"""
         WITH {_PART_EDGES},
         be AS (

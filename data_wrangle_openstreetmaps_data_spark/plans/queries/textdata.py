@@ -1122,11 +1122,98 @@ def q_auc(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_heaps_law(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-Q — Heaps'-law fit of type-token scaling: OLS of ln(types)
+    on ln(tokens) across documents (V = K·N^β; natural prose fits
+    β ≈ 0.4-0.6, templated/synthetic corpora skew high — the companion
+    diagnostic to q_zipf_fit's frequency-spectrum slope, and the
+    vocabulary-sizing estimate you run before building a tokenizer on
+    a 100 TB corpus). One explode + one doc-keyed aggregate (count +
+    count_distinct both combine partially map-side), then the same
+    float-sum-free sufficient-statistics trick as q_zipf_fit: each log
+    is floored to an exact 1e-9 grid integer, sums are decimal/HUGEINT
+    exact, and the grid scale cancels in the slope — the only float
+    steps are the per-row log and two final divisions, identical
+    cross-engine."""
+    docs = table(spark, sf, "documents")
+    per = (
+        docs.select("doc_id", F.explode(text.tokens("text")).alias("tok"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.count_distinct("tok").alias("n_types"),
+        )
+        .filter(F.col("n_tok") >= 2)
+    )
+    g = F.lit(1_000_000_000.0)
+    scaled = per.select(
+        F.floor(F.log(F.col("n_tok").cast("double")) * g + F.lit(0.5))
+        .cast("decimal(19,0)")
+        .alias("x9"),
+        F.floor(F.log(F.col("n_types").cast("double")) * g + F.lit(0.5))
+        .cast("decimal(19,0)")
+        .alias("y9"),
+    )
+    s = scaled.agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
+        F.sum("x9").alias("sx"),
+        F.sum("y9").alias("sy"),
+        F.sum(F.col("x9") * F.col("y9")).alias("sxy"),
+        F.sum(F.col("x9") * F.col("x9")).alias("sxx"),
+    )
+    num_s = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    num_i = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        F.col("n").cast("long").alias("n_docs"),
+        text.round4(num_s.cast("double") / den.cast("double")).alias(
+            "heaps_beta"
+        ),
+        # intercept = ln K, with one leftover 1e-9 grid factor to
+        # divide back out (same shape as q_zipf_fit's intercept)
+        text.round4(
+            num_i.cast("double") / den.cast("double") / F.lit(1e9)
+        ).alias("heaps_ln_k"),
+    )
+
+
 _ER_GIVEN_SQL = _sql_pick("c_custkey", _ER_GIVEN)
 _ER_SURNAME_SQL = _sql_pick("(c_custkey // 40)", _ER_SURNAME)
 
 
 ORACLES: dict[str, str | None] = {
+    "q_heaps_law": f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(toks) AS tok
+          FROM (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)
+        ),
+        per AS (
+          SELECT doc_id, count(*) AS n_tok,
+                 count(DISTINCT tok) AS n_types
+          FROM tok GROUP BY doc_id HAVING count(*) >= 2
+        ),
+        scaled AS (
+          SELECT CAST(floor(ln(CAST(n_tok AS DOUBLE)) * 1000000000.0
+                            + 0.5) AS HUGEINT) AS x9,
+                 CAST(floor(ln(CAST(n_types AS DOUBLE)) * 1000000000.0
+                            + 0.5) AS HUGEINT) AS y9
+          FROM per
+        ),
+        s AS (
+          SELECT CAST(count(*) AS HUGEINT) AS n,
+                 sum(x9) AS sx, sum(y9) AS sy,
+                 sum(x9 * y9) AS sxy, sum(x9 * x9) AS sxx
+          FROM scaled
+        )
+        SELECT CAST(n AS BIGINT) AS n_docs,
+               floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+                     * 10000 + 0.5) / 10000 AS heaps_beta,
+               floor(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) / 1e9
+                     * 10000 + 0.5) / 10000 AS heaps_ln_k
+        FROM s
+    """,
     "q_auc": f"""
         WITH h AS (
           SELECT len({_TOKENS_SQL}) AS s,
