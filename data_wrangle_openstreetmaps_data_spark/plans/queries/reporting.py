@@ -1069,6 +1069,69 @@ def q_hhi_concentration(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_abc_classification(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — ABC inventory classification over brand×type categories:
+    rank categories by revenue, classify A (cumulative share ≤ 80%),
+    B (≤ 95%), C (rest), and report each class's category count and
+    revenue share — the Pareto companion to q_revenue_concentration's
+    customer deciles. Revenue is floored to an exact 1e-6 grid BIGINT
+    per line item (100 TB note: grid-bigint sums overflow around 1e9
+    high-value rows — swap to decimal sums there; the thresholds stay
+    exact either way), so the cumulative window, the 80/95% thresholds
+    (cum·5 ≤ total·4, cum·20 ≤ total·19 — integer cross-multiplication,
+    no float boundary), and the class rollup are all exact integer
+    arithmetic. The cumulative window runs over the AGGREGATED
+    brand×type dimension (bounded ≤ |brands|·|types|, never fact-sized),
+    the grand total rides a 1-row broadcast."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf, "lineitem")
+    part = table(spark, sf, "part")
+    r9 = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    cat = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type")
+        .agg(F.sum(r9).alias("rev9"))
+    )
+    w = Window.orderBy(F.desc("rev9"), "p_brand", "p_type").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = cat.agg(F.sum("rev9").alias("total9"))
+    classed = (
+        cat.withColumn("cum9", F.sum("rev9").over(w))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "abc_class",
+            F.when(F.col("cum9") * 5 <= F.col("total9") * 4, F.lit("A"))
+            .when(F.col("cum9") * 20 <= F.col("total9") * 19, F.lit("B"))
+            .otherwise(F.lit("C")),
+        )
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_categories"),
+            F.sum("rev9").alias("class_rev9"),
+            F.max("total9").alias("total9"),
+        )
+        .select(
+            "abc_class",
+            "n_categories",
+            text.round4(
+                F.col("class_rev9").cast("double")
+                / F.col("total9").cast("double")
+            ).alias("rev_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
 _POIS_CASE_SQL = "CASE {} ELSE 6 END".format(
     " ".join(
         f"WHEN u < {cdf!r} THEN {k}" for k, cdf in enumerate(_POIS_CDF)
@@ -1076,6 +1139,33 @@ _POIS_CASE_SQL = "CASE {} ELSE 6 END".format(
 )
 
 ORACLES: dict[str, str | None] = {
+    "q_abc_classification": """
+        WITH cat AS (
+          SELECT p_brand, p_type,
+                 CAST(sum(CAST(floor(
+                   l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5
+                 ) AS BIGINT)) AS BIGINT) AS rev9
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY p_brand, p_type
+        ),
+        tot AS (SELECT CAST(sum(rev9) AS BIGINT) AS total9 FROM cat),
+        classed AS (
+          SELECT p_brand, p_type, rev9, total9,
+                 CAST(sum(rev9) OVER (
+                   ORDER BY rev9 DESC, p_brand, p_type
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) AS cum9
+          FROM cat CROSS JOIN tot
+        )
+        SELECT CASE WHEN cum9 * 5 <= total9 * 4 THEN 'A'
+                    WHEN cum9 * 20 <= total9 * 19 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               count(*) AS n_categories,
+               floor(CAST(sum(rev9) AS DOUBLE) / CAST(max(total9) AS DOUBLE)
+                     * 10000 + 0.5) / 10000 AS rev_share
+        FROM classed
+        GROUP BY 1 ORDER BY abc_class
+    """,
     "q_sla_aging": """
         WITH d AS (
           SELECT o_orderpriority AS priority,
