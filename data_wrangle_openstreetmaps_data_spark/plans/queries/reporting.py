@@ -1087,7 +1087,7 @@ def q_abc_classification(spark: SparkSession, sf: str) -> DataFrame:
 
     li = table(spark, sf, "lineitem")
     part = table(spark, sf, "part")
-    r9 = F.floor(
+    r6 = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e6)
         + F.lit(0.5)
     ).cast("long")
@@ -1097,19 +1097,19 @@ def q_abc_classification(spark: SparkSession, sf: str) -> DataFrame:
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy("p_brand", "p_type")
-        .agg(F.sum(r9).alias("rev9"))
+        .agg(F.sum(r6).alias("rev6"))
     )
-    w = Window.orderBy(F.desc("rev9"), "p_brand", "p_type").rowsBetween(
+    w = Window.orderBy(F.desc("rev6"), "p_brand", "p_type").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    tot = cat.agg(F.sum("rev9").alias("total9"))
+    tot = cat.agg(F.sum("rev6").alias("total6"))
     classed = (
-        cat.withColumn("cum9", F.sum("rev9").over(w))
+        cat.withColumn("cum6", F.sum("rev6").over(w))
         .crossJoin(F.broadcast(tot))
         .withColumn(
             "abc_class",
-            F.when(F.col("cum9") * 5 <= F.col("total9") * 4, F.lit("A"))
-            .when(F.col("cum9") * 20 <= F.col("total9") * 19, F.lit("B"))
+            F.when(F.col("cum6") * 5 <= F.col("total6") * 4, F.lit("A"))
+            .when(F.col("cum6") * 20 <= F.col("total6") * 19, F.lit("B"))
             .otherwise(F.lit("C")),
         )
     )
@@ -1117,15 +1117,15 @@ def q_abc_classification(spark: SparkSession, sf: str) -> DataFrame:
         classed.groupBy("abc_class")
         .agg(
             F.count(F.lit(1)).alias("n_categories"),
-            F.sum("rev9").alias("class_rev9"),
-            F.max("total9").alias("total9"),
+            F.sum("rev6").alias("class_rev6"),
+            F.max("total6").alias("total6"),
         )
         .select(
             "abc_class",
             "n_categories",
             text.round4(
-                F.col("class_rev9").cast("double")
-                / F.col("total9").cast("double")
+                F.col("class_rev6").cast("double")
+                / F.col("total6").cast("double")
             ).alias("rev_share"),
         )
         .orderBy("abc_class")
@@ -1144,24 +1144,24 @@ ORACLES: dict[str, str | None] = {
           SELECT p_brand, p_type,
                  CAST(sum(CAST(floor(
                    l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5
-                 ) AS BIGINT)) AS BIGINT) AS rev9
+                 ) AS BIGINT)) AS BIGINT) AS rev6
           FROM lineitem JOIN part ON l_partkey = p_partkey
           GROUP BY p_brand, p_type
         ),
-        tot AS (SELECT CAST(sum(rev9) AS BIGINT) AS total9 FROM cat),
+        tot AS (SELECT CAST(sum(rev6) AS BIGINT) AS total6 FROM cat),
         classed AS (
-          SELECT p_brand, p_type, rev9, total9,
-                 CAST(sum(rev9) OVER (
-                   ORDER BY rev9 DESC, p_brand, p_type
+          SELECT p_brand, p_type, rev6, total6,
+                 CAST(sum(rev6) OVER (
+                   ORDER BY rev6 DESC, p_brand, p_type
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                 ) AS BIGINT) AS cum9
+                 ) AS BIGINT) AS cum6
           FROM cat CROSS JOIN tot
         )
-        SELECT CASE WHEN cum9 * 5 <= total9 * 4 THEN 'A'
-                    WHEN cum9 * 20 <= total9 * 19 THEN 'B'
+        SELECT CASE WHEN cum6 * 5 <= total6 * 4 THEN 'A'
+                    WHEN cum6 * 20 <= total6 * 19 THEN 'B'
                     ELSE 'C' END AS abc_class,
                count(*) AS n_categories,
-               floor(CAST(sum(rev9) AS DOUBLE) / CAST(max(total9) AS DOUBLE)
+               floor(CAST(sum(rev6) AS DOUBLE) / CAST(max(total6) AS DOUBLE)
                      * 10000 + 0.5) / 10000 AS rev_share
         FROM classed
         GROUP BY 1 ORDER BY abc_class
