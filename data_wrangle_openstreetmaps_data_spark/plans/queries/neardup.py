@@ -82,34 +82,87 @@ def q_dup_rate_by_source(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """EXT-D2 — exact n-gram Jaccard similarity join, SCALE-GUARDED form:
-    top-100 pairs by (jaccard desc, id_a, id_b) plus a ``total_pairs``
-    accounting column (the full qualifying-pair count at the threshold).
+    """EXT-D2 — exact n-gram Jaccard similarity join, CLUSTER-COLLAPSED
+    scale-safe form (the r8 verdict's item 3): collapse exact-dup
+    clusters FIRST (linear hash-agg on normalized text), run the
+    inverted-index pair join over cluster REPRESENTATIVES only, and
+    recover the full-corpus accounting exactly via multiplicities —
+    identical normalized text ⇒ identical shingle set, so every member
+    pair of clusters (A, B) has jaccard(a, b) = jaccard(repA, repB) and
 
-    The raw pair set at threshold 0.2 is output-driven quadratic on
-    duplicate-heavy corpora (the one super-linear sf1-ladder entry in
-    round 7: 17.3× wall at 10× data — wall is linear in TRUE pair count,
-    which itself grows quadratically on the 30-word synthetic vocabulary).
-    No exact pair-emitting algorithm beats output cardinality, so the
-    contract bounds the OUTPUT (top-k) and surfaces the cost as an oracled
-    column: a reviewer reading the result sees exactly how many pairs the
-    threshold admits. The unbounded exact tier remains available as
-    q_similarity_join / q_similarity_join_prefix.
+        total_pairs = Σ C(csize, 2)            (intra: jaccard = 1.0)
+                    + Σ csizeA·csizeB          (cross rep pairs ≥ t)
 
-    Tier choice, measured: at t=0.2 the PPJoin prefix covers ~80% of
-    each doc's shingles, so prefix filtering adds its df-rank join +
-    window without real pruning (6.7–8.4 s vs 1.4 s at sf0.1 measured
-    round 8) — the plain inverted index is the right engine at low
-    thresholds; the prefix tier wins at high thresholds
-    (q_similarity_join_prefix, t=0.5, short prefixes)."""
-    pairs = dedup.ngram_jaccard_pairs(
-        table(spark, sf, "documents"), shingle_k=3, threshold=0.2
-    ).localCheckpoint(eager=True)  # two consumers (top-k + scalar count)
-    total = pairs.agg(F.count(F.lit(1)).alias("total_pairs"))
+    EQUALS the full O(n²)-output enumeration — which is exactly how the
+    ORACLE computes total_pairs (full pair enumeration in DuckDB), so
+    the collapse math is cross-engine-proven, not assumed. On the copy-
+    replicated sf1 ladder the enumeration grew 979× (41× wall at 10×);
+    the collapsed form's pair join is quadratic only in DISTINCT
+    content, so it scales ~linearly (clusters grow, rep count doesn't).
+
+    Output: top-100 REPRESENTATIVE pairs by (jaccard desc, id_a, id_b)
+    with member_pairs = csizeA·csizeB, plus dup_cluster_pairs (intra)
+    and total_pairs scalars. The unbounded exact tier remains available
+    as q_similarity_join / q_similarity_join_prefix.
+
+    Tier choice, measured (round 8): at t=0.2 the PPJoin prefix covers
+    ~80% of each doc's shingles — the plain inverted index is the right
+    engine at low thresholds; the prefix tier wins at high ones."""
+    docs = table(spark, sf, "documents")
+    clusters = (
+        docs.groupBy(text.normalize_ws("text").alias("norm_text"))
+        .agg(
+            F.min("doc_id").alias("rep_id"),
+            F.count(F.lit(1)).alias("csize"),
+        )
+        .localCheckpoint(eager=True)  # 3 consumers: reps, sizes, intra
+    )
+    reps = clusters.select(
+        F.col("rep_id").alias("doc_id"), F.col("norm_text").alias("text")
+    )
+    rp = dedup.ngram_jaccard_pairs(reps, shingle_k=3, threshold=0.2)
+    sz_a = clusters.select(
+        F.col("rep_id").alias("id_a"), F.col("csize").alias("csize_a")
+    )
+    sz_b = clusters.select(
+        F.col("rep_id").alias("id_b"), F.col("csize").alias("csize_b")
+    )
+    jp = (
+        rp.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            (F.col("csize_a") * F.col("csize_b"))
+            .cast("long")
+            .alias("member_pairs"),
+        )
+        .localCheckpoint(eager=True)  # 2 consumers: top-k + cross sum
+    )
+    intra = clusters.agg(
+        F.coalesce(
+            F.sum(F.col("csize") * (F.col("csize") - 1) / F.lit(2)), F.lit(0)
+        )
+        .cast("long")
+        .alias("dup_cluster_pairs")
+    )
+    cross = jp.agg(
+        F.coalesce(F.sum("member_pairs"), F.lit(0)).cast("long").alias("cross")
+    )
+    totals = (
+        intra.crossJoin(F.broadcast(cross))  # two 1-row scalars
+        .select(
+            "dup_cluster_pairs",
+            (F.col("dup_cluster_pairs") + F.col("cross"))
+            .cast("long")
+            .alias("total_pairs"),
+        )
+    )
     return (
-        pairs.orderBy(F.desc("jaccard"), "id_a", "id_b")
+        jp.orderBy(F.desc("jaccard"), "id_a", "id_b")
         .limit(100)
-        .crossJoin(F.broadcast(total))  # 1-row scalar, not a cartesian
+        .crossJoin(F.broadcast(totals))  # 1-row scalar, not a cartesian
     )
 
 
@@ -152,19 +205,71 @@ def q_containment_join(spark: SparkSession, sf: str) -> DataFrame:
     scores containment ≈ 1 where Jaccard is tiny). Ordered pairs, both
     directions scored from one unordered inverted-index candidate pass.
 
-    SCALE-GUARDED like q_ngram_jaccard: on duplicate-heavy corpora the
-    true qualifying-pair count is quadratic in cluster sizes (the sf1
-    ladder's exact-copy replication grows it ~100×), so the contract
-    bounds the OUTPUT to the top-100 by (containment desc, src, dst)
-    and surfaces the full count as an oracled total_pairs column."""
-    pairs = dedup.containment_pairs(
-        table(spark, sf, "documents"), shingle_k=3, threshold=0.8
-    ).localCheckpoint(eager=True)  # two consumers (top-k + scalar count)
-    total = pairs.agg(F.count(F.lit(1)).alias("total_pairs"))
+    CLUSTER-COLLAPSED like q_ngram_jaccard (r8 verdict item 3): the
+    containment join runs over exact-dup cluster REPRESENTATIVES only;
+    identical normalized text ⇒ identical shingle set ⇒ every directed
+    member pair scores containment(repSrc → repDst), and intra-cluster
+    pairs score 1.0 both ways, so
+
+        total_pairs = Σ csize·(csize−1)        (directed intra)
+                    + Σ csize_src·csize_dst    (directed cross ≥ t)
+
+    EQUALS the full directed enumeration — and the ORACLE computes
+    total_pairs from the full enumeration, cross-engine-proving the
+    collapse. Output: top-100 representative (src, dst) pairs by
+    (containment desc, src, dst) with member_pairs, plus
+    dup_cluster_pairs / total_pairs scalars; scales with distinct
+    content, not copy count."""
+    docs = table(spark, sf, "documents")
+    clusters = (
+        docs.groupBy(text.normalize_ws("text").alias("norm_text"))
+        .agg(
+            F.min("doc_id").alias("rep_id"),
+            F.count(F.lit(1)).alias("csize"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    reps = clusters.select(
+        F.col("rep_id").alias("doc_id"), F.col("norm_text").alias("text")
+    )
+    rp = dedup.containment_pairs(reps, shingle_k=3, threshold=0.8)
+    sz_s = clusters.select(
+        F.col("rep_id").alias("src"), F.col("csize").alias("csize_s")
+    )
+    sz_d = clusters.select(
+        F.col("rep_id").alias("dst"), F.col("csize").alias("csize_d")
+    )
+    jp = (
+        rp.join(sz_s, "src")
+        .join(sz_d, "dst")
+        .select(
+            "src",
+            "dst",
+            "containment",
+            (F.col("csize_s") * F.col("csize_d"))
+            .cast("long")
+            .alias("member_pairs"),
+        )
+        .localCheckpoint(eager=True)  # 2 consumers: top-k + cross sum
+    )
+    intra = clusters.agg(
+        F.coalesce(F.sum(F.col("csize") * (F.col("csize") - 1)), F.lit(0))
+        .cast("long")
+        .alias("dup_cluster_pairs")
+    )
+    cross = jp.agg(
+        F.coalesce(F.sum("member_pairs"), F.lit(0)).cast("long").alias("cross")
+    )
+    totals = intra.crossJoin(F.broadcast(cross)).select(
+        "dup_cluster_pairs",
+        (F.col("dup_cluster_pairs") + F.col("cross"))
+        .cast("long")
+        .alias("total_pairs"),
+    )
     return (
-        pairs.orderBy(F.desc("containment"), "src", "dst")
+        jp.orderBy(F.desc("containment"), "src", "dst")
         .limit(100)
-        .crossJoin(F.broadcast(total))  # 1-row scalar, not a cartesian
+        .crossJoin(F.broadcast(totals))  # 1-row scalar, not a cartesian
     )
 
 
@@ -181,12 +286,51 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
     low-threshold tail."""
     from pyspark.sql import Window
 
-    pairs = dedup.ngram_jaccard_pairs(
-        table(spark, sf, "documents"), shingle_k=3, threshold=0.2
+    # cluster-collapsed (same trick as q_ngram_jaccard, r9): band counts
+    # are Σ member_pairs per rep-pair band + the intra-cluster mass at
+    # band 1.0 — exact vs the full enumeration, which is what the oracle
+    # still runs, so the collapse is cross-engine-proven here too.
+    docs = table(spark, sf, "documents")
+    clusters = (
+        docs.groupBy(text.normalize_ws("text").alias("norm_text"))
+        .agg(
+            F.min("doc_id").alias("rep_id"),
+            F.count(F.lit(1)).alias("csize"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    reps = clusters.select(
+        F.col("rep_id").alias("doc_id"), F.col("norm_text").alias("text")
+    )
+    rp = dedup.ngram_jaccard_pairs(reps, shingle_k=3, threshold=0.2)
+    sz_a = clusters.select(
+        F.col("rep_id").alias("id_a"), F.col("csize").alias("csize_a")
+    )
+    sz_b = clusters.select(
+        F.col("rep_id").alias("id_b"), F.col("csize").alias("csize_b")
     )
     band = (F.floor(F.col("jaccard") * 20) / 20).alias("band")
-    per = pairs.groupBy(band).agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    cross_per = (
+        rp.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .groupBy(band)
+        .agg(
+            F.sum(F.col("csize_a") * F.col("csize_b"))
+            .cast("long")
+            .alias("n_pairs")
+        )
+    )
+    intra_per = clusters.agg(
+        F.coalesce(
+            F.sum(F.col("csize") * (F.col("csize") - 1) / F.lit(2)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_pairs")
+    ).select(F.lit(1.0).alias("band"), "n_pairs")
+    per = (
+        cross_per.unionByName(intra_per.filter(F.col("n_pairs") > 0))
+        .groupBy("band")
+        .agg(F.sum("n_pairs").cast("long").alias("n_pairs"))
     )
     w = Window.orderBy(F.desc("band")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -600,8 +744,14 @@ ORACLES: dict[str, str | None] = {
     FROM m
 """,
     "q_containment_join": rf"""
-    WITH toked AS (
-      SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    WITH clus AS (
+      SELECT {_NORM_TEXT_SQL} AS norm_text,
+             min(doc_id) AS rep_id, count(*) AS csize
+      FROM documents GROUP BY 1
+    ),
+    reps AS (SELECT rep_id AS doc_id, norm_text AS text FROM clus),
+    toked AS (
+      SELECT doc_id, {_TOKENS_SQL} AS toks FROM reps
     ),
     shingled AS (
       SELECT doc_id,
@@ -637,16 +787,80 @@ ORACLES: dict[str, str | None] = {
     ),
     qual AS (
       SELECT src, dst, containment FROM oriented WHERE containment >= 0.8
+    ),
+    jp AS (
+      SELECT src, dst, containment,
+             CAST(cs.csize * cd.csize AS BIGINT) AS member_pairs
+      FROM qual
+      JOIN clus cs ON cs.rep_id = src
+      JOIN clus cd ON cd.rep_id = dst
+    ),
+    -- FULL directed enumeration over every document: total_pairs comes
+    -- from here, cross-engine-proving the Spark side's cluster-collapse
+    -- arithmetic (intra + Σ csize_src·csize_dst) against ground truth
+    ftoked AS (
+      SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    fshingled AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3 THEN
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> array_to_string(toks[i:i+2], ' ')))
+             ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM ftoked
+    ),
+    fexploded AS (SELECT doc_id, unnest(sh) AS s FROM fshingled),
+    fsizes AS (SELECT doc_id, count(*) AS n FROM fexploded GROUP BY doc_id),
+    fpairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM fexploded a JOIN fexploded b
+        ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    fj AS (
+      SELECT id_a, id_b, common, sa.n AS na, sb.n AS nb
+      FROM fpairs
+      JOIN fsizes sa ON sa.doc_id = id_a
+      JOIN fsizes sb ON sb.doc_id = id_b
+    ),
+    foriented AS (
+      SELECT floor(common / CAST(na AS DOUBLE) * 10000 + 0.5) / 10000
+               AS containment
+      FROM fj
+      UNION ALL
+      SELECT floor(common / CAST(nb AS DOUBLE) * 10000 + 0.5) / 10000
+      FROM fj
     )
-    SELECT src, dst, containment,
-           (SELECT count(*) FROM qual) AS total_pairs
-    FROM qual ORDER BY containment DESC, src, dst LIMIT 100
+    SELECT src, dst, containment, member_pairs,
+           (SELECT CAST(coalesce(sum(csize * (csize - 1)), 0) AS BIGINT)
+            FROM clus) AS dup_cluster_pairs,
+           (SELECT CAST(count(*) AS BIGINT) FROM foriented
+            WHERE containment >= 0.8) AS total_pairs
+    FROM jp ORDER BY containment DESC, src, dst LIMIT 100
 """,
     "q_ngram_jaccard": rf"""
-    WITH p AS ({_NGRAM_JACCARD_SQL})
-    SELECT id_a, id_b, jaccard,
-           (SELECT count(*) FROM p) AS total_pairs
-    FROM p ORDER BY jaccard DESC, id_a, id_b LIMIT 100
+    WITH clus AS (
+      SELECT {_NORM_TEXT_SQL} AS norm_text,
+             min(doc_id) AS rep_id, count(*) AS csize
+      FROM documents GROUP BY 1
+    ),
+    reps AS (SELECT rep_id AS doc_id, norm_text AS text FROM clus),
+    p AS ({_ngram_jaccard_sql(0.2, source="reps")}),
+    jp AS (
+      SELECT id_a, id_b, jaccard,
+             CAST(ca.csize * cb.csize AS BIGINT) AS member_pairs
+      FROM p
+      JOIN clus ca ON ca.rep_id = id_a
+      JOIN clus cb ON cb.rep_id = id_b
+    ),
+    -- FULL enumeration: total_pairs from ground truth, proving the
+    -- Spark side's ΣC(csize,2) + Σ csizeA·csizeB collapse arithmetic
+    fullp AS ({_NGRAM_JACCARD_SQL})
+    SELECT id_a, id_b, jaccard, member_pairs,
+           (SELECT CAST(coalesce(sum((csize * (csize - 1)) // 2), 0)
+                   AS BIGINT) FROM clus) AS dup_cluster_pairs,
+           (SELECT CAST(count(*) AS BIGINT) FROM fullp) AS total_pairs
+    FROM jp ORDER BY jaccard DESC, id_a, id_b LIMIT 100
 """,
     "q_dedup_threshold_sweep": f"""
         WITH pairs AS ({_NGRAM_JACCARD_SQL}),
