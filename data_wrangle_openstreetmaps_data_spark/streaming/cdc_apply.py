@@ -80,3 +80,114 @@ def apply_cdc_stream(
     )
     q.awaitTermination()
     return os.path.join(work_dir, f"v{current['v']}")
+
+
+def apply_cdc_stream_resumable(
+    spark: SparkSession,
+    change_stream: DataFrame,
+    initial_state: DataFrame,
+    key: str,
+    work_dir: str,
+    keep_last_n: int = 2,
+    crash_after_state_write_epoch: int | None = None,
+    crash_after_commit_epoch: int | None = None,
+) -> str:
+    """Exactly-once, RESUMABLE variant of :func:`apply_cdc_stream` — the
+    r8-verdict item-7b consistency proof. Where ``apply_cdc_stream``
+    resets everything on entry (drain-from-scratch semantics), this one
+    survives a mid-drain crash and, restarted over the same
+    ``work_dir``, converges to exactly the one-shot batch
+    ``merge_upsert`` answer with every micro-batch applied EXACTLY
+    once.
+
+    Protocol (the poor-man's transaction log, now with a commit point):
+
+    - ``MANIFEST.json`` = ``{"version": n, "epoch_id": e}`` names the
+      current committed state version and the last committed
+      micro-batch. It is replaced ATOMICALLY (tmp + ``os.replace``) —
+      that swap IS the commit. State parquet under ``v{n+1}`` written
+      before the swap is invisible until committed.
+    - ``foreachBatch`` replays the last uncommitted epoch after a crash
+      with the SAME ``epoch_id`` (Structured Streaming contract:
+      offsets are checkpointed per batch id). ``apply_batch`` therefore
+      (a) SKIPS any epoch ≤ the manifest's committed ``epoch_id`` —
+      dedup for the crash window *after* the swap but *before* the
+      checkpoint commit — and (b) re-merges from the committed
+      ``v{n}`` for a replayed epoch, overwriting the orphaned
+      uncommitted ``v{n+1}`` — correctness for the crash window
+      *between* state write and swap (the worst case, injectable via
+      ``crash_after_state_write_epoch`` for tests).
+
+    Resume rule: an existing MANIFEST means resume (keep checkpoint and
+    versions); no MANIFEST means initialize ``v0`` from
+    ``initial_state``. At 100 TB the manifest swap maps onto a
+    lakehouse commit (Delta/Iceberg snapshot); the per-batch shape is
+    unchanged — one keyed full-outer merge of the delta.
+
+    Returns the final committed version directory."""
+    import json
+
+    manifest_path = os.path.join(work_dir, "MANIFEST.json")
+
+    def read_manifest() -> dict:
+        with open(manifest_path) as fh:
+            return json.load(fh)
+
+    def commit_manifest(version: int, epoch_id: int) -> None:
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "epoch_id": epoch_id}, fh)
+        os.replace(tmp, manifest_path)  # atomic: this IS the commit
+
+    if not os.path.exists(manifest_path):
+        # fresh drain: clear any debris, write v0, commit it
+        shutil.rmtree(work_dir, ignore_errors=True)
+        os.makedirs(work_dir, exist_ok=True)
+        initial_state.write.mode("overwrite").parquet(
+            os.path.join(work_dir, "v0")
+        )
+        commit_manifest(0, -1)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        m = read_manifest()
+        if epoch_id <= m["epoch_id"]:
+            return  # replay of an already-committed batch: exactly-once skip
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        cur = os.path.join(work_dir, f"v{m['version']}")
+        merged = merge_upsert(sess.read.parquet(cur), batch_df, key)
+        nxt_v = m["version"] + 1
+        merged.write.mode("overwrite").parquet(
+            os.path.join(work_dir, f"v{nxt_v}")
+        )
+        if crash_after_state_write_epoch == epoch_id:
+            # test hook: die in the worst-case window — state written,
+            # commit not yet swapped. The restart must re-merge from the
+            # committed version and overwrite this orphan.
+            raise RuntimeError(
+                f"injected crash after state write, epoch {epoch_id}"
+            )
+        commit_manifest(nxt_v, epoch_id)
+        if crash_after_commit_epoch == epoch_id:
+            # test hook: die AFTER the commit swap but BEFORE the
+            # checkpoint records completion — the restart replays the
+            # same epoch and the epoch-id guard must skip it.
+            raise RuntimeError(
+                f"injected crash after commit, epoch {epoch_id}"
+            )
+        for n in range(0, nxt_v - keep_last_n):
+            shutil.rmtree(
+                os.path.join(work_dir, f"v{n}"), ignore_errors=True
+            )
+
+    q = (
+        change_stream.writeStream.foreachBatch(apply_batch)
+        .option(
+            "checkpointLocation", os.path.join(work_dir, "_checkpoint")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return os.path.join(work_dir, f"v{read_manifest()['version']}")
