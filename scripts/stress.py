@@ -437,6 +437,91 @@ def main() -> None:
     }
     gram_exact = g1 == g2 and g1[(8, 8)] == n_vecs
 
+    # round-9: whale-key degree cap (graph.cap_degree) under a PLANTED
+    # deg-10⁴ whale customer: the uncapped common-neighbor self-join
+    # pays C(10⁴,2) ≈ 5·10⁷ pairs for that one key; the capped graph
+    # pays C(32,2) = 496. The cap (32) sits ABOVE the planted normal
+    # degree (10) — the whales-only regime: every normal key keeps all
+    # its edges, so only the whale's contribution is approximated.
+    # (A first run with cap=8 < normal degree measured recall 3/20 —
+    # capping below the bulk degree re-weights EVERY key and is a
+    # different estimator, the regime q_resource_allocation_capped
+    # documents; the whale guard wants cap > normal-degree ceiling.)
+    # Recall accounting: overlap of the capped RA top-20 with the exact
+    # top-20 (the whale's 1/deg weight is tiny, so the exact ranking is
+    # dominated by normal keys and the capped estimator should recover
+    # it up to ties at the boundary).
+    from data_wrangle_openstreetmaps_data_spark.operators.graph import (
+        cap_degree,
+    )
+
+    n_cust, whale_deg = 50_000, 10_000
+    base = (
+        spark.range(n_cust)
+        .select(F.col("id").alias("c"))
+        .withColumn(
+            "j", F.explode(F.array(*[F.lit(i) for i in range(10)]))
+        )
+        .select(
+            "c",
+            (F.pmod(F.hash(F.col("c"), F.col("j")), F.lit(10_000)))
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    whale = (
+        spark.range(whale_deg)
+        .select(
+            F.lit(n_cust).cast("long").alias("c"),
+            F.col("id").alias("s"),
+        )
+    )
+    wedges = base.unionByName(whale).distinct().localCheckpoint(eager=True)
+
+    def ra_top20(e):
+        cd = e.groupBy("c").agg(F.count(F.lit(1)).alias("cd"))
+        wtd = e.join(cd, "c").select(
+            "c",
+            F.col("s").alias("s1"),
+            F.floor(F.lit(1e9) / F.col("cd") + F.lit(0.5))
+            .cast("long")
+            .alias("w"),
+        )
+        p = (
+            wtd.join(e.select("c", F.col("s").alias("s2")), "c")
+            .filter(F.col("s1") < F.col("s2"))
+            .groupBy("s1", "s2")
+            .agg(F.sum("w").alias("ra9"))
+        )
+        return p
+
+    t0 = time.perf_counter()
+    exact_pairs = ra_top20(wedges).localCheckpoint(eager=True)
+    n_exact_pairs = exact_pairs.count()
+    exact_top = [
+        (r["s1"], r["s2"])
+        for r in exact_pairs.orderBy(F.desc("ra9"), "s1", "s2")
+        .limit(20)
+        .collect()
+    ]
+    t_exact = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    wcapped = cap_degree(wedges, "c", "s", cap=32).localCheckpoint(
+        eager=True
+    )
+    capped_pairs = ra_top20(wcapped).localCheckpoint(eager=True)
+    n_capped_pairs = capped_pairs.count()
+    capped_top = [
+        (r["s1"], r["s2"])
+        for r in capped_pairs.orderBy(F.desc("ra9"), "s1", "s2")
+        .limit(20)
+        .collect()
+    ]
+    t_capped = round(time.perf_counter() - t0, 2)
+    timings["whale_exact_ra"] = t_exact
+    timings["whale_capped_ra"] = t_capped
+    whale_recall = len(set(exact_top) & set(capped_top))
+
     # round-9: sharded exact k-NN graph build — 10⁴ sources against the
     # full 500k corpus with the corpus as a DATAFRAME (the r8 verdict's
     # named driver-OOM liability removed). n_shards=16 bounds each
@@ -508,6 +593,15 @@ def main() -> None:
                     "vectors": n_vecs,
                     "cells": len(g1),
                     "partitioning_invariant": gram_exact,
+                },
+                "whale_cap": {
+                    "customers": n_cust,
+                    "whale_degree": whale_deg,
+                    "uncapped_pairs": n_exact_pairs,
+                    "capped_pairs": n_capped_pairs,
+                    "cap": 32,
+                    "whale_pair_bound": 496,
+                    "recall_top20": whale_recall,
                 },
                 "knn_graph_500k": {
                     "sources": n_src,
