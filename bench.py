@@ -110,6 +110,9 @@ HEADLINE = [
     "q_asof_nearest",
     "q_weighted_median",
     "q_out_of_order_audit",
+    # round-9: whale-capped common-neighbor join + sharded kNN graph
+    "q_resource_allocation_capped",
+    "q_knn_graph",
 ]
 
 
