@@ -147,6 +147,20 @@ def apply_cdc_stream_resumable(
             os.path.join(work_dir, "v0")
         )
         commit_manifest(0, -1)
+    elif read_manifest()["epoch_id"] >= 0 and not os.path.isdir(
+        os.path.join(work_dir, "_checkpoint")
+    ):
+        # manifest and checkpoint live and die together: a fresh
+        # checkpoint restarts epoch ids at 0, so a surviving manifest
+        # with committed epochs would silently SKIP real new batches
+        # through the epoch-dedup guard. Refuse rather than corrupt.
+        raise ValueError(
+            f"{manifest_path} has committed epochs but "
+            f"{work_dir}/_checkpoint is gone — epoch ids are only "
+            "meaningful against their paired checkpoint. Delete the "
+            "manifest (full re-drain from initial_state) or restore "
+            "the checkpoint."
+        )
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         m = read_manifest()

@@ -135,6 +135,24 @@ def test_crash_between_commit_and_checkpoint_then_resume(spark, tmp_path):
     assert _state(spark, final_dir) == want
 
 
+def test_orphaned_manifest_without_checkpoint_refuses(spark, tmp_path):
+    """A manifest with committed epochs whose paired checkpoint is gone
+    must refuse to run: a fresh checkpoint restarts epoch ids at 0 and
+    the dedup guard would silently skip real batches."""
+    import shutil
+
+    base, changes, work, stage, want = _setup(spark, tmp_path)
+    final_dir = apply_cdc_stream_resumable(
+        spark, _stream(spark, changes, stage), base, "k", work
+    )
+    assert _state(spark, final_dir) == want
+    shutil.rmtree(os.path.join(work, "_checkpoint"))
+    with pytest.raises(ValueError, match="paired checkpoint"):
+        apply_cdc_stream_resumable(
+            spark, _stream(spark, changes, stage), base, "k", work
+        )
+
+
 def test_uninterrupted_resumable_drain_matches_batch(spark, tmp_path):
     """No-crash control: the resumable protocol on a clean drain is
     byte-equivalent to the batch merge and commits one version per
