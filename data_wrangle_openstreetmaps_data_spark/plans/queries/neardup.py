@@ -654,7 +654,143 @@ def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D — SPAN-level exact substring dedup, the complement of the
+    doc-level tiers (cf. Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better": repeated ≥k-token substrings are
+    trimmed even when the surrounding docs differ). Relational form:
+    every k=8-token window (md5 span fingerprint), windows whose span
+    occurs ≥2 times anywhere in the corpus are "duplicated", and the
+    per-doc report gives duplicated-window counts plus COVERAGE — the
+    fraction of the doc's token positions lying under at least one
+    duplicated window (positional interval union via distinct
+    (doc, pos)), i.e. what span-dedup would trim. Corpus scalars
+    (distinct duplicated spans, total duplicated windows) ride along.
+
+    Scale shape: the window explode is linear in total tokens; span
+    discovery is ONE hash shuffle (groupBy fingerprint — a GROUP BY,
+    not a join, which is why this scales out where suffix-array
+    pipelines serialize); the positional re-explode runs only over
+    duplicated windows (≪ all windows on a healthy corpus); the
+    scalars broadcast. Top-50 docs by coverage, fully deterministic
+    (coverage, covered, doc_id)."""
+    k = 8
+    toked = (
+        table(spark, sf, "documents")
+        .select("doc_id", text.tokens(F.col("text")).alias("toks"))
+        .withColumn("n_tokens", F.size("toks"))
+        .filter(F.col("n_tokens") >= k)
+    )
+    wins = toked.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n_tokens") - (k - 1))
+        ).alias("start"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "start",
+        F.md5(
+            F.array_join(F.slice(F.col("toks"), F.col("start"), k), " ")
+        ).alias("h"),
+    ).localCheckpoint(eager=True)  # 2 consumers: span agg + join back
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= 2)
+        .localCheckpoint(eager=True)  # 2 consumers: join back + scalars
+    )
+    dwins = wins.join(dup.select("h"), "h").localCheckpoint(
+        eager=True
+    )  # 2 consumers: coverage + per-doc counts
+    covered = (
+        dwins.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("covered_tokens"))
+    )
+    perdoc = dwins.groupBy("doc_id", "n_tokens").agg(
+        F.count(F.lit(1)).cast("long").alias("dup_windows"),
+        F.countDistinct("h").cast("long").alias("dup_spans"),
+    )
+    scal = dup.agg(
+        F.count(F.lit(1)).cast("long").alias("corpus_dup_spans"),
+        F.coalesce(F.sum("occ"), F.lit(0))
+        .cast("long")
+        .alias("corpus_dup_windows"),
+    )
+    return (
+        perdoc.join(covered, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "dup_windows",
+            "dup_spans",
+            "covered_tokens",
+            text.round4(
+                F.col("covered_tokens") / F.col("n_tokens")
+            ).alias("coverage"),
+        )
+        .orderBy(F.desc("coverage"), F.desc("covered_tokens"), "doc_id")
+        .limit(50)
+        .crossJoin(F.broadcast(scal))  # 1-row scalar, not a cartesian
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_repeated_spans": f"""
+        WITH toked AS (
+          SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+        ),
+        sized AS (
+          SELECT doc_id, toks, len(toks) AS n_tokens FROM toked
+          WHERE len(toks) >= 8
+        ),
+        wins AS (
+          SELECT doc_id, n_tokens, i AS start,
+                 md5(array_to_string(toks[i:i+7], ' ')) AS h
+          FROM sized, unnest(range(1, n_tokens - 6)) AS t(i)
+        ),
+        dup AS (
+          SELECT h, count(*) AS occ FROM wins GROUP BY h
+          HAVING count(*) >= 2
+        ),
+        dwins AS (SELECT w.* FROM wins w JOIN dup USING (h)),
+        covered AS (
+          SELECT doc_id, CAST(count(DISTINCT pos) AS BIGINT)
+                   AS covered_tokens
+          FROM (SELECT doc_id, unnest(range(start, start + 8)) AS pos
+                FROM dwins)
+          GROUP BY doc_id
+        ),
+        perdoc AS (
+          SELECT doc_id, n_tokens,
+                 CAST(count(*) AS BIGINT) AS dup_windows,
+                 CAST(count(DISTINCT h) AS BIGINT) AS dup_spans
+          FROM dwins GROUP BY doc_id, n_tokens
+        ),
+        scal AS (
+          SELECT CAST(count(*) AS BIGINT) AS corpus_dup_spans,
+                 CAST(coalesce(sum(occ), 0) AS BIGINT)
+                   AS corpus_dup_windows
+          FROM dup
+        )
+        SELECT p.doc_id, CAST(p.n_tokens AS BIGINT) AS n_tokens,
+               dup_windows, dup_spans, covered_tokens,
+               floor(covered_tokens / p.n_tokens * 10000 + 0.5) / 10000
+                 AS coverage,
+               corpus_dup_spans, corpus_dup_windows
+        FROM perdoc p JOIN covered USING (doc_id), scal
+        ORDER BY coverage DESC, covered_tokens DESC, doc_id
+        LIMIT 50
+    """,
     "q_dedup_exact": f"""
         SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         FROM documents GROUP BY {_NORM_TEXT_SQL}
