@@ -705,16 +705,40 @@ def q_repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
     dwins = wins.join(dup.select("h"), "h").localCheckpoint(
         eager=True
     )  # 2 consumers: coverage + per-doc counts
+    # coverage via INTERVAL UNION (the q_interval_union merge pattern):
+    # |dup_windows| rows through a doc-keyed window, instead of the
+    # k×|dup_windows| positional explode — on a dup-heavy corpus the
+    # positional form re-explodes to k×|tokens| rows, this one never
+    # exceeds the window count. The ORACLE deliberately keeps the
+    # brute-force positional distinct-count, so the merge math is
+    # cross-engine-proven every run.
+    from pyspark.sql import Window
+
+    iv = dwins.select(
+        "doc_id", "start", (F.col("start") + (k - 1)).alias("end")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = iv.withColumn(
+        "new_island",
+        F.when(
+            F.col("start") > F.coalesce(F.max("end").over(w_prev), F.lit(-1)),
+            1,
+        ).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(w_run))
     covered = (
-        dwins.select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("start"), F.col("start") + (k - 1))
-            ).alias("pos"),
-        )
-        .distinct()
+        islands.groupBy("doc_id", "island")
+        .agg((F.max("end") - F.min("start") + 1).alias("ilen"))
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("covered_tokens"))
+        .agg(F.sum("ilen").cast("long").alias("covered_tokens"))
     )
     perdoc = dwins.groupBy("doc_id", "n_tokens").agg(
         F.count(F.lit(1)).cast("long").alias("dup_windows"),
