@@ -459,6 +459,73 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.dup_clusters(pairs).orderBy("id")
 
 
+def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D — QUALITY-AWARE representative selection: per near-dup
+    cluster keep the argmax-quality member (tie → smaller doc_id), not
+    the min-id — what a curation team actually ships (near-dups are
+    rewrites of unequal quality; min-id keeps whichever crawled first).
+    Pipeline: recall-1.0 minhash pairs (q_dedup_minhash config) →
+    connected components (dedup.dup_clusters) → per-cluster argmax of
+    text.quality_score via one row_number window. The report compares
+    against the min-id policy: keep_id vs min_id and quality_gain =
+    keep_quality − quality(min_id) ≥ 0 — the measured value of the
+    policy. Scale: the window partitions by cluster_id (components are
+    tiny — rewrite groups), everything else is keyed joins; no
+    all-pairs stage beyond the banded LSH. Oracle: recursive-CTE
+    closure over the exact-Jaccard pair set + the same window."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf, "documents")
+    pairs = dedup.dedup_minhash_lsh(
+        docs, n_hashes=16, bands=8, shingle_k=3, threshold=0.5
+    )
+    clusters = dedup.dup_clusters(pairs)
+    q = docs.select(
+        F.col("doc_id").alias("id"),
+        text.quality_score(F.col("text")).alias("quality"),
+    )
+    memb = clusters.join(q, "id").localCheckpoint(
+        eager=True
+    )  # 3 consumers: ranked, agg, minq
+    ranked = memb.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.desc("quality"), F.col("id")
+            )
+        ),
+    )
+    best = ranked.filter(F.col("rk") == 1).select(
+        "cluster_id",
+        F.col("id").alias("keep_id"),
+        F.col("quality").alias("keep_quality"),
+    )
+    agg = memb.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("csize"),
+        F.min("id").alias("min_id"),
+    )
+    minq = agg.join(
+        memb.select(F.col("id").alias("min_id"), "cluster_id",
+                    F.col("quality").alias("min_quality")),
+        ["cluster_id", "min_id"],
+    ).select("cluster_id", "min_quality")
+    return (
+        best.join(agg, "cluster_id")
+        .join(minq, "cluster_id")
+        .select(
+            "cluster_id",
+            "csize",
+            "keep_id",
+            "keep_quality",
+            "min_id",
+            text.round4(
+                F.col("keep_quality") - F.col("min_quality")
+            ).alias("quality_gain"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 def q_dedup_minhash_recall(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-D2 — approximation quality as a regression-guarded NUMBER:
     recall and precision of the MinHash-LSH tier against the exact
@@ -1065,6 +1132,39 @@ ORACLES: dict[str, str | None] = {
     # trigram-Jaccard pair set at the same threshold.
     "q_dedup_minhash": _ngram_jaccard_sql(0.5),
     "q_dedup_clusters": _closure_clusters_sql(_ngram_jaccard_sql(0.5)),
+    "q_dedup_keep_best": f"""
+        WITH clusters AS ({_closure_clusters_sql(_ngram_jaccard_sql(0.5))}),
+        q AS ({_quality_doc_sql("documents")}),
+        memb AS (
+          SELECT c.id, c.cluster_id, q.quality
+          FROM clusters c JOIN q ON q.doc_id = c.id
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY cluster_id ORDER BY quality DESC, id
+          ) AS rk FROM memb
+        ),
+        agg AS (
+          SELECT cluster_id, CAST(count(*) AS BIGINT) AS csize,
+                 min(id) AS min_id
+          FROM memb GROUP BY cluster_id
+        ),
+        best AS (
+          SELECT cluster_id, id AS keep_id, quality AS keep_quality
+          FROM ranked WHERE rk = 1
+        ),
+        minq AS (
+          SELECT a.cluster_id, m.quality AS min_quality
+          FROM agg a JOIN memb m
+            ON m.cluster_id = a.cluster_id AND m.id = a.min_id
+        )
+        SELECT b.cluster_id, csize, keep_id, keep_quality, a.min_id,
+               floor((keep_quality - min_quality) * 10000 + 0.5) / 10000
+                 AS quality_gain
+        FROM best b JOIN agg a USING (cluster_id)
+        JOIN minq USING (cluster_id)
+        ORDER BY b.cluster_id
+    """,
     # LSH == exact pair set on this corpus (the recall-1.0 contract), so
     # recall and precision both equal exactly 1.0 — derived from the data
     # (NULL if the corpus had no true pairs, which would also be a failure)
