@@ -87,6 +87,66 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     return curation.decontaminate_overlap(train, bench, k=5, min_shared=1)
 
 
+def q_decontaminate_policy(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-P — decontamination POLICY COMPARISON in one row: how many
+    train docs the exact 5-gram-overlap rule removes (q_decontaminate's
+    policy — any shared 5-gram with any benchmark doc) vs the fuzzy
+    near-dup rule (minhash cross-corpus join at trigram-Jaccard ≥ 0.5 —
+    the 100 TB path when the benchmark is too large to broadcast its
+    shingles), plus their overlap and union. The exact rule is strictly
+    more aggressive on THIS corpus iff n_both = n_fuzzy_removed — the
+    report shows it rather than assumes it. Both legs are
+    scale-honest: the k-gram leg is the broadcast inverted-index join,
+    the fuzzy leg is the banded LSH (never all-pairs); the counts are
+    four hash aggregates over their outputs. With the recall-1.0
+    banding config the fuzzy leg EQUALS the exact cross-split
+    trigram-Jaccard pair set, so the relational oracle applies (same
+    contract as q_dedup_minhash_join)."""
+    docs = table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 29 == 0)
+    train = docs.filter(F.col("doc_id") % 29 != 0)
+    ex = (
+        curation.decontaminate_overlap(train, bench, k=5, min_shared=1)
+        .select(F.col("train_id").alias("id"))
+        .distinct()
+        .localCheckpoint(eager=True)  # 2 consumers: count + overlap join
+    )
+    fz = (
+        dedup.minhash_lsh_join(
+            train, bench, n_hashes=16, bands=8, shingle_k=3, threshold=0.5
+        )
+        .select(F.col("left_id").alias("id"))
+        .distinct()
+        .localCheckpoint(eager=True)  # 2 consumers: count + overlap join
+    )
+    n_train = train.agg(
+        F.count(F.lit(1)).cast("long").alias("n_train")
+    )
+    n_ex = ex.agg(F.count(F.lit(1)).cast("long").alias("n_exact_removed"))
+    n_fz = fz.agg(F.count(F.lit(1)).cast("long").alias("n_fuzzy_removed"))
+    n_both = ex.join(fz, "id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_both")
+    )
+    return (
+        n_train.crossJoin(F.broadcast(n_ex))  # 1-row scalars throughout
+        .crossJoin(F.broadcast(n_fz))
+        .crossJoin(F.broadcast(n_both))
+        .select(
+            "n_train",
+            "n_exact_removed",
+            "n_fuzzy_removed",
+            "n_both",
+            (
+                F.col("n_exact_removed")
+                + F.col("n_fuzzy_removed")
+                - F.col("n_both")
+            )
+            .cast("long")
+            .alias("n_either"),
+        )
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-S — deterministic per-language Bernoulli sampling (en 50%,
     fr 25%, zh 10%, rest kept): keep iff portable md5 hash of the id
@@ -493,6 +553,31 @@ ORACLES: dict[str, str | None] = {
     "q_repetition_ngrams": _repetition_ngrams_sql(2),
     "q_pii_scrub": _pii_scrub_sql(),
     "q_decontaminate": _decontaminate_sql(5, 1, 29),
+    "q_decontaminate_policy": f"""
+        WITH exact_pairs AS ({_decontaminate_sql(5, 1, 29)}),
+        ex AS (SELECT DISTINCT train_id AS id FROM exact_pairs),
+        jac AS ({_ngram_jaccard_sql(0.5)}),
+        fz AS (
+          SELECT DISTINCT
+                 CASE WHEN id_a % 29 <> 0 THEN id_a ELSE id_b END AS id
+          FROM jac
+          WHERE (id_a % 29 = 0) <> (id_b % 29 = 0)
+        ),
+        tr AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_train FROM documents
+          WHERE doc_id % 29 <> 0
+        ),
+        ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact_removed FROM ex),
+        nf AS (SELECT CAST(count(*) AS BIGINT) AS n_fuzzy_removed FROM fz),
+        nb AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_both
+          FROM ex JOIN fz USING (id)
+        )
+        SELECT n_train, n_exact_removed, n_fuzzy_removed, n_both,
+               CAST(n_exact_removed + n_fuzzy_removed - n_both AS BIGINT)
+                 AS n_either
+        FROM tr, ne, nf, nb
+    """,
     "q_stratified_sample": _STRATIFIED_SAMPLE_SQL,
     "q_domain_mix": _DOMAIN_MIX_SQL,
     "q_seq_packing": _SEQ_PACKING_SQL,
