@@ -447,6 +447,209 @@ def _decode_png_pixels(blob: bytes) -> tuple[int, int, list[bytes]]:
     return width, height, rows
 
 
+def _gif_lzw_compress(indices: bytes, min_code_size: int = 8) -> bytes:
+    """REAL GIF LZW: variable code width (min+1 … 12 bits), dictionary
+    growth, CLEAR emitted on dictionary overflow, EOI terminator, codes
+    packed LSB-first. A real compressor (not the uncompressed-GIF
+    clear-every-code trick) so the decoder's dictionary-growth and
+    width-bump paths are genuinely exercised by every fixture."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    out_bits: list[tuple[int, int]] = []  # (code, width at emit time)
+
+    def fresh() -> tuple[dict[bytes, int], int, int]:
+        return (
+            {bytes([i]): i for i in range(clear)},
+            eoi + 1,
+            min_code_size + 1,
+        )
+
+    table, next_code, width = fresh()
+    out_bits.append((clear, width))
+    prefix = b""
+    for byte in indices:
+        cand = prefix + bytes([byte])
+        if cand in table:
+            prefix = cand
+            continue
+        out_bits.append((table[prefix], width))
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        else:
+            out_bits.append((clear, width))
+            table, next_code, width = fresh()
+        prefix = bytes([byte])
+    if prefix:
+        out_bits.append((table[prefix], width))
+    out_bits.append((eoi, width))
+
+    acc = n_acc = 0
+    packed = bytearray()
+    for code, w in out_bits:
+        acc |= code << n_acc
+        n_acc += w
+        while n_acc >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            n_acc -= 8
+    if n_acc:
+        packed.append(acc & 0xFF)
+    # sub-blocks of <= 255 bytes, then the 0-length terminator
+    blocks = bytearray([min_code_size])
+    for i in range(0, len(packed), 255):
+        chunk = packed[i: i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return bytes(blocks)
+
+
+def encode_gif(width: int, height: int, base: int) -> bytes:
+    """Write a valid GIF89a: logical screen descriptor, 256-entry global
+    color table, a Graphic Control Extension (so decoders must walk
+    extension sub-blocks), one non-interlaced image, real LZW data.
+
+    Pixel (x, y) has palette index ``base + x*y`` (< 256 for the
+    fixture geometry: base < 100, dims <= 9x6), and palette entry i is
+    (r, g, b) = (i, i + 17, 255 - i) — wrap-free, so the oracle's
+    channel sums stay closed-form: sum_r = N*base + Sx*Sy,
+    sum_g = sum_r + 17N, sum_b = 255N - sum_r."""
+    hdr = b"GIF89a" + struct.pack(
+        "<HHBBB", width, height, 0xF7, 0, 0
+    )  # 0xF7: global table, 8-bit color resolution, 256 entries
+    palette = bytes(
+        v for i in range(256) for v in (i, (i + 17) & 0xFF, 255 - i)
+    )
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # ext + label + 4-byte block
+    imgdesc = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    indices = bytes(
+        (base + x * y) & 0xFF for y in range(height) for x in range(width)
+    )
+    return (
+        hdr + palette + gce + imgdesc
+        + _gif_lzw_compress(indices) + b"\x3b"
+    )
+
+
+def _gif_lzw_decompress(
+    data: bytes, min_code_size: int, n_pixels: int
+) -> bytes:
+    """GIF LZW decoder: LSB-first variable-width codes, CLEAR resets,
+    the cScSc case (code == next_code), EOI stop. Raises ValueError on
+    protocol violations."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    acc = n_acc = pos = 0
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    out = bytearray()
+    while True:
+        while n_acc < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream ended before EOI")
+            acc |= data[pos] << n_acc
+            pos += 1
+            n_acc += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_acc -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"first code {code} not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # cScSc
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"LZW code {code} beyond table")
+        if prev is not None and len(table) == (1 << width) and width < 12:
+            width += 1
+        out += entry
+        prev = entry
+        if len(out) > n_pixels:
+            raise ValueError("LZW produced more pixels than the image")
+    if len(out) != n_pixels:
+        raise ValueError(
+            f"LZW produced {len(out)} pixels, expected {n_pixels}"
+        )
+    return bytes(out)
+
+
+def decode_gif_stats(blob: bytes) -> tuple[int, int, int, int, int]:
+    """Parse a GIF87a/89a (global color table, non-interlaced, first
+    image) and return (width, height, sum_b, sum_g, sum_r) via palette
+    lookup — same stat slots as the BMP/PNG decoders. Walks and skips
+    extension blocks; raises ValueError on bad magic, interlaced
+    images, or local color tables (not emitted by the fixture)."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF: bad signature")
+    _sw, _sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
+    off = 13
+    palette = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        palette = blob[off: off + 3 * n]
+        off += 3 * n
+    def _guard(i: int) -> int:
+        if i >= len(blob):
+            raise ValueError("truncated GIF")
+        return i
+
+    while off < len(blob):
+        b0 = blob[off]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            off += 2
+            while blob[_guard(off)] != 0:
+                off += 1 + blob[off]
+            off += 1
+        elif b0 == 0x2C:  # image descriptor
+            _lx, _ly, w, h, iflags = struct.unpack_from("<HHHHB", blob, off + 1)
+            off += 10
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            if iflags & 0x80:
+                raise ValueError("local color table not supported")
+            if palette is None:
+                raise ValueError("GIF missing global color table")
+            min_code = blob[_guard(off)]
+            off += 1
+            data = bytearray()
+            while blob[_guard(off)] != 0:
+                ln = blob[off]
+                if off + 1 + ln > len(blob):
+                    raise ValueError("truncated GIF sub-block")
+                data += blob[off + 1: off + 1 + ln]
+                off += 1 + ln
+            off += 1
+            idx = _gif_lzw_decompress(bytes(data), min_code, w * h)
+            sb = sg = sr = 0
+            for i in idx:
+                sr += palette[3 * i]
+                sg += palette[3 * i + 1]
+                sb += palette[3 * i + 2]
+            return w, h, sb, sg, sr
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    raise ValueError("GIF has no image data")
+
+
 def encode_wav(n_samples: int, base: int, rate: int = 8000) -> bytes:
     """Write a valid 16-bit PCM mono WAV via the stdlib wave module.
 
@@ -514,6 +717,10 @@ def _synth_params(doc_id: int, fmt: str) -> tuple[int, ...]:
         # h in 2..6 → rows with filter types y%5 cover all five PNG
         # filters once h ≥ 5; w varies so Sub/Paeth see ≥ 2 strides
         return 3 + doc_id % 7, 2 + doc_id % 5, doc_id % 100
+    if fmt == "gif":
+        # same geometry family as PNG; palette index base + x*y stays
+        # < 256 (base < 100, dims <= 9x6) so channel sums stay wrap-free
+        return 3 + doc_id % 7, 2 + doc_id % 5, doc_id % 100
     if fmt == "wav":
         return 16 + doc_id % 17, doc_id % 1000
     raise NotImplementedError(
@@ -534,7 +741,7 @@ def synthesize_media(df: DataFrame, fmt: str,
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
             enc = {"bmp": encode_bmp, "png": encode_png,
-                   "wav": encode_wav}[fmt]
+                   "gif": encode_gif, "wav": encode_wav}[fmt]
             blobs = [enc(*_synth_params(int(i), fmt)) for i in ids]
             yield pd.DataFrame(
                 {"doc_id": ids, "fmt": fmt, "media": blobs}
@@ -562,6 +769,9 @@ def decode_media_stats(df: DataFrame) -> DataFrame:
                     rows.append((doc_id, fmt, len(b), w, h, sb, sg, sr))
                 elif fmt == "png":
                     w, h, sb, sg, sr = decode_png_stats(b)
+                    rows.append((doc_id, fmt, len(b), w, h, sb, sg, sr))
+                elif fmt == "gif":
+                    w, h, sb, sg, sr = decode_gif_stats(b)
                     rows.append((doc_id, fmt, len(b), w, h, sb, sg, sr))
                 elif fmt == "wav":
                     n, rate, s, lo, hi = decode_wav_stats(b)

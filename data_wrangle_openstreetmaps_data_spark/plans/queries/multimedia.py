@@ -83,6 +83,32 @@ def q_media_decode_bmp(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_media_decode_gif(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-M — REAL GIF decode: genuine GIF89a files are built
+    executor-side (256-entry global color table, a Graphic Control
+    Extension so the parser must walk extension sub-blocks, and REAL
+    LZW — variable code width with dictionary growth, not the
+    uncompressed-GIF trick), then parsed back with a from-scratch
+    stdlib LZW decoder (LSB-first codes, CLEAR resets, the cScSc
+    code==next_code case) inside the same Arrow mapInPandas kernel as
+    the BMP/PNG codecs. Pixel (x,y) has palette index base + x*y and
+    palette entry i = (i, i+17, 255-i), all wrap-free on the fixture
+    geometry, so channel sums are closed-form for the oracle; n_bytes
+    is EXCLUDED because LZW length is an implementation detail."""
+    from data_wrangle_openstreetmaps_data_spark.multimodal import media
+
+    docs = table(spark, sf, "documents").select("doc_id")
+    stats = media.decode_media_stats(media.synthesize_media(docs, "gif"))
+    return stats.select(
+        "doc_id",
+        F.col("dim1").alias("width"),
+        F.col("dim2").alias("height"),
+        F.col("stat1").alias("sum_b"),
+        F.col("stat2").alias("sum_g"),
+        F.col("stat3").alias("sum_r"),
+    )
+
+
 def q_media_decode_png(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-M — REAL PNG decode: genuine non-interlaced 8-bit RGB PNGs
     are built executor-side (stdlib zlib deflate, per-row filter type
@@ -649,6 +675,28 @@ ORACLES: dict[str, str | None] = {
     # real PNG codec round trip: same pixel formulas as BMP (r=base+x*y,
     # g=2*base+x, b=base+x+y) over the w×h PNG fixture geometry; deflate
     # length is impl-defined so n_bytes is not in the projection
+    # GIF: sum_r = N*base + Sx*Sy (palette idx), g = idx+17, b = 255-idx
+    "q_media_decode_gif": """
+        WITH p AS (
+          SELECT doc_id,
+                 3 + doc_id % 7 AS w,
+                 2 + doc_id % 5 AS h,
+                 doc_id % 100 AS base
+          FROM documents
+        ), s AS (
+          SELECT doc_id, w, h,
+                 w * h * base
+                   + (w * (w - 1) // 2) * (h * (h - 1) // 2) AS sum_r
+          FROM p
+        )
+        SELECT doc_id,
+               w AS width,
+               h AS height,
+               255 * w * h - sum_r AS sum_b,
+               sum_r + 17 * w * h AS sum_g,
+               sum_r
+        FROM s
+    """,
     "q_media_decode_png": """
         WITH p AS (
           SELECT doc_id,
