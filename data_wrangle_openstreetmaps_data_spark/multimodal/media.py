@@ -650,6 +650,141 @@ def decode_gif_stats(blob: bytes) -> tuple[int, int, int, int, int]:
     raise ValueError("GIF has no image data")
 
 
+def encode_gif_anim(
+    width: int, height: int, base: int, n_frames: int
+) -> bytes:
+    """Write a valid ANIMATED GIF89a — the stdlib-honest stand-in for a
+    video container: one global 256-entry palette, then per frame a
+    Graphic Control Extension (6/100 s delay) + full-size image block
+    with real LZW data. Frame t's pixel (x, y) has palette index
+    ``base + x*y + t`` (wrap-free for the fixture geometry), so every
+    frame's channel sums stay closed-form and frame ORDER is provable:
+    sum_r(t) = sum_r(0) + t*N."""
+    hdr = b"GIF89a" + struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    palette = bytes(
+        v for i in range(256) for v in (i, (i + 17) & 0xFF, 255 - i)
+    )
+    out = bytearray(hdr + palette)
+    # NETSCAPE looping extension: one more application-extension block
+    # the frame walker must skip correctly
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for t in range(n_frames):
+        out += b"\x21\xf9\x04\x00\x06\x00\x00\x00"  # GCE, 6cs delay
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        indices = bytes(
+            (base + x * y + t) & 0xFF
+            for y in range(height)
+            for x in range(width)
+        )
+        out += _gif_lzw_compress(indices)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(
+    blob: bytes,
+) -> list[tuple[int, int, int, int, int, int]]:
+    """Decode EVERY frame of a (possibly animated) GIF → one tuple
+    (frame, width, height, sum_b, sum_g, sum_r) per image block, in
+    stream order. Shares the LZW decoder and block walker with
+    decode_gif_stats; application/graphic-control extensions are
+    skipped via their sub-block framing."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF: bad signature")
+    _sw, _sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
+    off = 13
+    palette = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        palette = blob[off: off + 3 * n]
+        off += 3 * n
+
+    def _guard(i: int) -> int:
+        if i >= len(blob):
+            raise ValueError("truncated GIF")
+        return i
+
+    frames: list[tuple[int, int, int, int, int, int]] = []
+    while off < len(blob):
+        b0 = blob[off]
+        if b0 == 0x21:
+            off += 2
+            while blob[_guard(off)] != 0:
+                off += 1 + blob[off]
+            off += 1
+        elif b0 == 0x2C:
+            _lx, _ly, w, h, iflags = struct.unpack_from(
+                "<HHHHB", blob, off + 1
+            )
+            off += 10
+            if iflags & 0xC0:
+                raise ValueError("interlace/local palette not supported")
+            if palette is None:
+                raise ValueError("GIF missing global color table")
+            min_code = blob[_guard(off)]
+            off += 1
+            data = bytearray()
+            while blob[_guard(off)] != 0:
+                ln = blob[off]
+                if off + 1 + ln > len(blob):
+                    raise ValueError("truncated GIF sub-block")
+                data += blob[off + 1: off + 1 + ln]
+                off += 1 + ln
+            off += 1
+            idx = _gif_lzw_decompress(bytes(data), min_code, w * h)
+            sb = sg = sr = 0
+            for i in idx:
+                sr += palette[3 * i]
+                sg += palette[3 * i + 1]
+                sb += palette[3 * i + 2]
+            frames.append((len(frames), w, h, sb, sg, sr))
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    if not frames:
+        raise ValueError("GIF has no image data")
+    return frames
+
+
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame", T.IntegerType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+    ]
+)
+
+
+def decode_video_frames(df: DataFrame) -> DataFrame:
+    """REAL per-frame decode over an animated-GIF binary column: each
+    blob expands to one row per frame with exact integer channel sums.
+    Same Arrow boundary discipline as decode_media_stats — blobs cross
+    once, the frame table that returns is metadata-sized."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                for fr, w, h, sb, sg, sr in decode_gif_frames(bytes(blob)):
+                    rows.append((doc_id, fr, w, h, sb, sg, sr))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame", "width", "height",
+                    "sum_b", "sum_g", "sum_r",
+                ],
+            )
+
+    return df.select("doc_id", "media").mapInPandas(
+        kernel, VIDEO_FRAMES_SCHEMA
+    )
+
+
 def encode_wav(n_samples: int, base: int, rate: int = 8000) -> bytes:
     """Write a valid 16-bit PCM mono WAV via the stdlib wave module.
 
@@ -721,6 +856,9 @@ def _synth_params(doc_id: int, fmt: str) -> tuple[int, ...]:
         # same geometry family as PNG; palette index base + x*y stays
         # < 256 (base < 100, dims <= 9x6) so channel sums stay wrap-free
         return 3 + doc_id % 7, 2 + doc_id % 5, doc_id % 100
+    if fmt == "gifanim":
+        # (w, h, base, n_frames); idx = base + x*y + t <= 119 wrap-free
+        return 3 + doc_id % 5, 2 + doc_id % 4, doc_id % 90, 2 + doc_id % 5
     if fmt == "wav":
         return 16 + doc_id % 17, doc_id % 1000
     raise NotImplementedError(
@@ -741,7 +879,8 @@ def synthesize_media(df: DataFrame, fmt: str,
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
             enc = {"bmp": encode_bmp, "png": encode_png,
-                   "gif": encode_gif, "wav": encode_wav}[fmt]
+                   "gif": encode_gif, "gifanim": encode_gif_anim,
+                   "wav": encode_wav}[fmt]
             blobs = [enc(*_synth_params(int(i), fmt)) for i in ids]
             yield pd.DataFrame(
                 {"doc_id": ids, "fmt": fmt, "media": blobs}

@@ -109,6 +109,30 @@ def q_media_decode_gif(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_video_gif_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-M — REAL per-frame decode of an ANIMATED container: each doc
+    gets a genuine multi-frame GIF89a (global palette, NETSCAPE looping
+    extension, per-frame GCE + real-LZW image blocks — the stdlib-honest
+    stand-in for video), decoded frame by frame in one Arrow
+    mapInPandas kernel to (doc_id, frame, width, height, channel sums).
+    Frame t's pixel index is base + x*y + t, so the oracle proves both
+    values AND temporal order: sum_r(t) = sum_r(0) + t·N. This replaces
+    the fake-bytes frame_sample story with a real container walk; the
+    sampling query (q_frame_sample) composes on top."""
+    from data_wrangle_openstreetmaps_data_spark.multimodal import media
+
+    docs = table(spark, sf, "documents").select("doc_id").filter(
+        # every 7th doc: 7 is coprime to the nf modulus 5, so the
+        # fixture covers ALL frame counts 2..6 (a %10 filter would pin
+        # nf = 2 + doc%5 to the constant 2)
+        F.col("doc_id") % 7 == 0
+    )
+    frames = media.decode_video_frames(
+        media.synthesize_media(docs, "gifanim")
+    )
+    return frames.orderBy("doc_id", "frame")
+
+
 def q_media_decode_png(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-M — REAL PNG decode: genuine non-interlaced 8-bit RGB PNGs
     are built executor-side (stdlib zlib deflate, per-row filter type
@@ -675,6 +699,30 @@ ORACLES: dict[str, str | None] = {
     # real PNG codec round trip: same pixel formulas as BMP (r=base+x*y,
     # g=2*base+x, b=base+x+y) over the w×h PNG fixture geometry; deflate
     # length is impl-defined so n_bytes is not in the projection
+    # animated GIF frames: idx = base + x*y + t per frame t
+    "q_video_gif_frames": """
+        WITH p AS (
+          SELECT doc_id,
+                 3 + doc_id % 5 AS w,
+                 2 + doc_id % 4 AS h,
+                 doc_id % 90 AS base,
+                 2 + doc_id % 5 AS nf
+          FROM documents WHERE doc_id % 7 = 0
+        ), f AS (
+          SELECT doc_id, w, h, CAST(t AS INTEGER) AS frame,
+                 w * h * (base + t)
+                   + (w * (w - 1) // 2) * (h * (h - 1) // 2) AS sum_r
+          FROM p, unnest(range(0, nf)) AS u(t)
+        )
+        SELECT doc_id, frame,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(255 * w * h - sum_r AS BIGINT) AS sum_b,
+               CAST(sum_r + 17 * w * h AS BIGINT) AS sum_g,
+               CAST(sum_r AS BIGINT) AS sum_r
+        FROM f
+        ORDER BY doc_id, frame
+    """,
     # GIF: sum_r = N*base + Sx*Sy (palette idx), g = idx+17, b = 255-idx
     "q_media_decode_gif": """
         WITH p AS (

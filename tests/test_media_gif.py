@@ -84,6 +84,39 @@ def test_gif_width_growth_and_clear():
     assert media._gif_lzw_decompress(data, mcs, len(idx)) == idx
 
 
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=10),
+    h=st.integers(min_value=1, max_value=8),
+    base=st.integers(min_value=0, max_value=120),
+    nf=st.integers(min_value=1, max_value=8),
+)
+def test_gif_anim_frames_property(w, h, base, nf):
+    """Animated round trip: every frame decodes in stream order with
+    sum_r(t) = sum_r(0) + t·N — both values and temporal order proven.
+    The NETSCAPE application extension must be walked over."""
+    if base + (w - 1) * (h - 1) + nf - 1 > 238:
+        return
+    frames = media.decode_gif_frames(media.encode_gif_anim(w, h, base, nf))
+    assert [f[0] for f in frames] == list(range(nf))
+    n = w * h
+    r0 = sum(base + x * y for x in range(w) for y in range(h))
+    for t, fw, fh, sb, sg, sr in frames:
+        assert (fw, fh) == (w, h)
+        assert sr == r0 + t * n
+        assert sg == sr + 17 * n
+        assert sb == 255 * n - sr
+
+
+def test_gif_single_frame_stats_match_frames_head():
+    """decode_gif_stats on an animated blob returns exactly frame 0 of
+    decode_gif_frames — the two walkers agree."""
+    blob = media.encode_gif_anim(5, 4, 33, 4)
+    w, h, sb, sg, sr = media.decode_gif_stats(blob)
+    f0 = media.decode_gif_frames(blob)[0]
+    assert (f0[1], f0[2], f0[3], f0[4], f0[5]) == (w, h, sb, sg, sr)
+
+
 def test_gif_rejects_bad_magic():
     blob = bytearray(media.encode_gif(5, 4, 10))
     blob[0] = ord("X")
