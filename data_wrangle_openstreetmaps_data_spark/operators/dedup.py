@@ -409,17 +409,27 @@ def containment_pairs(
 
 
 def dup_clusters(pairs: DataFrame, max_iters: int = 20,
-                 strict: bool = True) -> DataFrame:
+                 strict: bool = True, shortcut: bool = True) -> DataFrame:
     """Connected components over near-dup pairs → (id, cluster_id) with
     cluster_id = min doc id in the component. The dedup end-product: keep
     one representative per cluster, drop the rest.
 
     Iterative min-label propagation on DataFrames (no GraphFrames
     dependency): each round every node adopts the smallest label among
-    itself and its neighbours; converges in O(component diameter) rounds —
-    near-dup components are tiny (pairs of rewrites), so a handful of
-    rounds. Each round is one shuffle; lineage is truncated with
-    localCheckpoint so the loop doesn't build an exponential plan."""
+    itself and its neighbours. With ``shortcut=True`` (default) each
+    round ALSO adopts its label's label — pointer jumping / path
+    doubling (cf. the Hash-Greater-to-Min / large-star family of
+    MapReduce CC algorithms) — so convergence is O(log diameter)
+    instead of O(diameter): a 3000-node path converges in ~12 rounds
+    where plain propagation needs 3000 (tests/test_cc_shortcut.py).
+    The converged labels are IDENTICAL either way (the component min);
+    shortcutting only changes round count, never the answer — which is
+    why every oracled consumer is unaffected. Near-dup components are
+    usually tiny, but at 100 TB one chain-shaped component (serial
+    rewrites) would otherwise stall the whole job at max_iters. Each
+    round is one shuffle (+ one label-to-label join when shortcutting);
+    lineage is truncated with localCheckpoint so the loop doesn't build
+    an exponential plan."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -447,6 +457,24 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20,
                 ).alias("label"),
             )
         )
+        if shortcut:
+            # pointer jumping: also adopt label(label) — halves the
+            # remaining path length every round
+            grand = labels.select(
+                F.col("id").alias("_gid"), F.col("label").alias("_glabel")
+            )
+            new_labels = (
+                new_labels.join(
+                    grand, new_labels["label"] == grand["_gid"], "left"
+                )
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("_glabel"), F.col("label")),
+                    ).alias("label"),
+                )
+            )
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
