@@ -464,66 +464,92 @@ def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     cluster keep the argmax-quality member (tie → smaller doc_id), not
     the min-id — what a curation team actually ships (near-dups are
     rewrites of unequal quality; min-id keeps whichever crawled first).
-    Pipeline: recall-1.0 minhash pairs (q_dedup_minhash config) →
-    connected components (dedup.dup_clusters) → per-cluster argmax of
-    text.quality_score via one row_number window. The report compares
-    against the min-id policy: keep_id vs min_id and quality_gain =
-    keep_quality − quality(min_id) ≥ 0 — the measured value of the
-    policy. Scale: the window partitions by cluster_id (components are
-    tiny — rewrite groups), everything else is keyed joins; no
-    all-pairs stage beyond the banded LSH. Oracle: recursive-CTE
-    closure over the exact-Jaccard pair set + the same window."""
-    from pyspark.sql import Window
-
+    Pipeline, CLUSTER-COLLAPSED (the same scale move as
+    q_ngram_jaccard): exact-dup CLASSES (identical normalized text ⇒
+    identical shingles ⇒ identical minhash signature and jaccard — but
+    NOT necessarily identical quality, since quality_score reads raw
+    text) are collapsed first with per-class aggregates
+    (rep = min id, size, argmax-quality member via a struct max,
+    quality at the class min id); the recall-1.0 minhash pairs and the
+    connected components then run over REPRESENTATIVES only, and the
+    member-level answer is recovered exactly: component argmax = max of
+    class argmaxes (tie → min member id, preserved by the (quality,
+    −id) struct order), component min_id = min rep, csize = Σ class
+    sizes. Multi-member classes whose rep has no near-dup neighbor are
+    components all by themselves (their members pair at jaccard 1.0
+    member-level) and are unioned back in. The ORACLE stays at MEMBER
+    level (recursive-CTE closure over the exact-Jaccard pair set + a
+    member row_number window), so the collapse is cross-engine-proven
+    every run. The report compares against the min-id policy:
+    quality_gain = keep_quality − quality(min_id) ≥ 0. Measured: the
+    member-level form ran 7.3× at 10× data on the copy-replicated
+    ladder (pairs are output-driven); this form's pair join grows only
+    with DISTINCT content."""
     docs = table(spark, sf, "documents")
-    pairs = dedup.dedup_minhash_lsh(
-        docs, n_hashes=16, bands=8, shingle_k=3, threshold=0.5
-    )
-    clusters = dedup.dup_clusters(pairs)
-    q = docs.select(
-        F.col("doc_id").alias("id"),
-        text.quality_score(F.col("text")).alias("quality"),
-    )
-    memb = clusters.join(q, "id").localCheckpoint(
-        eager=True
-    )  # 3 consumers: ranked, agg, minq
-    ranked = memb.withColumn(
-        "rk",
-        F.row_number().over(
-            Window.partitionBy("cluster_id").orderBy(
-                F.desc("quality"), F.col("id")
-            )
-        ),
-    )
-    best = ranked.filter(F.col("rk") == 1).select(
-        "cluster_id",
-        F.col("id").alias("keep_id"),
-        F.col("quality").alias("keep_quality"),
-    )
-    agg = memb.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).cast("long").alias("csize"),
-        F.min("id").alias("min_id"),
-    )
-    minq = agg.join(
-        memb.select(F.col("id").alias("min_id"), "cluster_id",
-                    F.col("quality").alias("min_quality")),
-        ["cluster_id", "min_id"],
-    ).select("cluster_id", "min_quality")
-    return (
-        best.join(agg, "cluster_id")
-        .join(minq, "cluster_id")
-        .select(
-            "cluster_id",
-            "csize",
-            "keep_id",
-            "keep_quality",
-            "min_id",
-            text.round4(
-                F.col("keep_quality") - F.col("min_quality")
-            ).alias("quality_gain"),
+    classes = (
+        docs.select(
+            "doc_id",
+            text.normalize_ws("text").alias("norm_text"),
+            text.quality_score(F.col("text")).alias("quality"),
         )
-        .orderBy("cluster_id")
+        .groupBy("norm_text")
+        .agg(
+            F.min("doc_id").alias("rep_id"),
+            F.count(F.lit(1)).cast("long").alias("csize_c"),
+            F.max(
+                F.struct(F.col("quality"), (-F.col("doc_id")).alias("negid"))
+            ).alias("_best"),
+            F.min(
+                F.struct(F.col("doc_id"), F.col("quality"))
+            ).alias("_repq"),
+        )
+        .select(
+            "norm_text",
+            "rep_id",
+            "csize_c",
+            F.col("_best.quality").alias("qmax"),
+            (-F.col("_best.negid")).alias("qmax_id"),
+            F.col("_repq.quality").alias("rep_quality"),
+        )
+        .localCheckpoint(eager=True)  # consumers: reps, attach, singletons
     )
+    reps = classes.select(
+        F.col("rep_id").alias("doc_id"), F.col("norm_text").alias("text")
+    )
+    pairs = dedup.dedup_minhash_lsh(
+        reps, n_hashes=16, bands=8, shingle_k=3, threshold=0.5
+    )
+    comp = dedup.dup_clusters(pairs)  # (id=rep_id, cluster_id) — paired reps
+    memb = classes.join(
+        comp.select(F.col("id").alias("rep_id"), "cluster_id"),
+        "rep_id",
+        "left",
+    ).select(
+        # unpaired classes are their own component iff csize_c >= 2
+        F.coalesce(F.col("cluster_id"), F.col("rep_id")).alias("cid"),
+        F.col("cluster_id").isNotNull().alias("paired"),
+        "rep_id", "csize_c", "qmax", "qmax_id", "rep_quality",
+    ).filter(F.col("paired") | (F.col("csize_c") >= 2))
+    agg = memb.groupBy("cid").agg(
+        F.sum("csize_c").cast("long").alias("csize"),
+        F.min("rep_id").alias("min_id"),
+        F.max(
+            F.struct(F.col("qmax"), (-F.col("qmax_id")).alias("negid"))
+        ).alias("_keep"),
+        F.min(
+            F.struct(F.col("rep_id"), F.col("rep_quality"))
+        ).alias("_minq"),
+    )
+    return agg.select(
+        F.col("cid").alias("cluster_id"),
+        "csize",
+        (-F.col("_keep.negid")).alias("keep_id"),
+        F.col("_keep.qmax").alias("keep_quality"),
+        "min_id",
+        text.round4(
+            F.col("_keep.qmax") - F.col("_minq.rep_quality")
+        ).alias("quality_gain"),
+    ).orderBy("cluster_id")
 
 
 def q_dedup_minhash_recall(spark: SparkSession, sf: str) -> DataFrame:
