@@ -518,6 +518,16 @@ def encode_gif(width: int, height: int, base: int) -> bytes:
     (r, g, b) = (i, i + 17, 255 - i) — wrap-free, so the oracle's
     channel sums stay closed-form: sum_r = N*base + Sx*Sy,
     sum_g = sum_r + 17N, sum_b = 255N - sum_r."""
+    indices = bytes(
+        (base + x * y) & 0xFF for y in range(height) for x in range(width)
+    )
+    return _encode_gif_indices(width, height, indices)
+
+
+def _encode_gif_indices(width: int, height: int, indices: bytes) -> bytes:
+    """Assemble a single-frame GIF89a around a raw index stream with the
+    canonical fixture palette (i, i+17, 255-i) — shared by the encoder
+    and the resize path so a resized image re-encodes bit-compatibly."""
     hdr = b"GIF89a" + struct.pack(
         "<HHBBB", width, height, 0xF7, 0, 0
     )  # 0xF7: global table, 8-bit color resolution, 256 entries
@@ -526,9 +536,6 @@ def encode_gif(width: int, height: int, base: int) -> bytes:
     )
     gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # ext + label + 4-byte block
     imgdesc = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
-    indices = bytes(
-        (base + x * y) & 0xFF for y in range(height) for x in range(width)
-    )
     return (
         hdr + palette + gce + imgdesc
         + _gif_lzw_compress(indices) + b"\x3b"
@@ -596,6 +603,18 @@ def decode_gif_stats(blob: bytes) -> tuple[int, int, int, int, int]:
     lookup — same stat slots as the BMP/PNG decoders. Walks and skips
     extension blocks; raises ValueError on bad magic, interlaced
     images, or local color tables (not emitted by the fixture)."""
+    w, h, palette, idx = _decode_gif_first(blob)
+    sb = sg = sr = 0
+    for i in idx:
+        sr += palette[3 * i]
+        sg += palette[3 * i + 1]
+        sb += palette[3 * i + 2]
+    return w, h, sb, sg, sr
+
+
+def _decode_gif_first(blob: bytes) -> tuple[int, int, bytes, bytes]:
+    """First image block of a GIF → (width, height, palette, indices);
+    the shared parser under decode_gif_stats and resize_gif."""
     if blob[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF: bad signature")
     _sw, _sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
@@ -637,17 +656,26 @@ def decode_gif_stats(blob: bytes) -> tuple[int, int, int, int, int]:
                 off += 1 + ln
             off += 1
             idx = _gif_lzw_decompress(bytes(data), min_code, w * h)
-            sb = sg = sr = 0
-            for i in idx:
-                sr += palette[3 * i]
-                sg += palette[3 * i + 1]
-                sb += palette[3 * i + 2]
-            return w, h, sb, sg, sr
+            return w, h, palette, idx
         elif b0 == 0x3B:
             break
         else:
             raise ValueError(f"unknown GIF block 0x{b0:02x}")
     raise ValueError("GIF has no image data")
+
+
+def resize_gif(blob: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL GIF resize: LZW-decode the index stream, nearest-neighbor
+    resample with the same NN mapping as resize_bmp/resize_png, and
+    re-encode (re-LZW) with the canonical palette — blob in, smaller
+    valid GIF out."""
+    width, height, _palette, idx = _decode_gif_first(blob)
+    out = bytearray()
+    for y in range(out_h):
+        sy = y * height // out_h
+        for x in range(out_w):
+            out.append(idx[sy * width + x * width // out_w])
+    return _encode_gif_indices(out_w, out_h, bytes(out))
 
 
 def encode_gif_anim(
@@ -1100,9 +1128,11 @@ def resize_media(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
                     small = resize_bmp(bytes(blob), out_w, out_h)
                 elif fmt == "png":
                     small = resize_png(bytes(blob), out_w, out_h)
+                elif fmt == "gif":
+                    small = resize_gif(bytes(blob), out_w, out_h)
                 else:
                     raise NotImplementedError(
-                        f"resize_media supports bmp|png, got {fmt!r}"
+                        f"resize_media supports bmp|png|gif, got {fmt!r}"
                     )
                 out.append((doc_id, fmt, small))
             yield pd.DataFrame(out, columns=["doc_id", "fmt", "media"])

@@ -157,6 +157,29 @@ def q_media_decode_png(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_media_resize_gif(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-M — REAL GIF resize pipeline: per-doc-geometry GIFs are
+    LZW-decoded, nearest-neighbor resampled to 4×3, re-LZW-encoded as
+    valid GIFs, and decoded AGAIN for the output stats — two full
+    compressed-codec round trips in composed Arrow kernels, the same
+    contract as q_media_resize_png. Oracle computes the resampled
+    palette-index sums in closed form (idx = base + sx·sy at the NN
+    sample points)."""
+    from data_wrangle_openstreetmaps_data_spark.multimodal import media
+
+    docs = table(spark, sf, "documents").select("doc_id")
+    blobs = media.synthesize_media(docs, "gif")
+    small = media.resize_media(blobs, 4, 3)
+    return media.decode_media_stats(small).select(
+        "doc_id",
+        F.col("dim1").alias("width"),
+        F.col("dim2").alias("height"),
+        F.col("stat1").alias("sum_b"),
+        F.col("stat2").alias("sum_g"),
+        F.col("stat3").alias("sum_r"),
+    )
+
+
 def q_media_resize_png(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-M — REAL PNG resize pipeline: per-doc-geometry PNGs decoded
     (inflate + unfilter), nearest-neighbor resampled to 4×3, re-encoded
@@ -699,6 +722,28 @@ ORACLES: dict[str, str | None] = {
     # real PNG codec round trip: same pixel formulas as BMP (r=base+x*y,
     # g=2*base+x, b=base+x+y) over the w×h PNG fixture geometry; deflate
     # length is impl-defined so n_bytes is not in the projection
+    # GIF NN-resize to 4×3: sampled idx = base + sx·sy, palette sums
+    "q_media_resize_gif": """
+        WITH p AS (
+          SELECT doc_id,
+                 3 + doc_id % 7 AS w,
+                 2 + doc_id % 5 AS h,
+                 doc_id % 100 AS base
+          FROM documents
+        ), s AS (
+          SELECT doc_id, base,
+                 (w // 4) + (2 * w // 4) + (3 * w // 4) AS sx,
+                 (h // 3) + (2 * h // 3) AS sy
+          FROM p
+        )
+        SELECT doc_id,
+               CAST(4 AS BIGINT) AS width,
+               CAST(3 AS BIGINT) AS height,
+               CAST(255 * 12 - (12 * base + sx * sy) AS BIGINT) AS sum_b,
+               CAST(12 * base + sx * sy + 17 * 12 AS BIGINT) AS sum_g,
+               CAST(12 * base + sx * sy AS BIGINT) AS sum_r
+        FROM s
+    """,
     # animated GIF frames: idx = base + x*y + t per frame t
     "q_video_gif_frames": """
         WITH p AS (
