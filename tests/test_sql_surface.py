@@ -471,3 +471,79 @@ def test_weighted_median_in_pure_sql(spark):
         SELECT brand, wtot, cents AS wmedian_cents
         FROM hit WHERE rn = 1 ORDER BY brand
     """)
+
+
+def test_repeated_spans_in_pure_sql(spark):
+    """Span-level substring dedup as one literal SQL statement — proves
+    the interval-union ISLAND MERGE shape (running-max window gap flags
+    + running-sum island ids + per-island extent agg) plus windowed
+    span fingerprinting (LATERAL VIEW explode + slice) are reachable
+    through spark.sql, matching q_repeated_spans exactly."""
+    register_views(spark, SF_SMALL)
+    _assert_sql_matches(spark, "q_repeated_spans", r"""
+        WITH toked AS (
+          SELECT doc_id,
+                 filter(split(lower(text), '\\s+'), t -> t != '') AS toks
+          FROM documents
+        ),
+        sized AS (
+          SELECT doc_id, toks, size(toks) AS n_tokens
+          FROM toked WHERE size(toks) >= 8
+        ),
+        wins AS (
+          SELECT doc_id, n_tokens, start,
+                 md5(array_join(slice(toks, start, 8), ' ')) AS h
+          FROM sized LATERAL VIEW explode(sequence(1, n_tokens - 7)) AS start
+        ),
+        dup AS (
+          SELECT h, count(*) AS occ FROM wins GROUP BY h
+          HAVING count(*) >= 2
+        ),
+        dw AS (
+          SELECT w.doc_id, w.n_tokens, w.start, w.start + 7 AS e, w.h
+          FROM wins w JOIN dup USING (h)
+        ),
+        isl AS (
+          SELECT doc_id, start, e,
+                 CASE WHEN start > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY start
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      ), -1) THEN 1 ELSE 0 END AS ni
+          FROM dw
+        ),
+        isl2 AS (
+          SELECT doc_id, start, e,
+                 sum(ni) OVER (
+                   PARTITION BY doc_id ORDER BY start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS island
+          FROM isl
+        ),
+        cov AS (
+          SELECT doc_id, CAST(sum(mx - mn + 1) AS BIGINT) AS covered_tokens
+          FROM (
+            SELECT doc_id, island, max(e) AS mx, min(start) AS mn
+            FROM isl2 GROUP BY doc_id, island
+          ) GROUP BY doc_id
+        ),
+        perdoc AS (
+          SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS dup_windows,
+                 CAST(count(DISTINCT h) AS BIGINT) AS dup_spans
+          FROM dw GROUP BY doc_id, n_tokens
+        ),
+        scal AS (
+          SELECT CAST(count(*) AS BIGINT) AS corpus_dup_spans,
+                 CAST(coalesce(sum(occ), 0) AS BIGINT) AS corpus_dup_windows
+          FROM dup
+        ),
+        top AS (
+          SELECT p.doc_id, n_tokens, dup_windows, dup_spans, covered_tokens,
+                 floor(covered_tokens / n_tokens * 10000 + 0.5) / 10000
+                   AS coverage
+          FROM perdoc p JOIN cov USING (doc_id)
+          ORDER BY coverage DESC, covered_tokens DESC, doc_id
+          LIMIT 50
+        )
+        SELECT top.*, corpus_dup_spans, corpus_dup_windows FROM top, scal
+    """)
