@@ -110,6 +110,101 @@ def q_hilbert_layout(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_layout_pruning(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — the layout decision AS A NUMBER: simulate writing the same
+    rows under four layouts (natural event_id order, 1-D sort on gx,
+    Z-order, Hilbert — the latter two over the exact q_zorder_layout /
+    q_hilbert_layout grid arithmetic), split each ordering into 64
+    equal files, compute per-file min-max on BOTH grid axes, and count
+    how many files a 2-D range predicate (gx∈[4,7] ∧ gy∈[20,35]) must
+    read under standard min-max pruning. One row per layout:
+    (n_files, files_read, rows_matched, read_ratio) — the report a
+    table-layout decision actually needs, showing 1-D sort prunes one
+    axis only while the space-filling curves bound both.
+
+    Scale note: the file assignment needs a TOTAL order, so each layout
+    runs one global row_number over a 4-column frame (two ints + two
+    curve keys per row) — this query is a pre-write layout AUDIT on a
+    sample or a partition; the production path computes the same report
+    from the real file manifest (per-file min-max stats) with no window
+    at all."""
+    ev = table(spark, sf, "events").select(
+        "event_id",
+        F.floor(F.col("value") / 5).cast("int").alias("gx"),
+        (F.col("user_id") % 100).cast("int").alias("gy"),
+    )
+    cur = ev.select(
+        "event_id", "gx", "gy",
+        F.col("gx").alias("x"), F.col("gy").alias("y"),
+        F.lit(0).alias("d"),
+    )
+    for i in range(7):
+        s = 1 << (7 - 1 - i)
+        e = _hilbert_stage_sql(s, "x", "y", "d")
+        cur = cur.select(
+            "event_id", "gx", "gy",
+            F.expr(e["x"]).alias("x"),
+            F.expr(e["y"]).alias("y"),
+            F.expr(e["d"]).alias("d"),
+        )
+    keyed = cur.select(
+        "event_id", "gx", "gy",
+        F.expr(_z_interleave("gx", "gy", 7, "div")).alias("z"),
+        F.col("d").alias("hd"),
+    ).localCheckpoint(eager=True)  # 4 ordering consumers
+    ncnt = keyed.agg(F.count(F.lit(1)).alias("n"))
+    matched = keyed.filter(
+        F.col("gx").between(4, 7) & F.col("gy").between(20, 35)
+    ).agg(F.count(F.lit(1)).cast("long").alias("rows_matched"))
+
+    from pyspark.sql import Window
+
+    def layout(name: str, order_cols: list) -> DataFrame:
+        w = Window.orderBy(*order_cols)
+        files = (
+            keyed.withColumn("rn", F.row_number().over(w))
+            .crossJoin(F.broadcast(ncnt))
+            .select(
+                ((F.col("rn") - 1) * 64).cast("long").alias("p"),
+                "n", "gx", "gy",
+            )
+            .select(F.expr("p div n").alias("fid"), "gx", "gy")
+            .groupBy("fid")
+            .agg(
+                F.min("gx").alias("mn_gx"), F.max("gx").alias("mx_gx"),
+                F.min("gy").alias("mn_gy"), F.max("gy").alias("mx_gy"),
+            )
+        )
+        return files.agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.count(
+                F.when(
+                    (F.col("mx_gx") >= 4) & (F.col("mn_gx") <= 7)
+                    & (F.col("mx_gy") >= 20) & (F.col("mn_gy") <= 35),
+                    1,
+                )
+            ).cast("long").alias("files_read"),
+        ).select(F.lit(name).alias("layout"), "n_files", "files_read")
+
+    out = (
+        layout("1_natural", [F.col("event_id")])
+        .unionByName(layout("2_sort_gx", [F.col("gx"), F.col("gy"),
+                                          F.col("event_id")]))
+        .unionByName(layout("3_zorder", [F.col("z"), F.col("event_id")]))
+        .unionByName(layout("4_hilbert", [F.col("hd"), F.col("event_id")]))
+    )
+    return (
+        out.crossJoin(F.broadcast(matched))  # 1-row scalar
+        .select(
+            "layout", "n_files", "files_read", "rows_matched",
+            text.round4(
+                F.col("files_read") / F.col("n_files")
+            ).alias("read_ratio"),
+        )
+        .orderBy("layout")
+    )
+
+
 def q_cdc_merge(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — MERGE INTO / CDC-apply: upsert a deterministic change batch
     (status+price update for keys ≡0 mod 7, key-shifted inserts for keys
@@ -1058,6 +1153,78 @@ def _dict_audit_sql(col: str) -> str:
     """
 
 
+def _layout_pruning_sql() -> str:
+    """Oracle for q_layout_pruning: same grid, same per-stage Hilbert
+    text, same z-interleave, same 64-file split and min-max overlap
+    test, per layout."""
+    stages = [
+        "k0 AS (SELECT event_id, gx, gy, gx AS x, gy AS y, 0 AS d"
+        " FROM grid)"
+    ]
+    for i in range(7):
+        s = 1 << (7 - 1 - i)
+        e = _hilbert_stage_sql(s, "x", "y", "d")
+        stages.append(
+            f"k{i + 1} AS (SELECT event_id, gx, gy, {e['x']} AS x, "
+            f"{e['y']} AS y, {e['d']} AS d FROM k{i})"
+        )
+    hil = ",\n".join(stages)
+
+    def block(name: str, order: str) -> str:
+        return f"""
+        f_{name} AS (
+          SELECT ((rn - 1) * 64) // n AS fid, gx, gy FROM (
+            SELECT gx, gy,
+                   row_number() OVER (ORDER BY {order}) AS rn,
+                   (SELECT count(*) FROM keyed) AS n
+            FROM keyed)
+        ),
+        s_{name} AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_files,
+                 CAST(count(*) FILTER (mx_gx >= 4 AND mn_gx <= 7
+                      AND mx_gy >= 20 AND mn_gy <= 35) AS BIGINT)
+                   AS files_read
+          FROM (SELECT fid, min(gx) AS mn_gx, max(gx) AS mx_gx,
+                       min(gy) AS mn_gy, max(gy) AS mx_gy
+                FROM f_{name} GROUP BY fid)
+        )"""
+
+    return f"""
+        WITH grid AS (
+          SELECT event_id,
+                 CAST(floor(value / 5) AS INT) AS gx,
+                 CAST(user_id % 100 AS INT) AS gy
+          FROM events
+        ),
+        {hil},
+        keyed AS (
+          SELECT event_id, gx, gy,
+                 {_z_interleave('gx', 'gy', 7, '//')} AS z,
+                 d AS hd
+          FROM k7
+        ),
+        matched AS (
+          SELECT CAST(count(*) AS BIGINT) AS rows_matched FROM keyed
+          WHERE gx BETWEEN 4 AND 7 AND gy BETWEEN 20 AND 35
+        ),
+        {block('natural', 'event_id')},
+        {block('sortgx', 'gx, gy, event_id')},
+        {block('zorder', 'z, event_id')},
+        {block('hilbert', 'hd, event_id')},
+        lay AS (
+          SELECT '1_natural' AS layout, * FROM s_natural
+          UNION ALL SELECT '2_sort_gx', * FROM s_sortgx
+          UNION ALL SELECT '3_zorder', * FROM s_zorder
+          UNION ALL SELECT '4_hilbert', * FROM s_hilbert
+        )
+        SELECT layout, n_files, files_read, rows_matched,
+               floor(files_read / n_files * 10000 + 0.5) / 10000
+                 AS read_ratio
+        FROM lay, matched
+        ORDER BY layout
+    """
+
+
 ORACLES: dict[str, str | None] = {
     "q_rle_encoding": f"""
         WITH u AS (
@@ -1377,6 +1544,7 @@ ORACLES: dict[str, str | None] = {
         )
         SELECT user_id, tsn, event_id, event_type FROM r WHERE rn = 1
     """,
+    "q_layout_pruning": _layout_pruning_sql(),
     "q_zorder_layout": f"""
         WITH g AS (
           SELECT CAST(floor(value / 5) AS BIGINT) AS gx,
