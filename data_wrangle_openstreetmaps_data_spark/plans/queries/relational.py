@@ -245,6 +245,99 @@ def q_asof_join_forward(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_point_in_time_features(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — feature-store POINT-IN-TIME join: attach training features
+    to a label spine (purchase events) with leakage-strict semantics —
+    every feature uses only data STRICTLY BEFORE the label instant
+    (same-microsecond events excluded: in the union sort the spine row
+    takes side 0 < feature side 1, so the backward fill cannot see a
+    same-t feature), plus a freshness SLA (last-click feature counts as
+    fresh only within 72 h). Two features in ONE keyed union sort — the
+    100 TB PIT plan, no range join:
+
+    - ``last_click_v`` / ``click_age_us``: latest click value before t
+      (clicks pre-aggregated per (user, µs) so the argmax is unique),
+      via last_value(ignorenulls) over (t, side) ROWS;
+    - ``clicks_24h``: count of clicks in [t−24h, t), via a RANGE window
+      (−24h, −1 µs) summing the pre-aggregated per-instant counts.
+
+    Oracle: correlated scalar subqueries per spine row — the obviously-
+    correct form, cross-checking the single-pass window plan."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    ev = ev.withColumn("tsn", catalog.event_ts_us(ev))
+    spine = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.col("tsn").alias("t"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("double").alias("cv"),
+        F.lit(None).cast("long").alias("c_cnt"),
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "tsn")
+        .agg(
+            F.max("value").alias("cv"),
+            F.count(F.lit(1)).alias("c_cnt"),
+        )
+        .select(
+            "user_id",
+            F.lit(None).cast(dict(ev.dtypes)["event_id"]).alias("event_id"),
+            F.col("tsn").alias("t"),
+            F.lit(1).alias("side"),
+            "cv",
+            "c_cnt",
+        )
+    )
+    u = spine.unionByName(clicks)
+    w_last = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_rng = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rangeBetween(-86_400_000_000, -1)
+    )
+    u = (
+        u.withColumn("last_cv", F.last("cv", ignorenulls=True).over(w_last))
+        .withColumn(
+            "last_ct",
+            F.last(
+                F.when(F.col("side") == 1, F.col("t")), ignorenulls=True
+            ).over(w_last),
+        )
+        .withColumn(
+            "clicks_24h",
+            F.coalesce(
+                F.sum(F.when(F.col("side") == 1, F.col("c_cnt"))).over(
+                    w_rng
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+    )
+    age = F.col("t") - F.col("last_ct")
+    return (
+        u.filter(F.col("side") == 0)
+        .select(
+            "user_id",
+            "event_id",
+            "clicks_24h",
+            text.round4(F.col("last_cv")).alias("last_click_v"),
+            age.cast("long").alias("click_age_us"),
+            F.when(F.col("last_ct").isNotNull() & (age <= 259_200_000_000), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("fresh"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
 def q_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — NEAREST as-of join, completing the direction family
     (backward q_asof_join, forward q_asof_join_forward): each click
@@ -1445,6 +1538,37 @@ ORACLES: dict[str, str | None] = {
         FROM orders
         ORDER BY cents DESC, o_orderkey
         LIMIT 20 OFFSET 40
+    """,
+    "q_point_in_time_features": """
+        WITH ev AS (SELECT *, epoch_us(ts) AS tsn FROM events),
+        spine AS (
+          SELECT user_id, event_id, tsn FROM ev
+          WHERE event_type = 'purchase'
+        ),
+        cl AS (
+          SELECT user_id, tsn, max(value) AS cv, count(*) AS cnt
+          FROM ev WHERE event_type = 'click' GROUP BY 1, 2
+        ),
+        f AS (
+          SELECT s.user_id, s.event_id, s.tsn,
+                 CAST(coalesce((SELECT sum(c.cnt) FROM cl c
+                       WHERE c.user_id = s.user_id
+                         AND c.tsn >= s.tsn - 86400000000
+                         AND c.tsn < s.tsn), 0) AS BIGINT) AS clicks_24h,
+                 (SELECT max(c.tsn) FROM cl c
+                   WHERE c.user_id = s.user_id AND c.tsn < s.tsn) AS lt
+          FROM spine s
+        )
+        SELECT f.user_id, f.event_id, clicks_24h,
+               floor((SELECT cv FROM cl
+                      WHERE cl.user_id = f.user_id AND cl.tsn = f.lt)
+                     * 10000 + 0.5) / 10000 AS last_click_v,
+               CAST(f.tsn - lt AS BIGINT) AS click_age_us,
+               CAST(CASE WHEN lt IS NOT NULL
+                          AND f.tsn - lt <= 259200000000
+                    THEN 1 ELSE 0 END AS INTEGER) AS fresh
+        FROM f
+        ORDER BY user_id, event_id
     """,
     "q_asof_nearest": """
         WITH ev AS (SELECT *, epoch_us(ts) AS tsn FROM events),
