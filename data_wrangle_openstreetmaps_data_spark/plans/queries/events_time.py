@@ -21,6 +21,54 @@ from data_wrangle_openstreetmaps_data_spark.plans.queries._shared import *  # no
 
 
 
+def q_churn_labels(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — CENSORING-AWARE churn-label generation, the label-side
+    companion of q_point_in_time_features: per (user, active epoch-week)
+    emit the weekly activity count plus churned_14d = 1 iff the user has
+    NO event in the two following weeks — computed from lead(week) over
+    the user's active weeks, so it needs no self-join and no horizon
+    scan. The real ML-dataset detail is RIGHT-CENSORING: a label whose
+    two-week horizon extends past the corpus' last timestamp is UNKNOWN,
+    not 0 — those rows carry churned_14d = NULL (observable iff
+    horizon_end = (week+3)·7d ≤ max_tsn + 1 µs, exact integer test).
+    Shape: one keyed aggregate, one lag-family window, one broadcast
+    scalar. Oracle: identical lead + scalar max in SQL."""
+    from pyspark.sql import Window
+
+    week_us = 7 * 86_400_000_000
+    ev = table(spark, sf, "events")
+    ev = ev.withColumn("tsn", catalog.event_ts_us(ev))
+    weekly = ev.groupBy(
+        "user_id", F.expr(f"tsn div {week_us}").alias("week")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    mx = ev.agg(F.max("tsn").alias("max_tsn"))
+    nxt = F.lead("week").over(
+        Window.partitionBy("user_id").orderBy("week")
+    )
+    return (
+        weekly.withColumn("next_week", nxt)
+        .crossJoin(F.broadcast(mx))  # 1-row scalar
+        .select(
+            "user_id",
+            "week",
+            "n_events",
+            F.when(
+                (F.col("week") + 3) * week_us > F.col("max_tsn") + 1,
+                F.lit(None).cast("int"),
+            )
+            .when(
+                F.col("next_week").isNull()
+                | (F.col("next_week") > F.col("week") + 2),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("churned_14d"),
+        )
+        .orderBy("user_id", "week")
+    )
+
+
 def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — next-event transition matrix (the Markov/path-mining shape):
     per user, each event paired with its successor by a lead() over
@@ -2110,6 +2158,29 @@ def q_peak_concurrency(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLES: dict[str, str | None] = {
+    "q_churn_labels": """
+        WITH ev AS (SELECT user_id, epoch_us(ts) AS tsn FROM events),
+        weekly AS (
+          SELECT user_id, tsn // 604800000000 AS week,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM ev GROUP BY 1, 2
+        ),
+        mx AS (SELECT max(tsn) AS max_tsn FROM ev),
+        lab AS (
+          SELECT user_id, week, n_events,
+                 lead(week) OVER (
+                   PARTITION BY user_id ORDER BY week
+                 ) AS next_week
+          FROM weekly
+        )
+        SELECT user_id, week, n_events,
+               CAST(CASE
+                 WHEN (week + 3) * 604800000000 > max_tsn + 1 THEN NULL
+                 WHEN next_week IS NULL OR next_week > week + 2 THEN 1
+                 ELSE 0 END AS INTEGER) AS churned_14d
+        FROM lab, mx
+        ORDER BY user_id, week
+    """,
     "q_peak_concurrency": """
         WITH iv AS (
           SELECT epoch_us(ts) // 86400000000 AS day, user_id,
