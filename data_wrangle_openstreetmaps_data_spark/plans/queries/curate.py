@@ -301,6 +301,76 @@ def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     return docs.filter(bucket < thr).select("doc_id", "lang", q.alias("quality"))
 
 
+def q_split_leakage_safe(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — LEAKAGE-SAFE train/val/test split: hashing each DOCUMENT
+    into a split (q_dataset_split's rule) lets exact/near duplicates
+    straddle train and test — silent eval contamination. The fix is
+    GROUP-consistent assignment: hash the dup-cluster representative
+    (min doc id per normalized text; swap in the near-dup component id
+    for fuzzy leakage) so every member of a cluster lands in the same
+    split. Output: per split, member counts under both policies, plus
+    the proof columns — clusters whose members span ≥2 splits under the
+    naive doc-hash (> 0 on this corpus) and under the cluster hash
+    (0 by construction, COMPUTED not assumed). The cluster map is the
+    NEAR-dup component id (recall-1.0 minhash pairs → connected
+    components — this corpus has zero EXACT duplicates, so an
+    exact-text grouping would be vacuous); docs in no pair are their
+    own singleton cluster. Oracle: recursive-CTE closure over the
+    exact-Jaccard pair set + the identical md5 split rule."""
+    from data_wrangle_openstreetmaps_data_spark.operators.dedup import (
+        portable_token_hash,
+    )
+
+    def split_of(key):
+        b = F.pmod(portable_token_hash(key.cast("string")), F.lit(10))
+        return (
+            F.when(b <= 7, F.lit("train"))
+            .when(b == 8, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    docs = table(spark, sf, "documents")
+    pairs = dedup.dedup_minhash_lsh(
+        docs, n_hashes=16, bands=8, shingle_k=3, threshold=0.5
+    )
+    comp = dedup.dup_clusters(pairs)
+    memb = docs.select("doc_id").join(
+        comp.select(F.col("id").alias("doc_id"), "cluster_id"),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster"),
+    ).select(
+        "doc_id",
+        "cluster",
+        split_of(F.col("cluster")).alias("safe_split"),
+        split_of(F.col("doc_id")).alias("naive_split"),
+    ).localCheckpoint(eager=True)  # 3 consumers: 2 counts + spanning
+    safe = memb.groupBy(F.col("safe_split").alias("split")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_safe")
+    )
+    naive = memb.groupBy(F.col("naive_split").alias("split")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_naive")
+    )
+    span = memb.groupBy("cluster").agg(
+        F.countDistinct("naive_split").alias("ns"),
+        F.countDistinct("safe_split").alias("ss"),
+    ).agg(
+        F.count(F.when(F.col("ns") > 1, 1))
+        .cast("long")
+        .alias("clusters_spanning_naive"),
+        F.count(F.when(F.col("ss") > 1, 1))
+        .cast("long")
+        .alias("clusters_spanning_safe"),
+    )
+    return (
+        safe.join(naive, "split")
+        .crossJoin(F.broadcast(span))  # 1-row scalar
+        .orderBy("split")
+    )
+
+
 def q_dataset_split(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — deterministic train/val/test split: each document lands in a
     split by its portable 60-bit md5 id-hash mod 10 (8/1/1) — stable
@@ -669,6 +739,54 @@ ORACLES: dict[str, str | None] = {
         SELECT doc_id, lang, quality FROM scored
         WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
                % 10000) < floor(quality * 10000 + 0.5)
+    """,
+    "q_split_leakage_safe": f"""
+        WITH comp AS ({_closure_clusters_sql(_ngram_jaccard_sql(0.5))}),
+        d AS (
+          SELECT doc_id,
+                 coalesce((SELECT cluster_id FROM comp
+                           WHERE comp.id = documents.doc_id), doc_id)
+                   AS cluster
+          FROM documents
+        ),
+        memb AS (
+          SELECT d.doc_id, d.cluster,
+                 CASE WHEN (('0x' || substr(md5(CAST(d.cluster AS VARCHAR)),
+                             1, 15))::BIGINT) % 10 <= 7 THEN 'train'
+                      WHEN (('0x' || substr(md5(CAST(d.cluster AS VARCHAR)),
+                             1, 15))::BIGINT) % 10 = 8 THEN 'val'
+                      ELSE 'test' END AS safe_split,
+                 CASE WHEN (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                             1, 15))::BIGINT) % 10 <= 7 THEN 'train'
+                      WHEN (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                             1, 15))::BIGINT) % 10 = 8 THEN 'val'
+                      ELSE 'test' END AS naive_split
+          FROM d
+        ),
+        safe AS (
+          SELECT safe_split AS split, CAST(count(*) AS BIGINT)
+                   AS n_docs_safe
+          FROM memb GROUP BY 1
+        ),
+        naive AS (
+          SELECT naive_split AS split, CAST(count(*) AS BIGINT)
+                   AS n_docs_naive
+          FROM memb GROUP BY 1
+        ),
+        span AS (
+          SELECT CAST(count(*) FILTER (ns > 1) AS BIGINT)
+                   AS clusters_spanning_naive,
+                 CAST(count(*) FILTER (ss > 1) AS BIGINT)
+                   AS clusters_spanning_safe
+          FROM (SELECT cluster,
+                       count(DISTINCT naive_split) AS ns,
+                       count(DISTINCT safe_split) AS ss
+                FROM memb GROUP BY cluster)
+        )
+        SELECT s.split, n_docs_safe, n_docs_naive,
+               clusters_spanning_naive, clusters_spanning_safe
+        FROM safe s JOIN naive n ON s.split = n.split, span
+        ORDER BY s.split
     """,
     "q_dataset_split": """
         WITH b AS (
