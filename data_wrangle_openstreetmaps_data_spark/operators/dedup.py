@@ -409,7 +409,8 @@ def containment_pairs(
 
 
 def dup_clusters(pairs: DataFrame, max_iters: int = 20,
-                 strict: bool = True, shortcut: bool = True) -> DataFrame:
+                 strict: bool = True, shortcut: bool = True,
+                 stats: dict | None = None) -> DataFrame:
     """Connected components over near-dup pairs → (id, cluster_id) with
     cluster_id = min doc id in the component. The dedup end-product: keep
     one representative per cluster, drop the rest.
@@ -442,7 +443,9 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20,
         .distinct()
         .withColumn("label", F.col("id"))
     )
-    for _ in range(max_iters):
+    for _round in range(max_iters):
+        if stats is not None:
+            stats["rounds"] = _round + 1
         neighbour_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
