@@ -653,6 +653,91 @@ def q_resource_allocation_capped(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_recsys_exposure(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-GRAPH — recommendation EXPOSURE audit: build top-3
+    "also bought" lists per supplier from the whale-capped co-purchase
+    RA scores (q_resource_allocation_capped's graph), then report what
+    a recsys fairness review actually asks: catalog COVERAGE (share of
+    items that are ever recommended to anyone) and the GINI of
+    recommendation exposure over the WHOLE catalog including
+    never-recommended items (0 = exposure spread evenly, →1 = a few
+    head items absorb every slot). Gini uses the exact rank-sum
+    identity over integer exposure counts — the only float ops are the
+    two final divisions, mirrored expression-for-expression. The rank
+    window runs over the ITEM CATALOG (already aggregate-sized), never
+    over the fact table. One row out."""
+    from pyspark.sql import Window
+
+    edges = graph.copurchase_edges(
+        table(spark, sf, "lineitem"), table(spark, sf, "orders")
+    ).localCheckpoint(eager=True)
+    capped = graph.cap_degree(
+        edges, "custkey", "suppkey", cap=8
+    ).localCheckpoint(eager=True)
+    cdeg = capped.groupBy("custkey").agg(F.count(F.lit(1)).alias("cdeg"))
+    wt = capped.join(F.broadcast(cdeg), "custkey").select(
+        "custkey",
+        F.col("suppkey").alias("s1"),
+        F.floor(F.lit(1_000_000_000.0) / F.col("cdeg") + F.lit(0.5))
+        .cast("long")
+        .alias("w"),
+    )
+    pairs = (
+        wt.join(capped.select("custkey", F.col("suppkey").alias("s2")),
+                "custkey")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.sum("w").alias("ra9"))
+    )
+    sym = pairs.select(
+        F.col("s1").alias("src"), F.col("s2").alias("dst"), "ra9"
+    ).unionByName(
+        pairs.select(
+            F.col("s2").alias("src"), F.col("s1").alias("dst"), "ra9"
+        )
+    )
+    recs = (
+        sym.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("src").orderBy(F.desc("ra9"), "dst")
+            ),
+        )
+        .filter(F.col("rk") <= 3)
+        .select("dst")
+    )
+    catalog = capped.select(F.col("suppkey").alias("item")).distinct()
+    expo = catalog.join(
+        recs.groupBy(F.col("dst").alias("item")).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        ),
+        "item",
+        "left",
+    ).select("item", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    ranked = expo.withColumn(
+        "i", F.row_number().over(Window.orderBy("c", "item"))
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("catalog_n"),
+        F.count(F.when(F.col("c") > 0, 1))
+        .cast("long")
+        .alias("recommended_n"),
+        F.sum("c").cast("long").alias("sum_c"),
+        F.sum(F.col("i") * F.col("c")).cast("long").alias("sum_ic"),
+    )
+    return agg.select(
+        "catalog_n",
+        "recommended_n",
+        text.round4(F.col("recommended_n") / F.col("catalog_n")).alias(
+            "coverage"
+        ),
+        text.round4(
+            F.lit(2.0) * F.col("sum_ic") / (F.col("catalog_n") * F.col("sum_c"))
+            - (F.col("catalog_n") + F.lit(1.0)) / F.col("catalog_n")
+        ).alias("gini"),
+    )
+
+
 _CAPPED_EDGES_SQL = """
   deg AS (SELECT c, count(*) AS deg FROM edges GROUP BY c),
   hashed AS (
@@ -663,9 +748,15 @@ _CAPPED_EDGES_SQL = """
     FROM edges e JOIN deg d ON e.c = d.c
   ),
   banded AS (
+    -- CASE, not OR: for deg < 4 the band bound 32*2^60/deg overflows
+    -- BIGINT, and SQL does not guarantee the OR short-circuits the
+    -- dead CAST (measured: DuckDB evaluated it eagerly at sf0.1 in a
+    -- larger composed query and errored). Under-cap keys never need
+    -- the bound at all.
     SELECT c, s, hv FROM hashed
-    WHERE deg <= 8 OR hv < CAST(floor(32.0 * pow(2.0, 60.0) / deg)
-                                AS BIGINT)
+    WHERE CASE WHEN deg <= 8 THEN TRUE
+               ELSE hv < CAST(floor(32.0 * pow(2.0, 60.0) / deg)
+                              AS BIGINT) END
   ),
   ranked AS (
     SELECT c, s,
@@ -710,6 +801,57 @@ ORACLES: dict[str, str | None] = {
                  AS ra_score,
                ra9
         FROM pairs ORDER BY ra9 DESC, s1, s2 LIMIT 20
+    """,
+    "q_recsys_exposure": f"""
+        WITH {_PR_EDGES},
+        {_CAPPED_EDGES_SQL},
+        cdeg AS (SELECT c, count(*) AS cdeg FROM capped GROUP BY c),
+        wt AS (
+          SELECT cp.c, cp.s,
+                 CAST(floor(1000000000.0 / cdeg + 0.5) AS BIGINT) AS w
+          FROM capped cp JOIN cdeg ON cp.c = cdeg.c
+        ),
+        pairs AS (
+          SELECT a.s AS s1, b.s AS s2, CAST(sum(a.w) AS BIGINT) AS ra9
+          FROM wt a JOIN capped b ON a.c = b.c AND a.s < b.s
+          GROUP BY a.s, b.s
+        ),
+        sym AS (
+          SELECT s1 AS src, s2 AS dst, ra9 FROM pairs
+          UNION ALL SELECT s2, s1, ra9 FROM pairs
+        ),
+        recs AS (
+          SELECT dst FROM (
+            SELECT dst, row_number() OVER (
+              PARTITION BY src ORDER BY ra9 DESC, dst
+            ) AS rk FROM sym
+          ) WHERE rk <= 3
+        ),
+        catalog AS (SELECT DISTINCT s AS item FROM capped),
+        expo AS (
+          SELECT item, coalesce(rc.c, 0) AS c
+          FROM catalog LEFT JOIN (
+            SELECT dst AS item, CAST(count(*) AS BIGINT) AS c
+            FROM recs GROUP BY dst
+          ) rc USING (item)
+        ),
+        rk_exp AS (
+          SELECT *, row_number() OVER (ORDER BY c, item) AS i FROM expo
+        ),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS catalog_n,
+                 CAST(count(*) FILTER (c > 0) AS BIGINT) AS recommended_n,
+                 CAST(sum(c) AS BIGINT) AS sum_c,
+                 CAST(sum(i * c) AS BIGINT) AS sum_ic
+          FROM rk_exp
+        )
+        SELECT catalog_n, recommended_n,
+               floor(recommended_n / catalog_n * 10000 + 0.5) / 10000
+                 AS coverage,
+               floor((2.0 * sum_ic / (catalog_n * sum_c)
+                      - (catalog_n + 1.0) / catalog_n) * 10000 + 0.5)
+                 / 10000 AS gini
+        FROM agg
     """,
     "q_resource_allocation_capped": f"""
         WITH {_PR_EDGES},
