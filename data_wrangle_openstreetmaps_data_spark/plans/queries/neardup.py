@@ -552,6 +552,138 @@ def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("cluster_id")
 
 
+def q_dedup_impact(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D — the DEDUP IMPACT REPORT, one row: what each dedup level
+    would save on this corpus, in the unit a data lead budgets in —
+    tokens. (1) exact dup docs (non-keepers of identical normalized
+    text; ZERO on this corpus — reported, not assumed), (2) near-dup
+    non-representatives (recall-1.0 minhash pairs → connected
+    components, drop everyone but the min-id member), (3) span-level
+    duplicated tokens (q_repeated_spans' interval-union coverage,
+    summed over ALL docs — what Lee-et-al span trimming removes even
+    where doc-level dedup keeps both docs). Each level composes its
+    already-oracled pipeline; percentages are round4 divisions of
+    exact integer token sums. Levels (2) and (3) overlap by design —
+    the report shows the levers separately, the pipeline applies them
+    in order."""
+    k = 8
+    docs = table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        text.normalize_ws("text").alias("norm"),
+        text.tokens(F.col("text")).alias("toks"),
+    ).withColumn("n_tokens", F.size("toks")).localCheckpoint(eager=True)
+    totals = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+    )
+    exact_drop = (
+        toks.groupBy("norm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_tokens").alias("tok"),
+            F.min(F.struct("doc_id", "n_tokens")).alias("_keep"),
+        )
+        .agg(
+            F.coalesce(F.sum(F.col("n") - 1), F.lit(0))
+            .cast("long")
+            .alias("exact_dup_docs"),
+            F.coalesce(
+                F.sum(F.col("tok") - F.col("_keep.n_tokens")), F.lit(0)
+            )
+            .cast("long")
+            .alias("exact_dup_tokens"),
+        )
+    )
+    pairs = dedup.dedup_minhash_lsh(
+        docs, n_hashes=16, bands=8, shingle_k=3, threshold=0.5
+    )
+    near_drop = (
+        dedup.dup_clusters(pairs)
+        .filter(F.col("id") != F.col("cluster_id"))
+        .join(toks.select(F.col("doc_id").alias("id"), "n_tokens"), "id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("near_dup_docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0))
+            .cast("long")
+            .alias("near_dup_tokens"),
+        )
+    )
+    wins = (
+        toks.filter(F.col("n_tokens") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_tokens") - (k - 1))
+            ).alias("start"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "start",
+            F.md5(
+                F.array_join(F.slice(F.col("toks"), F.col("start"), k), " ")
+            ).alias("h"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= 2)
+    )
+    dwins = wins.join(dup.select("h"), "h")
+    from pyspark.sql import Window
+
+    iv = dwins.select("doc_id", "start", (F.col("start") + (k - 1)).alias("e"))
+    w_prev = (
+        Window.partitionBy("doc_id").orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id").orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    span_tok = (
+        iv.withColumn(
+            "ni",
+            F.when(
+                F.col("start")
+                > F.coalesce(F.max("e").over(w_prev), F.lit(-1)),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("ni").over(w_run))
+        .groupBy("doc_id", "island")
+        .agg((F.max("e") - F.min("start") + 1).alias("ilen"))
+        .agg(
+            F.coalesce(F.sum("ilen"), F.lit(0))
+            .cast("long")
+            .alias("span_dup_tokens")
+        )
+    )
+    return (
+        totals.crossJoin(F.broadcast(exact_drop))  # 1-row scalars
+        .crossJoin(F.broadcast(near_drop))
+        .crossJoin(F.broadcast(span_tok))
+        .select(
+            "n_docs",
+            "tokens_total",
+            "exact_dup_docs",
+            "exact_dup_tokens",
+            "near_dup_docs",
+            "near_dup_tokens",
+            "span_dup_tokens",
+            text.round4(
+                F.col("near_dup_tokens") / F.col("tokens_total")
+            ).alias("pct_near"),
+            text.round4(
+                F.col("span_dup_tokens") / F.col("tokens_total")
+            ).alias("pct_span"),
+        )
+    )
+
+
 def _scurve_sql(r: int, b: int) -> str:
     """p(candidate) = 1 − (1 − j^r)^b as an explicit multiplication
     chain — NO pow(): IEEE basic ops are exactly specified, so the
@@ -1205,6 +1337,62 @@ ORACLES: dict[str, str | None] = {
     # trigram-Jaccard pair set at the same threshold.
     "q_dedup_minhash": _ngram_jaccard_sql(0.5),
     "q_dedup_clusters": _closure_clusters_sql(_ngram_jaccard_sql(0.5)),
+    "q_dedup_impact": f"""
+        WITH comp AS ({_closure_clusters_sql(_ngram_jaccard_sql(0.5))}),
+        tk AS (
+          SELECT doc_id, {_NORM_TEXT_SQL} AS norm,
+                 {_TOKENS_SQL} AS toks
+          FROM documents
+        ),
+        sized AS (SELECT doc_id, norm, toks, len(toks) AS n_tokens FROM tk),
+        totals AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS tokens_total
+          FROM sized
+        ),
+        exact_drop AS (
+          SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+                   AS exact_dup_docs,
+                 CAST(coalesce(sum(tok - keep_tok), 0) AS BIGINT)
+                   AS exact_dup_tokens
+          FROM (
+            SELECT norm, count(*) AS n, sum(n_tokens) AS tok,
+                   min_by(n_tokens, doc_id) AS keep_tok
+            FROM sized GROUP BY norm
+          )
+        ),
+        near_drop AS (
+          SELECT CAST(count(*) AS BIGINT) AS near_dup_docs,
+                 CAST(coalesce(sum(s.n_tokens), 0) AS BIGINT)
+                   AS near_dup_tokens
+          FROM comp JOIN sized s ON s.doc_id = comp.id
+          WHERE comp.id <> comp.cluster_id
+        ),
+        wins AS (
+          SELECT doc_id, i AS start,
+                 md5(array_to_string(toks[i:i+7], ' ')) AS h
+          FROM sized, unnest(range(1, n_tokens - 6)) AS t(i)
+          WHERE n_tokens >= 8
+        ),
+        dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+        dw AS (SELECT w.doc_id, w.start FROM wins w JOIN dup USING (h)),
+        span_tok AS (
+          SELECT CAST(coalesce(count(*), 0) AS BIGINT)
+                   AS span_dup_tokens
+          FROM (
+            SELECT DISTINCT doc_id, pos FROM (
+              SELECT doc_id, unnest(range(start, start + 8)) AS pos
+              FROM dw)
+          )
+        )
+        SELECT n_docs, tokens_total, exact_dup_docs, exact_dup_tokens,
+               near_dup_docs, near_dup_tokens, span_dup_tokens,
+               floor(near_dup_tokens / tokens_total * 10000 + 0.5) / 10000
+                 AS pct_near,
+               floor(span_dup_tokens / tokens_total * 10000 + 0.5) / 10000
+                 AS pct_span
+        FROM totals, exact_drop, near_drop, span_tok
+    """,
     "q_lsh_design_table": f"""
         WITH grid AS (
           SELECT CAST(k AS DOUBLE) / 20.0 AS j
