@@ -91,6 +91,72 @@ def q_revenue_mom_growth(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_brand_rank_movers(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — month-over-month RANK MOVERS: which part brands climbed or
+    fell the revenue leaderboard between the corpus' last two months —
+    the "top movers" panel of a category-management report (rank
+    dynamics, not growth: q_revenue_mom_growth covers growth). Brand
+    revenue is cent-exact (decimal sum → bigint cents) so ranks have no
+    float ties; rank windows partition by month over the |brands|-sized
+    aggregate, never over lineitem. The two months are derived
+    deterministically (max month, max month before it). Output: every
+    brand present in both months, rank_prev/rank_curr/delta (positive =
+    climbed), ordered by (delta desc, brand), top 10."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf, "lineitem")
+    part = table(spark, sf, "part")
+    month = F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), month.alias("month"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(20,6)")) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=True)  # 3 consumers: m2, m1, ranks
+    )
+    m2 = rev.agg(F.max("month").alias("m2"))
+    m1 = (
+        rev.crossJoin(F.broadcast(m2))
+        .filter(F.col("month") < F.col("m2"))
+        .agg(F.max("month").alias("m1"))
+    )
+    ranked = (
+        rev.crossJoin(F.broadcast(m2))
+        .crossJoin(F.broadcast(m1))
+        .filter((F.col("month") == F.col("m1")) | (F.col("month") == F.col("m2")))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("month").orderBy(
+                    F.desc("cents"), F.col("brand")
+                )
+            ),
+        )
+    )
+    prev = ranked.filter(F.col("month") == F.col("m1")).select(
+        "brand", F.col("rk").alias("rank_prev")
+    )
+    curr = ranked.filter(F.col("month") == F.col("m2")).select(
+        "brand", F.col("rk").alias("rank_curr")
+    )
+    return (
+        prev.join(curr, "brand")
+        .select(
+            "brand",
+            "rank_prev",
+            "rank_curr",
+            (F.col("rank_prev") - F.col("rank_curr"))
+            .cast("int")
+            .alias("delta"),
+        )
+        .orderBy(F.desc("delta"), "brand")
+        .limit(10)
+    )
+
+
 def q_dow_seasonality(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — day-of-week × event-type seasonality with row share: one
     grouped count plus a broadcast grand total. Weekday comes from
@@ -1749,6 +1815,41 @@ ORACLES: dict[str, str | None] = {
                count(*) AS n_customers
         FROM base, b
         GROUP BY r_score, f_score, m_score
+    """,
+    "q_brand_rank_movers": """
+        WITH rev AS (
+          SELECT p_brand AS brand,
+                 strftime(date_trunc('month', l_shipdate), '%Y-%m')
+                   AS month,
+                 CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6)))
+                      AS DECIMAL(22,6)) * 100 AS BIGINT) AS cents
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY 1, 2
+        ),
+        m2 AS (SELECT max(month) AS m2 FROM rev),
+        m1 AS (
+          SELECT max(month) AS m1 FROM rev, m2 WHERE month < m2.m2
+        ),
+        ranked AS (
+          SELECT brand, month,
+                 row_number() OVER (
+                   PARTITION BY month ORDER BY cents DESC, brand
+                 ) AS rk
+          FROM rev, m1, m2 WHERE month = m1.m1 OR month = m2.m2
+        ),
+        prev AS (
+          SELECT brand, rk AS rank_prev FROM ranked, m1
+          WHERE month = m1.m1
+        ),
+        curr AS (
+          SELECT brand, rk AS rank_curr FROM ranked, m2
+          WHERE month = m2.m2
+        )
+        SELECT p.brand, rank_prev, rank_curr,
+               CAST(rank_prev - rank_curr AS INTEGER) AS delta
+        FROM prev p JOIN curr c ON p.brand = c.brand
+        ORDER BY delta DESC, p.brand
+        LIMIT 10
     """,
     "q_revenue_mom_growth": """
         WITH m AS (
