@@ -115,6 +115,76 @@ def q_ann_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
     return idx.query(list(qvec), k=10, probes=2)
 
 
+def q_embedding_quantization(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-S — int8 QUANTIZATION error audit: per-vector symmetric
+    max-abs int8 quantization (the embedding-serving compression
+    standard: q_i = round(127·v_i / maxabs)), with every error term an
+    EXACT INTEGER so the corpus aggregate is order-free: components go
+    to the 1e-4 grid (vg = floor(v·1e4 + 0.5)), the per-element
+    reconstruction error in 127ths-of-grid-units is
+    |127·vg − q·maxabs| — pure int64, since q and maxabs are ints —
+    and only the two FINAL report divisions are floats (round4'd).
+    Shape: posexplode (never a captured-lambda chain — elements
+    re-evaluate captured exprs), per-vector max-abs agg, join back,
+    integer error agg. One row: vectors, elements, total/max error,
+    mean abs error in original units, and worst-vector id."""
+    emb = table(spark, sf, "embeddings")
+    el = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "v")
+    ).select(
+        "vec_id",
+        "i",
+        F.floor(F.col("v").cast("double") * 1e4 + F.lit(0.5))
+        .cast("long")
+        .alias("vg"),
+    )
+    ma = el.groupBy("vec_id").agg(
+        F.max(F.abs(F.col("vg"))).alias("maxabs")
+    ).filter(F.col("maxabs") > 0)
+    err = (
+        el.join(ma, "vec_id")
+        .select(
+            "vec_id",
+            F.abs(
+                F.col("vg") * 127
+                - F.floor(
+                    F.col("vg") * 127.0 / F.col("maxabs") + F.lit(0.5)
+                ).cast("long")
+                * F.col("maxabs")
+            ).alias("e127"),
+        )
+    )
+    per_vec = err.groupBy("vec_id").agg(
+        F.sum("e127").cast("long").alias("vec_err"),
+        F.count(F.lit(1)).alias("d"),
+    )
+    worst = (
+        per_vec.orderBy(F.desc("vec_err"), "vec_id")
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("worst_vec_id"),
+            F.col("vec_err").alias("worst_vec_err127"),
+        )
+    )
+    agg = err.agg(
+        F.countDistinct("vec_id").cast("long").alias("n_vecs"),
+        F.count(F.lit(1)).cast("long").alias("n_elems"),
+        F.sum("e127").cast("long").alias("sum_err127"),
+        F.max("e127").cast("long").alias("max_err127"),
+    )
+    return agg.crossJoin(F.broadcast(worst)).select(
+        "n_vecs",
+        "n_elems",
+        "sum_err127",
+        "max_err127",
+        text.round4(
+            F.col("sum_err127") / F.lit(127.0) / F.lit(1e4) / F.col("n_elems")
+        ).alias("mean_abs_err"),
+        "worst_vec_id",
+        "worst_vec_err127",
+    )
+
+
 def q_embedding_bias_outliers(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-S — embedding hygiene: vectors whose MEAN COMPONENT (DC
     offset) deviates most from the corpus — a biased embedding breaks
@@ -757,6 +827,45 @@ ORACLES: dict[str, str | None] = {
         JOIN sx b ON g.j = b.d
         CROSS JOIN nn
         ORDER BY i, j
+    """,
+    "q_embedding_quantization": """
+        WITH el AS (
+          SELECT vec_id,
+                 CAST(floor(CAST(v AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+                   AS vg
+          FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings)
+        ),
+        ma AS (
+          SELECT vec_id, max(abs(vg)) AS maxabs FROM el GROUP BY vec_id
+          HAVING max(abs(vg)) > 0
+        ),
+        err AS (
+          SELECT el.vec_id,
+                 abs(vg * 127
+                     - CAST(floor(vg * 127.0 / maxabs + 0.5) AS BIGINT)
+                       * maxabs) AS e127
+          FROM el JOIN ma ON el.vec_id = ma.vec_id
+        ),
+        per_vec AS (
+          SELECT vec_id, CAST(sum(e127) AS BIGINT) AS vec_err
+          FROM err GROUP BY vec_id
+        ),
+        worst AS (
+          SELECT vec_id AS worst_vec_id, vec_err AS worst_vec_err127
+          FROM per_vec ORDER BY vec_err DESC, vec_id LIMIT 1
+        ),
+        agg AS (
+          SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+                 CAST(count(*) AS BIGINT) AS n_elems,
+                 CAST(sum(e127) AS BIGINT) AS sum_err127,
+                 CAST(max(e127) AS BIGINT) AS max_err127
+          FROM err
+        )
+        SELECT n_vecs, n_elems, sum_err127, max_err127,
+               floor(sum_err127 / 127.0 / 10000.0 / n_elems * 10000 + 0.5)
+                 / 10000 AS mean_abs_err,
+               worst_vec_id, worst_vec_err127
+        FROM agg, worst
     """,
     "q_embedding_bias_outliers": """
         WITH g AS (
