@@ -2007,6 +2007,45 @@ def q_sax_symbolic(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_freshness_sla(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — data FRESHNESS dashboard, per event feed: last event seen,
+    lag behind the corpus watermark (max ts anywhere — the "now" an
+    offline corpus can honestly use), event count, and a staleness flag
+    at a 24 h SLA. The ops view that tells you which upstream feed
+    silently stopped. One grouped aggregate + one broadcast scalar;
+    lag stays an exact µs integer until the single round4'd hour
+    division; timestamps render as strings (the cross-engine date rule).
+    At scale this reads the per-partition max from the table manifest
+    instead of scanning — the shape (group-max vs global-max) is the
+    same."""
+    ev = table(spark, sf, "events")
+    ev = ev.withColumn("tsn", catalog.event_ts_us(ev))
+    per = ev.groupBy("event_type").agg(
+        F.max("tsn").alias("last_us"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    wm = ev.agg(F.max("tsn").alias("wm_us"))
+    lag_us = F.col("wm_us") - F.col("last_us")
+    return (
+        per.crossJoin(F.broadcast(wm))  # 1-row scalar
+        .select(
+            "event_type",
+            F.date_format(
+                F.expr("timestamp_micros(last_us)"),  # exact, no /1e6 float
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("last_seen"),
+            "n_events",
+            lag_us.cast("long").alias("lag_us"),
+            text.round4(lag_us / F.lit(3_600_000_000.0)).alias("lag_hours"),
+            F.when(lag_us > 24 * 3_600_000_000, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("stale_24h"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_out_of_order_audit(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — event-time disorder audit, the measurement that SIZES a
     streaming watermark: events land on 8 ingest shards (portable md5
@@ -2158,6 +2197,28 @@ def q_peak_concurrency(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLES: dict[str, str | None] = {
+    "q_freshness_sla": """
+        WITH ev AS (
+          SELECT event_type, epoch_us(ts) AS tsn FROM events
+        ),
+        per AS (
+          SELECT event_type, max(tsn) AS last_us,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM ev GROUP BY event_type
+        ),
+        wm AS (SELECT max(tsn) AS wm_us FROM ev)
+        SELECT event_type,
+               strftime(make_timestamp(last_us), '%Y-%m-%d %H:%M:%S')
+                 AS last_seen,
+               n_events,
+               CAST(wm_us - last_us AS BIGINT) AS lag_us,
+               floor((wm_us - last_us) / 3600000000.0 * 10000 + 0.5)
+                 / 10000 AS lag_hours,
+               CAST(CASE WHEN wm_us - last_us > 86400000000
+                    THEN 1 ELSE 0 END AS INTEGER) AS stale_24h
+        FROM per, wm
+        ORDER BY event_type
+    """,
     "q_churn_labels": """
         WITH ev AS (SELECT user_id, epoch_us(ts) AS tsn FROM events),
         weekly AS (
