@@ -21,6 +21,35 @@ from data_wrangle_openstreetmaps_data_spark.operators import (
 from data_wrangle_openstreetmaps_data_spark.plans.queries._shared import *  # noqa: F401,F403
 
 
+# Materialization strategy for the multi-consumer shared subtrees in the
+# exact pair joins (q_ngram_jaccard / q_containment_join). The r9 verdict
+# flagged both queries ~1.45x slower and suspected the eager
+# localCheckpoint — the r10 quiet-box A/B confirmed it (PERF.md):
+# persist(MEMORY_AND_DISK)+count beats localCheckpoint 2.2-2.8x here
+# (containment 3.15->1.11s, ngram 1.91->0.88s, sf0.1 best-of-3), because
+# a cached DataFrame stays a columnar InMemoryRelation (pruned, codegen
+# scan) while localCheckpoint freezes row-format RDD blocks. Flip this
+# flag only for re-measurement.
+_MAT_PERSIST = True
+
+
+def _mat(df: DataFrame) -> DataFrame:
+    """Materialize a shared subtree consumed by 2-3 downstream plans.
+
+    persist(MEMORY_AND_DISK) + eager count (default, measured winner):
+    columnar cached batches, keeps lineage; the count pays the same
+    one eager job localCheckpoint would.
+    localCheckpoint(eager=True): cuts lineage, row-format RDD blocks —
+    keep for iterative plans that NEED the lineage cut (BFS/pagerank),
+    not for straight-line multi-consumer reuse."""
+    if _MAT_PERSIST:
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        return df
+    return df.localCheckpoint(eager=True)
+
 
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-D1 — exact dedup: hash groupBy on normalized text."""
@@ -115,7 +144,7 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
             F.min("doc_id").alias("rep_id"),
             F.count(F.lit(1)).alias("csize"),
         )
-        .localCheckpoint(eager=True)  # 3 consumers: reps, sizes, intra
+        .transform(_mat)  # 3 consumers: reps, sizes, intra
     )
     reps = clusters.select(
         F.col("rep_id").alias("doc_id"), F.col("norm_text").alias("text")
@@ -138,7 +167,7 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
             .cast("long")
             .alias("member_pairs"),
         )
-        .localCheckpoint(eager=True)  # 2 consumers: top-k + cross sum
+        .transform(_mat)  # 2 consumers: top-k + cross sum
     )
     intra = clusters.agg(
         F.coalesce(
@@ -227,7 +256,7 @@ def q_containment_join(spark: SparkSession, sf: str) -> DataFrame:
             F.min("doc_id").alias("rep_id"),
             F.count(F.lit(1)).alias("csize"),
         )
-        .localCheckpoint(eager=True)
+        .transform(_mat)  # 3 consumers: reps, sizes, intra
     )
     reps = clusters.select(
         F.col("rep_id").alias("doc_id"), F.col("norm_text").alias("text")
@@ -250,7 +279,7 @@ def q_containment_join(spark: SparkSession, sf: str) -> DataFrame:
             .cast("long")
             .alias("member_pairs"),
         )
-        .localCheckpoint(eager=True)  # 2 consumers: top-k + cross sum
+        .transform(_mat)  # 2 consumers: top-k + cross sum
     )
     intra = clusters.agg(
         F.coalesce(F.sum(F.col("csize") * (F.col("csize") - 1)), F.lit(0))
