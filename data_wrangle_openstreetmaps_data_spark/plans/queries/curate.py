@@ -109,7 +109,7 @@ def q_decontaminate_policy(spark: SparkSession, sf: str) -> DataFrame:
         curation.decontaminate_overlap(train, bench, k=5, min_shared=1)
         .select(F.col("train_id").alias("id"))
         .distinct()
-        .localCheckpoint(eager=True)  # 2 consumers: count + overlap join
+        .transform(_mat)  # 2 consumers: count + overlap join
     )
     fz = (
         dedup.minhash_lsh_join(
@@ -117,7 +117,7 @@ def q_decontaminate_policy(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select(F.col("left_id").alias("id"))
         .distinct()
-        .localCheckpoint(eager=True)  # 2 consumers: count + overlap join
+        .transform(_mat)  # 2 consumers: count + overlap join
     )
     n_train = train.agg(
         F.count(F.lit(1)).cast("long").alias("n_train")
@@ -346,7 +346,7 @@ def q_split_leakage_safe(spark: SparkSession, sf: str) -> DataFrame:
         "cluster",
         split_of(F.col("cluster")).alias("safe_split"),
         split_of(F.col("doc_id")).alias("naive_split"),
-    ).localCheckpoint(eager=True)  # 3 consumers: 2 counts + spanning
+    ).transform(_mat)  # 3 consumers: 2 counts + spanning
     safe = memb.groupBy(F.col("safe_split").alias("split")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs_safe")
     )

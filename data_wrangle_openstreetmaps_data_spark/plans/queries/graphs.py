@@ -44,7 +44,7 @@ def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     # (degrees, N, both iteration sides) AND the normalization scalar
     edges = graph.copurchase_edges(
         table(spark, sf, "lineitem"), table(spark, sf, "orders")
-    ).localCheckpoint(eager=True)
+    ).transform(_mat)
     ranks = graph.pagerank_bipartite(edges, iterations=2, damping=0.85)
     n = (
         edges.agg(
@@ -87,7 +87,7 @@ def q_supplier_similarity(spark: SparkSession, sf: str) -> DataFrame:
     )
     edges = graph.cap_degree(
         edges, "custkey", "suppkey", cap=64
-    ).localCheckpoint(eager=True)
+    ).transform(_mat)
     deg = edges.groupBy("suppkey").agg(F.count(F.lit(1)).alias("deg"))
     a = edges.select("custkey", F.col("suppkey").alias("s1"))
     b = edges.select("custkey", F.col("suppkey").alias("s2"))
@@ -127,7 +127,7 @@ def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     orientation-invariant)."""
     edges = graph.copurchase_part_edges(
         table(spark, sf, "lineitem"), min_orders=2
-    ).localCheckpoint(eager=True)
+    ).transform(_mat)
     return (
         graph.triangle_counts(edges)
         .orderBy(F.desc("n_triangles"), "node")
@@ -152,7 +152,7 @@ def q_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
     as q_pagerank)."""
     edges = graph.copurchase_part_edges(
         table(spark, sf, "lineitem"), min_orders=2
-    ).localCheckpoint(eager=True)
+    ).transform(_mat)
     scored = graph.adamic_adar(edges, min_common=2, cap=64)
     return (
         scored.select(
@@ -177,13 +177,13 @@ def q_graph_bfs(spark: SparkSession, sf: str) -> DataFrame:
     key-equality shuffle on node id; nothing driver-side."""
     edges = graph.copurchase_part_edges(
         table(spark, sf, "lineitem"), min_orders=2
-    ).localCheckpoint(eager=True)
+    ).transform(_mat)
     und = (
         edges.select(F.col("s1").alias("z"), F.col("s2").alias("x"))
         .unionAll(
             edges.select(F.col("s2").alias("z"), F.col("s1").alias("x"))
         )
-        .localCheckpoint(eager=True)
+        .transform(_mat)
     )
     seed = edges.agg(F.min("s1").alias("node"))
     frontier = seed.select("node", F.lit(0).alias("level"))
@@ -224,7 +224,7 @@ def q_shortest_path(spark: SparkSession, sf: str) -> DataFrame:
     order-free. Top-20 nearest by (4dp distance, node id)."""
     edges = graph.copurchase_part_edges(
         table(spark, sf, "lineitem"), min_orders=2, keep_weight=True
-    ).localCheckpoint(eager=True)
+    ).transform(_mat)
     w = F.lit(1.0) / F.col("n_ab").cast("double")
     und = (
         edges.select(
@@ -278,7 +278,7 @@ def q_assortativity(spark: SparkSession, sf: str) -> DataFrame:
     the stats to decimal(38,0)."""
     edges = graph.copurchase_part_edges(
         table(spark, sf, "lineitem"), min_orders=2
-    ).localCheckpoint(eager=True)
+    ).transform(_mat)
     und = edges.select(
         F.col("s1").alias("u"), F.col("s2").alias("v")
     ).unionAll(edges.select(F.col("s2").alias("u"), F.col("s1").alias("v")))
@@ -323,7 +323,7 @@ def q_kcore(spark: SparkSession, sf: str) -> DataFrame:
     aggregates unioned into the 4-row output."""
     edges = graph.copurchase_part_edges(
         table(spark, sf, "lineitem"), min_orders=2
-    ).localCheckpoint(eager=True)
+    ).transform(_mat)
 
     def stats(e: DataFrame, r: int) -> DataFrame:
         nn = (
@@ -376,7 +376,7 @@ def q_clustering_coefficient(spark: SparkSession, sf: str) -> DataFrame:
     (cc desc, degree desc, node) over nodes with d ≥ 2."""
     edges = graph.copurchase_part_edges(
         table(spark, sf, "lineitem"), min_orders=2
-    ).localCheckpoint(eager=True)
+    ).transform(_mat)
     tri = graph.triangle_counts(edges)
     deg = (
         edges.select(F.col("s1").alias("node"))
@@ -433,10 +433,11 @@ def q_modularity(spark: SparkSession, sf: str) -> DataFrame:
         .drop("node")
         .join(brand.withColumnRenamed("b", "b2"), edges.s2 == F.col("node"))
         .drop("node")
-        # four consumers (m, within, deg, nodes) — truncate the lineage
-        # or the static plan re-expands the basket self-join 4×
-        # (the q_pagerank device)
-        .localCheckpoint(eager=True)
+        # four consumers (m, within, deg, nodes) — materialize once or
+        # the plan re-executes the basket self-join 4× (CacheManager
+        # substitutes the InMemoryRelation at analysis, so the static
+        # plan stays compact too — r10 _mat swap, PERF.md)
+        .transform(_mat)
     )
     m = be.agg(F.count(F.lit(1)).alias("m"))
     within = (
@@ -564,7 +565,7 @@ def q_resource_allocation(spark: SparkSession, sf: str) -> DataFrame:
     )
     edges = graph.cap_degree(
         edges, "custkey", "suppkey", cap=64
-    ).localCheckpoint(eager=True)
+    ).transform(_mat)
     cdeg = edges.groupBy("custkey").agg(F.count(F.lit(1)).alias("cdeg"))
     wt = edges.join(F.broadcast(cdeg), "custkey").select(
         "custkey",
@@ -615,10 +616,10 @@ def q_resource_allocation_capped(spark: SparkSession, sf: str) -> DataFrame:
     STRESS_r09 (scripts/stress.py)."""
     edges = graph.copurchase_edges(
         table(spark, sf, "lineitem"), table(spark, sf, "orders")
-    ).localCheckpoint(eager=True)
+    ).transform(_mat)
     capped = graph.cap_degree(
         edges, "custkey", "suppkey", cap=8
-    ).localCheckpoint(eager=True)
+    ).transform(_mat)
     deg = edges.groupBy("custkey").agg(F.count(F.lit(1)).alias("deg"))
     acct = (
         deg.agg(
@@ -690,10 +691,10 @@ def q_recsys_exposure(spark: SparkSession, sf: str) -> DataFrame:
 
     edges = graph.copurchase_edges(
         table(spark, sf, "lineitem"), table(spark, sf, "orders")
-    ).localCheckpoint(eager=True)
+    ).transform(_mat)
     capped = graph.cap_degree(
         edges, "custkey", "suppkey", cap=8
-    ).localCheckpoint(eager=True)
+    ).transform(_mat)
     cdeg = capped.groupBy("custkey").agg(F.count(F.lit(1)).alias("cdeg"))
     wt = capped.join(F.broadcast(cdeg), "custkey").select(
         "custkey",

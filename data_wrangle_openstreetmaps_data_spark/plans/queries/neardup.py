@@ -21,34 +21,12 @@ from data_wrangle_openstreetmaps_data_spark.operators import (
 from data_wrangle_openstreetmaps_data_spark.plans.queries._shared import *  # noqa: F401,F403
 
 
-# Materialization strategy for the multi-consumer shared subtrees in the
-# exact pair joins (q_ngram_jaccard / q_containment_join). The r9 verdict
-# flagged both queries ~1.45x slower and suspected the eager
-# localCheckpoint — the r10 quiet-box A/B confirmed it (PERF.md):
-# persist(MEMORY_AND_DISK)+count beats localCheckpoint 2.2-2.8x here
-# (containment 3.15->1.11s, ngram 1.91->0.88s, sf0.1 best-of-3), because
-# a cached DataFrame stays a columnar InMemoryRelation (pruned, codegen
-# scan) while localCheckpoint freezes row-format RDD blocks. Flip this
-# flag only for re-measurement.
-_MAT_PERSIST = True
-
-
-def _mat(df: DataFrame) -> DataFrame:
-    """Materialize a shared subtree consumed by 2-3 downstream plans.
-
-    persist(MEMORY_AND_DISK) + eager count (default, measured winner):
-    columnar cached batches, keeps lineage; the count pays the same
-    one eager job localCheckpoint would.
-    localCheckpoint(eager=True): cuts lineage, row-format RDD blocks —
-    keep for iterative plans that NEED the lineage cut (BFS/pagerank),
-    not for straight-line multi-consumer reuse."""
-    if _MAT_PERSIST:
-        from pyspark import StorageLevel
-
-        df = df.persist(StorageLevel.MEMORY_AND_DISK)
-        df.count()
-        return df
-    return df.localCheckpoint(eager=True)
+# Shared-subtree materialization for the exact pair joins goes through
+# _shared._mat (persist(MEMORY_AND_DISK) + eager count). The r9 verdict
+# flagged q_containment_join / q_ngram_jaccard ~1.45x slower and
+# suspected the eager localCheckpoint — the r10 quiet-box A/B confirmed
+# it (PERF.md): persist beats localCheckpoint 2.2-2.8x here
+# (containment 3.15->1.11s, ngram 1.91->0.88s, sf0.1 best-of-3).
 
 
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
@@ -326,7 +304,7 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
             F.min("doc_id").alias("rep_id"),
             F.count(F.lit(1)).alias("csize"),
         )
-        .localCheckpoint(eager=True)
+        .transform(_mat)
     )
     reps = clusters.select(
         F.col("rep_id").alias("doc_id"), F.col("norm_text").alias("text")
@@ -540,7 +518,7 @@ def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
             (-F.col("_best.negid")).alias("qmax_id"),
             F.col("_repq.quality").alias("rep_quality"),
         )
-        .localCheckpoint(eager=True)  # consumers: reps, attach, singletons
+        .transform(_mat)  # consumers: reps, attach, singletons
     )
     reps = classes.select(
         F.col("rep_id").alias("doc_id"), F.col("norm_text").alias("text")
@@ -601,7 +579,7 @@ def q_dedup_impact(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         text.normalize_ws("text").alias("norm"),
         text.tokens(F.col("text")).alias("toks"),
-    ).withColumn("n_tokens", F.size("toks")).localCheckpoint(eager=True)
+    ).withColumn("n_tokens", F.size("toks")).transform(_mat)
     totals = toks.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("tokens_total"),
@@ -654,7 +632,7 @@ def q_dedup_impact(spark: SparkSession, sf: str) -> DataFrame:
                 F.array_join(F.slice(F.col("toks"), F.col("start"), k), " ")
             ).alias("h"),
         )
-        .localCheckpoint(eager=True)
+        .transform(_mat)
     )
     dup = (
         wins.groupBy("h")
@@ -996,12 +974,12 @@ def q_repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
         F.md5(
             F.array_join(F.slice(F.col("toks"), F.col("start"), k), " ")
         ).alias("h"),
-    ).localCheckpoint(eager=True)  # 2 consumers: span agg + join back
+    ).transform(_mat)  # 2 consumers: span agg + join back
     dup = (
         wins.groupBy("h")
         .agg(F.count(F.lit(1)).alias("occ"))
         .filter(F.col("occ") >= 2)
-        .localCheckpoint(eager=True)  # 2 consumers: join back + scalars
+        .transform(_mat)  # 2 consumers: join back + scalars
     )
     dwins = wins.join(dup.select("h"), "h").localCheckpoint(
         eager=True

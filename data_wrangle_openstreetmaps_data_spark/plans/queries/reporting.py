@@ -115,7 +115,7 @@ def q_brand_rank_movers(spark: SparkSession, sf: str) -> DataFrame:
             .cast("long")
             .alias("cents")
         )
-        .localCheckpoint(eager=True)  # 3 consumers: m2, m1, ranks
+        .transform(_mat)  # 3 consumers: m2, m1, ranks
     )
     m2 = rev.agg(F.max("month").alias("m2"))
     m1 = (

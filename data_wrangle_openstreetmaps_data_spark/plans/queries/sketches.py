@@ -372,7 +372,7 @@ def q_hll_merge(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = table(spark, sf, "events")
     regs = hll_registers_by(ev, "event_type", "user_id", p=8)
-    regs = regs.localCheckpoint(eager=True)  # two consumers, tiny frame
+    regs = regs.transform(_mat)  # two consumers, tiny frame
     per = hll_estimate_by(regs, p=8)
     merged = hll_estimate(
         regs.groupBy("bucket").agg(F.max("m").alias("m")), p=8

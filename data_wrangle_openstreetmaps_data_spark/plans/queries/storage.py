@@ -151,7 +151,7 @@ def q_layout_pruning(spark: SparkSession, sf: str) -> DataFrame:
         "event_id", "gx", "gy",
         F.expr(_z_interleave("gx", "gy", 7, "div")).alias("z"),
         F.col("d").alias("hd"),
-    ).localCheckpoint(eager=True)  # 4 ordering consumers
+    ).transform(_mat)  # 4 ordering consumers
     ncnt = keyed.agg(F.count(F.lit(1)).alias("n"))
     matched = keyed.filter(
         F.col("gx").between(4, 7) & F.col("gy").between(20, 35)
