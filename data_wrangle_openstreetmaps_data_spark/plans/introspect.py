@@ -19,12 +19,22 @@ def plan_summary(df: DataFrame, execute: bool = True) -> dict[str, int]:
     With AQE the final plan is only known after execution; ``execute``
     triggers a count() first. Note AQE plan strings repeat subtrees
     (initial + final) — counts are upper bounds, useful for equality /
-    zero assertions."""
+    zero assertions.
+
+    ``in_memory_scans`` counts InMemoryTableScan nodes: a persisted
+    subtree is substituted by the CacheManager at ANALYSIS time, so a
+    high parquet_scans count alongside in_memory_scans > 0 usually
+    means the textual plan repeats the CACHED subtree's description
+    per consumer — execution reads the cached batches once, it does
+    not re-scan parquet (verified for q_dedup_minhash_recall, the
+    registry's heaviest static plan: 24 InMemoryTableScans at build
+    time; PERF.md round-10)."""
     if execute:
         df.count()
     plan = executed_plan(df)
     return {
         "parquet_scans": plan.count("FileScan parquet"),
+        "in_memory_scans": plan.count("InMemoryTableScan"),
         "shuffles": len(re.findall(r"Exchange (hash|range)partitioning", plan)),
         "broadcasts": plan.count("BroadcastExchange"),
         "broadcast_joins": plan.count("BroadcastHashJoin"),
