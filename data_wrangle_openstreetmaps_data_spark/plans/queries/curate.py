@@ -543,7 +543,174 @@ def q_js_divergence(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_URL_SCHEMES = ["http", "HTTP", "Http"]
+_URL_HOSTS = [
+    "Example.com",
+    "example.COM",
+    "www.example.com",
+    "WWW.Example.COM",
+]
+_URL_QUERIES = [
+    "?utm_source=news&b=2&a=1",
+    "?a=1&b=2",
+    "?b=2&a=1&utm_medium=email",
+    "",
+]
+
+
+def _canon_url(url: F.Column) -> F.Column:
+    """Canonicalize a URL with pure JVM string expressions (no UDF):
+    lowercase scheme+host, strip :80 / leading www. / trailing slash,
+    drop utm_* params, sort the rest. Whole-stage-codegen friendly —
+    the 100 TB crawl-dedup normalizer is exactly this shape."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z]+)://", 1))
+    rest = F.regexp_replace(url, r"^[A-Za-z]+://", "")
+    hostport = F.regexp_extract(rest, r"^([^/?]+)", 1)
+    path_q = F.substr(rest, F.length(hostport) + F.lit(1))
+    host = F.regexp_replace(
+        F.regexp_replace(F.lower(hostport), r":80$", ""), r"^www\.", ""
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(path_q, r"^([^?]*)", 1), r"/+$", ""
+    )
+    qs = F.when(
+        path_q.contains("?"), F.regexp_extract(path_q, r"\?(.*)$", 1)
+    ).otherwise("")
+    params = F.array_join(
+        F.sort_array(
+            F.filter(
+                F.split(qs, "&"),
+                lambda x: (~x.startswith("utm_")) & (x != ""),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(params != "", F.concat(F.lit("?"), params)).otherwise(""),
+    )
+
+
+def q_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-S — URL canonicalization + duplicate grouping, the crawl
+    ingestion step before any content dedup: scheme/host case, default
+    :80 port, leading www., trailing slashes, utm_* tracking params,
+    and query-param ORDER are all identity-irrelevant, so the dirty
+    corpus (deterministic per-doc variants: 3 scheme casings × 4 host
+    forms × optional port / trailing slash × 4 query shapes) collapses
+    100 raw spellings per page down to one canonical key. Everything is
+    JVM string expressions + one hash agg on the canonical key — no
+    UDF, no shuffle beyond the group-count, linear at any scale.
+    Output: top 20 canonical URLs by dup_count (url tiebreak) +
+    accounting scalars n_urls / n_raw_distinct / n_canonical /
+    dup_frac (round4)."""
+    d = F.col("doc_id")
+    url = F.concat(
+        _pick(d, _URL_SCHEMES),
+        F.lit("://"),
+        _pick(d, _URL_HOSTS),
+        F.when(d % 3 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        (d % 50).cast("string"),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        _pick(d, _URL_QUERIES),
+    )
+    raw = table(spark, sf, "documents").select(
+        "doc_id", url.alias("url")
+    )
+    canon = _mat(  # 2 consumers: group counts + raw/canonical scalars
+        raw.select("url", _canon_url(F.col("url")).alias("curl"))
+    )
+    groups = canon.groupBy("curl").agg(F.count("*").alias("dup_count"))
+    scal = canon.agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("url").alias("n_raw_distinct"),
+        F.countDistinct("curl").alias("n_canonical"),
+    ).select(
+        "*",
+        text.round4(
+            F.lit(1) - F.col("n_canonical") / F.col("n_urls")
+        ).alias("dup_frac"),
+    )
+    return (
+        groups.orderBy(F.desc("dup_count"), "curl")
+        .limit(20)
+        .withColumnRenamed("curl", "canonical_url")
+        .crossJoin(F.broadcast(scal))  # 1-row scalar
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_url_canonicalize": f"""
+        WITH raw AS (
+          SELECT doc_id,
+                 {_sql_pick("doc_id", _URL_SCHEMES)} || '://' ||
+                 {_sql_pick("doc_id", _URL_HOSTS)} ||
+                 CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END ||
+                 '/p/' || CAST(doc_id % 50 AS VARCHAR) ||
+                 CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+                 {_sql_pick("doc_id", _URL_QUERIES)} AS url
+          FROM documents
+        ),
+        p1 AS (
+          SELECT url,
+                 lower(regexp_extract(url, '^([A-Za-z]+)://', 1))
+                   AS scheme,
+                 regexp_replace(url, '^[A-Za-z]+://', '') AS rest
+          FROM raw
+        ),
+        p2 AS (
+          SELECT *,
+                 regexp_extract(rest, '^([^/?]+)', 1) AS hostport,
+                 substr(rest,
+                        length(regexp_extract(rest, '^([^/?]+)', 1)) + 1)
+                   AS path_q
+          FROM p1
+        ),
+        p3 AS (
+          SELECT *,
+                 regexp_replace(regexp_replace(lower(hostport),
+                                               ':80$', ''),
+                                '^www\\.', '') AS host,
+                 regexp_replace(regexp_extract(path_q, '^([^?]*)', 1),
+                                '/+$', '') AS path,
+                 CASE WHEN path_q LIKE '%?%'
+                      THEN regexp_extract(path_q, '\\?(.*)$', 1)
+                      ELSE '' END AS qs
+          FROM p2
+        ),
+        p4 AS (
+          -- coalesce: DuckDB array_to_string over an EMPTY list is NULL
+          SELECT *, coalesce(array_to_string(list_sort(list_filter(
+                        string_split(qs, '&'),
+                        x -> NOT starts_with(x, 'utm_') AND x <> '')),
+                        '&'), '') AS params
+          FROM p3
+        ),
+        canon AS (
+          SELECT url,
+                 scheme || '://' || host || path ||
+                 CASE WHEN params = '' THEN ''
+                      ELSE '?' || params END AS curl
+          FROM p4
+        ),
+        scal AS (
+          SELECT count(*) AS n_urls,
+                 CAST(count(DISTINCT url) AS BIGINT) AS n_raw_distinct,
+                 CAST(count(DISTINCT curl) AS BIGINT) AS n_canonical,
+                 floor((1 - CAST(count(DISTINCT curl) AS DOUBLE)
+                        / count(*)) * 10000 + 0.5) / 10000 AS dup_frac
+          FROM canon
+        )
+        SELECT g.curl AS canonical_url, g.dup_count,
+               s.n_urls, s.n_raw_distinct, s.n_canonical, s.dup_frac
+        FROM (SELECT curl, count(*) AS dup_count FROM canon GROUP BY 1
+              ORDER BY dup_count DESC, curl LIMIT 20) g, scal s
+        ORDER BY g.dup_count DESC, canonical_url
+    """,
     "q_js_divergence": """
         WITH per AS (
           SELECT source, lang, count(*) AS cnt

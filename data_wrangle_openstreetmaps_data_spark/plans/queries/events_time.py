@@ -2196,7 +2196,117 @@ def q_peak_concurrency(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_attribution_shapley(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — EXACT set-Shapley conversion attribution, the principled
+    companion of q_session_attribution's first-touch rule: each
+    converter (user with a purchase) credits the distinct channel set S
+    they touched strictly before their FIRST purchase; with the
+    reachability value function v(T)=1 iff T∩S≠∅, the Shapley value of
+    each touched channel is exactly 1/|S|. |S| ≤ 4 channels here, so
+    credit is carried as exact integer TWELFTHS (12 div |S| — lcm of
+    1..4; Σ over channels = 12·converters, no float ever sums). Also
+    emits last-touch credit (argmax struct, deterministic event_id
+    tiebreak) and the removal-effect numerator (converters whose ONLY
+    channel was c — drop c and they are unreachable). Plan: one keyed
+    agg for first purchases, one distinct, two hash aggs — no window,
+    no self-pair; the channel rollup is |channels| rows."""
+    ev = table(spark, sf, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        catalog.event_ts_us(ev).alias("tsn"),
+    )
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("tsn").alias("ft"))
+    )
+    pre = _mat(  # 2 consumers: per-user shape + per-(user,channel) rows
+        e.join(fp, "user_id").filter(
+            (F.col("tsn") < F.col("ft"))
+            & (F.col("event_type") != "purchase")
+        )
+    )
+    uu = _mat(  # 2 consumers: channel rollup + converter-count scalar
+        pre.groupBy("user_id").agg(
+            F.countDistinct("event_type").alias("s_size"),
+            F.max(F.struct("tsn", "event_id", "event_type"))[
+                "event_type"
+            ].alias("last_type"),
+        )
+    )
+    n_conv = uu.agg(F.count("*").alias("n_converters"))
+    uc = pre.select("user_id", "event_type").distinct()
+    return (
+        uc.join(uu, "user_id")
+        .groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count("*").alias("users_touched"),
+            F.count(
+                F.when(F.col("last_type") == F.col("event_type"), 1)
+            ).alias("last_touch_users"),
+            F.count(F.when(F.col("s_size") == 1, 1)).alias(
+                "only_channel_users"
+            ),
+            F.sum(F.expr("12 div s_size")).alias("shapley_twelfths"),
+        )
+        .crossJoin(F.broadcast(n_conv))  # 1-row scalar
+        .select(
+            "channel",
+            "users_touched",
+            "last_touch_users",
+            "only_channel_users",
+            "shapley_twelfths",
+            "n_converters",
+            text.round4(
+                F.col("shapley_twelfths")
+                / (F.lit(12) * F.col("n_converters"))
+            ).alias("shapley_pct"),
+        )
+        .orderBy("channel")
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_attribution_shapley": """
+        WITH ev AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS tsn
+          FROM events
+        ),
+        fp AS (
+          SELECT user_id, min(tsn) AS ft FROM ev
+          WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        pre AS (
+          SELECT e.* FROM ev e JOIN fp USING (user_id)
+          WHERE e.tsn < fp.ft AND e.event_type <> 'purchase'
+        ),
+        uu AS (
+          SELECT user_id,
+                 count(DISTINCT event_type) AS s_size,
+                 (SELECT p.event_type FROM pre p
+                   WHERE p.user_id = pre.user_id
+                   ORDER BY p.tsn DESC, p.event_id DESC LIMIT 1)
+                   AS last_type
+          FROM pre GROUP BY user_id
+        ),
+        uc AS (SELECT DISTINCT user_id, event_type FROM pre)
+        SELECT uc.event_type AS channel,
+               count(*) AS users_touched,
+               CAST(count(CASE WHEN u.last_type = uc.event_type
+                          THEN 1 END) AS BIGINT) AS last_touch_users,
+               CAST(count(CASE WHEN u.s_size = 1 THEN 1 END) AS BIGINT)
+                 AS only_channel_users,
+               CAST(sum(12 // u.s_size) AS BIGINT) AS shapley_twelfths,
+               (SELECT count(*) FROM uu) AS n_converters,
+               floor(CAST(sum(12 // u.s_size) AS DOUBLE)
+                     / (12 * (SELECT count(*) FROM uu))
+                     * 10000 + 0.5) / 10000 AS shapley_pct
+        FROM uc JOIN uu u USING (user_id)
+        GROUP BY uc.event_type
+        ORDER BY channel
+    """,
     "q_freshness_sla": """
         WITH ev AS (
           SELECT event_type, epoch_us(ts) AS tsn FROM events

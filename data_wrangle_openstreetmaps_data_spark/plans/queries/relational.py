@@ -1530,7 +1530,90 @@ def q_sequence_gaps(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sample_alias_bias(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — systematic-vs-hash sampling ALIAS BIAS audit, the reason
+    q_sample_every_10th-style stride sampling must never feed a
+    profiler at 100 TB when the data has periodic structure: the
+    signal v = rowid % 10 has period 10 and the systematic rule keeps
+    rowid % 10 = 0 — stride aligned with the period, so the sample
+    sees exactly ONE phase and estimates the mean as 0.0. The
+    md5-hash sample (portable 60-bit hash % 10 = 0, decorrelated from
+    any row ordering) lands near the true mean at the same sampling
+    rate. One conditional-aggregation scan computes all three
+    estimators; the deltas are the audit. Means are exact-integer
+    sums over exact counts, round4 at the very end."""
+    li = table(spark, sf, "lineitem")
+    rid = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    h = dedup.portable_token_hash(rid.cast("string"))
+    base = li.select(
+        (rid % 10).alias("v"),
+        (rid % 10 == 0).alias("in_sys"),
+        (h % 10 == 0).alias("in_hash"),
+    )
+    agg = base.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("in_sys"), 1)).alias("n_sys"),
+        F.count(F.when(F.col("in_hash"), 1)).alias("n_hash"),
+        F.sum("v").alias("sv"),
+        F.coalesce(
+            F.sum(F.when(F.col("in_sys"), F.col("v"))), F.lit(0)
+        ).alias("ss"),
+        F.coalesce(
+            F.sum(F.when(F.col("in_hash"), F.col("v"))), F.lit(0)
+        ).alias("sh"),
+    )
+    tm = F.col("sv") / F.col("n_rows")
+    sm = F.col("ss") / F.col("n_sys")
+    hm = F.col("sh") / F.col("n_hash")
+    return agg.select(
+        "n_rows",
+        "n_sys",
+        "n_hash",
+        text.round4(tm).alias("true_mean"),
+        text.round4(sm).alias("sys_mean"),
+        text.round4(hm).alias("hash_mean"),
+        text.round4(F.abs(sm - tm)).alias("sys_abs_err"),
+        text.round4(F.abs(hm - tm)).alias("hash_abs_err"),
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_sample_alias_bias": """
+        WITH base AS (
+          SELECT (l_orderkey * 8 + l_linenumber) % 10 AS v,
+                 (l_orderkey * 8 + l_linenumber) % 10 = 0 AS in_sys,
+                 (('0x' || substr(md5(CAST(l_orderkey * 8 + l_linenumber
+                    AS VARCHAR)), 1, 15))::BIGINT) % 10 = 0 AS in_hash
+          FROM lineitem
+        ),
+        agg AS (
+          SELECT count(*) AS n_rows,
+                 CAST(count(CASE WHEN in_sys THEN 1 END) AS BIGINT)
+                   AS n_sys,
+                 CAST(count(CASE WHEN in_hash THEN 1 END) AS BIGINT)
+                   AS n_hash,
+                 CAST(sum(v) AS BIGINT) AS sv,
+                 CAST(coalesce(sum(CASE WHEN in_sys THEN v END), 0)
+                      AS BIGINT) AS ss,
+                 CAST(coalesce(sum(CASE WHEN in_hash THEN v END), 0)
+                      AS BIGINT) AS sh
+          FROM base
+        )
+        SELECT n_rows, n_sys, n_hash,
+               floor(CAST(sv AS DOUBLE) / n_rows * 10000 + 0.5) / 10000
+                 AS true_mean,
+               floor(CAST(ss AS DOUBLE) / n_sys * 10000 + 0.5) / 10000
+                 AS sys_mean,
+               floor(CAST(sh AS DOUBLE) / n_hash * 10000 + 0.5) / 10000
+                 AS hash_mean,
+               floor(abs(CAST(ss AS DOUBLE) / n_sys
+                         - CAST(sv AS DOUBLE) / n_rows)
+                     * 10000 + 0.5) / 10000 AS sys_abs_err,
+               floor(abs(CAST(sh AS DOUBLE) / n_hash
+                         - CAST(sv AS DOUBLE) / n_rows)
+                     * 10000 + 0.5) / 10000 AS hash_abs_err
+        FROM agg
+    """,
     "q_keyset_pagination": """
         SELECT o_orderkey,
                CAST(CAST(o_totalprice AS DECIMAL(20,6)) * 100

@@ -711,7 +711,112 @@ def q_bloom_size_planner(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("source")
 
 
+def q_topk_mergeable(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — mergeable top-k heavy-hitter summary with DETERMINISTIC
+    error bounds (the Misra-Gries/SpaceSaving merge law applied to
+    exact shard tops): events are split into 8 shards (event_id % 8);
+    each shard ships ONLY its exact top-5 users by event count plus
+    err_s = the largest DROPPED count (0 if nothing dropped) — k rows
+    + one scalar per shard is the whole mergeable-summary state, the
+    contract that lets 1000 executors each summarize locally and merge
+    at the driver-sized tail. Merged candidate bounds: lb = Σ kept
+    counts, ub = lb + Σ err_s over shards where the candidate was NOT
+    kept (a dropped or absent item's shard count is ≤ err_s by the
+    top-k rank rule). The guarantee lb ≤ true ≤ ub is PROVED per row
+    against the exact global recount (`contained` must be 1 — the
+    recount is the audit, not the production path). Output: top 10
+    candidates by ub (user tiebreak)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    per = ev.groupBy(
+        (F.col("event_id") % 8).alias("shard"), "user_id"
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("shard").orderBy(F.desc("cnt"), "user_id")
+    ranked = _mat(  # 2 consumers: kept rows + per-shard err scalars
+        per.withColumn("rk", F.row_number().over(w))
+    )
+    kept = ranked.filter(F.col("rk") <= 5)
+    shard_err = ranked.groupBy("shard").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rk") > 5, F.col("cnt"))), F.lit(0)
+        ).alias("err")
+    )
+    err_all = shard_err.agg(F.sum("err").alias("err_all"))
+    cand = (
+        kept.join(shard_err, "shard")
+        .groupBy("user_id")
+        .agg(
+            F.sum("cnt").alias("lb"),
+            F.sum("err").alias("kept_err"),
+        )
+        .crossJoin(F.broadcast(err_all))  # 1-row scalar
+        .select(
+            "user_id",
+            "lb",
+            (F.col("lb") + F.col("err_all") - F.col("kept_err")).alias(
+                "ub"
+            ),
+        )
+    )
+    true_cnt = ev.groupBy("user_id").agg(F.count("*").alias("true_cnt"))
+    return (
+        true_cnt.join(F.broadcast(cand), "user_id")
+        .select(
+            "user_id",
+            "lb",
+            "ub",
+            "true_cnt",
+            F.when(
+                (F.col("lb") <= F.col("true_cnt"))
+                & (F.col("true_cnt") <= F.col("ub")),
+                1,
+            )
+            .otherwise(0)
+            .alias("contained"),
+        )
+        .orderBy(F.desc("ub"), "user_id")
+        .limit(10)
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_topk_mergeable": """
+        WITH per AS (
+          SELECT event_id % 8 AS shard, user_id, count(*) AS cnt
+          FROM events GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY shard ORDER BY cnt DESC, user_id) AS rk
+          FROM per
+        ),
+        shard_err AS (
+          SELECT shard,
+                 CAST(coalesce(max(CASE WHEN rk > 5 THEN cnt END), 0)
+                      AS BIGINT) AS err
+          FROM ranked GROUP BY 1
+        ),
+        cand AS (
+          SELECT k.user_id,
+                 CAST(sum(k.cnt) AS BIGINT) AS lb,
+                 CAST(sum(k.cnt) AS BIGINT)
+                   + (SELECT CAST(sum(err) AS BIGINT) FROM shard_err)
+                   - CAST(sum(e.err) AS BIGINT) AS ub
+          FROM ranked k JOIN shard_err e ON e.shard = k.shard
+          WHERE k.rk <= 5
+          GROUP BY 1
+        )
+        SELECT t.user_id, c.lb, c.ub, t.true_cnt,
+               CAST(CASE WHEN c.lb <= t.true_cnt
+                          AND t.true_cnt <= c.ub
+                    THEN 1 ELSE 0 END AS INTEGER) AS contained
+        FROM (SELECT user_id, count(*) AS true_cnt
+              FROM events GROUP BY 1) t
+        JOIN cand c USING (user_id)
+        ORDER BY c.ub DESC, t.user_id
+        LIMIT 10
+    """,
     "q_bloom_size_planner": """
         WITH per AS (
           SELECT source,

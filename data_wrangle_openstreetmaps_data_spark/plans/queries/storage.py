@@ -1225,7 +1225,426 @@ def _layout_pruning_sql() -> str:
     """
 
 
+def q_incremental_agg_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — incremental materialized-view maintenance (the
+    don't-recompute-100-TB pattern; reference analogue: the one-shot
+    recompute ETL in openstreet_kolkata.py:657-683 has no refresh
+    story). A per-customer order-count/revenue aggregate is
+    maintained as stored base state (orders strictly before the
+    2001-02-01 refresh watermark) merged with the new delta batch
+    (orders at/after it): refresh cost is agg(delta) + an outer merge
+    on the TOUCHED keys only — in production the base fact table is
+    never rescanned. Here both paths run so the query PROVES the
+    merge law cross-engine: a full recompute joined on touched groups
+    yields a zero `mismatches` scalar (audit-only, not the production
+    path). Money is cent-exact (decimal sum → bigint) so merged sums
+    are associative integers, never float re-orderings. Output: top
+    20 touched groups by merged cents (custkey tiebreak) + accounting
+    scalars groups_touched / groups_total / mismatches."""
+    o = table(spark, sf, "orders")
+    split = _ts("2001-02-01")
+    cents = F.col("o_totalprice").cast("decimal(20,6)") * 100
+    base = (
+        o.filter(F.col("o_orderdate") < split)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("cnt_base"),
+            F.sum(cents).cast("long").alias("cents_base"),
+        )
+    )
+    delta = (
+        o.filter(F.col("o_orderdate") >= split)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("cnt_delta"),
+            F.sum(cents).cast("long").alias("cents_delta"),
+        )
+    )
+    merged = _mat(  # 3 consumers: top-20, touched scalar, mismatch audit
+        delta.join(base, "o_custkey", "left").select(
+            F.col("o_custkey").alias("custkey"),
+            F.coalesce("cnt_base", F.lit(0)).alias("cnt_base"),
+            F.col("cnt_delta"),
+            (F.coalesce("cnt_base", F.lit(0)) + F.col("cnt_delta")).alias(
+                "cnt_new"
+            ),
+            F.coalesce("cents_base", F.lit(0)).alias("cents_base"),
+            F.col("cents_delta"),
+            (
+                F.coalesce("cents_base", F.lit(0)) + F.col("cents_delta")
+            ).alias("cents_new"),
+        )
+    )
+    recompute = _mat(  # audit-only full recount; 2 consumers
+        o.groupBy("o_custkey").agg(
+            F.count("*").alias("cnt_all"),
+            F.sum(cents).cast("long").alias("cents_all"),
+        )
+    )
+    touched = merged.agg(F.count("*").alias("groups_touched"))
+    total = recompute.agg(F.count("*").alias("groups_total"))
+    mism = (
+        merged.join(
+            recompute, merged["custkey"] == recompute["o_custkey"]
+        ).agg(
+            F.count(
+                F.when(
+                    (F.col("cnt_new") != F.col("cnt_all"))
+                    | (F.col("cents_new") != F.col("cents_all")),
+                    1,
+                )
+            ).alias("mismatches")
+        )
+    )
+    return (
+        merged.orderBy(F.desc("cents_new"), "custkey")
+        .limit(20)
+        .crossJoin(F.broadcast(touched))  # three 1-row scalars
+        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(mism))
+    )
+
+
+def q_deletion_vectors(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — merge-on-read deletion vectors vs copy-on-write rewrite:
+    the lakehouse delete-cost decision as one audited row. lineitem is
+    bucketed into 64 simulated files (l_orderkey % 64 — the id is a
+    label; the audit is ONE hash agg per file then one 64-row fold, the
+    same plan at any scale); the delete predicate (returnflag 'R',
+    discount ≥ 0.06) marks rows. Per file: CoW rewrites every row of a
+    touched file; MoR writes only |deleted| DV entries but keeps
+    scanning dead rows until compaction. A 30%-dead threshold policy
+    (integer cross-multiply, no float ratio) picks per-file between DV
+    and rewrite. Output: exact integer file/row totals, both
+    pure-strategy write costs, the hybrid policy's write cost and
+    residual dead-read rows, and round4 ratios."""
+    li = table(spark, sf, "lineitem")
+    dead = (F.col("l_returnflag") == "R") & (F.col("l_discount") >= 0.06)
+    per_file = li.groupBy((F.col("l_orderkey") % 64).alias("file_id")).agg(
+        F.count("*").alias("rows"),
+        F.count(F.when(dead, 1)).alias("dels"),
+    )
+    rewrite = F.col("dels") * 10 >= F.col("rows") * 3  # dead ≥ 30%
+    out = per_file.agg(
+        F.count("*").alias("files_total"),
+        F.count(F.when(F.col("dels") > 0, 1)).alias("files_touched"),
+        F.sum("rows").alias("rows_total"),
+        F.sum("dels").alias("rows_deleted"),
+        F.coalesce(
+            F.sum(F.when(F.col("dels") > 0, F.col("rows"))), F.lit(0)
+        ).alias("cow_write_rows"),
+        F.sum("dels").alias("mor_write_entries"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("dels") > 0) & rewrite, F.col("rows")
+                ).otherwise(F.when(F.col("dels") > 0, F.col("dels")))
+            ),
+            F.lit(0),
+        ).alias("hybrid_write_units"),
+        F.coalesce(
+            F.sum(F.when((F.col("dels") > 0) & ~rewrite, F.col("dels"))),
+            F.lit(0),
+        ).alias("hybrid_dead_resident"),
+    )
+    return out.select(
+        "*",
+        text.round4(
+            F.col("cow_write_rows") / F.col("mor_write_entries")
+        ).alias("write_amp_cow"),
+        text.round4(F.col("rows_deleted") / F.col("rows_total")).alias(
+            "dead_read_pct"
+        ),
+    )
+
+
+def q_bitmap_index_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — bitmap-index predicate algebra: two single-column bitmap
+    indexes over lineitem (A: returnflag 'R', B: discount ≥ 0.06) are
+    built as packed 32-bit words keyed by rowid div 32 (rowid =
+    orderkey·8 + linenumber — unique by schema; 32-bit positions
+    because a set bit 63 overflows DuckDB's left shift, and the word
+    width is a layout constant anyway). AND/OR selectivities then come
+    from pure word-wise bitwise algebra + bit_count — the index
+    answers the combined predicate WITHOUT rescanning the table, the
+    reason bitmap indexes exist. The same one-pass agg carries direct
+    per-word predicate counts, so `bitmaps_match` PROVES all four
+    bitmap-derived cardinalities against the direct scan cross-engine.
+    One hash agg + one 1-row fold; word count is rows/32 at any
+    scale."""
+    li = table(spark, sf, "lineitem")
+    rid = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    a = F.col("l_returnflag") == "R"
+    b = F.col("l_discount") >= 0.06
+    # F.shiftleft takes a PYTHON-int bit count; a per-row count needs expr
+    bit = F.expr(
+        "shiftleft(cast(1 as bigint),"
+        " cast((l_orderkey * 8 + l_linenumber) % 32 as int))"
+    )
+    words = li.select(
+        rid.alias("rid"),
+        a.alias("a"),
+        b.alias("b"),
+        bit.alias("bit"),
+    ).groupBy(F.expr("rid div 32").alias("word")).agg(
+        F.coalesce(
+            F.bit_or(F.when(F.col("a"), F.col("bit"))), F.lit(0)
+        ).alias("wa"),
+        F.coalesce(
+            F.bit_or(F.when(F.col("b"), F.col("bit"))), F.lit(0)
+        ).alias("wb"),
+        F.count(F.when(F.col("a"), 1)).alias("ca"),
+        F.count(F.when(F.col("b"), 1)).alias("cb"),
+        F.count(F.when(F.col("a") & F.col("b"), 1)).alias("cand"),
+        F.count(F.when(F.col("a") | F.col("b"), 1)).alias("cor"),
+    )
+    out = words.agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.bit_count("wa")).alias("n_a"),
+        F.sum(F.bit_count("wb")).alias("n_b"),
+        F.sum(
+            F.bit_count(F.col("wa").bitwiseAND(F.col("wb")))
+        ).alias("n_and"),
+        F.sum(F.bit_count(F.col("wa").bitwiseOR(F.col("wb")))).alias(
+            "n_or"
+        ),
+        F.sum("ca").alias("n_a_direct"),
+        F.sum("cb").alias("n_b_direct"),
+        F.sum("cand").alias("n_and_direct"),
+        F.sum("cor").alias("n_or_direct"),
+    )
+    return out.select(
+        "*",
+        F.when(
+            (F.col("n_a") == F.col("n_a_direct"))
+            & (F.col("n_b") == F.col("n_b_direct"))
+            & (F.col("n_and") == F.col("n_and_direct"))
+            & (F.col("n_or") == F.col("n_or_direct")),
+            1,
+        )
+        .otherwise(0)
+        .alias("bitmaps_match"),
+    )
+
+
+def q_bitemporal_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — bitemporal as-of reconstruction (valid time × transaction
+    time), the restatement-audit shape SCD2 alone can't answer: facts
+    carry VALID time (o_orderdate); a correction stream (every 11th
+    order restated at transaction-epoch 1 with +10% price, computed as
+    exact integer cents + cents div 10) carries TRANSACTION time. "What
+    did we believe at tx T about month M?" = per-key argmax over
+    versions with tx ≤ T (ONE max(struct) aggregate computes both
+    knowledge states — no per-T rescan), rolled up by valid month.
+    Output per month: revenue as first believed (asof tx 0), as
+    currently known (asof tx 1), the restatement delta (≠ 0 exactly in
+    months containing a corrected order), and the restated-order
+    count. Versions table + argmax is the real bitemporal mechanism —
+    at 100 TB the correction stream is a MERGE source, never a base
+    rewrite."""
+    o = table(spark, sf, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(20,6)") * 100).cast(
+        "long"
+    )
+    month = F.date_format("o_orderdate", "yyyy-MM")
+    v0 = o.select(
+        "o_orderkey",
+        month.alias("month"),
+        cents.alias("cents"),
+        F.lit(0).alias("tx"),
+    )
+    v1 = (
+        o.filter(F.col("o_orderkey") % 11 == 0)
+        .select(
+            "o_orderkey",
+            month.alias("month"),
+            cents.alias("c0"),
+            F.lit(1).alias("tx"),
+        )
+        .select(
+            "o_orderkey",
+            "month",
+            (F.col("c0") + F.expr("c0 div 10")).alias("cents"),
+            "tx",
+        )
+    )
+    vers = v0.unionByName(v1)
+    per_key = vers.groupBy("o_orderkey", "month").agg(
+        F.max(F.when(F.col("tx") <= 0, F.struct("tx", "cents")))[
+            "cents"
+        ].alias("c_asof0"),
+        F.max(F.struct("tx", "cents"))["cents"].alias("c_asof1"),
+        F.max("tx").alias("maxtx"),
+    )
+    return (
+        per_key.groupBy("month")
+        .agg(
+            F.sum("c_asof0").alias("cents_asof0"),
+            F.sum("c_asof1").alias("cents_asof1"),
+            F.count(F.when(F.col("maxtx") == 1, 1)).alias("n_restated"),
+        )
+        .select(
+            "month",
+            "cents_asof0",
+            "cents_asof1",
+            (F.col("cents_asof1") - F.col("cents_asof0")).alias(
+                "restatement_cents"
+            ),
+            "n_restated",
+        )
+        .orderBy("month")
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_bitemporal_asof": """
+        WITH c AS (
+          SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS month,
+                 CAST(CAST(o_totalprice AS DECIMAL(20,6)) * 100
+                      AS BIGINT) AS cents
+          FROM orders
+        ),
+        vers AS (
+          SELECT o_orderkey, month, cents, 0 AS tx FROM c
+          UNION ALL
+          SELECT o_orderkey, month, cents + cents // 10, 1 FROM c
+          WHERE o_orderkey % 11 = 0
+        ),
+        per_key AS (
+          SELECT o_orderkey, month,
+                 max(CASE WHEN tx <= 0 THEN cents END) AS c_asof0,
+                 arg_max(cents, tx) AS c_asof1,
+                 max(tx) AS maxtx
+          FROM vers GROUP BY 1, 2
+        )
+        SELECT month,
+               CAST(sum(c_asof0) AS BIGINT) AS cents_asof0,
+               CAST(sum(c_asof1) AS BIGINT) AS cents_asof1,
+               CAST(sum(c_asof1) - sum(c_asof0) AS BIGINT)
+                 AS restatement_cents,
+               CAST(count(CASE WHEN maxtx = 1 THEN 1 END) AS BIGINT)
+                 AS n_restated
+        FROM per_key GROUP BY month
+        ORDER BY month
+    """,
+    "q_bitmap_index_intersect": """
+        WITH base AS (
+          SELECT l_orderkey * 8 + l_linenumber AS rid,
+                 l_returnflag = 'R' AS a,
+                 l_discount >= 0.06 AS b,
+                 1::BIGINT << CAST((l_orderkey * 8 + l_linenumber) % 32
+                                   AS INT) AS bit
+          FROM lineitem
+        ),
+        words AS (
+          SELECT rid // 32 AS word,
+                 coalesce(bit_or(CASE WHEN a THEN bit END), 0) AS wa,
+                 coalesce(bit_or(CASE WHEN b THEN bit END), 0) AS wb,
+                 count(CASE WHEN a THEN 1 END) AS ca,
+                 count(CASE WHEN b THEN 1 END) AS cb,
+                 count(CASE WHEN a AND b THEN 1 END) AS cand,
+                 count(CASE WHEN a OR b THEN 1 END) AS cor
+          FROM base GROUP BY 1
+        ),
+        tot AS (
+          SELECT count(*) AS n_words,
+                 CAST(sum(bit_count(wa)) AS BIGINT) AS n_a,
+                 CAST(sum(bit_count(wb)) AS BIGINT) AS n_b,
+                 CAST(sum(bit_count(wa & wb)) AS BIGINT) AS n_and,
+                 CAST(sum(bit_count(wa | wb)) AS BIGINT) AS n_or,
+                 CAST(sum(ca) AS BIGINT) AS n_a_direct,
+                 CAST(sum(cb) AS BIGINT) AS n_b_direct,
+                 CAST(sum(cand) AS BIGINT) AS n_and_direct,
+                 CAST(sum(cor) AS BIGINT) AS n_or_direct
+          FROM words
+        )
+        SELECT *,
+               CAST(CASE WHEN n_a = n_a_direct AND n_b = n_b_direct
+                          AND n_and = n_and_direct
+                          AND n_or = n_or_direct
+                    THEN 1 ELSE 0 END AS INTEGER) AS bitmaps_match
+        FROM tot
+    """,
+    "q_incremental_agg_refresh": """
+        WITH base AS (
+          SELECT o_custkey, count(*) AS cnt_base,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(20,6)) * 100)
+                      AS BIGINT) AS cents_base
+          FROM orders WHERE o_orderdate < TIMESTAMP '2001-02-01'
+          GROUP BY 1
+        ),
+        delta AS (
+          SELECT o_custkey, count(*) AS cnt_delta,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(20,6)) * 100)
+                      AS BIGINT) AS cents_delta
+          FROM orders WHERE o_orderdate >= TIMESTAMP '2001-02-01'
+          GROUP BY 1
+        ),
+        merged AS (
+          SELECT d.o_custkey AS custkey,
+                 coalesce(b.cnt_base, 0) AS cnt_base,
+                 d.cnt_delta,
+                 coalesce(b.cnt_base, 0) + d.cnt_delta AS cnt_new,
+                 coalesce(b.cents_base, 0) AS cents_base,
+                 d.cents_delta,
+                 coalesce(b.cents_base, 0) + d.cents_delta AS cents_new
+          FROM delta d LEFT JOIN base b ON b.o_custkey = d.o_custkey
+        ),
+        allq AS (
+          SELECT o_custkey, count(*) AS cnt_all,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(20,6)) * 100)
+                      AS BIGINT) AS cents_all
+          FROM orders GROUP BY 1
+        ),
+        scal AS (
+          SELECT (SELECT count(*) FROM merged) AS groups_touched,
+                 (SELECT count(*) FROM allq) AS groups_total,
+                 (SELECT count(*) FROM merged m
+                   JOIN allq f ON f.o_custkey = m.custkey
+                   WHERE m.cnt_new <> f.cnt_all
+                      OR m.cents_new <> f.cents_all) AS mismatches
+        )
+        SELECT m.custkey, m.cnt_base, m.cnt_delta, m.cnt_new,
+               m.cents_base, m.cents_delta, m.cents_new,
+               s.groups_touched, s.groups_total, s.mismatches
+        FROM (SELECT * FROM merged
+              ORDER BY cents_new DESC, custkey LIMIT 20) m, scal s
+        ORDER BY m.cents_new DESC, m.custkey
+    """,
+    "q_deletion_vectors": """
+        WITH per_file AS (
+          SELECT l_orderkey % 64 AS file_id, count(*) AS rows,
+                 CAST(count(CASE WHEN l_returnflag = 'R'
+                                  AND l_discount >= 0.06
+                            THEN 1 END) AS BIGINT) AS dels
+          FROM lineitem GROUP BY 1
+        ),
+        tot AS (
+          SELECT count(*) AS files_total,
+                 CAST(count(CASE WHEN dels > 0 THEN 1 END) AS BIGINT)
+                   AS files_touched,
+                 CAST(sum(rows) AS BIGINT) AS rows_total,
+                 CAST(sum(dels) AS BIGINT) AS rows_deleted,
+                 CAST(coalesce(sum(CASE WHEN dels > 0 THEN rows END), 0)
+                      AS BIGINT) AS cow_write_rows,
+                 CAST(sum(dels) AS BIGINT) AS mor_write_entries,
+                 CAST(coalesce(sum(CASE
+                        WHEN dels > 0 AND dels * 10 >= rows * 3 THEN rows
+                        WHEN dels > 0 THEN dels END), 0) AS BIGINT)
+                   AS hybrid_write_units,
+                 CAST(coalesce(sum(CASE
+                        WHEN dels > 0 AND dels * 10 < rows * 3
+                        THEN dels END), 0) AS BIGINT)
+                   AS hybrid_dead_resident
+          FROM per_file
+        )
+        SELECT *,
+               floor(CAST(cow_write_rows AS DOUBLE) / mor_write_entries
+                     * 10000 + 0.5) / 10000 AS write_amp_cow,
+               floor(CAST(rows_deleted AS DOUBLE) / rows_total
+                     * 10000 + 0.5) / 10000 AS dead_read_pct
+        FROM tot
+    """,
     "q_rle_encoding": f"""
         WITH u AS (
           {_rle_audit_sql("o_orderstatus")}

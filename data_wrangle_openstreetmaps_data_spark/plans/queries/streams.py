@@ -468,7 +468,38 @@ def q_streaming_ewma(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_streaming_dedup_native(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming — NATIVE watermark-evicted exact dedup
+    (dropDuplicatesWithinWatermark, the Spark 3.5+ API whose state
+    store evicts keys once the watermark passes them — bounded state
+    for unbounded streams, unlike plain dropDuplicates). Dedup key: the
+    planted pair key event_id div 2 (every key covers ≤2 events). The
+    engine keeps an ARBITRARY first row per key within a micro-batch,
+    so the projected output is the KEY ONLY — a deterministic set equal
+    to batch DISTINCT — while the arbitrary-survivor semantics and
+    cross-batch within-watermark drop are pinned in
+    tests/test_streaming_dedup_native.py."""
+    import uuid
+
+    from data_wrangle_openstreetmaps_data_spark.streaming import events as se
+
+    name = f"ddwm_{uuid.uuid4().hex[:8]}"
+    stream = se.stage_events_stream(spark, sf, "ddwm")
+    deduped = (
+        stream.withColumn("t", F.timestamp_micros(F.col("ts")))
+        .withColumn("k", F.expr("event_id div 2"))
+        .withWatermark("t", "1 hour")
+        .dropDuplicatesWithinWatermark(["k"])
+        .select("k")
+    )
+    se.run_to_memory(deduped, name)
+    return spark.table(name)
+
+
 ORACLES: dict[str, str | None] = {
+    "q_streaming_dedup_native": """
+        SELECT DISTINCT event_id // 2 AS k FROM events ORDER BY k
+    """,
     # closed form of the recurrence e_i = 0.5*x_i + 0.5*e_{i-1} over the
     # user's time-ordered values: weight for 1-based position i is
     # 0.5^(n-i+1); list_sum folds left-to-right like the recurrence

@@ -547,3 +547,45 @@ def test_repeated_spans_in_pure_sql(spark):
         )
         SELECT top.*, corpus_dup_spans, corpus_dup_windows FROM top, scal
     """)
+
+
+def test_shapley_attribution_in_pure_sql(spark):
+    """Exact set-Shapley attribution (integer twelfths, argmax-struct
+    last touch, scalar converter count) as literal SQL — parity shape
+    20: the whole credit model is one declarative statement."""
+    register_views(spark, SF_SMALL)
+    tsn = _tsn_sql(spark)
+    _assert_sql_matches(spark, "q_attribution_shapley", f"""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, {tsn} AS tsn FROM events
+        ),
+        fp AS (
+          SELECT user_id, min(tsn) AS ft FROM e
+          WHERE event_type = 'purchase' GROUP BY user_id
+        ),
+        pre AS (
+          SELECT e.* FROM e JOIN fp USING (user_id)
+          WHERE e.tsn < fp.ft AND e.event_type <> 'purchase'
+        ),
+        uu AS (
+          SELECT user_id, count(DISTINCT event_type) AS s_size,
+                 max(struct(tsn, event_id, event_type)).event_type
+                   AS last_type
+          FROM pre GROUP BY user_id
+        ),
+        uc AS (SELECT DISTINCT user_id, event_type FROM pre),
+        n AS (SELECT count(*) AS n_converters FROM uu)
+        SELECT uc.event_type AS channel,
+               count(*) AS users_touched,
+               count(CASE WHEN u.last_type = uc.event_type THEN 1 END)
+                 AS last_touch_users,
+               count(CASE WHEN u.s_size = 1 THEN 1 END)
+                 AS only_channel_users,
+               sum(12 div u.s_size) AS shapley_twelfths,
+               min(n.n_converters) AS n_converters,
+               floor(sum(12 div u.s_size)
+                     / (12 * min(n.n_converters)) * 10000 + 0.5) / 10000
+                 AS shapley_pct
+        FROM uc JOIN uu u USING (user_id) CROSS JOIN n
+        GROUP BY uc.event_type
+    """)
