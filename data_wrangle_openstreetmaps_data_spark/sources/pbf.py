@@ -17,11 +17,12 @@ whole downstream engine (audits, reshape, queries) is format-agnostic.
 
 Spark integration: ``spark.read.format("binaryFile")`` parallelizes across
 files; blob decode runs executor-side in ``mapInPandas`` (Arrow batches of
-file splits). Scale note: one huge planet.pbf is a single binaryFile row —
-the production refinement is a first pass that indexes blob offsets and
-explodes (file, offset, length) tasks so one file fans out across
+file splits). Scale note: one huge planet.pbf is a single binaryFile row
+on THIS route — the splittable route is ``pbf_datasource.py`` (Spark 4
+Python DataSource, ``spark.read.format("osmpbf")``), whose partition
+planner indexes blob offsets driver-side and fans one file out across
 executors; blob independence makes that safe. The decoder itself is
-per-blob and already executor-side.
+per-blob and shared by both routes.
 """
 
 from __future__ import annotations
