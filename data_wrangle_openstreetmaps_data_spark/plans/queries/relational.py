@@ -1577,7 +1577,163 @@ def q_sample_alias_bias(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_small_cell_suppression(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — statistical disclosure control beyond k-anonymity: the
+    small-cell suppression a statistics office applies before
+    publishing a frequency table (customers per nation × segment).
+    Primary: observed cells with count < 5 are suppressed. One
+    complementary round follows, because a row or column with exactly
+    ONE suppressed cell leaks it through the marginal total: such a
+    row (then column, counting row-pass suppressions) also suppresses
+    its smallest remaining cell — argmin via a window MIN over the
+    integer key cnt·32+id, no rank-among-filtered subquery, fully
+    deterministic. The column key crosses segment with a planted RARE
+    category (custkey % 199 = 0, ~0.5% — the rare-disease cell that
+    keeps small counts present at EVERY scale, where a plain 5-segment
+    grid saturates past k by sf0.01). Output is the observed-cell audit
+    table (true count, published value, status ∈
+    ok/primary/comp_row/comp_col); the production view drops `cnt`.
+    Two windows over a |nations|·|segment×band| frame: free at any
+    fact scale."""
+    from pyspark.sql import Window
+
+    c = table(spark, sf, "customer")
+    band = F.when(F.col("c_custkey") % 199 == 0, "rare").otherwise(
+        "common"
+    )
+    segi = F.array_position(
+        F.array(
+            F.lit("AUTOMOBILE"),
+            F.lit("BUILDING"),
+            F.lit("FURNITURE"),
+            F.lit("HOUSEHOLD"),
+            F.lit("MACHINERY"),
+        ),
+        F.col("c_mktsegment"),
+    )
+    cells = (
+        c.groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.concat(
+                F.col("c_mktsegment"), F.lit("/"), band
+            ).alias("segment"),
+            (segi + F.when(band == "rare", 5).otherwise(0)).alias("si"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("primary", F.col("cnt") < 5)
+    )
+    wr = Window.partitionBy("nationkey")
+    cells = cells.withColumn(
+        "n_prim_row", F.sum(F.col("primary").cast("int")).over(wr)
+    ).withColumn(
+        "tgt_row",
+        F.min(
+            F.when(
+                ~F.col("primary"), F.col("cnt") * 32 + F.col("si")
+            )
+        ).over(wr),
+    )
+    cells = cells.withColumn(
+        "comp_row",
+        (~F.col("primary"))
+        & (F.col("n_prim_row") == 1)
+        & (F.col("cnt") * 32 + F.col("si") == F.col("tgt_row")),
+    ).withColumn("supp1", F.col("primary") | F.col("comp_row"))
+    wc = Window.partitionBy("segment")
+    cells = cells.withColumn(
+        "n_supp1_col", F.sum(F.col("supp1").cast("int")).over(wc)
+    ).withColumn(
+        "tgt_col",
+        F.min(
+            F.when(
+                ~F.col("supp1"),
+                F.col("cnt") * 32 + F.col("nationkey"),
+            )
+        ).over(wc),
+    )
+    cells = cells.withColumn(
+        "comp_col",
+        (~F.col("supp1"))
+        & (F.col("n_supp1_col") == 1)
+        & (F.col("cnt") * 32 + F.col("nationkey") == F.col("tgt_col")),
+    )
+    status = (
+        F.when(F.col("primary"), "primary")
+        .when(F.col("comp_row"), "comp_row")
+        .when(F.col("comp_col"), "comp_col")
+        .otherwise("ok")
+    )
+    return cells.select(
+        "nationkey",
+        "segment",
+        "cnt",
+        F.when(
+            ~(F.col("primary") | F.col("comp_row") | F.col("comp_col")),
+            F.col("cnt"),
+        ).alias("published"),
+        status.alias("status"),
+    ).orderBy("nationkey", "segment")
+
+
 ORACLES: dict[str, str | None] = {
+    "q_small_cell_suppression": """
+        WITH segs(s, i) AS (
+          VALUES ('AUTOMOBILE', 1), ('BUILDING', 2), ('FURNITURE', 3),
+                 ('HOUSEHOLD', 4), ('MACHINERY', 5)
+        ),
+        base AS (
+          SELECT c_nationkey AS nationkey, c_mktsegment AS seg,
+                 CASE WHEN c_custkey % 199 = 0
+                      THEN 'rare' ELSE 'common' END AS band
+          FROM customer
+        ),
+        cells AS (
+          SELECT nationkey, seg || '/' || band AS segment,
+                 (SELECT i FROM segs WHERE s = seg)
+                   + CASE WHEN band = 'rare' THEN 5 ELSE 0 END AS si,
+                 count(*) AS cnt,
+                 count(*) < 5 AS prim
+          FROM base GROUP BY nationkey, seg, band
+        ),
+        r AS (
+          SELECT *,
+                 sum(CASE WHEN prim THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY nationkey) AS n_prim_row,
+                 min(CASE WHEN NOT prim THEN cnt * 32 + si END)
+                   OVER (PARTITION BY nationkey) AS tgt_row
+          FROM cells
+        ),
+        r2 AS (
+          SELECT *,
+                 (NOT prim) AND n_prim_row = 1
+                   AND cnt * 32 + si = tgt_row AS comp_row
+          FROM r
+        ),
+        r3 AS (
+          SELECT *, prim OR comp_row AS supp1,
+                 sum(CASE WHEN prim OR comp_row THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY segment) AS n_supp1_col,
+                 min(CASE WHEN NOT (prim OR comp_row)
+                          THEN cnt * 32 + nationkey END)
+                   OVER (PARTITION BY segment) AS tgt_col
+          FROM r2
+        ),
+        r4 AS (
+          SELECT *,
+                 (NOT supp1) AND n_supp1_col = 1
+                   AND cnt * 32 + nationkey = tgt_col AS comp_col
+          FROM r3
+        )
+        SELECT nationkey, segment, cnt,
+               CASE WHEN NOT (prim OR comp_row OR comp_col)
+                    THEN cnt END AS published,
+               CASE WHEN prim THEN 'primary'
+                    WHEN comp_row THEN 'comp_row'
+                    WHEN comp_col THEN 'comp_col'
+                    ELSE 'ok' END AS status
+        FROM r4
+        ORDER BY nationkey, segment
+    """,
     "q_sample_alias_bias": """
         WITH base AS (
           SELECT (l_orderkey * 8 + l_linenumber) % 10 AS v,

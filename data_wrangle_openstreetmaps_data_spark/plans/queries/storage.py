@@ -1496,7 +1496,120 @@ def q_bitemporal_asof(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_late_arriving_dim(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — late-arriving-dimension handling (the warehouse pattern
+    SCD2 needs at load time): facts whose dimension member has no
+    version valid at the fact's event date land in the UNKNOWN member
+    instead of being dropped or mis-joined to a later version. The
+    synthesized dim history: every customer's segment v1 becomes valid
+    1995-07-01 for custkey%7=0 (so earlier 1995 orders for them are
+    EARLY facts → UNKNOWN) and epoch-start otherwise; custkey%5=0
+    additionally restates to the NEXT segment from 1998-01-01 (SCD2
+    version 2). Resolution is one broadcast of the |customers|·≤2
+    version table + an argmax over versions with valid_from ≤
+    orderdate — no interval blow-up, no window over facts. Output: per
+    resolved segment (incl. UNKNOWN), order count and cent-exact
+    revenue; UNKNOWN ≠ 0 is the point."""
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    c = table(spark, sf, "customer")
+    v1 = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.when(
+            F.col("c_custkey") % 7 == 0, _ts("1995-07-01")
+        ).otherwise(_ts("1990-01-01")).alias("valid_from"),
+    )
+    nxt = F.element_at(
+        F.array(*[F.lit(s) for s in segs]),
+        (
+            (
+                F.array_position(
+                    F.array(*[F.lit(s) for s in segs]),
+                    F.col("c_mktsegment"),
+                )
+                % 5
+            )
+            + 1
+        ).cast("int"),
+    )
+    v2 = (
+        c.filter(F.col("c_custkey") % 5 == 0)
+        .select(
+            "c_custkey",
+            nxt.alias("segment"),
+            _ts("1998-01-01").alias("valid_from"),
+        )
+    )
+    dim = v1.unionByName(v2)
+    o = table(spark, sf, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(20,6)") * 100).cast(
+        "long"
+    )
+    joined = (
+        o.select("o_orderkey", "o_custkey", "o_orderdate", cents.alias("cents"))
+        .join(
+            F.broadcast(dim),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("valid_from") <= F.col("o_orderdate")),
+            "left",
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.max(F.struct("valid_from", "segment"))["segment"].alias(
+                "seg"
+            ),
+            F.max("cents").alias("cents"),
+        )
+    )
+    return (
+        joined.groupBy(
+            F.coalesce("seg", F.lit("UNKNOWN")).alias("segment")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("cents"),
+        )
+        .orderBy("segment")
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_late_arriving_dim": """
+        WITH segs(s, i) AS (
+          VALUES ('AUTOMOBILE', 1), ('BUILDING', 2), ('FURNITURE', 3),
+                 ('HOUSEHOLD', 4), ('MACHINERY', 5)
+        ),
+        v1 AS (
+          SELECT c_custkey, c_mktsegment AS segment,
+                 CASE WHEN c_custkey % 7 = 0
+                      THEN TIMESTAMP '1995-07-01'
+                      ELSE TIMESTAMP '1990-01-01' END AS valid_from
+          FROM customer
+        ),
+        v2 AS (
+          SELECT c.c_custkey,
+                 (SELECT s2.s FROM segs s1, segs s2
+                   WHERE s1.s = c.c_mktsegment
+                     AND s2.i = (s1.i % 5) + 1) AS segment,
+                 TIMESTAMP '1998-01-01' AS valid_from
+          FROM customer c WHERE c.c_custkey % 5 = 0
+        ),
+        dim AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+        joined AS (
+          SELECT o.o_orderkey,
+                 arg_max(d.segment, d.valid_from) AS seg,
+                 max(CAST(CAST(o.o_totalprice AS DECIMAL(20,6)) * 100
+                          AS BIGINT)) AS cents
+          FROM orders o
+          LEFT JOIN dim d ON d.c_custkey = o.o_custkey
+                         AND d.valid_from <= o.o_orderdate
+          GROUP BY o.o_orderkey
+        )
+        SELECT coalesce(seg, 'UNKNOWN') AS segment,
+               count(*) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS cents
+        FROM joined GROUP BY 1 ORDER BY segment
+    """,
     "q_bitemporal_asof": """
         WITH c AS (
           SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS month,

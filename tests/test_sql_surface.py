@@ -589,3 +589,62 @@ def test_shapley_attribution_in_pure_sql(spark):
         FROM uc JOIN uu u USING (user_id) CROSS JOIN n
         GROUP BY uc.event_type
     """)
+
+
+def test_small_cell_suppression_in_pure_sql(spark):
+    """Small-cell suppression with one complementary round (window
+    sums + window argmin keys) as literal SQL — parity shape 21."""
+    register_views(spark, SF_SMALL)
+    _assert_sql_matches(spark, "q_small_cell_suppression", """
+        WITH base AS (
+          SELECT c_nationkey AS nationkey, c_mktsegment AS seg,
+                 CASE WHEN c_custkey % 199 = 0
+                      THEN 'rare' ELSE 'common' END AS band
+          FROM customer
+        ),
+        cells AS (
+          SELECT nationkey, concat(seg, '/', band) AS segment,
+                 array_position(
+                   array('AUTOMOBILE','BUILDING','FURNITURE',
+                         'HOUSEHOLD','MACHINERY'), seg)
+                   + CASE WHEN band = 'rare' THEN 5 ELSE 0 END AS si,
+                 count(*) AS cnt,
+                 count(*) < 5 AS prim
+          FROM base GROUP BY nationkey, seg, band
+        ),
+        r AS (
+          SELECT *,
+                 sum(CASE WHEN prim THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY nationkey) AS n_prim_row,
+                 min(CASE WHEN NOT prim THEN cnt * 32 + si END)
+                   OVER (PARTITION BY nationkey) AS tgt_row
+          FROM cells
+        ),
+        r2 AS (
+          SELECT *, (NOT prim) AND n_prim_row = 1
+                     AND cnt * 32 + si = tgt_row AS comp_row
+          FROM r
+        ),
+        r3 AS (
+          SELECT *, prim OR comp_row AS supp1,
+                 sum(CASE WHEN prim OR comp_row THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY segment) AS n_supp1_col,
+                 min(CASE WHEN NOT (prim OR comp_row)
+                          THEN cnt * 32 + nationkey END)
+                   OVER (PARTITION BY segment) AS tgt_col
+          FROM r2
+        ),
+        r4 AS (
+          SELECT *, (NOT supp1) AND n_supp1_col = 1
+                     AND cnt * 32 + nationkey = tgt_col AS comp_col
+          FROM r3
+        )
+        SELECT nationkey, segment, cnt,
+               CASE WHEN NOT (prim OR comp_row OR comp_col)
+                    THEN cnt END AS published,
+               CASE WHEN prim THEN 'primary'
+                    WHEN comp_row THEN 'comp_row'
+                    WHEN comp_col THEN 'comp_col'
+                    ELSE 'ok' END AS status
+        FROM r4
+    """)
