@@ -2268,7 +2268,115 @@ def q_attribution_shapley(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_max_concurrency(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — peak concurrent sessions via the sweep line, the capacity
+    metric the interval-union query can't answer (union measures
+    covered TIME, this measures simultaneous LOAD): gaps-and-islands
+    sessions (12h gap) become (start,+1)/(end,−1) deltas; the running
+    sum over the global delta order is the live-session count and its
+    max is the peak. Tie rule at equal µs: ends before starts (delta
+    ascending), then user — so back-to-back sessions never double
+    count; the rule is part of the contract and identical in the
+    oracle. The ONE global sort is 2·|sessions| rows (thousands per
+    million events), not the facts — exactly the sweep-line's point at
+    100 TB. Output: peak, its earliest instant, session count."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        catalog.event_ts_us(ev).alias("tsn"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tsn", "event_id")
+    new_s = F.when(
+        F.lag("tsn").over(w).isNull()
+        | (F.col("tsn") - F.lag("tsn").over(w) > _SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    sess = (
+        e.withColumn("sid", F.sum(new_s).over(w))
+        .groupBy("user_id", "sid")
+        .agg(F.min("tsn").alias("s"), F.max("tsn").alias("e"))
+    )
+    deltas = sess.select(
+        F.col("s").alias("t"), F.lit(1).alias("d"), "user_id"
+    ).unionByName(
+        sess.select(
+            F.col("e").alias("t"), F.lit(-1).alias("d"), "user_id"
+        )
+    )
+    sw = Window.orderBy("t", "d", "user_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = _mat(  # 2 consumers: peak scalar + earliest-peak instant
+        deltas.withColumn("live", F.sum("d").over(sw))
+    )
+    peak = run.agg(F.max("live").alias("peak_concurrency"))
+    out = (
+        run.join(
+            F.broadcast(peak),
+            F.col("live") == F.col("peak_concurrency"),
+        )
+        .agg(
+            F.min("t").alias("at_us"),
+            F.max("peak_concurrency").alias("peak_concurrency"),
+        )
+    )
+    n = sess.agg(F.count("*").alias("n_sessions"))
+    return out.crossJoin(F.broadcast(n)).select(
+        "peak_concurrency", "at_us", "n_sessions"
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_max_concurrency": f"""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(ts) AS tsn FROM events
+        ),
+        l AS (
+          SELECT user_id, tsn,
+                 lag(tsn) OVER (PARTITION BY user_id
+                                ORDER BY tsn, event_id) AS prev
+          FROM e
+        ),
+        f AS (
+          SELECT user_id, tsn,
+                 CASE WHEN prev IS NULL
+                        OR tsn - prev > {_SESSION_GAP_US}
+                      THEN 1 ELSE 0 END AS new_s
+          FROM l
+        ),
+        s AS (
+          SELECT user_id, tsn,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY tsn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sid
+          FROM f
+        ),
+        sess AS (
+          SELECT user_id, sid, min(tsn) AS st, max(tsn) AS en
+          FROM s GROUP BY 1, 2
+        ),
+        deltas AS (
+          SELECT st AS t, 1 AS d, user_id FROM sess
+          UNION ALL
+          SELECT en AS t, -1 AS d, user_id FROM sess
+        ),
+        run AS (
+          SELECT t, d, user_id,
+                 sum(d) OVER (ORDER BY t, d, user_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS live
+          FROM deltas
+        ),
+        pk AS (SELECT max(live) AS peak_concurrency FROM run)
+        SELECT CAST(p.peak_concurrency AS BIGINT) AS peak_concurrency,
+               (SELECT min(t) FROM run
+                 WHERE live = p.peak_concurrency) AS at_us,
+               (SELECT count(*) FROM sess) AS n_sessions
+        FROM pk p
+    """,
     "q_attribution_shapley": """
         WITH ev AS (
           SELECT user_id, event_id, event_type, epoch_us(ts) AS tsn

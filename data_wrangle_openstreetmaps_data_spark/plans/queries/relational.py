@@ -1675,7 +1675,244 @@ def q_small_cell_suppression(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("nationkey", "segment")
 
 
+def q_skew_salt_planner(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — the ACTIONABLE companion of q_join_skew_metrics: a salting
+    PLAN table. Given a target of ≤500 rows per join task, each key's
+    salt factor is ceil(cnt/target) — pure integer arithmetic
+    ((cnt + t − 1) div t), so the plan is bit-identical cross-engine —
+    and the table shows per key the post-salt worst slice
+    (ceil(cnt/factor), provably ≤ target) plus plan-level scalars:
+    max task rows before/after and the extra tasks the salt costs.
+    This is the static-control path next to AQE's runtime skew split
+    (PERF.md round-10): you emit this table when you must PIN the
+    layout (bucketing, repeated joins) instead of re-detecting per
+    query. One map-side-combined group-count; the plan frame is
+    |keys|-sized."""
+    tgt = 500
+    ev = table(spark, sf, "events")
+    freq = _mat(  # 2 consumers: plan rows + scalars
+        ev.groupBy(F.col("event_type").alias("key")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+    )
+    plan = freq.select(
+        "key",
+        "cnt",
+        F.expr(f"(cnt + {tgt} - 1) div {tgt}").alias("factor"),
+    ).select(
+        "key",
+        "cnt",
+        "factor",
+        F.expr("(cnt + factor - 1) div factor").alias("max_slice"),
+    )
+    scal = freq.agg(
+        F.max("cnt").alias("before_max_task_rows"),
+        F.max(
+            F.expr(
+                f"(cnt + ((cnt + {tgt} - 1) div {tgt}) - 1)"
+                f" div ((cnt + {tgt} - 1) div {tgt})"
+            )
+        ).alias("after_max_task_rows"),
+        F.sum(F.expr(f"((cnt + {tgt} - 1) div {tgt}) - 1")).alias(
+            "extra_tasks"
+        ),
+    )
+    return (
+        plan.crossJoin(F.broadcast(scal))  # 1-row scalar
+        .orderBy(F.desc("cnt"), "key")
+    )
+
+
+def q_quantile_normalization(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — quantile normalization across shards (the
+    batch-effect-removal transform from bioinformatics, equally the
+    feature-alignment step when training data arrives from
+    differently-scaled sources): rank each value within its shard
+    (c_custkey % 4; cent-exact acctbal, custkey tiebreak), then replace
+    it with the ACROSS-shard mean of the same rank's values. Unequal
+    shard sizes use the standard generalization (mean over shards
+    present at that rank). Mean = exact-bigint sum / count — one
+    double division per rank, identical cross-engine — rounded only at
+    output. Plan: one rank window per shard partition + one |ranks|-
+    sized aggregate joined back by rank; no global sort of the facts.
+    Output: ranks ≤ 10 across the 4 shards (40 rows)."""
+    from pyspark.sql import Window
+
+    c = table(spark, sf, "customer")
+    base = c.select(
+        (F.col("c_custkey") % 4).alias("shard"),
+        "c_custkey",
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    w = Window.partitionBy("shard").orderBy("cents", "c_custkey")
+    ranked = _mat(  # 2 consumers: ref means + output rows
+        base.withColumn("rnk", F.row_number().over(w))
+    )
+    ref = ranked.groupBy("rnk").agg(
+        (F.sum("cents") / F.count("*")).alias("refmean")
+    )
+    return (
+        ranked.filter(F.col("rnk") <= 10)
+        .join(F.broadcast(ref.filter(F.col("rnk") <= 10)), "rnk")
+        .select(
+            "shard",
+            "rnk",
+            F.col("c_custkey").alias("custkey"),
+            "cents",
+            text.round4(F.col("refmean")).alias("norm_cents"),
+        )
+        .orderBy("shard", "rnk")
+    )
+
+
+def q_mahalanobis_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — 2-feature Mahalanobis outlier screen, the multivariate
+    step past q_zscore_outliers/q_mad_outliers (a customer can be
+    unremarkable per-axis but far off the joint ellipse): features per
+    customer = order count x and revenue DOLLARS y (cents div 100 —
+    y² sums overflow BIGINT at sf0.1 in cents; dollars keep every
+    sufficient statistic an exact int64 to sf1 and beyond). The five
+    sufficient statistics are exact integer sums; the 2×2 covariance
+    inverse is closed-form, so d² = (dx·dx·syy − 2·dx·dy·sxy +
+    dy·dy·sxx) / (sxx·syy − sxy²) is computed in doubles derived from
+    exact ints with the SAME expression tree on both engines (shared
+    arithmetic shape, the geohash discipline), round4 at output, rank
+    tiebreak by custkey. One agg to stats, one broadcast back — no
+    window over the facts. Output: top 10 by d²."""
+    o = table(spark, sf, "orders")
+    feats = _mat(  # 2 consumers: stats scalar + per-row scores
+        o.groupBy("o_custkey").agg(
+            F.count("*").alias("x"),
+            F.expr(
+                "cast(sum(cast(o_totalprice as decimal(20,6)) * 100)"
+                " as bigint) div 100"
+            ).alias("y"),
+        )
+    )
+    st = feats.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    j = feats.crossJoin(F.broadcast(st))  # 1-row scalar
+    # mirrored double arithmetic (identical shape in the oracle SQL)
+    mx = F.col("sx") / F.col("n")
+    my = F.col("sy") / F.col("n")
+    vxx = (F.col("sxx") - F.col("sx") * mx) / (F.col("n") - 1)
+    vyy = (F.col("syy") - F.col("sy") * my) / (F.col("n") - 1)
+    vxy = (F.col("sxy") - F.col("sx") * my) / (F.col("n") - 1)
+    dx = F.col("x") - mx
+    dy = F.col("y") - my
+    d2 = (dx * dx * vyy - 2 * dx * dy * vxy + dy * dy * vxx) / (
+        vxx * vyy - vxy * vxy
+    )
+    return (
+        j.select(
+            F.col("o_custkey").alias("custkey"),
+            "x",
+            "y",
+            text.round4(d2).alias("d2"),
+        )
+        .orderBy(F.desc("d2"), "custkey")
+        .limit(10)
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_quantile_normalization": """
+        WITH base AS (
+          SELECT c_custkey % 4 AS shard, c_custkey,
+                 CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                      AS BIGINT) AS cents
+          FROM customer
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY shard ORDER BY cents, c_custkey)
+                   AS rnk
+          FROM base
+        ),
+        ref AS (
+          SELECT rnk,
+                 CAST(sum(cents) AS DOUBLE) / count(*) AS refmean
+          FROM ranked GROUP BY rnk
+        )
+        SELECT r.shard, r.rnk, r.c_custkey AS custkey, r.cents,
+               floor(f.refmean * 10000 + 0.5) / 10000 AS norm_cents
+        FROM ranked r JOIN ref f USING (rnk)
+        WHERE r.rnk <= 10
+        ORDER BY r.shard, r.rnk
+    """,
+    "q_mahalanobis_outliers": """
+        WITH feats AS (
+          SELECT o_custkey, count(*) AS x,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(20,6)) * 100)
+                      AS BIGINT) // 100 AS y
+          FROM orders GROUP BY 1
+        ),
+        st AS (
+          SELECT count(*) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM feats
+        ),
+        sc AS (
+          SELECT f.o_custkey AS custkey, f.x, f.y,
+                 ((f.x - s.sx / s.n) * (f.x - s.sx / s.n)
+                    * ((s.syy - s.sy * (s.sy / s.n)) / (s.n - 1))
+                  - 2 * (f.x - s.sx / s.n) * (f.y - s.sy / s.n)
+                    * ((s.sxy - s.sx * (s.sy / s.n)) / (s.n - 1))
+                  + (f.y - s.sy / s.n) * (f.y - s.sy / s.n)
+                    * ((s.sxx - s.sx * (s.sx / s.n)) / (s.n - 1)))
+                 / (((s.sxx - s.sx * (s.sx / s.n)) / (s.n - 1))
+                      * ((s.syy - s.sy * (s.sy / s.n)) / (s.n - 1))
+                    - ((s.sxy - s.sx * (s.sy / s.n)) / (s.n - 1))
+                      * ((s.sxy - s.sx * (s.sy / s.n)) / (s.n - 1)))
+                   AS d2
+          FROM feats f, st s
+        )
+        SELECT custkey, x, y,
+               floor(d2 * 10000 + 0.5) / 10000 AS d2
+        FROM sc
+        ORDER BY floor(d2 * 10000 + 0.5) / 10000 DESC, custkey
+        LIMIT 10
+    """,
+    "q_skew_salt_planner": """
+        WITH freq AS (
+          SELECT event_type AS key, count(*) AS cnt
+          FROM events GROUP BY 1
+        ),
+        plan AS (
+          SELECT key, cnt,
+                 (cnt + 499) // 500 AS factor,
+                 (cnt + ((cnt + 499) // 500) - 1)
+                   // ((cnt + 499) // 500) AS max_slice
+          FROM freq
+        ),
+        scal AS (
+          SELECT CAST(max(cnt) AS BIGINT) AS before_max_task_rows,
+                 CAST(max((cnt + ((cnt + 499) // 500) - 1)
+                          // ((cnt + 499) // 500)) AS BIGINT)
+                   AS after_max_task_rows,
+                 CAST(sum(((cnt + 499) // 500) - 1) AS BIGINT)
+                   AS extra_tasks
+          FROM freq
+        )
+        SELECT p.key, p.cnt, CAST(p.factor AS BIGINT) AS factor,
+               CAST(p.max_slice AS BIGINT) AS max_slice,
+               s.before_max_task_rows, s.after_max_task_rows,
+               s.extra_tasks
+        FROM plan p, scal s
+        ORDER BY p.cnt DESC, p.key
+    """,
     "q_small_cell_suppression": """
         WITH segs(s, i) AS (
           VALUES ('AUTOMOBILE', 1), ('BUILDING', 2), ('FURNITURE', 3),

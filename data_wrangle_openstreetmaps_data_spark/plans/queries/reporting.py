@@ -1204,7 +1204,256 @@ _POIS_CASE_SQL = "CASE {} ELSE 6 END".format(
     )
 )
 
+def q_calibration_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — model-calibration reliability table + expected calibration
+    error (ECE), the serving-side companion of q_auc / q_decile_lift:
+    score = l_discount·10 (a deterministic stand-in prediction in
+    [0,1]), outcome = returnflag 'R'. Ten fixed-width bins by
+    floor(score·10) capped at 9; per bin the row count, mean score
+    (decimal-exact sum → one double division, round4) and observed
+    rate; ECE = Σ n·|mean−rate| / N from the same exact pieces, so
+    both engines derive identical doubles before the final round4.
+    One hash agg over the facts + a 10-row fold — the reliability
+    report costs one scan at any scale."""
+    li = table(spark, sf, "lineitem")
+    score = F.col("l_discount") * 10
+    b = F.least(F.floor(score * 10), F.lit(9)).cast("int")
+    bins = _mat(  # 2 consumers: report rows + the ECE scalar
+        li.groupBy(b.alias("bin")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("l_discount") * 10).cast("decimal(18,2)")
+            ).alias("_ssum"),
+            F.count(F.when(F.col("l_returnflag") == "R", 1)).alias(
+                "_pos"
+            ),
+        )
+    )
+    mean_s = F.col("_ssum").cast("double") / F.col("n")
+    rate = F.col("_pos").cast("double") / F.col("n")
+    ece = bins.agg(
+        (
+            F.sum(
+                F.col("n")
+                * F.abs(
+                    F.col("_ssum").cast("double") / F.col("n")
+                    - F.col("_pos").cast("double") / F.col("n")
+                )
+            )
+            / F.sum("n")
+        ).alias("_e")
+    ).select(text.round4(F.col("_e")).alias("ece"))
+    return (
+        bins.select(
+            "bin",
+            "n",
+            text.round4(mean_s).alias("mean_score"),
+            text.round4(rate).alias("obs_rate"),
+        )
+        .crossJoin(F.broadcast(ece))  # 1-row scalar
+        .orderBy("bin")
+    )
+
+
+def q_raking(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — survey raking / iterative proportional fitting, ONE round
+    (row pass then column pass), calibrating the nation × segment
+    customer table to UNIFORM target marginals (total/25 per nation,
+    total/5 per segment — the design-weight shape when a sample
+    over-represents some strata). Weights are doubles derived from
+    exact integer counts, and the weights are FIXED-POINT (1e-6
+    micro-units, floor(x·1e6+0.5)) so every cross-cell sum in the
+    pipeline is an exact int64 — a float Σ cnt·w over a window has no
+    defined summation order cross-engine, which is precisely the
+    nondeterminism this query refuses to ship. After the column pass
+    the column marginals are met up to quantization; the row residual
+    is the classic IPF one-round gap, reported as max_row_err (in
+    persons). Output: the 10 largest per-cell weights (tiebreaks
+    nationkey, segment) + the residual scalar — two |cells|-frame
+    windows, one scan of the facts."""
+    from pyspark.sql import Window
+
+    c = table(spark, sf, "customer")
+    cells = c.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(F.count("*").alias("cnt"))
+    tot = F.sum("cnt").over(Window.partitionBy())
+    rowsum = F.sum("cnt").over(Window.partitionBy("nationkey"))
+    w1u = F.floor((tot / 25) / rowsum * 1000000 + F.lit(0.5)).cast(
+        "long"
+    )  # micro-weight after the row pass
+    step1 = _mat(  # 2 consumers: col sums + final weights
+        cells.select(
+            "nationkey",
+            "segment",
+            "cnt",
+            tot.alias("tot"),
+            w1u.alias("w1u"),
+        )
+    )
+    colsum_u = F.sum(F.col("cnt") * F.col("w1u")).over(
+        Window.partitionBy("segment")
+    )  # exact int64 micro-person column marginal
+    wu = F.floor(
+        F.col("w1u")
+        * ((F.col("tot") * 1000000 / 5) / colsum_u)
+        + F.lit(0.5)
+    ).cast("long")
+    step2 = _mat(  # 2 consumers: top rows + residual scalar
+        step1.select("nationkey", "segment", "cnt", "tot", wu.alias("wu"))
+    )
+    resid = (
+        step2.groupBy("nationkey")
+        .agg(
+            F.abs(
+                F.sum(F.col("cnt") * F.col("wu"))
+                - F.max(F.col("tot") * 1000000 / 25)
+            ).alias("_e")
+        )
+        .agg(F.max("_e").alias("_m"))
+        .select(
+            text.round4(F.col("_m") / 1000000).alias("max_row_err")
+        )
+    )
+    return (
+        step2.select(
+            "nationkey",
+            "segment",
+            "cnt",
+            text.round4(F.col("wu") / 1000000).alias("weight"),
+        )
+        .orderBy(F.desc("weight"), "nationkey", "segment")
+        .limit(10)
+        .crossJoin(F.broadcast(resid))  # 1-row scalar
+    )
+
+
+def q_fulfillment_lag(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — order-to-last-shipment lag percentiles per order
+    priority: per order the lag in whole days from o_orderdate to the
+    LAST line shipment (max l_shipdate — exact integer days from µs
+    epochs), then p50/p90/max per priority (Spark percentile ↔ DuckDB
+    quantile_cont, the established cross-engine pair). One join
+    aggregated order-side, then a |priorities|-row rollup."""
+    o = table(spark, sf, "orders")
+    li = table(spark, sf, "lineitem")
+    last = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    lag = (
+        o.join(last, o["o_orderkey"] == last["l_orderkey"])
+        .select(
+            "o_orderpriority",
+            (
+                F.unix_micros(F.col("last_ship").cast("timestamp"))
+                - F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            ).alias("_us"),
+        )
+        # integer day division on BOTH engines: double->bigint CASTs
+        # round in DuckDB but truncate in Spark — never rely on them
+        .select("o_orderpriority", F.expr("_us div 86400000000").alias("lag_days"))
+    )
+    return (
+        lag.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            text.round4(F.expr("percentile(lag_days, 0.5)")).alias(
+                "p50_days"
+            ),
+            text.round4(F.expr("percentile(lag_days, 0.9)")).alias(
+                "p90_days"
+            ),
+            F.max("lag_days").alias("max_days"),
+        )
+        .orderBy("priority")
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_raking": """
+        WITH cells AS (
+          SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+                 count(*) AS cnt
+          FROM customer GROUP BY 1, 2
+        ),
+        step1 AS (
+          SELECT nationkey, segment, cnt,
+                 CAST(sum(cnt) OVER () AS BIGINT) AS tot,
+                 CAST(floor((sum(cnt) OVER () / 25)
+                            / sum(cnt) OVER (PARTITION BY nationkey)
+                            * 1000000 + 0.5) AS BIGINT) AS w1u
+          FROM cells
+        ),
+        step2 AS (
+          SELECT nationkey, segment, cnt, tot,
+                 CAST(floor(w1u * ((tot * 1000000 / 5)
+                        / sum(cnt * w1u) OVER (PARTITION BY segment))
+                      + 0.5) AS BIGINT) AS wu
+          FROM step1
+        ),
+        resid AS (
+          SELECT floor(max(e) / 1000000 * 10000 + 0.5) / 10000
+                   AS max_row_err
+          FROM (
+            SELECT abs(sum(cnt * wu) - max(tot * 1000000 / 25)) AS e
+            FROM step2 GROUP BY nationkey
+          )
+        )
+        SELECT t.nationkey, t.segment, t.cnt,
+               floor(t.wu / 1000000 * 10000 + 0.5) / 10000 AS weight,
+               r.max_row_err
+        FROM (SELECT * FROM step2
+              ORDER BY floor(wu / 1000000 * 10000 + 0.5) / 10000 DESC,
+                       nationkey, segment
+              LIMIT 10) t, resid r
+        ORDER BY weight DESC, t.nationkey, t.segment
+    """,
+    "q_fulfillment_lag": """
+        WITH last AS (
+          SELECT l_orderkey, max(l_shipdate) AS last_ship
+          FROM lineitem GROUP BY 1
+        ),
+        lag AS (
+          SELECT o.o_orderpriority,
+                 (epoch_us(l.last_ship) - epoch_us(o.o_orderdate))
+                   // 86400000000 AS lag_days
+          FROM orders o JOIN last l ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT o_orderpriority AS priority,
+               count(*) AS n_orders,
+               floor(quantile_cont(lag_days, 0.5) * 10000 + 0.5)
+                 / 10000 AS p50_days,
+               floor(quantile_cont(lag_days, 0.9) * 10000 + 0.5)
+                 / 10000 AS p90_days,
+               max(lag_days) AS max_days
+        FROM lag GROUP BY 1 ORDER BY priority
+    """,
+    "q_calibration_bins": """
+        WITH bins AS (
+          SELECT least(CAST(floor(l_discount * 10 * 10) AS INT), 9)
+                   AS bin,
+                 count(*) AS n,
+                 sum(CAST(l_discount * 10 AS DECIMAL(18,2))) AS ssum,
+                 CAST(count(CASE WHEN l_returnflag = 'R' THEN 1 END)
+                      AS BIGINT) AS pos
+          FROM lineitem GROUP BY 1
+        ),
+        e AS (
+          SELECT floor(sum(n * abs(CAST(ssum AS DOUBLE) / n
+                                   - CAST(pos AS DOUBLE) / n))
+                       / sum(n) * 10000 + 0.5) / 10000 AS ece
+          FROM bins
+        )
+        SELECT b.bin, b.n,
+               floor(CAST(b.ssum AS DOUBLE) / b.n * 10000 + 0.5)
+                 / 10000 AS mean_score,
+               floor(CAST(b.pos AS DOUBLE) / b.n * 10000 + 0.5)
+                 / 10000 AS obs_rate,
+               e.ece
+        FROM bins b, e
+        ORDER BY b.bin
+    """,
     "q_abc_classification": """
         WITH cat AS (
           SELECT p_brand, p_type,

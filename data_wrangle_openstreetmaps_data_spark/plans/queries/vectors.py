@@ -653,7 +653,116 @@ _KNN_PAIR_SQL = """
 """
 
 
+def q_embedding_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-S — product-quantization (PQ) codebook audit, the
+    vector-DB compression tier next to the scalar int8 audit
+    (q_embedding_quantization): 64 dims split into 8 subspaces × 8
+    dims, a 16-codeword codebook per subspace (deterministically
+    seeded from the sub-vectors of vec_id 0..15 — codebook TRAINING is
+    kmeans_iteration's domain; this audits a GIVEN codebook, the
+    serving-side question). Assignment is exact integer arithmetic on
+    the 1e-4 grid; the argmin over codewords is the single-BIGINT
+    encoded key min(dist·16 + j), so the nearest-code tiebreak (lowest
+    j) is bit-identical cross-engine with no struct/arg_min semantics
+    in play. Output per subspace: distinct codes used + SSE in grid²
+    units (exact bigint), plus total SSE and per-element RMSE (one
+    sqrt of exact pieces, round4). Plan: posexplode + ONE broadcast of
+    the 1024-row codebook + two hash aggs — n_vec·64·16 intermediate
+    rows, linear in the corpus, nothing collected."""
+    emb = table(spark, sf, "embeddings")
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d", "v")
+    ).select(
+        "vec_id",
+        "d",
+        F.floor(F.col("v") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("vg"),
+    )
+    dims = _mat(dims)  # 2 consumers: corpus side + codebook side
+    cb = dims.filter(F.col("vec_id") <= 15).select(
+        F.col("vec_id").alias("j"), "d", F.col("vg").alias("cg")
+    )
+    per = (
+        dims.join(F.broadcast(cb), "d")
+        .groupBy("vec_id", F.expr("d div 8").alias("sub"), "j")
+        .agg(
+            F.sum(
+                (F.col("vg") - F.col("cg"))
+                * (F.col("vg") - F.col("cg"))
+            ).alias("dist")
+        )
+    )
+    best = (
+        per.groupBy("vec_id", "sub")
+        .agg(F.min(F.col("dist") * 16 + F.col("j")).alias("k"))
+        .select(
+            "vec_id",
+            "sub",
+            (F.col("k") % 16).alias("code"),
+            F.expr("k div 16").alias("dist"),
+        )
+    )
+    best = _mat(best)  # 2 consumers: per-sub rows + global scalars
+    out = best.groupBy("sub").agg(
+        F.countDistinct("code").alias("codes_used"),
+        F.sum("dist").alias("sse_grid"),
+    )
+    n_el = F.col("_n") * F.lit(8)  # per-(vec,sub) rows × 8 dims each
+    scal = best.agg(
+        F.sum("dist").alias("total_sse"), F.count("*").alias("_n")
+    ).select(
+        "total_sse",
+        text.round4(
+            F.sqrt(F.col("total_sse") / n_el) / F.lit(10000)
+        ).alias("rmse"),
+    )
+    return (
+        out.crossJoin(F.broadcast(scal))  # 1-row scalar
+        .orderBy("sub")
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_embedding_pq": """
+        WITH dd AS (SELECT unnest(range(0, 64)) AS d),
+        dims AS (
+          SELECT vec_id, dd.d AS d,
+                 CAST(floor(CAST(embedding[dd.d + 1] AS DOUBLE)
+                            * 10000 + 0.5) AS BIGINT) AS vg
+          FROM embeddings, dd
+        ),
+        cb AS (
+          SELECT vec_id AS j, d, vg AS cg FROM dims WHERE vec_id <= 15
+        ),
+        per AS (
+          SELECT v.vec_id, v.d // 8 AS sub, c.j,
+                 sum((v.vg - c.cg) * (v.vg - c.cg)) AS dist
+          FROM dims v JOIN cb c ON c.d = v.d
+          GROUP BY 1, 2, 3
+        ),
+        best AS (
+          SELECT vec_id, sub,
+                 CAST(min(dist * 16 + j) % 16 AS BIGINT) AS code,
+                 CAST(min(dist * 16 + j) // 16 AS BIGINT) AS dist
+          FROM per GROUP BY 1, 2
+        ),
+        scal AS (
+          SELECT CAST(sum(dist) AS BIGINT) AS total_sse,
+                 floor(sqrt(CAST(sum(dist) AS DOUBLE)
+                            / (count(*) * 8)) / 10000
+                       * 10000 + 0.5) / 10000 AS rmse
+          FROM best
+        )
+        SELECT b.sub, b.codes_used, b.sse_grid,
+               s.total_sse, s.rmse
+        FROM (SELECT sub,
+                     CAST(count(DISTINCT code) AS BIGINT)
+                       AS codes_used,
+                     CAST(sum(dist) AS BIGINT) AS sse_grid
+              FROM best GROUP BY sub) b, scal s
+        ORDER BY b.sub
+    """,
     "q_knn_graph": f"""
         WITH p AS ({_KNN_PAIR_SQL.format(src_cond="< 200",
                                          dst_cond="IS NOT NULL")}),
