@@ -2329,7 +2329,97 @@ def q_max_concurrency(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_funnel_steps(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — three-stage STRICT-ORDER funnel (signup → first click
+    after it → first purchase after that), extending
+    q_funnel_conversion's two stages with per-step median lag: each
+    stage is a min-over-filter against the PREVIOUS stage's instant —
+    three user-keyed hash joins, no window over the facts, no
+    event-pair explosion. Lags are exact µs integers; the median
+    (Spark percentile ↔ DuckDB quantile_cont) converts to hours only
+    at output (round4). Stage 1 has no predecessor → NULL lag, typed
+    double on both engines."""
+    ev = table(spark, sf, "events")
+    e = _mat(  # 3 consumers, one per funnel stage
+        ev.select(
+            "user_id", "event_type", catalog.event_ts_us(ev).alias("tsn")
+        )
+    )
+    s1 = e.filter(F.col("event_type") == "signup").groupBy(
+        "user_id"
+    ).agg(F.min("tsn").alias("t1"))
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("tsn") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("tsn").alias("t2"), F.min("t1").alias("t1"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("tsn") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("tsn").alias("t3"), F.min("t2").alias("t2"))
+    )
+    r1 = s1.agg(
+        F.lit("1_signup").alias("stage"),
+        F.count("*").alias("users"),
+        F.lit(None).cast("double").alias("median_lag_h"),
+    )
+    r2 = s2.agg(
+        F.lit("2_click").alias("stage"),
+        F.count("*").alias("users"),
+        text.round4(
+            F.expr("percentile(t2 - t1, 0.5)") / F.lit(3600000000.0)
+        ).alias("median_lag_h"),
+    )
+    r3 = s3.agg(
+        F.lit("3_purchase").alias("stage"),
+        F.count("*").alias("users"),
+        text.round4(
+            F.expr("percentile(t3 - t2, 0.5)") / F.lit(3600000000.0)
+        ).alias("median_lag_h"),
+    )
+    return r1.unionByName(r2).unionByName(r3).orderBy("stage")
+
+
 ORACLES: dict[str, str | None] = {
+    "q_funnel_steps": """
+        WITH e AS (
+          SELECT user_id, event_type, epoch_us(ts) AS tsn FROM events
+        ),
+        s1 AS (
+          SELECT user_id, min(tsn) AS t1 FROM e
+          WHERE event_type = 'signup' GROUP BY 1
+        ),
+        s2 AS (
+          SELECT e.user_id, min(e.tsn) AS t2, min(s1.t1) AS t1
+          FROM e JOIN s1 USING (user_id)
+          WHERE e.event_type = 'click' AND e.tsn > s1.t1
+          GROUP BY 1
+        ),
+        s3 AS (
+          SELECT e.user_id, min(e.tsn) AS t3, min(s2.t2) AS t2
+          FROM e JOIN s2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.tsn > s2.t2
+          GROUP BY 1
+        )
+        SELECT '1_signup' AS stage, count(*) AS users,
+               CAST(NULL AS DOUBLE) AS median_lag_h
+        FROM s1
+        UNION ALL
+        SELECT '2_click', count(*),
+               floor(quantile_cont(t2 - t1, 0.5) / 3600000000.0
+                     * 10000 + 0.5) / 10000
+        FROM s2
+        UNION ALL
+        SELECT '3_purchase', count(*),
+               floor(quantile_cont(t3 - t2, 0.5) / 3600000000.0
+                     * 10000 + 0.5) / 10000
+        FROM s3
+        ORDER BY stage
+    """,
     "q_max_concurrency": f"""
         WITH e AS (
           SELECT user_id, event_id, epoch_us(ts) AS tsn FROM events

@@ -1573,7 +1573,102 @@ def q_late_arriving_dim(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ttl_retention_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — TTL retention/vacuum planning over month partitions: with
+    a retention cut mid-month (1999-08-15 — two years before the
+    corpus max, pinned as a literal so the audit is deterministic),
+    fully-expired month partitions DROP for free (metadata delete)
+    while the one straddling partition needs a REWRITE that carries
+    its live rows — the cost asymmetry every TTL policy at 100 TB is
+    designed around (align cuts to partition boundaries and the
+    rewrite term vanishes). One month-grain hash agg + a 1-row fold;
+    `rewrite_amp` = live rows rewritten per expired row reclaimed in
+    the straddling partition."""
+    o = table(spark, sf, "orders")
+    cut = _ts("1999-08-15")
+    per = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count("*").alias("rows"),
+        F.count(F.when(F.col("o_orderdate") < cut, 1)).alias("expired"),
+    )
+    return per.agg(
+        F.count("*").alias("partitions_total"),
+        F.count(F.when(F.col("expired") == F.col("rows"), 1)).alias(
+            "partitions_droppable"
+        ),
+        F.count(
+            F.when(
+                (F.col("expired") > 0)
+                & (F.col("expired") < F.col("rows")),
+                1,
+            )
+        ).alias("partitions_partial"),
+        F.sum("rows").alias("rows_total"),
+        F.sum("expired").alias("rows_expired"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("expired") > 0)
+                    & (F.col("expired") < F.col("rows")),
+                    F.col("rows") - F.col("expired"),
+                )
+            ),
+            F.lit(0),
+        ).alias("partial_live_rows"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("expired") > 0)
+                    & (F.col("expired") < F.col("rows")),
+                    F.col("expired"),
+                )
+            ),
+            F.lit(0),
+        ).alias("partial_expired_rows"),
+    ).select(
+        "*",
+        text.round4(
+            F.col("partial_live_rows") / F.col("partial_expired_rows")
+        ).alias("rewrite_amp"),
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_ttl_retention_audit": """
+        WITH per AS (
+          SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                 count(*) AS rows,
+                 CAST(count(CASE WHEN o_orderdate
+                                      < TIMESTAMP '1999-08-15'
+                            THEN 1 END) AS BIGINT) AS expired
+          FROM orders GROUP BY 1
+        )
+        SELECT count(*) AS partitions_total,
+               CAST(count(CASE WHEN expired = rows THEN 1 END)
+                    AS BIGINT) AS partitions_droppable,
+               CAST(count(CASE WHEN expired > 0 AND expired < rows
+                          THEN 1 END) AS BIGINT) AS partitions_partial,
+               CAST(sum(rows) AS BIGINT) AS rows_total,
+               CAST(sum(expired) AS BIGINT) AS rows_expired,
+               CAST(coalesce(sum(CASE WHEN expired > 0
+                                       AND expired < rows
+                                 THEN rows - expired END), 0)
+                    AS BIGINT) AS partial_live_rows,
+               CAST(coalesce(sum(CASE WHEN expired > 0
+                                       AND expired < rows
+                                 THEN expired END), 0)
+                    AS BIGINT) AS partial_expired_rows,
+               floor(CAST(coalesce(sum(CASE WHEN expired > 0
+                                             AND expired < rows
+                                       THEN rows - expired END), 0)
+                          AS DOUBLE)
+                     / coalesce(sum(CASE WHEN expired > 0
+                                          AND expired < rows
+                                    THEN expired END), 0)
+                     * 10000 + 0.5) / 10000 AS rewrite_amp
+        FROM per
+    """,
     "q_late_arriving_dim": """
         WITH segs(s, i) AS (
           VALUES ('AUTOMOBILE', 1), ('BUILDING', 2), ('FURNITURE', 3),
