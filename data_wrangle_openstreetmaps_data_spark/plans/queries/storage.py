@@ -1634,7 +1634,109 @@ def q_ttl_retention_audit(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_gdpr_erasure_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — right-to-be-forgotten impact plan across tables: for the
+    erasure cohort (key % 97 = 0 — user_id in events, custkey in
+    orders), each table reports rows to delete, month partitions
+    touched vs total, and the rewrite amplification (total rows
+    resident in touched partitions per deleted row — what a
+    copy-on-write erasure actually costs; the DV/MoR alternative is
+    q_deletion_vectors' subject). Per table: one month-grain
+    conditional agg + a 1-row fold; the union is |tables| rows. The
+    scattering is the point: subject keys touch nearly every
+    partition of a time-partitioned table — the reason erasure at
+    100 TB wants deletion vectors or subject-keyed layout."""
+    ev = table(spark, sf, "events")
+    per_e = (
+        ev.select(
+            F.date_format(catalog.event_ts(ev), "yyyy-MM").alias(
+                "month"
+            ),
+            (F.col("user_id") % 97 == 0).alias("hit"),
+        )
+        .groupBy("month")
+        .agg(
+            F.count("*").alias("rows"),
+            F.count(F.when(F.col("hit"), 1)).alias("dels"),
+        )
+    )
+    o = table(spark, sf, "orders")
+    per_o = (
+        o.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            (F.col("o_custkey") % 97 == 0).alias("hit"),
+        )
+        .groupBy("month")
+        .agg(
+            F.count("*").alias("rows"),
+            F.count(F.when(F.col("hit"), 1)).alias("dels"),
+        )
+    )
+
+    def fold(per: DataFrame, name: str) -> DataFrame:
+        return per.agg(
+            F.lit(name).alias("table_name"),
+            F.sum("dels").alias("rows_to_delete"),
+            F.count(F.when(F.col("dels") > 0, 1)).alias(
+                "partitions_touched"
+            ),
+            F.count("*").alias("partitions_total"),
+            F.coalesce(
+                F.sum(F.when(F.col("dels") > 0, F.col("rows"))),
+                F.lit(0),
+            ).alias("resident_rows"),
+        ).select(
+            "*",
+            text.round4(
+                F.col("resident_rows") / F.col("rows_to_delete")
+            ).alias("rewrite_amp"),
+        )
+
+    return (
+        fold(per_e, "events")
+        .unionByName(fold(per_o, "orders"))
+        .orderBy("table_name")
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_gdpr_erasure_plan": """
+        WITH pe AS (
+          SELECT strftime(ts, '%Y-%m') AS month, count(*) AS rows,
+                 CAST(count(CASE WHEN user_id % 97 = 0 THEN 1 END)
+                      AS BIGINT) AS dels
+          FROM events GROUP BY 1
+        ),
+        po AS (
+          SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                 count(*) AS rows,
+                 CAST(count(CASE WHEN o_custkey % 97 = 0 THEN 1 END)
+                      AS BIGINT) AS dels
+          FROM orders GROUP BY 1
+        ),
+        u AS (
+          SELECT 'events' AS table_name,
+                 CAST(sum(dels) AS BIGINT) AS rows_to_delete,
+                 CAST(count(CASE WHEN dels > 0 THEN 1 END) AS BIGINT)
+                   AS partitions_touched,
+                 count(*) AS partitions_total,
+                 CAST(coalesce(sum(CASE WHEN dels > 0 THEN rows END),
+                               0) AS BIGINT) AS resident_rows
+          FROM pe
+          UNION ALL
+          SELECT 'orders',
+                 CAST(sum(dels) AS BIGINT),
+                 CAST(count(CASE WHEN dels > 0 THEN 1 END) AS BIGINT),
+                 count(*),
+                 CAST(coalesce(sum(CASE WHEN dels > 0 THEN rows END),
+                               0) AS BIGINT)
+          FROM po
+        )
+        SELECT *,
+               floor(CAST(resident_rows AS DOUBLE) / rows_to_delete
+                     * 10000 + 0.5) / 10000 AS rewrite_amp
+        FROM u ORDER BY table_name
+    """,
     "q_ttl_retention_audit": """
         WITH per AS (
           SELECT strftime(o_orderdate, '%Y-%m') AS month,
