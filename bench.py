@@ -113,6 +113,15 @@ HEADLINE = [
     # round-9: whale-capped common-neighbor join + sharded kNN graph
     "q_resource_allocation_capped",
     "q_knn_graph",
+    # round-10: IVM refresh, URL canonicalization, bitmap-index algebra,
+    # bitemporal, set-Shapley, PQ, sweep-line concurrency
+    "q_incremental_agg_refresh",
+    "q_url_canonicalize",
+    "q_bitmap_index_intersect",
+    "q_bitemporal_asof",
+    "q_attribution_shapley",
+    "q_embedding_pq",
+    "q_max_concurrency",
 ]
 
 
