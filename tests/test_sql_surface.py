@@ -648,3 +648,38 @@ def test_small_cell_suppression_in_pure_sql(spark):
                     ELSE 'ok' END AS status
         FROM r4
     """)
+
+
+def test_bitemporal_asof_in_pure_sql(spark):
+    """Bitemporal as-of (versions table + one max(struct) argmax for
+    both knowledge epochs, cent-exact restatements) as literal SQL —
+    parity shape 22."""
+    register_views(spark, SF_SMALL)
+    _assert_sql_matches(spark, "q_bitemporal_asof", """
+        WITH c AS (
+          SELECT o_orderkey, date_format(o_orderdate, 'yyyy-MM') AS month,
+                 CAST(CAST(o_totalprice AS DECIMAL(20,6)) * 100
+                      AS BIGINT) AS cents
+          FROM orders
+        ),
+        vers AS (
+          SELECT o_orderkey, month, cents, 0 AS tx FROM c
+          UNION ALL
+          SELECT o_orderkey, month, cents + cents div 10, 1 FROM c
+          WHERE o_orderkey % 11 = 0
+        ),
+        per_key AS (
+          SELECT o_orderkey, month,
+                 max(CASE WHEN tx <= 0
+                     THEN struct(tx, cents) END).cents AS c_asof0,
+                 max(struct(tx, cents)).cents AS c_asof1,
+                 max(tx) AS maxtx
+          FROM vers GROUP BY 1, 2
+        )
+        SELECT month,
+               sum(c_asof0) AS cents_asof0,
+               sum(c_asof1) AS cents_asof1,
+               sum(c_asof1) - sum(c_asof0) AS restatement_cents,
+               count(CASE WHEN maxtx = 1 THEN 1 END) AS n_restated
+        FROM per_key GROUP BY month
+    """)
