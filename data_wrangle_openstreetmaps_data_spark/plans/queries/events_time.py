@@ -2384,7 +2384,103 @@ def q_funnel_steps(spark: SparkSession, sf: str) -> DataFrame:
     return r1.unionByName(r2).unionByName(r3).orderBy("stage")
 
 
+def q_control_chart(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — XmR (individuals + moving-range) process-control chart
+    over daily revenue, the SPC screen that flags special-cause days
+    without assuming any distribution: MR̄ = mean |day-over-day
+    difference| of cent-exact daily sums, limits = mean ± 2.66·MR̄
+    (the standard d2-derived constant). Sums and |diffs| are exact
+    bigints; the two means are single double divisions mirrored
+    cross-engine; a day is out-of-control iff its cents fall outside
+    the limits (strict inequality, evaluated on the SAME doubles both
+    sides). Output: the out-of-control days (+ scalars: center, UCL,
+    LCL, n_days, n_ooc) — one day-grain agg, one lag window over
+    |days| rows, one fold."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf, "orders")
+    daily = (
+        o.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(20,6)")) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("day")
+    mr = _mat(  # 2 consumers: limit scalars + per-day flags
+        daily.withColumn(
+            "mrange", F.abs(F.col("cents") - F.lag("cents").over(w))
+        )
+    )
+    lim = mr.agg(
+        (F.sum("cents") / F.count("*")).alias("center"),
+        (F.sum("mrange") / F.count("mrange")).alias("mrbar"),
+        F.count("*").alias("n_days"),
+    ).select(
+        "center",
+        "n_days",
+        (F.col("center") + 2.66 * F.col("mrbar")).alias("ucl"),
+        (F.col("center") - 2.66 * F.col("mrbar")).alias("lcl"),
+    )
+    flagged = mr.crossJoin(F.broadcast(lim)).filter(
+        (F.col("cents") > F.col("ucl")) | (F.col("cents") < F.col("lcl"))
+    )
+    n_ooc = flagged.groupBy().agg(F.count("*").alias("n_ooc"))
+    return (
+        flagged.select(
+            "day",
+            "cents",
+            text.round4(F.col("center")).alias("center"),
+            text.round4(F.col("ucl")).alias("ucl"),
+            text.round4(F.col("lcl")).alias("lcl"),
+            "n_days",
+        )
+        .crossJoin(F.broadcast(n_ooc))  # 1-row scalar
+        .orderBy("day")
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_control_chart": """
+        WITH daily AS (
+          SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) * 100
+                      AS BIGINT) AS cents
+          FROM orders GROUP BY 1
+        ),
+        mr AS (
+          SELECT *, abs(cents - lag(cents) OVER (ORDER BY day))
+                      AS mrange
+          FROM daily
+        ),
+        lim AS (
+          SELECT CAST(sum(cents) AS DOUBLE) / count(*) AS center,
+                 count(*) AS n_days,
+                 CAST(sum(cents) AS DOUBLE) / count(*)
+                   + 2.66 * (CAST(sum(mrange) AS DOUBLE)
+                             / count(mrange)) AS ucl,
+                 CAST(sum(cents) AS DOUBLE) / count(*)
+                   - 2.66 * (CAST(sum(mrange) AS DOUBLE)
+                             / count(mrange)) AS lcl
+          FROM mr
+        ),
+        flagged AS (
+          SELECT m.day, m.cents, l.center, l.ucl, l.lcl, l.n_days
+          FROM mr m, lim l
+          WHERE m.cents > l.ucl OR m.cents < l.lcl
+        )
+        SELECT day, cents,
+               floor(center * 10000 + 0.5) / 10000 AS center,
+               floor(ucl * 10000 + 0.5) / 10000 AS ucl,
+               floor(lcl * 10000 + 0.5) / 10000 AS lcl,
+               n_days,
+               (SELECT count(*) FROM flagged) AS n_ooc
+        FROM flagged
+        ORDER BY day
+    """,
     "q_funnel_steps": """
         WITH e AS (
           SELECT user_id, event_type, epoch_us(ts) AS tsn FROM events

@@ -1699,7 +1699,110 @@ def q_gdpr_erasure_plan(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_backfill_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — backfill range planning, the orchestration step after a
+    partial pipeline failure: failed day partitions (planted
+    deterministically: epoch-day % 13 = 0 — a scattered ~7.7% failure
+    set) are coalesced into CONTIGUOUS [start, end] ranges via
+    gaps-and-islands over the day index (the failure cadence is every
+    13th day, so an island breaks where the step between successive
+    failed days exceeds that cadence — i.e. a scheduled day with no
+    failed rows interrupts the run), because schedulers re-run
+    ranges, not single days. Per range: day span and rows; plus
+    scalars n_ranges / failed_days / failed_rows. The islands window
+    runs over |failed days| rows, never the facts. Day index is exact
+    integer division of the epoch-µs (orders dates are midnight
+    timestamps)."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf, "orders")
+    day = F.expr(
+        "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+    )
+    failed = (
+        o.select(
+            day.alias("d"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        )
+        .groupBy("d", "day")
+        .agg(F.count("*").alias("rows"))
+        .filter(F.col("d") % 13 == 0)
+    )
+    w = Window.orderBy("d")
+    isl = failed.withColumn(
+        "brk",
+        F.when(
+            F.lag("d").over(w).isNull()
+            | (F.col("d") - F.lag("d").over(w) > 13),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "grp",
+        F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ranges = _mat(  # 2 consumers: plan rows + scalars
+        isl.groupBy("grp").agg(
+            F.min("day").alias("range_start"),
+            F.max("day").alias("range_end"),
+            F.count("*").alias("days_in_range"),
+            F.sum("rows").alias("rows_to_reprocess"),
+        )
+    )
+    scal = ranges.agg(
+        F.count("*").alias("n_ranges"),
+        F.sum("days_in_range").alias("failed_days"),
+        F.sum("rows_to_reprocess").alias("failed_rows"),
+    )
+    return (
+        ranges.drop("grp")
+        .crossJoin(F.broadcast(scal))  # 1-row scalar
+        .orderBy("range_start")
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_backfill_plan": """
+        WITH failed AS (
+          SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+                 strftime(o_orderdate, '%Y-%m-%d') AS day,
+                 count(*) AS rows
+          FROM orders
+          GROUP BY 1, 2
+          HAVING (epoch_us(o_orderdate) // 86400000000) % 13 = 0
+        ),
+        isl AS (
+          SELECT *,
+                 CASE WHEN lag(d) OVER (ORDER BY d) IS NULL
+                        OR d - lag(d) OVER (ORDER BY d) > 13
+                      THEN 1 ELSE 0 END AS brk
+          FROM failed
+        ),
+        g AS (
+          SELECT *, sum(brk) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS grp
+          FROM isl
+        ),
+        ranges AS (
+          SELECT grp, min(day) AS range_start, max(day) AS range_end,
+                 count(*) AS days_in_range,
+                 CAST(sum(rows) AS BIGINT) AS rows_to_reprocess
+          FROM g GROUP BY grp
+        ),
+        scal AS (
+          SELECT count(*) AS n_ranges,
+                 CAST(sum(days_in_range) AS BIGINT) AS failed_days,
+                 CAST(sum(rows_to_reprocess) AS BIGINT) AS failed_rows
+          FROM ranges
+        )
+        SELECT r.range_start, r.range_end, r.days_in_range,
+               r.rows_to_reprocess,
+               s.n_ranges, s.failed_days, s.failed_rows
+        FROM ranges r, scal s
+        ORDER BY r.range_start
+    """,
     "q_gdpr_erasure_plan": """
         WITH pe AS (
           SELECT strftime(ts, '%Y-%m') AS month, count(*) AS rows,
