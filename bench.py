@@ -164,10 +164,29 @@ def main() -> None:
         t_max[name] = round(max(steady), 3)
 
     total = round(sum(timings.values()), 3)
+    # The driver captures a bounded TAIL of stdout and parses a JSON line
+    # from it; BENCH_r10.json recorded "parsed": null because the single
+    # full-detail line exceeded that buffer and was cut mid-JSON. Emit a
+    # compact summary line FIRST (for head-parsers / humans), the full
+    # per-query detail in the middle (for the repo's own round-over-round
+    # diffs), and repeat the compact line LAST so a tail capture always
+    # contains one complete parseable JSON line.
+    compact = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "n_queries": len(timings),
+            "total_min": round(sum(t_min.values()), 3),
+            "runs": runs,
+            "sf": sf,
+        }
+    )
+    print(compact, flush=True)
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
+                "metric": "headline_queries_detail",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
@@ -179,6 +198,7 @@ def main() -> None:
             }
         )
     )
+    print(compact, flush=True)
     spark.stop()
 
 

@@ -478,7 +478,16 @@ def q_streaming_dedup_native(spark: SparkSession, sf: str) -> DataFrame:
     so the projected output is the KEY ONLY — a deterministic set equal
     to batch DISTINCT — while the arbitrary-survivor semantics and
     cross-batch within-watermark drop are pinned in
-    tests/test_streaming_dedup_native.py."""
+    tests/test_streaming_dedup_native.py.
+
+    DATA-DEPENDENCE of the oracle equivalence (r10 advice): the batch
+    DISTINCT oracle holds only while no key's two events straddle a
+    watermark-eviction boundary across micro-batches. The planted pairs
+    (event_id div 2) are consecutive event ids, temporally adjacent in
+    every testdata vintage so far (max intra-pair gap ≪ 1 hour); if a
+    future vintage spreads pair members beyond the 1-hour watermark, the
+    evicted key re-emits and this oracle flakes — widen the watermark
+    past the corpus's max intra-pair gap, don't weaken the oracle."""
     import uuid
 
     from data_wrangle_openstreetmaps_data_spark.streaming import events as se

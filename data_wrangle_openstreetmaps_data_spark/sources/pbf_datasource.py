@@ -191,6 +191,15 @@ class OsmPbfStreamReader(SimpleDataSourceStreamReader):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("osmpbf: .load(path) is required")
+        # Backpressure: a Simple stream reader decodes on the DRIVER, so
+        # starting from {pos: 0} against a large pre-existing file would
+        # otherwise materialize the whole backlog in ONE micro-batch
+        # (r10 advice). Cap the blobs consumed per trigger; the offset
+        # returned is the end of the LAST blob kept, so the remaining
+        # backlog arrives over subsequent triggers with exactly-once
+        # semantics unchanged (readBetweenOffsets replays committed
+        # ranges bit-for-bit regardless of how they were batched).
+        self._max_blobs = int(options.get("maxblobspertrigger", "64"))
 
     def initialOffset(self) -> dict:
         return {"pos": 0}
@@ -212,6 +221,10 @@ class OsmPbfStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         blobs, next_pos = index_blobs_from(self._path, start["pos"])
+        if self._max_blobs > 0 and len(blobs) > self._max_blobs:
+            blobs = blobs[: self._max_blobs]
+            last_off, last_len, _ = blobs[-1]
+            next_pos = last_off + last_len
         return iter(self._rows(blobs)), {"pos": next_pos}
 
     def readBetweenOffsets(self, start: dict, end: dict):

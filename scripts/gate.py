@@ -53,6 +53,17 @@ def main() -> int:
             )
         if failed:
             errs.append(f"sweep artifact records FAIL: {sorted(failed)}")
+        # Reverse direction (r10 advice): an artifact must not claim a
+        # query the registry doesn't have — that's a sweep recorded
+        # against an implementation not in-tree (the 8566055 breach:
+        # artifacts named q_gdpr_erasure_plan one commit before the code).
+        phantom = swept - qs
+        if phantom:
+            errs.append(
+                f"{os.path.basename(arts[-1])} names queries absent from "
+                f"the registry: {sorted(phantom)} — the artifact is not "
+                "reproducible at this commit"
+            )
 
     plans = sorted(glob.glob(os.path.join(repo, "PLANS_r*.json")))
     if not plans:
@@ -65,6 +76,12 @@ def main() -> int:
             errs.append(
                 f"{os.path.basename(plans[-1])} misses {sorted(unaudited)} — "
                 "run scripts/plan_audit.py > PLANS_r<N>.json IN THIS COMMIT"
+            )
+        phantom_plans = audited - qs
+        if phantom_plans:
+            errs.append(
+                f"{os.path.basename(plans[-1])} names queries absent from "
+                f"the registry: {sorted(phantom_plans)}"
             )
         if d.get("cartesian_offenders"):
             errs.append(f"cartesian offenders: {d['cartesian_offenders']}")

@@ -133,3 +133,54 @@ def test_streaming_blob_log_incremental(spark):
     # same checkpoint: the appended blob arrives, the first is NOT
     # re-emitted — sink now holds exactly one copy of each batch
     assert drain() == sorted(n["id"] for n in b1 + b2)
+
+
+def test_streaming_backlog_capped_per_trigger(spark):
+    """maxblobspertrigger backpressure (r10 advice): a pre-existing
+    multi-blob backlog is consumed in CAPPED micro-batches — each
+    availableNow run takes exactly one capped batch (a Simple stream
+    reader's prefetched read() IS the batch), so the 4-segment backlog
+    needs 4 runs instead of materializing whole on the driver; rows and
+    exactly-once semantics identical to the uncapped drain."""
+    import shutil
+
+    pbf_datasource.register(spark)
+    path = os.path.join(TMP, "ds_stream_cap.osm.pbf")
+    ckpt = os.path.join(TMP, "ds_stream_cap_ckpt")
+    out = os.path.join(TMP, "ds_stream_cap_out")
+    for d in (ckpt, out):
+        shutil.rmtree(d, ignore_errors=True)
+    batches = [
+        [dict(n, id=n["id"] + off * 10**9) for n in NODES]
+        for off in range(4)
+    ]
+    with open(path, "wb") as f:
+        for b in batches:
+            f.write(encode_pbf(b, [], []))
+
+    def drain_once() -> int:
+        q = (
+            spark.readStream.format("osmpbf")
+            # each segment = 1 OSMHeader + 1 OSMData blob → 2 framed
+            # blobs, so cap=2 admits exactly one segment per batch
+            .option("maxblobspertrigger", "2")
+            .load(path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sum(p["numInputRows"] for p in q.recentProgress)
+
+    per_run = []
+    for _ in range(8):
+        n = drain_once()
+        if n == 0:
+            break
+        per_run.append(n)
+    got = sorted(int(r["id"]) for r in spark.read.parquet(out).collect())
+    assert got == sorted(n["id"] for b in batches for n in b)
+    seg = len(NODES)
+    assert per_run == [seg] * 4, f"expected 4 capped batches, got {per_run}"
