@@ -560,16 +560,28 @@ _URL_QUERIES = [
 
 def _canon_url(url: F.Column) -> F.Column:
     """Canonicalize a URL with pure JVM string expressions (no UDF):
-    lowercase scheme+host, strip :80 / leading www. / trailing slash,
-    drop utm_* params, sort the rest. Whole-stage-codegen friendly —
-    the 100 TB crawl-dedup normalizer is exactly this shape."""
+    lowercase scheme+host, strip the scheme's DEFAULT port only (:80
+    for http, :443 for https — 'https://h:80/x' is a distinct
+    non-default-port URL and must survive; r10 advice), leading www.,
+    trailing slash, utm_* params; sort the rest. Whole-stage-codegen
+    friendly — the 100 TB crawl-dedup normalizer is exactly this
+    shape."""
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z]+)://", 1))
     rest = F.regexp_replace(url, r"^[A-Za-z]+://", "")
     hostport = F.regexp_extract(rest, r"^([^/?]+)", 1)
     path_q = F.substr(rest, F.length(hostport) + F.lit(1))
-    host = F.regexp_replace(
-        F.regexp_replace(F.lower(hostport), r":80$", ""), r"^www\.", ""
+    deported = (
+        F.when(
+            scheme == "http",
+            F.regexp_replace(F.lower(hostport), r":80$", ""),
+        )
+        .when(
+            scheme == "https",
+            F.regexp_replace(F.lower(hostport), r":443$", ""),
+        )
+        .otherwise(F.lower(hostport))
     )
+    host = F.regexp_replace(deported, r"^www\.", "")
     path = F.regexp_replace(
         F.regexp_extract(path_q, r"^([^?]*)", 1), r"/+$", ""
     )
@@ -672,9 +684,13 @@ ORACLES: dict[str, str | None] = {
         ),
         p3 AS (
           SELECT *,
-                 regexp_replace(regexp_replace(lower(hostport),
-                                               ':80$', ''),
-                                '^www\\.', '') AS host,
+                 regexp_replace(
+                   CASE WHEN scheme = 'http'
+                          THEN regexp_replace(lower(hostport), ':80$', '')
+                        WHEN scheme = 'https'
+                          THEN regexp_replace(lower(hostport), ':443$', '')
+                        ELSE lower(hostport) END,
+                   '^www\\.', '') AS host,
                  regexp_replace(regexp_extract(path_q, '^([^?]*)', 1),
                                 '/+$', '') AS path,
                  CASE WHEN path_q LIKE '%?%'

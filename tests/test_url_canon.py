@@ -32,6 +32,12 @@ CASES = [
     # www is stripped only as a leading label
     ("http://wwwx.example.com/p", "http://wwwx.example.com/p"),
     ("https://www.example.com/p", "https://example.com/p"),
+    # default-port strip is SCHEME-GATED (r10 advice): 80 is not the
+    # https default and 443 is not the http default — both survive
+    ("https://example.com:80/x", "https://example.com:80/x"),
+    ("http://example.com:443/x", "http://example.com:443/x"),
+    ("https://example.com:443/x", "https://example.com/x"),
+    ("HTTPS://WWW.Example.com:443", "https://example.com"),
 ]
 
 
