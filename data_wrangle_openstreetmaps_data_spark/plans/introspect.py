@@ -44,4 +44,31 @@ def plan_summary(df: DataFrame, execute: bool = True) -> dict[str, int]:
         "windows": plan.count("Window"),
         "codegen_spans": len(set(re.findall(r"codegen id : (\d+)", plan))),
         "reused_exchanges": plan.count("ReusedExchange"),
+        "single_partition_exchanges": plan.count("Exchange SinglePartition"),
+        "global_sort_window_funnels": count_global_sort_window_funnels(plan),
     }
+
+
+_FUNNEL_RE = re.compile(
+    # a Window node whose direct child is a Sort fed by a SinglePartition
+    # exchange — i.e. a Window.orderBy(...) with NO partitionBy: every row
+    # of the window's input funnels through ONE task. Scalar aggregates
+    # also use Exchange SinglePartition but have HashAggregate (not
+    # Window+Sort) above, so they do not match. Up to two intermediate
+    # lines (AQEShuffleRead / InMemoryTableScan wrappers) are tolerated
+    # between Sort and Exchange. AQE plan strings repeat subtrees, so the
+    # count is an upper bound — use it for zero/nonzero classification.
+    r"Window \[[^\n]*\n[^\n]*?\bSort \[[^\n]*\n"
+    r"(?:[^\n]*\n){0,2}?[^\n]*Exchange SinglePartition"
+)
+
+
+def count_global_sort_window_funnels(plan: str) -> int:
+    """Count Window-over-global-Sort-over-SinglePartition patterns: the
+    plan shape of an unpartitioned ``Window.orderBy``. Zero means every
+    window in the plan is either keyed (partitionBy) or the plan never
+    funnels rows through one task to sort them. Nonzero is acceptable
+    ONLY when the frame under the window is provably bounded (per-block
+    totals, top-k survivors, day/month grain) — the registry-wide
+    allowlist lives in tests/test_plans.py."""
+    return len(_FUNNEL_RE.findall(plan))

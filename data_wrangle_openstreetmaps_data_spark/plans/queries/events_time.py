@@ -2276,11 +2276,25 @@ def q_max_concurrency(spark: SparkSession, sf: str) -> DataFrame:
     sum over the global delta order is the live-session count and its
     max is the peak. Tie rule at equal µs: ends before starts (delta
     ascending), then user — so back-to-back sessions never double
-    count; the rule is part of the contract and identical in the
-    oracle. The ONE global sort is 2·|sessions| rows (thousands per
-    million events), not the facts — exactly the sweep-line's point at
-    100 TB. Output: peak, its earliest instant, session count."""
+    count. A single-event session (start == end) is half-open with
+    minimal extent: its −1 delta moves to end+1 µs, so the session IS
+    live at its own instant instead of closing before it opens (the
+    running sum can never dip negative). Both rules are part of the
+    contract and identical in the oracle. The running sum is the
+    two-phase blocked prefix sum (curation._blocked_prefix_sum over
+    driver-sampled literal t-boundaries): per-block running sums stay
+    partitioned and only the ≤ #blocks block TOTALS pass through a
+    single task — no Exchange SinglePartition over the 2·|sessions|
+    delta rows, so the sweep line survives a 100× session count.
+    Output: peak, its earliest instant, session count."""
     from pyspark.sql import Window
+
+    from data_wrangle_openstreetmaps_data_spark.operators.curation import (
+        _blocked_prefix_sum,
+    )
+    from data_wrangle_openstreetmaps_data_spark.operators.sample import (
+        _range_block_bounds,
+    )
 
     ev = table(spark, sf, "events")
     e = ev.select(
@@ -2299,18 +2313,32 @@ def q_max_concurrency(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("user_id", "sid")
         .agg(F.min("tsn").alias("s"), F.max("tsn").alias("e"))
     )
-    deltas = sess.select(
-        F.col("s").alias("t"), F.lit(1).alias("d"), "user_id"
-    ).unionByName(
+    deltas = _mat(  # 3 consumers: block bounds sample + sums + totals
         sess.select(
-            F.col("e").alias("t"), F.lit(-1).alias("d"), "user_id"
+            F.col("s").alias("t"), F.lit(1).alias("d"), "user_id"
+        ).unionByName(
+            sess.select(
+                # half-open minimal extent for point sessions
+                F.when(F.col("e") == F.col("s"), F.col("e") + 1)
+                .otherwise(F.col("e"))
+                .alias("t"),
+                F.lit(-1).alias("d"),
+                "user_id",
+            )
         )
     )
-    sw = Window.orderBy("t", "d", "user_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    bounds = _range_block_bounds(deltas, "t", 32)
+    blk = F.lit(0)
+    for b in bounds:
+        blk = blk + (F.col("t") > F.lit(b)).cast("int")
     run = _mat(  # 2 consumers: peak scalar + earliest-peak instant
-        deltas.withColumn("live", F.sum("d").over(sw))
+        _blocked_prefix_sum(
+            deltas.withColumn("_blk", blk),
+            "_blk",
+            [F.asc("t"), F.asc("d"), F.asc("user_id")],
+            "d",
+            "_before",
+        ).withColumn("live", F.col("_before") + F.col("d"))
     )
     peak = run.agg(F.max("live").alias("peak_concurrency"))
     out = (
@@ -2547,7 +2575,10 @@ ORACLES: dict[str, str | None] = {
         deltas AS (
           SELECT st AS t, 1 AS d, user_id FROM sess
           UNION ALL
-          SELECT en AS t, -1 AS d, user_id FROM sess
+          -- point sessions are half-open with minimal extent (end+1µs)
+          SELECT CASE WHEN en = st THEN en + 1 ELSE en END AS t,
+                 -1 AS d, user_id
+          FROM sess
         ),
         run AS (
           SELECT t, d, user_id,

@@ -34,6 +34,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     out: dict[str, dict] = {}
     bad_cartesian: list[str] = []
+    funnels: list[str] = []
     for name, spec in sorted(Q.REGISTRY.items()):
         try:
             df = spec.spark(spark, sf)
@@ -47,6 +48,8 @@ def main() -> int:
             out[name] = s
             if s["cartesian_products"]:
                 bad_cartesian.append(name)
+            if s.get("global_sort_window_funnels"):
+                funnels.append(name)
         except Exception as ex:  # pragma: no cover — audit tool
             out[name] = {"error": str(ex)[:200]}
     totals = {
@@ -58,6 +61,8 @@ def main() -> int:
             "sort_merge_joins",
             "nested_loop_joins",
             "cartesian_products",
+            "single_partition_exchanges",
+            "global_sort_window_funnels",
         )
     }
     errors = [n for n, v in out.items() if "error" in v]
@@ -69,6 +74,7 @@ def main() -> int:
                 "n_queries": len(out),
                 "totals": totals,
                 "cartesian_offenders": bad_cartesian,
+                "global_order_window_offenders": funnels,
                 "errors": errors,
                 "queries": out,
             },

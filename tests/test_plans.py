@@ -626,3 +626,81 @@ def test_make_sfn_replication_preserves_joins(spark, tmp_path):
     got = li2.join(o2, li2["l_orderkey"] == o2["o_orderkey"]).count()
     assert got == 2 * base, (got, base)
     assert spark.read.parquet(f"{out}/nation.parquet").count() == 25
+
+
+# Global-order-window triage (round 11): every registry query whose plan
+# funnels rows through an Exchange SinglePartition under a Window+Sort
+# must be on this allowlist with a justification naming the BOUNDED frame
+# the window actually runs over. New entries require the same triage.
+GLOBAL_ORDER_WINDOW_ALLOWLIST = {
+    # blocked two-phase prefix/rank: the funnel carries only the ≤#blocks
+    # per-block TOTALS (HashAggregate(keys=[_blk]) below the exchange);
+    # row-scale work stays partitioned by the block key
+    "q_max_concurrency": "blocked totals (≤32 t-range blocks)",
+    "q_sample_every_10th": "blocked totals (every_nth offsets)",
+    "q_token_budget_select": "blocked totals (quality-grid blocks)",
+    "q_seq_packing": "blocked totals (id div 100k blocks)",
+    "q_skyline": "blocked survivors (per-block Pareto fronts)",
+    "q_sequence_gaps": "blocked totals (gaps-and-islands blocks)",
+    "q_quantile_sketch": "stride-sketch survivors (≤sketch size)",
+    "q_streaming_quantile": "histogram bins (bounded grid)",
+    # calendar grain: the window input is one row per day/month/hour of
+    # the corpus span — grows with TIME RANGE, not with data rate
+    "q_control_chart": "day grain (XmR moving range)",
+    "q_cumulative_distinct": "day grain (new-users-per-day)",
+    "q_forecast_backtest": "day grain (walk-forward folds)",
+    "q_revenue_mom_growth": "month grain",
+    "q_runs_test": "day grain (sign sequence)",
+    "q_seasonal_decompose": "day grain (7-day centered MA)",
+    "q_kaplan_meier": "hour grain (event-time buckets)",
+    "q_backfill_plan": "day grain (failed-partition islands)",
+    # dimension/catalog grain: one row per catalog entity (brands, items,
+    # nations) — the window never sees fact-table rows
+    "q_abc_classification": "brand×type grain (catalog)",
+    "q_recsys_exposure": "item grain (catalog Gini)",
+    "q_apportionment": "nation grain (≤25 rows)",
+    "q_raking": "nation×segment cell grid",
+    # bounded value grids: histogram bins, threshold sweeps, file lists
+    "q_auc": "score-histogram bins",
+    "q_image_equalize": "256 intensity bins",
+    "q_ks_test": "value-histogram grain (distinct cents)",
+    "q_mann_whitney": "value-histogram grain (distinct cents)",
+    "q_spearman_corr": "value-histogram grain (rank ties)",
+    "q_dedup_threshold_sweep": "threshold grid",
+    "q_compaction_plan": "file list (bin packing)",
+    "q_layout_pruning": "64-file min-max index",
+    "q_sort_clustering": "file-level stats",
+}
+
+
+def test_global_order_windows_are_allowlisted():
+    """Registry-wide single-partition-exchange guard (r10 verdict #1):
+    the newest committed PLANS_r*.json records, per query, how many
+    Window-over-Sort-over-SinglePartition funnels the physical plan
+    contains (introspect.count_global_sort_window_funnels). Every
+    offender must be triaged into GLOBAL_ORDER_WINDOW_ALLOWLIST above —
+    a new global-order window over a row-scale frame fails here until
+    it is rewritten (blocked two-phase) or justified (bounded frame)."""
+    import glob
+    import json
+
+    plans = sorted(glob.glob(os.path.join(
+        os.path.dirname(__file__), "..", "PLANS_r*.json")))
+    assert plans, "no PLANS_r*.json artifact committed"
+    d = json.load(open(plans[-1]))
+    assert "global_order_window_offenders" in d, (
+        "newest PLANS artifact predates the funnel counter — regenerate "
+        "with scripts/plan_audit.py"
+    )
+    offenders = set(d["global_order_window_offenders"])
+    unjustified = offenders - set(GLOBAL_ORDER_WINDOW_ALLOWLIST)
+    assert not unjustified, (
+        f"global-order windows without a bounded-frame justification: "
+        f"{sorted(unjustified)} — rewrite with the two-phase blocked "
+        f"prefix sum (operators/curation._blocked_prefix_sum) or add a "
+        f"justified allowlist entry"
+    )
+    stale = set(GLOBAL_ORDER_WINDOW_ALLOWLIST) - offenders
+    assert not stale, (
+        f"allowlist entries no longer offenders (prune them): {sorted(stale)}"
+    )
