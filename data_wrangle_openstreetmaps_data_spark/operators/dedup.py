@@ -282,6 +282,7 @@ def dedup_minhash_lsh(
     shingle_k: int = 5,
     threshold: float = 0.7,
     caches: list | None = None,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """EXT-D2 — MinHash+LSH near-dup pairs (id_a < id_b, jaccard >= threshold).
 
@@ -289,8 +290,23 @@ def dedup_minhash_lsh(
     band key — each doc emits `bands` rows, so the join input is O(n·bands),
     never O(n²)); the true shingle-set Jaccard then filters false positives.
 
-    Two intermediates are persisted (each referenced 2-3× downstream). Pass
-    a ``caches`` list to receive them so the caller can ``unpersist()``
+    ``collapse_exact`` (default, round 11) first collapses EXACT-dup
+    classes (identical ``normalize_ws`` text ⇒ identical token sequence ⇒
+    identical shingle set ⇒ identical signature AND jaccard) to min-id
+    representatives: shingling, banding and Jaccard verification run over
+    DISTINCT CONTENT only, and the member-level pair set is recovered
+    EXACTLY by expansion — within-class pairs at jaccard 1.0 (classes
+    with ≥1 token; empty-text docs have no shingles and never paired
+    before either) plus cross-class rep pairs fanned out to member
+    combinations (oriented by member id). The expansion joins are
+    output-sized: on a copy-replicated ×r corpus the banding/verify work
+    stays at distinct-content scale instead of growing r² per class
+    (measured: the r10 ladder's worst entry, 4.0× wall at 10× data, is
+    this corpus shape). Pass ``collapse_exact=False`` for the raw
+    member-level pipeline.
+
+    Persisted intermediates (each referenced 2-3× downstream) are
+    appended to ``caches`` if given so the caller can ``unpersist()``
     once the result has been fully consumed; otherwise they stay cached
     until LRU eviction.
     """
@@ -302,7 +318,75 @@ def dedup_minhash_lsh(
             "band would give every document the same signature (O(n²) "
             "candidates); a non-divisor silently discards minhashes"
         )
-    rows_per_band = n_hashes // bands
+    if collapse_exact:
+        norm = df.select(
+            F.col(id_col).alias("m_id"),
+            normalize_ws(text_col).alias("_nt"),
+        )
+        classes = norm.groupBy("_nt").agg(
+            F.min("m_id").alias("rep"),
+            F.count(F.lit(1)).alias("csize"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        if caches is not None:
+            caches.append(classes)
+        members = norm.join(classes, "_nt").select("m_id", "rep", "_nt")
+        reps = classes.select(
+            F.col("rep").alias(id_col), F.col("_nt").alias(text_col)
+        )
+        rep_pairs = _minhash_pairs_raw(
+            reps, text_col, id_col, n_hashes, bands, shingle_k,
+            threshold, caches,
+        )
+        mem_a = members.select(
+            F.col("rep").alias("id_a"), F.col("m_id").alias("ma")
+        )
+        mem_b = members.select(
+            F.col("rep").alias("id_b"), F.col("m_id").alias("mb")
+        )
+        cross = (
+            rep_pairs.join(mem_a, "id_a")
+            .join(mem_b, "id_b")
+            .select(
+                F.least("ma", "mb").alias("id_a"),
+                F.greatest("ma", "mb").alias("id_b"),
+                "jaccard",
+            )
+        )
+        w1 = members.filter(F.col("_nt") != "").select("rep", "m_id")
+        within = (
+            w1.alias("x")
+            .join(w1.alias("y"), "rep")
+            .filter(F.col("x.m_id") < F.col("y.m_id"))
+            .select(
+                F.col("x.m_id").alias("id_a"),
+                F.col("y.m_id").alias("id_b"),
+                round4(F.lit(1.0)).alias("jaccard"),
+            )
+        )
+        if threshold > 1.0:  # degenerate: nothing can pass
+            within = within.filter(F.lit(False))
+        return cross.unionByName(within).orderBy("id_a", "id_b")
+    return _minhash_pairs_raw(
+        df, text_col, id_col, n_hashes, bands, shingle_k, threshold, caches
+    ).orderBy("id_a", "id_b")
+
+
+def _minhash_pairs_raw(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int,
+    bands: int,
+    shingle_k: int,
+    threshold: float,
+    caches: list | None,
+) -> DataFrame:
+    """The member-level banding pipeline (unsorted): signatures → band
+    self-join candidates → shared-shingle Jaccard verification. Factored
+    out of :func:`dedup_minhash_lsh` so the collapse_exact path can feed
+    representatives through it without paying an intermediate sort."""
+    from pyspark.storagelevel import StorageLevel
+
     # ONE persisted shingle-hash table feeds signatures AND verification;
     # sigs persisted too — both sides of the band self-join read it
     sh = _shingle_hashes(df, text_col, id_col, shingle_k)
@@ -337,7 +421,7 @@ def dedup_minhash_lsh(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    return _jaccard_from_counts(common, sizes, threshold).orderBy("id_a", "id_b")
+    return _jaccard_from_counts(common, sizes, threshold)
 
 
 def _jaccard_from_counts(
