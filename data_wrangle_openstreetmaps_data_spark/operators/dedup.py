@@ -688,9 +688,12 @@ def _srp_bucketed_native(
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
-            bit = F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+            bit = (
+                F.when(d >= 0, F.lit(1 << j).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            )
             bucket = bit if bucket is None else bucket + bit
-        band_buckets.append(bucket.cast("int"))
+        band_buckets.append(bucket.cast("long"))
     return vd.select(
         "id", F.posexplode(F.array(*band_buckets)).alias("band", "bucket")
     )
@@ -715,14 +718,14 @@ def _srp_bucketed_arrow(
     P = np.asarray(planes, dtype=np.float64).T  # (dim, bands*r)
     weights = (1 << np.arange(rows_per_band)).astype(np.int64)
 
-    @pandas_udf("array<int>")
+    @pandas_udf("array<long>")
     def _bk(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype=object)
         m = np.vstack(v.map(lambda x: np.asarray(x, dtype=np.float64)).values)
         signs = (m @ P) >= 0  # (n, bands*rows_per_band)
         bks = signs.reshape(len(m), -1, rows_per_band) @ weights  # (n, bands)
-        return pd.Series(list(bks.astype(np.int32)))
+        return pd.Series(list(bks.astype(np.int64)))
 
     return df.select(
         F.col(id_col).alias("id"),
@@ -761,7 +764,17 @@ def embedding_near_dup_pairs(
 
     Hyperplanes are md5-seeded (similarity._seeded_projections) — fully
     deterministic, replicated literally in the oracle SQL.
+
+    Bucket ids are BIGINT (round 11 — previously int32, capping
+    rows_per_band at 31): the sizing law candidates ≈ n²·b/2^r demands
+    r to grow with log2(n²·b), and ≥10M vectors need r > 31. r up to 63
+    sign bits now packs into one int64 bucket key.
     """
+    if rows_per_band > 63:
+        raise ValueError(
+            f"rows_per_band={rows_per_band} > 63: bucket sign bits must "
+            "pack into one BIGINT key"
+        )
     from data_wrangle_openstreetmaps_data_spark.functions.vectors import cosine
     from data_wrangle_openstreetmaps_data_spark.operators.similarity import (
         _seeded_projections,

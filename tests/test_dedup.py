@@ -467,3 +467,38 @@ def test_containment_pairs_directed(spark):
         for r in containment_pairs(df, threshold=0.4).collect()
     }
     assert got_lo == {(1, 2): 1.0, (2, 1): 0.5}
+
+
+def test_srp_bigint_buckets_above_int32_ceiling(spark):
+    """Round 11: bucket ids are BIGINT — rows_per_band may exceed 31
+    (the former int32 ceiling). At r=40 the arrow and native bucketers
+    must still agree bit-for-bit, and the packed buckets must actually
+    use the high bits (>= 2^31), proving the ceiling is gone."""
+    from data_wrangle_openstreetmaps_data_spark.catalog import table
+    from data_wrangle_openstreetmaps_data_spark.operators.similarity import (
+        _seeded_projections,
+    )
+    from tests.conftest import SF_SMALL
+
+    emb = table(spark, SF_SMALL, "embeddings").limit(100)
+    planes = _seeded_projections(64, 2 * 40, 42)
+    native = {
+        (r["id"], r["band"], r["bucket"])
+        for r in dedup._srp_bucketed_native(
+            emb, "vec_id", "embedding", planes, 2, 40
+        ).collect()
+    }
+    arrow = {
+        (r["id"], r["band"], r["bucket"])
+        for r in dedup._srp_bucketed_arrow(
+            emb, "vec_id", "embedding", planes, 2, 40
+        ).collect()
+    }
+    assert arrow == native
+    assert max(b for _, _, b in arrow) >= (1 << 31), (
+        "no bucket used the high bits — r>31 not exercised"
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        dedup.embedding_near_dup_pairs(emb, rows_per_band=64)
