@@ -35,7 +35,7 @@ single map stage fused into the scan by whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_wrangle_openstreetmaps_data_spark.functions.cleaning import (
@@ -170,3 +170,33 @@ def shape_elements(
         )
     )
     return shaped
+
+
+def gaps_and_islands(
+    df: DataFrame, idx_col: str, max_step: int
+) -> DataFrame:
+    """Coalesce integer indexes into contiguous ISLANDS: adds ``grp``
+    (1-based island id over ascending ``idx_col``), breaking wherever
+    the step between successive rows exceeds ``max_step``. The window
+    runs over the (already filtered/aggregated) index rows — callers
+    keep the frame bounded (q_backfill_plan: |failed days|; the
+    registry-wide allowlist in tests/test_plans.py documents this).
+
+    Contract (property-tested in tests/test_property.py):
+    islands partition the input rows; within an island every
+    consecutive step is <= max_step; between islands the step is
+    > max_step (so the island count is MINIMAL for that rule)."""
+    w = Window.orderBy(idx_col)
+    return df.withColumn(
+        "brk",
+        F.when(
+            F.lag(idx_col).over(w).isNull()
+            | (F.col(idx_col) - F.lag(idx_col).over(w) > max_step),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "grp",
+        F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).drop("brk")

@@ -1592,6 +1592,13 @@ def q_ttl_retention_audit(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("rows"),
         F.count(F.when(F.col("o_orderdate") < cut, 1)).alias("expired"),
     )
+    return _ttl_fold(per)
+
+
+def _ttl_fold(per: DataFrame) -> DataFrame:
+    """The TTL classification fold over (month, rows, expired) rows —
+    module-level so tests/test_property.py can drive it with generated
+    partition shapes (straddle invariants)."""
     return per.agg(
         F.count("*").alias("partitions_total"),
         F.count(F.when(F.col("expired") == F.col("rows"), 1)).alias(
@@ -1628,8 +1635,14 @@ def q_ttl_retention_audit(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("partial_expired_rows"),
     ).select(
         "*",
+        # NULL (not an ANSI divide-by-zero) when nothing straddles —
+        # an edge the hypothesis fold property surfaced
         text.round4(
-            F.col("partial_live_rows") / F.col("partial_expired_rows")
+            F.when(
+                F.col("partial_expired_rows") > 0,
+                F.col("partial_live_rows")
+                / F.col("partial_expired_rows"),
+            )
         ).alias("rewrite_amp"),
     )
 
@@ -1673,29 +1686,37 @@ def q_gdpr_erasure_plan(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
 
-    def fold(per: DataFrame, name: str) -> DataFrame:
-        return per.agg(
-            F.lit(name).alias("table_name"),
-            F.sum("dels").alias("rows_to_delete"),
-            F.count(F.when(F.col("dels") > 0, 1)).alias(
-                "partitions_touched"
-            ),
-            F.count("*").alias("partitions_total"),
-            F.coalesce(
-                F.sum(F.when(F.col("dels") > 0, F.col("rows"))),
-                F.lit(0),
-            ).alias("resident_rows"),
-        ).select(
-            "*",
-            text.round4(
-                F.col("resident_rows") / F.col("rows_to_delete")
-            ).alias("rewrite_amp"),
-        )
-
     return (
-        fold(per_e, "events")
-        .unionByName(fold(per_o, "orders"))
+        _erasure_fold(per_e, "events")
+        .unionByName(_erasure_fold(per_o, "orders"))
         .orderBy("table_name")
+    )
+
+
+def _erasure_fold(per: DataFrame, name: str) -> DataFrame:
+    """The erasure-impact fold over (month, rows, dels) rows —
+    module-level so tests/test_property.py can drive it with generated
+    partition shapes."""
+    return per.agg(
+        F.lit(name).alias("table_name"),
+        F.sum("dels").alias("rows_to_delete"),
+        F.count(F.when(F.col("dels") > 0, 1)).alias(
+            "partitions_touched"
+        ),
+        F.count("*").alias("partitions_total"),
+        F.coalesce(
+            F.sum(F.when(F.col("dels") > 0, F.col("rows"))),
+            F.lit(0),
+        ).alias("resident_rows"),
+    ).select(
+        "*",
+        # NULL (not an ANSI divide-by-zero) for an empty erasure cohort
+        text.round4(
+            F.when(
+                F.col("rows_to_delete") > 0,
+                F.col("resident_rows") / F.col("rows_to_delete"),
+            )
+        ).alias("rewrite_amp"),
     )
 
 
@@ -1728,20 +1749,11 @@ def q_backfill_plan(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("rows"))
         .filter(F.col("d") % 13 == 0)
     )
-    w = Window.orderBy("d")
-    isl = failed.withColumn(
-        "brk",
-        F.when(
-            F.lag("d").over(w).isNull()
-            | (F.col("d") - F.lag("d").over(w) > 13),
-            1,
-        ).otherwise(0),
-    ).withColumn(
-        "grp",
-        F.sum("brk").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
+    from data_wrangle_openstreetmaps_data_spark.operators.reshape import (
+        gaps_and_islands,
     )
+
+    isl = gaps_and_islands(failed, "d", max_step=13)
     ranges = _mat(  # 2 consumers: plan rows + scalars
         isl.groupBy("grp").agg(
             F.min("day").alias("range_start"),

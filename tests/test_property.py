@@ -597,3 +597,115 @@ def test_holt_coeffs_equal_direct_recursion(ys):
     w = _holt_coeffs()[len(ys) - 1]
     unrolled = sum(c * y for c, y in zip(w, ys))
     assert abs(direct - unrolled) <= 1e-9 * max(1.0, abs(direct))
+
+
+@given(
+    st.sets(st.integers(0, 400), min_size=1, max_size=60),
+    st.integers(1, 20),
+)
+@settings(max_examples=15, deadline=None)
+def test_gaps_and_islands_invariants(spark, days, max_step):
+    """The backfill planner's island construction (r10 verdict item 8):
+    for ANY failed-day set and cadence, the islands must (1) partition
+    the input rows, (2) be internally contiguous (every within-island
+    step <= max_step), and (3) be MINIMAL (every between-island step
+    > max_step — merging any two adjacent islands would violate the
+    rule)."""
+    from data_wrangle_openstreetmaps_data_spark.operators.reshape import (
+        gaps_and_islands,
+    )
+
+    df = spark.createDataFrame([(d,) for d in days], ["d"])
+    rows = sorted(
+        (r["d"], r["grp"]) for r in gaps_and_islands(df, "d", max_step).collect()
+    )
+    assert [d for d, _ in rows] == sorted(days)  # partition: all covered
+    # grp ids are 1..k and non-decreasing over ascending d
+    grps = [g for _, g in rows]
+    assert grps[0] == 1 and all(
+        b - a in (0, 1) for a, b in zip(grps, grps[1:])
+    )
+    for (d1, g1), (d2, g2) in zip(rows, rows[1:]):
+        if g1 == g2:
+            assert d2 - d1 <= max_step  # contiguous inside an island
+        else:
+            assert d2 - d1 > max_step  # minimal: a merge would violate
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 50), st.integers(0, 50)),
+        min_size=1, max_size=20,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_ttl_fold_matches_python_model(spark, parts):
+    """q_ttl_retention_audit's fold (storage._ttl_fold) vs a pure-Python
+    model over arbitrary (rows, expired<=rows) partition shapes: the
+    droppable / partial / straddle accounting identities."""
+    from data_wrangle_openstreetmaps_data_spark.plans.queries.storage import (
+        _ttl_fold,
+    )
+
+    data = [
+        (f"m{i:03d}", rows, min(exp, rows))
+        for i, (rows, exp) in enumerate(parts)
+    ]
+    per = spark.createDataFrame(data, ["month", "rows", "expired"])
+    got = _ttl_fold(per).collect()[0].asDict()
+    droppable = sum(1 for _, r, e in data if e == r)
+    partial = sum(1 for _, r, e in data if 0 < e < r)
+    plive = sum(r - e for _, r, e in data if 0 < e < r)
+    pexp = sum(e for _, r, e in data if 0 < e < r)
+    assert got["partitions_total"] == len(data)
+    assert got["partitions_droppable"] == droppable
+    assert got["partitions_partial"] == partial
+    assert got["rows_total"] == sum(r for _, r, _ in data)
+    assert got["rows_expired"] == sum(e for _, _, e in data)
+    assert got["partial_live_rows"] == plive
+    assert got["partial_expired_rows"] == pexp
+    if pexp:
+        import math
+
+        assert got["rewrite_amp"] == math.floor(
+            plive / pexp * 10000 + 0.5
+        ) / 10000
+    else:
+        assert got["rewrite_amp"] is None
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 50), st.integers(0, 50)),
+        min_size=1, max_size=20,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_erasure_fold_matches_python_model(spark, parts):
+    """q_gdpr_erasure_plan's fold (storage._erasure_fold) vs a pure
+    model: touched-partition residency and amplification identities."""
+    from data_wrangle_openstreetmaps_data_spark.plans.queries.storage import (
+        _erasure_fold,
+    )
+
+    data = [
+        (f"m{i:03d}", rows, min(dels, rows))
+        for i, (rows, dels) in enumerate(parts)
+    ]
+    per = spark.createDataFrame(data, ["month", "rows", "dels"])
+    got = _erasure_fold(per, "t").collect()[0].asDict()
+    deleted = sum(d for _, _, d in data)
+    touched = sum(1 for _, _, d in data if d > 0)
+    resident = sum(r for _, r, d in data if d > 0)
+    assert got["table_name"] == "t"
+    assert got["rows_to_delete"] == deleted
+    assert got["partitions_touched"] == touched
+    assert got["partitions_total"] == len(data)
+    assert got["resident_rows"] == resident
+    assert resident >= deleted  # residency always covers the deletes
+    if deleted:
+        import math
+
+        assert got["rewrite_amp"] == math.floor(
+            resident / deleted * 10000 + 0.5
+        ) / 10000
