@@ -254,6 +254,136 @@ def pagerank_bipartite(
     )
 
 
+def pagerank_converged(
+    edges: DataFrame,
+    damping_num: int = 1,
+    damping_den: int = 2,
+    scale: int = 10**12,
+    max_iters: int = 48,
+) -> DataFrame:
+    """CONVERGENT PageRank on the undirected bipartite co-purchase graph
+    (r10 verdict item 7): a driver-side loop with an L1-residual
+    stopping rule and a per-iteration ``localCheckpoint`` (lineage
+    truncation — without it each iteration's plan re-expands every prior
+    iteration's joins, the lesson already learned for connected
+    components).
+
+    The update runs on a FIXED-POINT INTEGER GRID (``scale`` units of
+    rank mass), with dyadic damping d = damping_num/damping_den = ½ by
+    default:
+
+        r₀(x)    = scale div N
+        rₖ₊₁(x)  = (scale·(den−num)) div (den·N)
+                   + (num · Σ_{y~x} (rₖ(y) div deg(y))) div den
+
+    Every operation is exact BIGINT arithmetic — sums are associative,
+    so the iterate is BIT-IDENTICAL across engines, partitionings, and
+    summation orders (the float-sum-free discipline: a float Σ r/deg has
+    no defined order cross-engine). The loop early-exits when the L1
+    residual Σ|rₖ₊₁−rₖ| is EXACTLY zero; an integer fixed point is
+    absorbing, so an oracle that unrolls all ``max_iters`` iterations
+    produces the identical vector whether or not Spark exited early —
+    and if the floor jitter sustains a ±1-unit cycle instead, both
+    engines simply run the same deterministic recurrence to the same
+    ``max_iters``-th iterate. Correctness never depends on convergence.
+    Dyadic ½ damping converges the grid in ≈ log2(scale) ≈ 40
+    iterations (0.85 would need ~130 — the reason for the ½ default).
+
+    Per iteration: two edge-keyed shuffles (contributions into each
+    side) with degrees on broadcasts; one bounded driver action (the
+    residual scalar). Undirected bipartite ⇒ no dangling nodes.
+
+    Returns (node, rank_u BIGINT, n_iters): the final grid ranks with
+    'C:'/'S:' labels and the number of iterations the loop ran."""
+    edges = edges.localCheckpoint(eager=True)
+    deg_c = edges.groupBy("custkey").agg(F.count(F.lit(1)).alias("deg"))
+    deg_s = edges.groupBy("suppkey").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = deg_c.count() + deg_s.count()  # one bounded driver scalar
+    num, den = damping_num, damping_den
+    r0 = scale // n_nodes
+    base = (scale * (den - num)) // (den * n_nodes)
+    r_c = deg_c.select(
+        "custkey", F.lit(r0).cast("long").alias("r"), "deg"
+    ).localCheckpoint(eager=True)
+    r_s = deg_s.select(
+        "suppkey", F.lit(r0).cast("long").alias("r"), "deg"
+    ).localCheckpoint(eager=True)
+    iters = 0
+    for _ in range(max_iters):
+        new_s = (
+            edges.join(r_c.withColumnRenamed("r", "rc"), "custkey")
+            .select("suppkey", F.expr("rc div deg").alias("contrib"))
+            .groupBy("suppkey")
+            .agg(F.sum("contrib").alias("acc"))
+            .join(F.broadcast(deg_s), "suppkey")
+            .select(
+                "suppkey",
+                (
+                    F.lit(base)
+                    + F.expr(f"({num} * acc) div {den}")
+                ).cast("long").alias("r"),
+                "deg",
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_c = (
+            edges.join(r_s.withColumnRenamed("r", "rs"), "suppkey")
+            .select("custkey", F.expr("rs div deg").alias("contrib"))
+            .groupBy("custkey")
+            .agg(F.sum("contrib").alias("acc"))
+            .join(F.broadcast(deg_c), "custkey")
+            .select(
+                "custkey",
+                (
+                    F.lit(base)
+                    + F.expr(f"({num} * acc) div {den}")
+                ).cast("long").alias("r"),
+                "deg",
+            )
+            .localCheckpoint(eager=True)
+        )
+        iters += 1
+        resid = (
+            new_c.select(F.col("custkey").alias("k"), F.col("r").alias("rn"))
+            .join(
+                r_c.select(F.col("custkey").alias("k"), F.col("r").alias("ro")),
+                "k",
+            )
+            .unionByName(
+                new_s.select(
+                    F.col("suppkey").alias("k"), F.col("r").alias("rn")
+                ).join(
+                    r_s.select(
+                        F.col("suppkey").alias("k"), F.col("r").alias("ro")
+                    ),
+                    "k",
+                )
+            )
+            .agg(F.sum(F.abs(F.col("rn") - F.col("ro"))).alias("l1"))
+            .collect()[0]["l1"]
+        )
+        r_c, r_s = new_c, new_s
+        if resid == 0:
+            break
+    return (
+        r_c.select(
+            F.concat(F.lit("C:"), F.col("custkey").cast("string")).alias(
+                "node"
+            ),
+            F.col("r").alias("rank_u"),
+        )
+        .unionByName(
+            r_s.select(
+                F.concat(
+                    F.lit("S:"), F.col("suppkey").cast("string")
+                ).alias("node"),
+                F.col("r").alias("rank_u"),
+            )
+        )
+        .withColumn("n_iters", F.lit(iters))
+    )
+
+
 def cap_degree(
     edges: DataFrame,
     key_col: str,

@@ -66,6 +66,120 @@ def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_PR_SCALE = 10**9
+_PR_ITERS = 24
+
+
+def q_pagerank_converged(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-GRAPH — PageRank run to CONVERGENCE (r10 verdict item 7): a
+    driver-side loop (graph.pagerank_converged) with an exact-zero
+    L1-residual stopping rule and per-iteration localCheckpoint so the
+    plan never re-expands prior iterations. The update lives on a 10⁹
+    fixed-point integer grid with dyadic damping ¼ (picked for grid
+    convergence speed: residual ≈ ¼ᵏ·scale hits exact zero in ~15
+    iterations vs ~40 for ½ and ~130 for 0.85) — every iterate is
+    exact BIGINT arithmetic, bit-identical across engines regardless of
+    summation order, and the integer fixed point is ABSORBING: the
+    oracle unrolls a fixed 24 iterations and provably equals the
+    early-exited Spark loop (if the grid ever failed to converge, both
+    engines would still run the identical 24th iterate — correctness
+    never depends on convergence). Convergence itself (n_iters < 24)
+    is pinned by tests/test_plans.py, not the oracle. Output: top-20
+    nodes by grid rank (integer ordering, no float tiebreaks) with the
+    normalized rank·N as round4."""
+    edges = graph.copurchase_edges(
+        table(spark, sf, "lineitem"), table(spark, sf, "orders")
+    )
+    ranks = graph.pagerank_converged(
+        edges, damping_num=1, damping_den=4,
+        scale=_PR_SCALE, max_iters=_PR_ITERS,
+    )
+    n = edges.agg(
+        (
+            F.count_distinct(F.col("custkey"))
+            + F.count_distinct(F.col("suppkey"))
+        ).alias("n")
+    )
+    return (
+        ranks.crossJoin(F.broadcast(n))
+        .select(
+            "node",
+            "rank_u",
+            text.round4(
+                (F.col("rank_u") * F.col("n")).cast("double")
+                / F.lit(_PR_SCALE)
+            ).alias("rank_n"),
+        )
+        .orderBy(F.desc("rank_u"), "node")
+        .limit(20)
+    )
+
+
+def _pagerank_converged_sql(iters: int = _PR_ITERS) -> str:
+    """Oracle for q_pagerank_converged: the SAME integer-grid recurrence
+    unrolled ``iters`` times as a generated CTE chain (the inlined-
+    constants device of q_ewma / q_dedup_minhash's permutations). Sums
+    of BIGINT are HUGEINT in DuckDB — every iterate CASTs back to
+    BIGINT (the documented HUGEINT→pandas-float trap)."""
+    s = _PR_SCALE
+    # AS MATERIALIZED throughout: DuckDB inlines CTEs by default, and a
+    # 2·iters-deep chain with per-level scalar subqueries explodes the
+    # optimizer (measured: sf0.001 oracle ran past 580s inlined, <1s
+    # materialized)
+    ctes = [
+        "dc AS MATERIALIZED (SELECT c, count(*) AS deg"
+        " FROM edges GROUP BY c)",
+        "ds AS MATERIALIZED (SELECT s, count(*) AS deg"
+        " FROM edges GROUP BY s)",
+        "nn AS MATERIALIZED (SELECT (SELECT count(*) FROM dc)"
+        " + (SELECT count(*) FROM ds) AS n)",
+        # CAST the scale literal to BIGINT first: a bare 10^9 literal is
+        # INT32 in DuckDB and 10^9 * 3 overflows at parse-constant-fold
+        f"bb AS MATERIALIZED (SELECT CAST((CAST({s} AS BIGINT) * 3) //"
+        " (4 * (SELECT n FROM nn)) AS BIGINT) AS base)",
+        f"c0 AS MATERIALIZED (SELECT c,"
+        f" CAST({s} // (SELECT n FROM nn) AS BIGINT)"
+        " AS r, deg FROM dc)",
+        f"s0 AS MATERIALIZED (SELECT s,"
+        f" CAST({s} // (SELECT n FROM nn) AS BIGINT)"
+        " AS r, deg FROM ds)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"s{k} AS MATERIALIZED (SELECT x.s,"
+            " CAST((SELECT base FROM bb) + (1 * x.acc) // 4 AS BIGINT)"
+            " AS r, d.deg"
+            " FROM (SELECT e.s, sum(p.r // p.deg) AS acc"
+            f"       FROM edges e JOIN c{k-1} p ON e.c = p.c"
+            "       GROUP BY e.s) x"
+            " JOIN ds d ON d.s = x.s)"
+        )
+        ctes.append(
+            f"c{k} AS MATERIALIZED (SELECT x.c,"
+            " CAST((SELECT base FROM bb) + (1 * x.acc) // 4 AS BIGINT)"
+            " AS r, d.deg"
+            " FROM (SELECT e.c, sum(p.r // p.deg) AS acc"
+            f"       FROM edges e JOIN s{k-1} p ON e.s = p.s"
+            "       GROUP BY e.c) x"
+            " JOIN dc d ON d.c = x.c)"
+        )
+    return f"""
+        WITH {_PR_EDGES},
+        {',' .join(ctes)},
+        u AS (
+          SELECT 'C:' || CAST(c AS VARCHAR) AS node, r FROM c{iters}
+          UNION ALL
+          SELECT 'S:' || CAST(s AS VARCHAR) AS node, r FROM s{iters}
+        )
+        SELECT node, CAST(r AS BIGINT) AS rank_u,
+               floor(CAST(r * (SELECT n FROM nn) AS DOUBLE)
+                     / {s} * 10000 + 0.5) / 10000 AS rank_n
+        FROM u
+        ORDER BY rank_u DESC, node
+        LIMIT 20
+    """
+
+
 def q_supplier_similarity(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-GRAPH — supplier-supplier Jaccard similarity through shared
     customers (the set-overlap companion to q_cooccurrence_lift's
@@ -1241,6 +1355,7 @@ ORACLES: dict[str, str | None] = {
         SELECT degree, count(*) AS n_nodes
         FROM deg GROUP BY degree ORDER BY degree
     """,
+    "q_pagerank_converged": _pagerank_converged_sql(),
     "q_pagerank": f"""
         WITH {_PR_EDGES},
         dc AS (SELECT c, count(*) AS deg FROM edges GROUP BY c),

@@ -704,3 +704,40 @@ def test_global_order_windows_are_allowlisted():
     assert not stale, (
         f"allowlist entries no longer offenders (prune them): {sorted(stale)}"
     )
+
+
+def test_pagerank_converged_fixed_point_and_lineage(spark):
+    """q_pagerank_converged must actually CONVERGE (exact integer fixed
+    point before the max_iters oracle horizon — the early-exit the
+    absorbing-fixed-point oracle equality relies on for speed), and the
+    per-iteration localCheckpoint must keep the final plan referencing
+    checkpointed RDDs instead of re-expanding 14+ iterations of joins."""
+    from data_wrangle_openstreetmaps_data_spark.operators import graph
+    from data_wrangle_openstreetmaps_data_spark.plans.queries.graphs import (
+        _PR_ITERS,
+        _PR_SCALE,
+    )
+
+    edges = graph.copurchase_edges(
+        table(spark, SF_SMALL, "lineitem"), table(spark, SF_SMALL, "orders")
+    )
+    ranks = graph.pagerank_converged(
+        edges, damping_num=1, damping_den=4,
+        scale=_PR_SCALE, max_iters=_PR_ITERS,
+    )
+    rows = ranks.collect()
+    n_iters = rows[0]["n_iters"]
+    assert 0 < n_iters < _PR_ITERS, (
+        f"grid did not converge before the oracle horizon: {n_iters}"
+    )
+    # total grid mass is conserved up to floor losses: each node floors
+    # twice per update (per-edge contribution + damping), and the fixed
+    # point carries the steady-state deficit amplified by 1/(1-d) — ≤ ~3
+    # units per node (measured: 2.3 at sf0.001)
+    total = sum(r["rank_u"] for r in rows)
+    assert 0 <= _PR_SCALE - total <= len(rows) * 4
+    plan = ranks._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan  # checkpointed iterates, not lineage
+    assert plan.count("FileScan parquet") == 0, plan.count(
+        "FileScan parquet"
+    )
