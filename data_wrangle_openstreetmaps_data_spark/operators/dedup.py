@@ -743,6 +743,7 @@ def embedding_near_dup_pairs(
     dim: int = 64,
     seed: int = 42,
     use_arrow: bool = True,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """EXT-D2 (fifth tier) — embedding-cosine near-dup: all pairs with
     cosine similarity >= threshold, found via banded sign-random-projection
@@ -776,6 +777,71 @@ def embedding_near_dup_pairs(
             "pack into one BIGINT key"
         )
     from data_wrangle_openstreetmaps_data_spark.functions.vectors import cosine
+
+    if collapse_exact:
+        # EXACT-dup vector collapse (round 11, same move as
+        # dedup_minhash_lsh): identical float arrays get identical SRP
+        # buckets AND identical cosines, so bucketing + the (interpreted
+        # HOF) cosine verify run over DISTINCT VECTORS only; member
+        # pairs are recovered exactly by output-sized expansion. On a
+        # copy-replicated x r corpus the verify-pair count otherwise
+        # grows r^2 per class (measured: the q_dedup_semantic ladder).
+        from pyspark.storagelevel import StorageLevel
+
+        classes = (
+            df.groupBy(F.col(vec_col).alias("_v"))
+            .agg(F.min(id_col).alias("rep"), F.count(F.lit(1)).alias("csize"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        members = df.select(
+            F.col(id_col).alias("m_id"), F.col(vec_col).alias("_v")
+        ).join(classes, "_v")
+        reps = classes.select(
+            F.col("rep").alias(id_col), F.col("_v").alias(vec_col)
+        )
+        rep_pairs = embedding_near_dup_pairs(
+            reps, id_col, vec_col, threshold, bands, rows_per_band,
+            dim, seed, use_arrow, collapse_exact=False,
+        )
+        mem_a = members.select(
+            F.col("rep").alias("id_a"), F.col("m_id").alias("ma")
+        )
+        mem_b = members.select(
+            F.col("rep").alias("id_b"), F.col("m_id").alias("mb")
+        )
+        cross = (
+            rep_pairs.join(mem_a, "id_a")
+            .join(mem_b, "id_b")
+            .select(
+                F.least("ma", "mb").alias("id_a"),
+                F.greatest("ma", "mb").alias("id_b"),
+                "cos_sim",
+            )
+        )
+        # within-class pairs carry cosine(v, v) — round4(1 +/- ulp) =
+        # 1.0; a zero vector yields NaN and fails >= threshold exactly
+        # as the raw path's candidate would
+        w1 = (
+            classes.filter(F.col("csize") >= 2)
+            .select(
+                "rep",
+                round4(cosine(F.col("_v"), F.col("_v"))).alias("selfcos"),
+            )
+            .filter(F.col("selfcos") >= threshold)
+        )
+        mm = members.select("rep", "m_id").join(w1, "rep")
+        within = (
+            mm.alias("x")
+            .join(mm.alias("y"), "rep")
+            .filter(F.col("x.m_id") < F.col("y.m_id"))
+            .select(
+                F.col("x.m_id").alias("id_a"),
+                F.col("y.m_id").alias("id_b"),
+                F.col("x.selfcos").alias("cos_sim"),
+            )
+        )
+        return cross.unionByName(within)
+
     from data_wrangle_openstreetmaps_data_spark.operators.similarity import (
         _seeded_projections,
     )

@@ -559,6 +559,68 @@ def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("cluster_id")
 
 
+def q_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D — DOCUMENT-LEVEL SEMANTIC DEDUP (r10 verdict item 9), the
+    embedding-space tier joining the exact/near/span levers of
+    q_dedup_impact: SRP-bucketed cosine pairs (the q_dedup_embedding
+    config — banded key-equality candidates, exact-cosine verify,
+    never all-pairs) → pointer-jumping connected components
+    (dedup.dup_clusters, O(log diameter)) → keep-best representative
+    per semantic cluster (argmax quality_score over the paired
+    documents, tie → min doc_id — embeddings and documents share the
+    id space 1:1). One-row report in TOKEN units: cluster count,
+    droppable docs (non-keepers), droppable tokens, the token total
+    resident in semantic clusters, and the quality gain of keep-best
+    over keep-min-id. Oracle: the inlined-plane SRP pair SQL +
+    recursive-CTE closure + the same argmax — the whole approximate
+    pipeline replicated end to end."""
+    emb = table(spark, sf, "embeddings")
+    docs = table(spark, sf, "documents")
+    pairs = dedup.embedding_near_dup_pairs(
+        emb, threshold=0.4, bands=8, rows_per_band=4, dim=64
+    )
+    cc = dedup.dup_clusters(pairs)
+    memb = cc.join(
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.size(text.tokens(F.col("text"))).alias("n_tokens"),
+            text.quality_score(F.col("text")).alias("quality"),
+        ),
+        "id",
+    )
+    per_cluster = memb.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("csize"),
+        F.sum("n_tokens").cast("long").alias("tok"),
+        F.max(
+            F.struct(
+                F.col("quality"), (-F.col("id")).alias("negid"),
+                F.col("n_tokens").alias("keep_tok"),
+            )
+        ).alias("_best"),
+        F.min(F.struct(F.col("id"), F.col("quality"))).alias("_minq"),
+    )
+    return per_cluster.agg(
+        F.count(F.lit(1)).cast("long").alias("sem_clusters"),
+        F.sum(F.col("csize") - 1).cast("long").alias("sem_dup_docs"),
+        F.sum(F.col("tok") - F.col("_best.keep_tok"))
+        .cast("long")
+        .alias("sem_dup_tokens"),
+        F.sum("tok").cast("long").alias("sem_cluster_tokens"),
+        # quality gain summed on the 1e-4 integer grid (quality is
+        # already round4, so floor(q*1e4+0.5) recovers the grid exactly;
+        # a float sum would have no defined order cross-engine)
+        (
+            F.sum(
+                F.floor(F.col("_best.quality") * 10000 + 0.5).cast("long")
+                - F.floor(F.col("_minq.quality") * 10000 + 0.5).cast(
+                    "long"
+                )
+            )
+            / F.lit(10000.0)
+        ).alias("keep_quality_gain"),
+    )
+
+
 def q_dedup_impact(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-D — the DEDUP IMPACT REPORT, one row: what each dedup level
     would save on this corpus, in the unit a data lead budgets in —
@@ -1344,6 +1406,46 @@ ORACLES: dict[str, str | None] = {
     # trigram-Jaccard pair set at the same threshold.
     "q_dedup_minhash": _ngram_jaccard_sql(0.5),
     "q_dedup_clusters": _closure_clusters_sql(_ngram_jaccard_sql(0.5)),
+    "q_dedup_semantic": f"""
+        WITH comp AS (
+          {_closure_clusters_sql(_embedding_pairs_sql(0.4, bands=8, rows_per_band=4))}
+        ),
+        q AS ({_quality_doc_sql("documents")}),
+        memb AS (
+          SELECT c.id, c.cluster_id, q.quality,
+                 CAST(q.n_tokens AS BIGINT) AS n_tokens
+          FROM comp c JOIN q ON q.doc_id = c.id
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY cluster_id ORDER BY quality DESC, id
+          ) AS rk FROM memb
+        ),
+        per AS (
+          SELECT m.cluster_id,
+                 CAST(count(*) AS BIGINT) AS csize,
+                 CAST(sum(m.n_tokens) AS BIGINT) AS tok,
+                 CAST(min(m.id) AS BIGINT) AS min_id
+          FROM memb m GROUP BY m.cluster_id
+        ),
+        best AS (
+          SELECT cluster_id, n_tokens AS keep_tok, quality AS keep_q
+          FROM ranked WHERE rk = 1
+        ),
+        minq AS (
+          SELECT p.cluster_id, m.quality AS min_q
+          FROM per p JOIN memb m
+            ON m.cluster_id = p.cluster_id AND m.id = p.min_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS sem_clusters,
+               CAST(sum(csize - 1) AS BIGINT) AS sem_dup_docs,
+               CAST(sum(tok - keep_tok) AS BIGINT) AS sem_dup_tokens,
+               CAST(sum(tok) AS BIGINT) AS sem_cluster_tokens,
+               CAST(sum(CAST(floor(keep_q * 10000 + 0.5) AS BIGINT)
+                        - CAST(floor(min_q * 10000 + 0.5) AS BIGINT))
+                    AS BIGINT) / 10000.0 AS keep_quality_gain
+        FROM per JOIN best USING (cluster_id) JOIN minq USING (cluster_id)
+    """,
     "q_dedup_impact": f"""
         WITH comp AS ({_closure_clusters_sql(_ngram_jaccard_sql(0.5))}),
         tk AS (

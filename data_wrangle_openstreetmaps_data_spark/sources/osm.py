@@ -261,8 +261,21 @@ def read_osm(spark: SparkSession, path: str,
     """Union of all requested element types in one raw-elements DataFrame —
     the analog of the reference's single iterparse stream filtered to
     node/way (openstreet_kolkata.py:153,334,466). Input may be a plain
-    file/glob, a ``.bz2`` (in-scan codec), or a ``.zip`` (extract-once)."""
+    file/glob, a ``.bz2`` (in-scan codec), or a ``.zip`` (extract-once).
+    ``.pbf`` inputs route through the ``osmpbf`` DataSource (r11): ONE
+    planet.pbf fans out per blob instead of per file, and the
+    raw-elements schema is identical to the XML route (parity pinned by
+    tests/test_pbf_datasource.py), so every downstream consumer —
+    audits, reshape, wrangle_maps — is format-agnostic."""
     path = resolve_input(path)
+    if path.endswith(".pbf"):
+        from data_wrangle_openstreetmaps_data_spark.sources import (
+            pbf_datasource,
+        )
+
+        pbf_datasource.register(spark)
+        raw = spark.read.format("osmpbf").load(path)
+        return raw.filter(F.col("type").isin(*element_types))
     dfs = [read_elements(spark, path, t) for t in element_types]
     out = dfs[0]
     for d in dfs[1:]:

@@ -184,3 +184,20 @@ def test_streaming_backlog_capped_per_trigger(spark):
     assert got == sorted(n["id"] for b in batches for n in b)
     seg = len(NODES)
     assert per_run == [seg] * 4, f"expected 4 capped batches, got {per_run}"
+
+
+def test_read_osm_dispatches_pbf_to_datasource(spark, single_blob_file):
+    """osm.read_osm on a .pbf path must route through the osmpbf
+    DataSource (r11) and return the same raw-elements rows the
+    mapInPandas route decodes — so wrangle_maps is format-agnostic."""
+    from data_wrangle_openstreetmaps_data_spark.sources import osm
+
+    df = osm.read_osm(spark, single_blob_file)
+    via_kernel = pbf.read_pbf(spark, single_blob_file)
+    got = {(r["id"], r["type"], r["user"]) for r in df.collect()}
+    want = {
+        (r["id"], r["type"], r["user"])
+        for r in via_kernel.collect()
+        if r["type"] in ("node", "way")
+    }
+    assert got == want and got
