@@ -162,8 +162,14 @@ def test_minhash_band_join_skew_split(spark):
         rows += [(1000 + i, f"filler doc {i} unique tokens {i * 3}")
                  for i in range(50)]
         df = spark.createDataFrame(rows, ["doc_id", "text"])
+        # collapse_exact=False: the r11 exact-dup collapse would fold the
+        # 300 identical docs into ONE representative and the hot band key
+        # would vanish before the join — this test pins AQE's skew-split
+        # behavior of the RAW banding self-join (the path a corpus of
+        # 300 NEAR-identical-but-distinct docs would still take)
         pairs = dedup.dedup_minhash_lsh(
-            df, n_hashes=16, bands=4, shingle_k=3, threshold=0.9
+            df, n_hashes=16, bands=4, shingle_k=3, threshold=0.9,
+            collapse_exact=False,
         )
         plan = _executed_plan(pairs)
         assert "skew=true" in plan, plan[:4000]
