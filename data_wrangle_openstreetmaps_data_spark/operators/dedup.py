@@ -819,8 +819,10 @@ def embedding_near_dup_pairs(
             )
         )
         # within-class pairs carry cosine(v, v) — round4(1 +/- ulp) =
-        # 1.0; a zero vector yields NaN and fails >= threshold exactly
-        # as the raw path's candidate would
+        # 1.0; a zero vector yields NaN, and both Spark and DuckDB
+        # order NaN GREATER than any number, so NaN >= threshold is
+        # TRUE and the pair is emitted — exactly as the raw path's
+        # candidate would be (symmetric across paths and engines)
         w1 = (
             classes.filter(F.col("csize") >= 2)
             .select(
