@@ -657,12 +657,20 @@ def q_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
     """EXT — weighted median per group (the operator plain
     percentile() can't express): per part brand, the line-item price
     at which HALF the total QUANTITY sits below — lower weighted
-    median = first value whose running weight reaches ceil(W/2),
-    found with one cumulative-sum window ordered by (cents, key
-    tiebreak) inside each brand partition and an argmin window on top.
-    All weights and prices are exact integers (quantity bigint, price
-    cents), so the crossing row is unambiguous cross-engine. Two
-    brand-partitioned windows + one small join; no global sort."""
+    median = first value whose running weight reaches ceil(W/2).
+
+    Histogram form (the q_ks_test discipline): weights collapse onto
+    DISTINCT (brand, cents) points with one hash aggregate BEFORE any
+    window, so the brand-partitioned cumulative sum runs over the
+    value histogram, not the row stream — with 25 brands, the r11 row
+    form sorted n/25 raw rows per task (the worst ladder entry, 3.9×
+    per 10× data); the histogram's size is bounded by distinct price
+    points. Cum weight at a price point equals the row-form running
+    weight at that point's LAST row, so the crossing price (and the
+    whole result) is provably identical. The crossing row itself is
+    then min(cents) per brand — a plain aggregate, no second window.
+    All weights and prices are exact integers, unambiguous
+    cross-engine."""
     from pyspark.sql import Window
 
     li = table(spark, sf, "lineitem").join(
@@ -677,32 +685,21 @@ def q_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
         F.col("l_quantity").cast("long").alias("w"),
-        "l_orderkey",
-        "l_linenumber",
     )
-    tot = d.groupBy("brand").agg(F.sum("w").cast("long").alias("wtot"))
+    h = d.groupBy("brand", "cents").agg(F.sum("w").alias("w"))
+    tot = h.groupBy("brand").agg(F.sum("w").cast("long").alias("wtot"))
     wcum = (
         Window.partitionBy("brand")
-        .orderBy("cents", "l_orderkey", "l_linenumber")
+        .orderBy("cents")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    c = d.withColumn("cw", F.sum("w").over(wcum)).join(
+    c = h.withColumn("cw", F.sum("w").over(wcum)).join(
         F.broadcast(tot), "brand"
     )
-    hit = c.filter(
-        F.col("cw") * 2 >= F.col("wtot")
-    )
-    first = Window.partitionBy("brand").orderBy(
-        "cents", "l_orderkey", "l_linenumber"
-    )
     return (
-        hit.withColumn("rn", F.row_number().over(first))
-        .filter(F.col("rn") == 1)
-        .select(
-            "brand",
-            "wtot",
-            F.col("cents").alias("wmedian_cents"),
-        )
+        c.filter(F.col("cw") * 2 >= F.col("wtot"))
+        .groupBy("brand", "wtot")
+        .agg(F.min("cents").alias("wmedian_cents"))
         .orderBy("brand")
     )
 
@@ -2161,33 +2158,29 @@ ORACLES: dict[str, str | None] = {
           SELECT p_brand AS brand,
                  CAST(CAST(l_extendedprice AS DECIMAL(20,6)) * 100
                       AS BIGINT) AS cents,
-                 CAST(l_quantity AS BIGINT) AS w,
-                 l_orderkey, l_linenumber
+                 CAST(l_quantity AS BIGINT) AS w
           FROM lineitem JOIN part ON l_partkey = p_partkey
+        ),
+        h AS (
+          SELECT brand, cents, CAST(sum(w) AS BIGINT) AS w
+          FROM d GROUP BY brand, cents
         ),
         tot AS (
           SELECT brand, CAST(sum(w) AS BIGINT) AS wtot
-          FROM d GROUP BY brand
+          FROM h GROUP BY brand
         ),
         c AS (
-          SELECT d.brand, cents, l_orderkey, l_linenumber, wtot,
+          SELECT h.brand, cents, wtot,
                  sum(w) OVER (
-                   PARTITION BY d.brand
-                   ORDER BY cents, l_orderkey, l_linenumber
+                   PARTITION BY h.brand
+                   ORDER BY cents
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                  ) AS cw
-          FROM d JOIN tot ON d.brand = tot.brand
-        ),
-        hit AS (
-          SELECT brand, wtot, cents,
-                 row_number() OVER (
-                   PARTITION BY brand
-                   ORDER BY cents, l_orderkey, l_linenumber
-                 ) AS rn
-          FROM c WHERE cw * 2 >= wtot
+          FROM h JOIN tot ON h.brand = tot.brand
         )
-        SELECT brand, wtot, cents AS wmedian_cents
-        FROM hit WHERE rn = 1 ORDER BY brand
+        SELECT brand, wtot, min(cents) AS wmedian_cents
+        FROM c WHERE cw * 2 >= wtot
+        GROUP BY brand, wtot ORDER BY brand
     """,
     "q_t_closeness": """
         WITH qi AS (
