@@ -63,6 +63,58 @@ _FUNNEL_RE = re.compile(
 )
 
 
+def single_partition_exchange_input_rows(df: DataFrame) -> list[int]:
+    """Execute ``df`` and return the MEASURED row count entering every
+    ``Exchange SinglePartition`` in the final adaptive plan — the number
+    that turns a funnel-allowlist prose justification ("the window only
+    sees per-block totals") into a checked bound.
+
+    Walks the JVM plan tree after ``collect()`` (same QueryExecution, so
+    SQL metrics are populated; ``count()`` would execute a DIFFERENT
+    plan). Each ShuffleExchangeExec with SinglePartition output reports
+    its ``shuffle records written`` metric — the rows that actually
+    crossed the funnel, regardless of what operator feeds it. AQE query
+    stages and reused exchanges are unwrapped/deduplicated."""
+    df.collect()
+    out: list[int] = []
+    seen: set[int] = set()
+
+    def visit(node) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            visit(node.executedPlan())
+            return
+        if cls.endswith("QueryStageExec"):
+            visit(node.plan())
+            return
+        if cls == "ReusedExchangeExec":
+            return  # rows already counted at the original exchange
+        if (
+            cls == "ShuffleExchangeExec"
+            and node.outputPartitioning().toString() == "SinglePartition"
+            and node.id() not in seen
+        ):
+            seen.add(node.id())
+            metrics = node.metrics()
+            written = None
+            it = metrics.iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() in ("shuffleRecordsWritten", "numOutputRows"):
+                    written = kv._2().value()
+                    break
+            out.append(int(written) if written is not None else -1)
+        kids = node.children()
+        for i in range(kids.length()):
+            visit(kids.apply(i))
+        subs = node.subqueries()
+        for i in range(subs.length()):
+            visit(subs.apply(i))
+
+    visit(df._jdf.queryExecution().executedPlan())
+    return out
+
+
 def count_global_sort_window_funnels(plan: str) -> int:
     """Count Window-over-global-Sort-over-SinglePartition patterns: the
     plan shape of an unpartitioned ``Window.orderBy``. Zero means every

@@ -24,6 +24,7 @@ from data_wrangle_openstreetmaps_data_spark.plans import queries as Q
 from data_wrangle_openstreetmaps_data_spark.plans.introspect import (
     executed_plan,
     plan_summary,
+    single_partition_exchange_input_rows,
 )
 from data_wrangle_openstreetmaps_data_spark.session import get_spark
 
@@ -52,6 +53,18 @@ def main() -> int:
                 funnels.append(name)
         except Exception as ex:  # pragma: no cover — audit tool
             out[name] = {"error": str(ex)[:200]}
+    # Quantify the funnel allowlist (r11 verdict #6): for every offender,
+    # EXECUTE the query at the audit SF and record the measured row count
+    # entering each Exchange SinglePartition — the checked number behind
+    # the prose justification. tests/test_plans.py bounds the max.
+    for name in funnels:
+        try:
+            df = Q.REGISTRY[name].spark(spark, sf)
+            rows = single_partition_exchange_input_rows(df)
+            out[name]["funnel_input_rows"] = rows
+            out[name]["funnel_input_rows_max"] = max(rows) if rows else 0
+        except Exception as ex:  # pragma: no cover — audit tool
+            out[name]["funnel_input_rows_error"] = str(ex)[:200]
     totals = {
         k: sum(v.get(k, 0) for v in out.values() if "error" not in v)
         for k in (

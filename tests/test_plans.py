@@ -638,6 +638,11 @@ def test_make_sfn_replication_preserves_joins(spark, tmp_path):
 # funnels rows through an Exchange SinglePartition under a Window+Sort
 # must be on this allowlist with a justification naming the BOUNDED frame
 # the window actually runs over. New entries require the same triage.
+# Round 12: the justification is CHECKED, not prose — plan_audit.py
+# executes every offender and records the measured rows entering each
+# SinglePartition exchange; test below bounds the per-query max (default
+# FUNNEL_INPUT_ROWS_BOUND at the audit SF, override via (text, bound)).
+FUNNEL_INPUT_ROWS_BOUND = 10_000
 GLOBAL_ORDER_WINDOW_ALLOWLIST = {
     # blocked two-phase prefix/rank: the funnel carries only the ≤#blocks
     # per-block TOTALS (HashAggregate(keys=[_blk]) below the exchange);
@@ -710,6 +715,25 @@ def test_global_order_windows_are_allowlisted():
     assert not stale, (
         f"allowlist entries no longer offenders (prune them): {sorted(stale)}"
     )
+    # Quantified justification (r11 verdict #6): the artifact must carry
+    # the MEASURED rows entering each SinglePartition exchange for every
+    # offender, and the max must sit under the declared bound — prose
+    # like "nation grain" becomes a checked number.
+    for name in sorted(offenders):
+        entry = d["queries"][name]
+        assert "funnel_input_rows" in entry, (
+            f"{name}: offender without measured funnel_input_rows — "
+            "regenerate PLANS with the round-12 plan_audit.py"
+        )
+        spec = GLOBAL_ORDER_WINDOW_ALLOWLIST[name]
+        bound = spec[1] if isinstance(spec, tuple) else FUNNEL_INPUT_ROWS_BOUND
+        got = entry["funnel_input_rows_max"]
+        assert got <= bound, (
+            f"{name}: {got} rows crossed a SinglePartition exchange at "
+            f"the audit SF (bound {bound}) — the bounded-frame "
+            "justification does not hold; rewrite with the blocked "
+            "two-phase prefix sum"
+        )
 
 
 def test_pagerank_converged_fixed_point_and_lineage(spark):
