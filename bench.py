@@ -122,6 +122,10 @@ HEADLINE = [
     "q_attribution_shapley",
     "q_embedding_pq",
     "q_max_concurrency",
+    # round-12: the newest heavy pipeline (SRP pairs → pointer-jumping
+    # CC → keep-best report) — steady-state tracking after the
+    # dup_clusters edge-persist fix (100s → 14s at sf0.1)
+    "q_dedup_semantic",
 ]
 
 

@@ -515,12 +515,22 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20,
     round is one shuffle (+ one label-to-label join when shortcutting);
     lineage is truncated with localCheckpoint so the loop doesn't build
     an exponential plan."""
+    from pyspark.storagelevel import StorageLevel
+
+    # The loop consumes `edges` EVERY round; without a persist each
+    # iteration re-evaluates the caller's pairs pipeline from scratch
+    # (for q_dedup_semantic that meant re-running SRP bucketing + the
+    # exact-cosine verify per pointer-jumping round — measured ~100s at
+    # sf0.1, ~35s once materialized). MEMORY_AND_DISK per the r10
+    # lesson (row-format localCheckpoint blocks lose to cached columnar
+    # batches for multi-consumer frames).
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -581,6 +591,7 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20,
                 "(a component's diameter exceeds the round budget); raise "
                 "max_iters or pass strict=False to accept partial labels"
             )
+    edges.unpersist()  # labels is localCheckpointed — lineage is cut
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
@@ -862,15 +873,36 @@ def embedding_near_dup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_ea"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_eb"))
+    # Verify: norms precompute ONCE PER VECTOR (n rows) instead of
+    # per candidate pair — cosine = dot/(na*nb) with the identical
+    # IEEE expression tree (dot + sqrt·sqrt product), so values are
+    # bit-for-bit the inline form's; only the interpreted
+    # zip_with/aggregate work drops from 3 chains per pair to 1.
+    from data_wrangle_openstreetmaps_data_spark.functions.vectors import (
+        dot,
+        norm,
+    )
+
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_ea"),
+        norm(F.col(vec_col)).alias("_na"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_eb"),
+        norm(F.col(vec_col)).alias("_nb"),
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
-            round4(cosine(F.col("_ea"), F.col("_eb"))).alias("cos_sim"),
+            round4(
+                dot(F.col("_ea"), F.col("_eb"))
+                / (F.col("_na") * F.col("_nb"))
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
