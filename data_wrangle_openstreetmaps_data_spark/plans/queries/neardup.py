@@ -983,6 +983,93 @@ def q_dedup_clusters_exact(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.dup_clusters(pairs).orderBy("id")
 
 
+def q_entity_resolution(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-D — ENTITY RESOLUTION over a dirtied registry: blocking →
+    in-block edit-distance match → transitive closure → one-row merge
+    report. The classic record-linkage pipeline (Fellegi-Sunter shape,
+    deterministic scoring) on the customer names, with typo variants
+    PLANTED like DIRTY_CITIES (the corpus has no natural typos): every
+    custkey ≡ 0 (mod 7) gains a copy with character 10 substituted,
+    every custkey ≡ 0 (mod 3) one with character 11 substituted — both
+    SUBSTITUTIONS, so name length and the last-4-char blocking key are
+    provably unaffected, and a custkey ≡ 0 (mod 21) yields a 3-record
+    cluster whose variant-variant distance is exactly 2.
+
+    Scale shape: candidates come from a key-equality self-join on the
+    block (never all-pairs — the Soundex-blocking discipline);
+    levenshtein runs only inside blocks; the closure is
+    dedup.dup_clusters pointer jumping, cross-checked by the oracle's
+    recursive CTE. Matched = levenshtein ≤ 2; singleton count is
+    recovered arithmetically (entities − paired nodes)."""
+    cust = table(spark, sf, "customer").select(
+        F.col("c_custkey").cast("long").alias("ent_id"),
+        F.lower(F.col("c_name")).alias("name"),
+    )
+    v7 = cust.filter(F.col("ent_id") % 7 == 0).select(
+        (F.col("ent_id") + F.lit(10**9)).alias("ent_id"),
+        F.concat(
+            F.substring("name", 1, 9),
+            F.lit("x"),
+            F.expr("substring(name, 11)"),
+        ).alias("name"),
+    )
+    v3 = cust.filter(F.col("ent_id") % 3 == 0).select(
+        (F.col("ent_id") + F.lit(2 * 10**9)).alias("ent_id"),
+        F.concat(
+            F.substring("name", 1, 10),
+            F.lit("z"),
+            F.expr("substring(name, 12)"),
+        ).alias("name"),
+    )
+    ents = cust.unionByName(v7).unionByName(v3)
+    blocked = ents.withColumn(
+        "blk", F.expr("substring(name, length(name) - 3)")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.ent_id") < F.col("b.ent_id")),
+    ).select(
+        F.col("a.ent_id").alias("id_a"),
+        F.col("b.ent_id").alias("id_b"),
+        F.levenshtein(F.col("a.name"), F.col("b.name")).alias("lev"),
+    )
+    matched = cand.filter(F.col("lev") <= 2).select("id_a", "id_b")
+    cc = dedup.dup_clusters(matched)
+    cstats = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("csize")
+    )
+    n_ents = ents.agg(F.count(F.lit(1)).alias("n_entities"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+    n_match = matched.agg(F.count(F.lit(1)).alias("n_matched_pairs"))
+    agg = cstats.agg(
+        F.count(F.lit(1)).alias("n_multi_clusters"),
+        F.sum("csize").cast("long").alias("n_paired_entities"),
+        F.max("csize").cast("long").alias("max_cluster_size"),
+    )
+    return (
+        n_ents.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_match))
+        .crossJoin(F.broadcast(agg))
+        .select(
+            "n_entities",
+            "n_candidate_pairs",
+            "n_matched_pairs",
+            "n_multi_clusters",
+            (
+                F.col("n_entities")
+                - F.col("n_paired_entities")
+                + F.col("n_multi_clusters")
+            ).alias("n_resolved"),
+            (F.col("n_paired_entities") - F.col("n_multi_clusters")).alias(
+                "n_merged_away"
+            ),
+            "max_cluster_size",
+        )
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-D2 — SimHash chunk-join candidates (hamming<=24 shown),
     oracle-checked: the portable md5-60-bit token hash makes the whole
@@ -1641,4 +1728,71 @@ ORACLES: dict[str, str | None] = {
     # portable md5-60-bit token hash → the SimHash signature, candidate
     # join, and hamming distances are fully reproducible in DuckDB
     "q_dedup_simhash": _simhash_pairs_sql(24),
+    "q_entity_resolution": """
+        WITH ents AS MATERIALIZED (
+          SELECT CAST(c_custkey AS BIGINT) AS ent_id,
+                 lower(c_name) AS name
+          FROM customer
+          UNION ALL
+          SELECT CAST(c_custkey AS BIGINT) + 1000000000,
+                 substr(lower(c_name), 1, 9) || 'x'
+                   || substr(lower(c_name), 11)
+          FROM customer WHERE c_custkey % 7 = 0
+          UNION ALL
+          SELECT CAST(c_custkey AS BIGINT) + 2000000000,
+                 substr(lower(c_name), 1, 10) || 'z'
+                   || substr(lower(c_name), 12)
+          FROM customer WHERE c_custkey % 3 = 0
+        ),
+        blocked AS MATERIALIZED (
+          SELECT ent_id, name, substr(name, length(name) - 3) AS blk
+          FROM ents
+        ),
+        cand AS MATERIALIZED (
+          SELECT a.ent_id AS id_a, b.ent_id AS id_b,
+                 levenshtein(a.name, b.name) AS lev
+          FROM blocked a
+          JOIN blocked b ON a.blk = b.blk AND a.ent_id < b.ent_id
+        ),
+        comp AS MATERIALIZED (
+          WITH RECURSIVE pairs AS (
+            SELECT id_a, id_b FROM cand WHERE lev <= 2
+          ),
+          edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+          ),
+          nodes AS (SELECT DISTINCT src AS id FROM edges),
+          reach(id, label) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+          )
+          SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+        ),
+        cstats AS MATERIALIZED (
+          SELECT cluster_id, CAST(count(*) AS BIGINT) AS csize
+          FROM comp GROUP BY cluster_id
+        ),
+        report AS (
+          SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM ents) AS n_entities,
+            (SELECT CAST(count(*) AS BIGINT) FROM cand)
+              AS n_candidate_pairs,
+            (SELECT CAST(count(*) AS BIGINT) FROM cand WHERE lev <= 2)
+              AS n_matched_pairs,
+            (SELECT CAST(count(*) AS BIGINT) FROM cstats)
+              AS n_multi_clusters,
+            (SELECT CAST(coalesce(sum(csize), 0) AS BIGINT) FROM cstats)
+              AS n_paired,
+            (SELECT CAST(coalesce(max(csize), 0) AS BIGINT) FROM cstats)
+              AS max_cluster_size
+        )
+        SELECT n_entities, n_candidate_pairs, n_matched_pairs,
+               n_multi_clusters,
+               n_entities - n_paired + n_multi_clusters AS n_resolved,
+               n_paired - n_multi_clusters AS n_merged_away,
+               max_cluster_size
+        FROM report
+    """,
 }

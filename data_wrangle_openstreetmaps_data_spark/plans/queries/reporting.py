@@ -1370,7 +1370,163 @@ def q_fulfillment_lag(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dq_expectations(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — DATA-QUALITY EXPECTATION SUITE (the Great-Expectations /
+    dbt-test shape): one row per declared rule with checked/failed
+    counts and the failure rate, across tables — the audit a 100 TB
+    ingest runs before promoting a batch. Each rule is ONE scan-bound
+    aggregate (count(when(...))); the referential-integrity rule is a
+    broadcast left-anti count; uniqueness is count − count(distinct).
+    No rule collects rows — violations are COUNTED engine-side, the
+    row-level drill-down being a filter the operator already expresses.
+
+    Rules: not-null, accepted-values, numeric range, cross-column
+    order, key uniqueness, and FK integrity (orders.o_custkey →
+    customer, lineitem.l_orderkey → orders)."""
+    orders = table(spark, sf, "orders")
+    li = table(spark, sf, "lineitem")
+    cust = table(spark, sf, "customer")
+
+    def rule(name: str, df: DataFrame, fail_cond) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("rule"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.count(F.when(fail_cond, F.lit(1))).alias("n_failed"),
+        )
+
+    checks = [
+        rule(
+            "orders.o_custkey not_null",
+            orders,
+            F.col("o_custkey").isNull(),
+        ),
+        rule(
+            "orders.o_orderstatus accepted_values",
+            orders,
+            ~F.col("o_orderstatus").isin("O", "F", "P"),
+        ),
+        rule(
+            "lineitem.l_quantity range_1_50",
+            li,
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+        ),
+        rule(
+            "lineitem.ship_after_order",
+            li.join(
+                orders.select("o_orderkey", "o_orderdate"),
+                li["l_orderkey"] == F.col("o_orderkey"),
+            ),
+            F.col("l_shipdate") < F.col("o_orderdate"),
+        ),
+        rule(
+            "lineitem.l_discount range_0_1",
+            li,
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1),
+        ),
+    ]
+    uniq = orders.agg(
+        F.lit("orders.o_orderkey unique").alias("rule"),
+        F.count(F.lit(1)).alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+            "n_failed"
+        ),
+    )
+    fk_oc = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+            "left",
+        )
+        .agg(
+            F.lit("orders.o_custkey fk_customer").alias("rule"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.count(F.when(F.col("c_custkey").isNull(), F.lit(1))).alias(
+                "n_failed"
+            ),
+        )
+    )
+    fk_lo = (
+        li.join(
+            orders.select("o_orderkey"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+            "left",
+        )
+        .agg(
+            F.lit("lineitem.l_orderkey fk_orders").alias("rule"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.count(F.when(F.col("o_orderkey").isNull(), F.lit(1))).alias(
+                "n_failed"
+            ),
+        )
+    )
+    out = checks[0]
+    for c in checks[1:] + [uniq, fk_oc, fk_lo]:
+        out = out.unionByName(c)
+    return out.select(
+        "rule",
+        "n_checked",
+        "n_failed",
+        text.round4(
+            F.col("n_failed") / F.col("n_checked")
+        ).alias("fail_rate"),
+    ).orderBy("rule")
+
+
 ORACLES: dict[str, str | None] = {
+    "q_dq_expectations": """
+        WITH checks AS (
+          SELECT 'orders.o_custkey not_null' AS rule,
+                 CAST(count(*) AS BIGINT) AS n_checked,
+                 CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END)
+                      AS BIGINT) AS n_failed
+          FROM orders
+          UNION ALL
+          SELECT 'orders.o_orderstatus accepted_values',
+                 CAST(count(*) AS BIGINT),
+                 CAST(count(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                            THEN 1 END) AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'lineitem.l_quantity range_1_50',
+                 CAST(count(*) AS BIGINT),
+                 CAST(count(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                            THEN 1 END) AS BIGINT)
+          FROM lineitem
+          UNION ALL
+          SELECT 'lineitem.ship_after_order',
+                 CAST(count(*) AS BIGINT),
+                 CAST(count(CASE WHEN l_shipdate < o_orderdate
+                            THEN 1 END) AS BIGINT)
+          FROM lineitem l2 JOIN orders o2 ON l2.l_orderkey = o2.o_orderkey
+          UNION ALL
+          SELECT 'lineitem.l_discount range_0_1',
+                 CAST(count(*) AS BIGINT),
+                 CAST(count(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                            THEN 1 END) AS BIGINT)
+          FROM lineitem
+          UNION ALL
+          SELECT 'orders.o_orderkey unique',
+                 CAST(count(*) AS BIGINT),
+                 CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'orders.o_custkey fk_customer',
+                 CAST(count(*) AS BIGINT),
+                 CAST(count(CASE WHEN c.c_custkey IS NULL THEN 1 END)
+                      AS BIGINT)
+          FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+          UNION ALL
+          SELECT 'lineitem.l_orderkey fk_orders',
+                 CAST(count(*) AS BIGINT),
+                 CAST(count(CASE WHEN o.o_orderkey IS NULL THEN 1 END)
+                      AS BIGINT)
+          FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT rule, n_checked, n_failed,
+               floor(CAST(n_failed AS DOUBLE) / n_checked * 10000 + 0.5)
+                 / 10000 AS fail_rate
+        FROM checks ORDER BY rule
+    """,
     "q_raking": """
         WITH cells AS (
           SELECT c_nationkey AS nationkey, c_mktsegment AS segment,

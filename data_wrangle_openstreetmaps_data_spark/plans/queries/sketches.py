@@ -457,6 +457,76 @@ _HLL_MERGE_SQL = """
 """
 
 
+def q_hll_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — trailing-7-day distinct users per day from DAILY HLL
+    register tables (p=8), the time-windowed form of q_hll_merge's
+    mergeability story: at 100 TB you persist one 256-row register
+    table per day and answer ANY trailing window by max-merging 7 of
+    them — never re-scanning raw events. The merge is a bounded window
+    (max over a 7-day RANGE frame per bucket, partitioned by bucket —
+    |days|·256 grid rows, grows with the calendar, not the data rate),
+    then the q_hll_distinct exact-bigint harmonic fold per day. The
+    exact trailing distinct (7-way fan-out + dedup, the dau_wau
+    pattern) rides along for the rel_err column."""
+    from data_wrangle_openstreetmaps_data_spark.operators.sketch import (
+        hll_estimate_by,
+        hll_registers_by,
+    )
+
+    ev = table(spark, sf, "events")
+    ev = ev.withColumn("tsn", catalog.event_ts_us(ev))
+    base = ev.select(
+        F.expr("tsn div 86400000000").alias("day"), "user_id"
+    )
+    regs = hll_registers_by(base, "day", "user_id", p=8).select(
+        F.col("grp").alias("day"), "bucket", "m"
+    )
+    days = base.select("day").distinct()
+    grid = days.crossJoin(
+        spark.range(256).select(F.col("id").cast("int").alias("bucket"))
+    )
+    from pyspark.sql import Window
+
+    w7 = (
+        Window.partitionBy("bucket").orderBy("day").rangeBetween(-6, 0)
+    )
+    slid = (
+        grid.join(regs, ["day", "bucket"], "left")
+        .withColumn("msl", F.max("m").over(w7))
+        .filter(F.col("msl").isNotNull())
+        .select(F.col("day").alias("grp"), F.col("msl").alias("m"))
+    )
+    est = hll_estimate_by(slid, p=8).select(
+        F.col("grp").alias("day"), "est", "n_zero_regs"
+    )
+    exact = (
+        base.distinct()
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+            "day",
+            "user_id",
+        )
+        .select((F.col("day") + F.col("off")).alias("day"), "user_id")
+        .join(days, "day")  # anchor only at days that exist
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    rel = (F.col("est") - F.col("exact_distinct")) / F.col(
+        "exact_distinct"
+    )
+    return (
+        est.join(exact, "day")
+        .select(
+            "day",
+            text.round4(F.col("est")).alias("hll_est"),
+            "n_zero_regs",
+            "exact_distinct",
+            text.round4(rel).alias("rel_err"),
+        )
+        .orderBy("day")
+    )
+
+
 def q_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
     """EXT-SK — mergeable stride-sample quantile sketch with a VERIFIED
     rank-error bound: rows hash into 8 blocks (portable md5 — never
@@ -1014,6 +1084,67 @@ ORACLES: dict[str, str | None] = {
         FROM c
     """,
     "q_hll_merge": _HLL_MERGE_SQL,
+    "q_hll_sliding": """
+        WITH ev AS (
+          SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events
+        ),
+        h AS (
+          SELECT day,
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM ev
+        ),
+        reg AS (
+          SELECT day, h % 256 AS bucket,
+                 max(CASE WHEN (h >> 8) = 0 THEN 53
+                          ELSE 53 - length(bin(h >> 8)) END) AS m
+          FROM h GROUP BY day, bucket
+        ),
+        days AS (SELECT DISTINCT day FROM ev),
+        grid AS (
+          SELECT d.day, b.bucket
+          FROM days d CROSS JOIN (SELECT unnest(range(256)) AS bucket) b
+        ),
+        slid AS (
+          SELECT g.day, g.bucket,
+                 max(r.m) OVER (
+                   PARTITION BY g.bucket ORDER BY g.day
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+                 ) AS msl
+          FROM grid g
+          LEFT JOIN reg r ON r.day = g.day AND r.bucket = g.bucket
+        ),
+        folded AS (
+          SELECT day,
+                 (sum(1::BIGINT << (53 - msl))
+                  + (256 - count(msl)) * (1::BIGINT << 53))::BIGINT AS s,
+                 256 - count(msl) AS n_zero_regs
+          FROM slid WHERE TRUE GROUP BY day
+        ),
+        est AS (
+          SELECT day,
+                 CASE
+                   WHEN 4.2399330249068963e+20 / CAST(s AS DOUBLE) <= 640.0
+                        AND n_zero_regs > 0
+                   THEN 256.0 * ln(256.0 / CAST(n_zero_regs AS DOUBLE))
+                   ELSE 4.2399330249068963e+20 / CAST(s AS DOUBLE)
+                 END AS e,
+                 n_zero_regs
+          FROM folded
+        ),
+        x AS (
+          SELECT d.day, count(DISTINCT e.user_id) AS exact_distinct
+          FROM days d JOIN ev e ON e.day BETWEEN d.day - 6 AND d.day
+          GROUP BY d.day
+        )
+        SELECT day,
+               floor(e * 10000 + 0.5) / 10000 AS hll_est,
+               n_zero_regs,
+               CAST(exact_distinct AS BIGINT) AS exact_distinct,
+               floor((e - exact_distinct) / exact_distinct * 10000 + 0.5)
+                 / 10000 AS rel_err
+        FROM est JOIN x USING (day)
+        ORDER BY day
+    """,
     # identical HLL construction in SQL: same portable 60-bit md5 hash,
     # bucket = low 8 bits, rho from bin() bit length, exact-integer
     # harmonic fold; 4.2399…e+20 is alpha_256·256²·2^53 folded to one

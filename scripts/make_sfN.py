@@ -56,7 +56,13 @@ def main() -> None:
                 F.explode(F.array(*[F.lit(i) for i in range(factor)])),
             )
             for k in keys:
-                rep = rep.withColumn(k, F.col(k) + F.col("_copy") * SHIFT)
+                # long arithmetic: at factor 100 the shift reaches
+                # 9.9e9 — an int32 _copy * SHIFT overflows under ANSI
+                rep = rep.withColumn(
+                    k,
+                    F.col(k).cast("long")
+                    + F.col("_copy").cast("long") * F.lit(SHIFT),
+                )
             df = rep.drop("_copy")
         n_out = max(1, factor // 2) if keys else 1
         df.repartition(n_out).write.mode("overwrite").parquet(
