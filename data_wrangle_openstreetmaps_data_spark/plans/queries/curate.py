@@ -655,7 +655,87 @@ def q_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_stratified_quota_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — EXACT deterministic stratified sampling (training-mixture
+    construction): k=100 customers per market segment, membership
+    defined by the portable 60-bit md5 rank of the key — the SAME rows
+    on any cluster, any partitioning, any engine (vs rand()-based
+    sampleBy, which is neither reproducible cross-engine nor exact per
+    stratum). Selection is min-k per stratum via topk.bottom_k — the
+    blocked two-phase rank, no per-stratum single-partition sort — so
+    the sample of a 100 TB stratum never funnels its rows through one
+    task. Per-stratum report pins the exact SET cross-engine: count,
+    key-sum checksum, min/max sampled rank.
+
+    q_sample_alias_bias is the cautionary twin (systematic stride
+    sampling aliases with periodic signals); hash-rank sampling has no
+    stride to alias."""
+    from data_wrangle_openstreetmaps_data_spark.operators.dedup import (
+        portable_token_hash,
+    )
+    from data_wrangle_openstreetmaps_data_spark.operators.topk import (
+        bottom_k,
+    )
+
+    cust = table(spark, sf, "customer").select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_custkey").cast("long").alias("key"),
+        portable_token_hash(F.col("c_custkey").cast("string")).alias(
+            "hrank"
+        ),
+    )
+    sampled = bottom_k(cust, ["segment"], "hrank", k=100)
+    totals = cust.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    rep = sampled.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("key").cast("long").alias("key_checksum"),
+        F.min("hrank").alias("min_rank"),
+        F.max("hrank").alias("max_rank"),
+    )
+    return (
+        totals.join(rep, "segment")
+        .select(
+            "segment", "n_total", "n_sampled", "key_checksum",
+            "min_rank", "max_rank",
+        )
+        .orderBy("segment")
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_stratified_quota_sample": """
+        WITH c AS (
+          SELECT c_mktsegment AS segment,
+                 CAST(c_custkey AS BIGINT) AS key,
+                 ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+                   AS hrank
+          FROM customer
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY segment ORDER BY hrank, segment, key
+                 ) AS rn
+          FROM c
+        ),
+        rep AS (
+          SELECT segment,
+                 CAST(count(*) AS BIGINT) AS n_sampled,
+                 CAST(sum(key) AS BIGINT) AS key_checksum,
+                 min(hrank) AS min_rank,
+                 max(hrank) AS max_rank
+          FROM ranked WHERE rn <= 100 GROUP BY segment
+        ),
+        tot AS (
+          SELECT segment, CAST(count(*) AS BIGINT) AS n_total
+          FROM c GROUP BY segment
+        )
+        SELECT segment, n_total, n_sampled, key_checksum,
+               min_rank, max_rank
+        FROM tot JOIN rep USING (segment)
+        ORDER BY segment
+    """,
     "q_url_canonicalize": f"""
         WITH raw AS (
           SELECT doc_id,

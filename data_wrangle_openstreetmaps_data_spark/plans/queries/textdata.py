@@ -1181,7 +1181,66 @@ _ER_GIVEN_SQL = _sql_pick("c_custkey", _ER_GIVEN)
 _ER_SURNAME_SQL = _sql_pick("(c_custkey // 40)", _ER_SURNAME)
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-T — TOKENIZER FERTILITY by language: chars/token, bytes/token
+    and tokens/doc per language bucket — the number that prices a
+    tokenizer for a multilingual training mix (fertility spread across
+    languages = context-window and cost skew). One scan, one hash
+    aggregate over the ground-truth lang column; whitespace tokens via
+    the shared _TOKENS discipline, chars = length(), bytes =
+    octet_length() (both engines agree on both; the corpus makes them
+    equal only when it IS ascii — the ratio pair is the point)."""
+    df = table(spark, sf, "documents")
+    agg = df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.token_count("text").cast("long")).alias("n_tokens"),
+        F.sum(F.length("text").cast("long")).alias("n_chars"),
+        F.sum(F.octet_length("text").cast("long")).alias("n_bytes"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_bytes",
+        text.round4(F.col("n_chars") / F.col("n_tokens")).alias(
+            "chars_per_token"
+        ),
+        text.round4(F.col("n_bytes") / F.col("n_tokens")).alias(
+            "bytes_per_token"
+        ),
+        text.round4(F.col("n_tokens") / F.col("n_docs")).alias(
+            "tokens_per_doc"
+        ),
+    ).orderBy("lang")
+
+
 ORACLES: dict[str, str | None] = {
+    "q_tokenizer_fertility": rf"""
+        WITH d AS (
+          SELECT lang,
+                 CAST(len({_TOKENS_SQL}) AS BIGINT) AS toks,
+                 CAST(length(text) AS BIGINT) AS chars,
+                 CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS bytes
+          FROM documents
+        ),
+        agg AS (
+          SELECT lang,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(toks) AS BIGINT) AS n_tokens,
+                 CAST(sum(chars) AS BIGINT) AS n_chars,
+                 CAST(sum(bytes) AS BIGINT) AS n_bytes
+          FROM d GROUP BY lang
+        )
+        SELECT lang, n_docs, n_tokens, n_chars, n_bytes,
+               floor(CAST(n_chars AS DOUBLE) / n_tokens * 10000 + 0.5)
+                 / 10000 AS chars_per_token,
+               floor(CAST(n_bytes AS DOUBLE) / n_tokens * 10000 + 0.5)
+                 / 10000 AS bytes_per_token,
+               floor(CAST(n_tokens AS DOUBLE) / n_docs * 10000 + 0.5)
+                 / 10000 AS tokens_per_doc
+        FROM agg ORDER BY lang
+    """,
     "q_heaps_law": f"""
         WITH tok AS (
           SELECT doc_id, unnest(toks) AS tok
