@@ -79,9 +79,17 @@ def _fields(buf: bytes) -> Iterator[tuple[int, int, object]]:
 def _packed_varints(buf: bytes, signed: bool = False) -> list[int]:
     out = []
     pos = 0
+    mask = (1 << 64) - 1
     while pos < len(buf):
         v, pos = _read_varint(buf, pos)
-        out.append(_zigzag(v) if signed else v)
+        # protobuf 64-bit field semantics: wrap to the int64 view, so
+        # this scalar path agrees bit-for-bit with the numpy kernel's
+        # uint64 arithmetic (property-pinned in
+        # tests/test_property_pbf_varint.py)
+        v &= mask
+        out.append(
+            _zigzag(v) if signed else (v - (1 << 64) if v >= (1 << 63) else v)
+        )
     return out
 
 
