@@ -704,7 +704,108 @@ def q_stratified_quota_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_mergeable_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — MERGEABILITY PROOF for the deterministic hash-rank sample
+    (the property that makes q_stratified_quota_sample work on a
+    sharded 100 TB corpus): per-source bottom-k(200) document samples
+    by portable md5 rank, UNION-merged and re-ranked, must equal the
+    bottom-k built directly over the whole corpus — min-k is
+    associative/idempotent exactly like KMV registers, so per-shard /
+    per-day / per-tenant samples roll up WITHOUT re-scanning raw data.
+    The equality ships as computed columns (same shape as the keyset ≡
+    OFFSET proof): identical counts, identical key-sum checksums, and
+    n_diff = |direct Δ merged| = 0, all engine-checked."""
+    from data_wrangle_openstreetmaps_data_spark.operators.dedup import (
+        portable_token_hash,
+    )
+    from data_wrangle_openstreetmaps_data_spark.operators.topk import (
+        bottom_k,
+    )
+
+    docs = table(spark, sf, "documents").select(
+        "source",
+        F.col("doc_id").cast("long").alias("key"),
+        portable_token_hash(F.col("doc_id").cast("string")).alias(
+            "hrank"
+        ),
+    )
+    k = 200
+    per_shard = bottom_k(docs, ["source"], "hrank", k=k)
+    merged = bottom_k(
+        per_shard.select("key", "hrank"), [], "hrank", k=k
+    )
+    direct = bottom_k(docs.select("key", "hrank"), [], "hrank", k=k)
+    m = merged.agg(
+        F.count(F.lit(1)).alias("n_merged"),
+        F.sum("key").cast("long").alias("merged_checksum"),
+    )
+    d = direct.agg(
+        F.count(F.lit(1)).alias("n_direct"),
+        F.sum("key").cast("long").alias("direct_checksum"),
+    )
+    diff = (
+        direct.select("key")
+        .join(merged.select("key"), "key", "full")
+        .filter(
+            direct["key"].isNull() | merged["key"].isNull()
+        )
+        .agg(F.count(F.lit(1)).alias("n_diff"))
+    )
+    shards = docs.agg(
+        F.countDistinct("source").alias("n_shards")
+    )
+    return (
+        shards.crossJoin(F.broadcast(d))
+        .crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(diff))
+        .select(
+            "n_shards", "n_direct", "n_merged",
+            "direct_checksum", "merged_checksum", "n_diff",
+        )
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_mergeable_sample": """
+        WITH d AS (
+          SELECT source, CAST(doc_id AS BIGINT) AS key,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS hrank
+          FROM documents
+        ),
+        per_shard AS (
+          SELECT source, key, hrank FROM (
+            SELECT *, row_number() OVER (
+                     PARTITION BY source ORDER BY hrank, source, key
+                   ) AS rn
+            FROM d
+          ) WHERE rn <= 200
+        ),
+        merged AS (
+          SELECT key FROM (
+            SELECT key, row_number() OVER (ORDER BY hrank, key) AS rn
+            FROM per_shard
+          ) WHERE rn <= 200
+        ),
+        direct AS (
+          SELECT key FROM (
+            SELECT key, row_number() OVER (ORDER BY hrank, key) AS rn
+            FROM d
+          ) WHERE rn <= 200
+        )
+        SELECT
+          (SELECT CAST(count(DISTINCT source) AS BIGINT) FROM d)
+            AS n_shards,
+          (SELECT CAST(count(*) AS BIGINT) FROM direct) AS n_direct,
+          (SELECT CAST(count(*) AS BIGINT) FROM merged) AS n_merged,
+          (SELECT CAST(sum(key) AS BIGINT) FROM direct)
+            AS direct_checksum,
+          (SELECT CAST(sum(key) AS BIGINT) FROM merged)
+            AS merged_checksum,
+          (SELECT CAST(count(*) AS BIGINT)
+           FROM direct FULL JOIN merged USING (key)
+           WHERE direct.key IS NULL OR merged.key IS NULL) AS n_diff
+    """,
     "q_stratified_quota_sample": """
         WITH c AS (
           SELECT c_mktsegment AS segment,

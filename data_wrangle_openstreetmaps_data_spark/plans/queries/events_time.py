@@ -2471,7 +2471,80 @@ def q_control_chart(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_topk_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — trailing-7-day top-3 event types per day (the sliding
+    leaderboard): the dau_wau fan-out discipline applied to ranked
+    counts — each (day, type, cnt) daily aggregate replicates to the ≤7
+    anchor days it contributes to (explode over a 7-literal sequence —
+    rows grow 7× the DAILY AGGREGATE, never 7× the events), one hash
+    re-aggregate per anchor, then rank ≤ 3 inside each day partition
+    (bounded frame: |event types| rows per day). Count-desc, type-asc
+    deterministic tiebreak. Anchors only at days that exist."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    ev = ev.withColumn("tsn", catalog.event_ts_us(ev))
+    daily = (
+        ev.select(
+            F.expr("tsn div 86400000000").alias("day"), "event_type"
+        )
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    days = daily.select("day").distinct()
+    fan = (
+        daily.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+            "day",
+            "event_type",
+            "c",
+        )
+        .select(
+            (F.col("day") + F.col("off")).alias("day"), "event_type", "c"
+        )
+        .join(days, "day")
+        .groupBy("day", "event_type")
+        .agg(F.sum("c").cast("long").alias("cnt7"))
+    )
+    w = Window.partitionBy("day").orderBy(
+        F.col("cnt7").desc(), F.col("event_type")
+    )
+    return (
+        fan.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("day", "rk", "event_type", "cnt7")
+        .orderBy("day", "rk")
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_topk_sliding": """
+        WITH ev AS (
+          SELECT epoch_us(ts) // 86400000000 AS day, event_type
+          FROM events
+        ),
+        daily AS (
+          SELECT day, event_type, CAST(count(*) AS BIGINT) AS c
+          FROM ev GROUP BY day, event_type
+        ),
+        days AS (SELECT DISTINCT day FROM ev),
+        fan AS (
+          SELECT d.day AS day, x.event_type,
+                 CAST(sum(x.c) AS BIGINT) AS cnt7
+          FROM days d
+          JOIN daily x ON x.day BETWEEN d.day - 6 AND d.day
+          GROUP BY d.day, x.event_type
+        ),
+        ranked AS (
+          SELECT day, event_type, cnt7,
+                 row_number() OVER (
+                   PARTITION BY day ORDER BY cnt7 DESC, event_type
+                 ) AS rk
+          FROM fan
+        )
+        SELECT day, rk, event_type, cnt7
+        FROM ranked WHERE rk <= 3 ORDER BY day, rk
+    """,
     "q_control_chart": """
         WITH daily AS (
           SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
