@@ -103,7 +103,16 @@ def single_partition_exchange_input_rows(df: DataFrame) -> list[int]:
                 if kv._1() in ("shuffleRecordsWritten", "numOutputRows"):
                     written = kv._2().value()
                     break
-            out.append(int(written) if written is not None else -1)
+            if written is None:
+                # fail LOUDLY (ADVICE r12): a silent -1 sentinel reads as
+                # a satisfied `got <= bound` in the funnel test — a
+                # missing metric must surface as an error, not a pass
+                raise RuntimeError(
+                    "Exchange SinglePartition without a "
+                    "shuffleRecordsWritten/numOutputRows metric "
+                    f"(node id {node.id()}) — cannot bound the funnel"
+                )
+            out.append(int(written))
         kids = node.children()
         for i in range(kids.length()):
             visit(kids.apply(i))

@@ -1006,7 +1006,11 @@ def q_entity_resolution(spark: SparkSession, sf: str) -> DataFrame:
         F.lower(F.col("c_name")).alias("name"),
     )
     v7 = cust.filter(F.col("ent_id") % 7 == 0).select(
-        (F.col("ent_id") + F.lit(10**9)).alias("ent_id"),
+        # variant ids live ABOVE the make_sfN replication ceiling: copy i
+        # shifts keys by i*1e8, so any factor >= 11 reaches 1e9+ — a 1e9
+        # offset would collide with replicated real keys on ladder data
+        # (ADVICE r12). 1e12 clears factor 10,000.
+        (F.col("ent_id") + F.lit(10**12)).alias("ent_id"),
         F.concat(
             F.substring("name", 1, 9),
             F.lit("x"),
@@ -1014,7 +1018,7 @@ def q_entity_resolution(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("name"),
     )
     v3 = cust.filter(F.col("ent_id") % 3 == 0).select(
-        (F.col("ent_id") + F.lit(2 * 10**9)).alias("ent_id"),
+        (F.col("ent_id") + F.lit(2 * 10**12)).alias("ent_id"),
         F.concat(
             F.substring("name", 1, 10),
             F.lit("z"),
@@ -1734,12 +1738,12 @@ ORACLES: dict[str, str | None] = {
                  lower(c_name) AS name
           FROM customer
           UNION ALL
-          SELECT CAST(c_custkey AS BIGINT) + 1000000000,
+          SELECT CAST(c_custkey AS BIGINT) + 1000000000000,
                  substr(lower(c_name), 1, 9) || 'x'
                    || substr(lower(c_name), 11)
           FROM customer WHERE c_custkey % 7 = 0
           UNION ALL
-          SELECT CAST(c_custkey AS BIGINT) + 2000000000,
+          SELECT CAST(c_custkey AS BIGINT) + 2000000000000,
                  substr(lower(c_name), 1, 10) || 'z'
                    || substr(lower(c_name), 12)
           FROM customer WHERE c_custkey % 3 = 0

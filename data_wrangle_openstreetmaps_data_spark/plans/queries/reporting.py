@@ -1419,7 +1419,7 @@ def q_dq_expectations(spark: SparkSession, sf: str) -> DataFrame:
             F.col("l_shipdate") < F.col("o_orderdate"),
         ),
         rule(
-            "lineitem.l_discount range_0_1",
+            "lineitem.l_discount range_0_0.1",
             li,
             (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1),
         ),
@@ -1499,7 +1499,7 @@ ORACLES: dict[str, str | None] = {
                             THEN 1 END) AS BIGINT)
           FROM lineitem l2 JOIN orders o2 ON l2.l_orderkey = o2.o_orderkey
           UNION ALL
-          SELECT 'lineitem.l_discount range_0_1',
+          SELECT 'lineitem.l_discount range_0_0.1',
                  CAST(count(*) AS BIGINT),
                  CAST(count(CASE WHEN l_discount < 0 OR l_discount > 0.1
                             THEN 1 END) AS BIGINT)

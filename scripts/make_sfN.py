@@ -26,6 +26,11 @@ from pyspark.sql import functions as F
 from data_wrangle_openstreetmaps_data_spark.catalog import TABLES, table
 from data_wrangle_openstreetmaps_data_spark.session import get_spark
 
+# Copy i shifts every key by i*SHIFT, so replicated keys reach
+# factor*1e8 (1e10 at the sf10 factor-100 rung). Queries that PLANT
+# synthetic ids (e.g. q_entity_resolution's name variants) must allocate
+# them ABOVE this ceiling — they use 1e12+ — or planted ids collide with
+# replicated real keys on ladder data (ADVICE r12).
 SHIFT = 100_000_000
 
 KEYS = {

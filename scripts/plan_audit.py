@@ -53,11 +53,18 @@ def main() -> int:
                 funnels.append(name)
         except Exception as ex:  # pragma: no cover — audit tool
             out[name] = {"error": str(ex)[:200]}
-    # Quantify the funnel allowlist (r11 verdict #6): for every offender,
-    # EXECUTE the query at the audit SF and record the measured row count
-    # entering each Exchange SinglePartition — the checked number behind
-    # the prose justification. tests/test_plans.py bounds the max.
-    for name in funnels:
+    # Quantify EVERY single-partition exchange (r12 verdict #4, extending
+    # the r11 funnel-only measurement): for every query whose plan
+    # contains an Exchange SinglePartition — window funnels, global
+    # limits, 1-row scalar aggregates — EXECUTE it at the audit SF and
+    # record the measured row count entering each such exchange.
+    # tests/test_plans.py bounds the registry-wide max.
+    measured = sorted(
+        n
+        for n, v in out.items()
+        if "error" not in v and v.get("single_partition_exchanges", 0) > 0
+    )
+    for name in measured:
         try:
             df = Q.REGISTRY[name].spark(spark, sf)
             rows = single_partition_exchange_input_rows(df)
