@@ -129,6 +129,24 @@ HEADLINE = [
 ]
 
 
+# Fixed CONTROL prefix (r12 verdict item 6): five stable queries timed
+# FIRST each run; their steady-median total divided by CONTROL_REF_TOTAL
+# (measured best-of on a clean box at sf0.1, r13) is emitted as
+# control_ratio in every JSON line. Ratios well above 1.0 mean the box
+# was contended during the run — compare such runs only against their own
+# control, never against another round's absolute numbers. This replaces
+# the manual drift triage every cross-round comparison needed in r11/r12
+# (single-run totals swung 1.65× within minutes).
+CONTROL = [
+    "q_tpch_q6",
+    "q_tpch_q1",
+    "q_group_count_user",
+    "q_token_count",
+    "q_window_functions",
+]
+CONTROL_REF_TOTAL = 3.24  # sec at sf0.1, steady-median total, r13 clean box
+
+
 def run_query(spark, name: str, sf_dir: str, runs: int = 5) -> list[float]:
     """All `runs` execution times. The first run pays whole-stage-codegen
     JIT compile (~1-4s for wide CASE/regex expressions), which amortizes to
@@ -157,6 +175,16 @@ def main() -> None:
     # warm up the JVM + parquet footer caches with the flagship
     Q.REGISTRY["q_topk_group_count"].spark(spark, sf_dir).count()
 
+    # control prefix: measure box health BEFORE the headline pass
+    ctrl_total = 0.0
+    ctrl_detail: dict[str, float] = {}
+    for name in CONTROL:
+        ts = run_query(spark, name, sf_dir, runs=3)
+        med = statistics.median(ts[1:] if len(ts) > 1 else ts)
+        ctrl_detail[name] = round(med, 3)
+        ctrl_total += med
+    control_ratio = round(ctrl_total / CONTROL_REF_TOTAL, 3)
+
     timings: dict[str, float] = {}      # median: the headline number
     t_min: dict[str, float] = {}
     t_max: dict[str, float] = {}
@@ -184,6 +212,7 @@ def main() -> None:
             "total_min": round(sum(t_min.values()), 3),
             "runs": runs,
             "sf": sf,
+            "control_ratio": control_ratio,
         }
     )
     print(compact, flush=True)
@@ -199,6 +228,8 @@ def main() -> None:
                 "runs": runs,
                 "total_min": round(sum(t_min.values()), 3),
                 "sf": sf,
+                "control_ratio": control_ratio,
+                "control": ctrl_detail,
             }
         )
     )

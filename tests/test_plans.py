@@ -736,6 +736,63 @@ def test_global_order_windows_are_allowlisted():
         )
 
 
+# Registry-wide single-partition-exchange bound (r12 verdict item 4):
+# beyond the Window+Sort funnels above, EVERY query whose plan contains
+# an Exchange SinglePartition — global limits, 1-row scalar aggregates,
+# final ORDER BY of a small report — must carry measured input rows in
+# the newest PLANS artifact and sit under the bound. Per-query overrides
+# name the reason the default doesn't fit.
+SINGLE_PARTITION_ROWS_BOUND = 10_000
+SINGLE_PARTITION_ROWS_OVERRIDES: dict[str, tuple[str, int]] = {}
+
+
+def test_all_single_partition_exchanges_bounded():
+    """Every single-partition exchange in the registry is measured and
+    bounded — closing the r12 gap where only the 56 window funnels (29
+    queries) carried numbers and the remaining ~237 exchanges were
+    presumed small but unchecked."""
+    import glob
+    import json
+
+    plans = sorted(glob.glob(os.path.join(
+        os.path.dirname(__file__), "..", "PLANS_r*.json")))
+    assert plans, "no PLANS_r*.json artifact committed"
+    d = json.load(open(plans[-1]))
+    offenders = sorted(
+        n
+        for n, v in d["queries"].items()
+        if "error" not in v and v.get("single_partition_exchanges", 0) > 0
+    )
+    if not any(
+        "funnel_input_rows" in d["queries"][n]
+        for n in offenders
+        if n not in set(d.get("global_order_window_offenders", []))
+    ):
+        import pytest
+
+        pytest.skip(
+            "newest PLANS artifact predates the registry-wide exchange "
+            "measurement — regenerate with the round-13 plan_audit.py"
+        )
+    for name in offenders:
+        entry = d["queries"][name]
+        assert "funnel_input_rows_error" not in entry, (
+            f"{name}: measurement failed: {entry['funnel_input_rows_error']}"
+        )
+        assert "funnel_input_rows" in entry, (
+            f"{name}: single-partition exchange without measured rows — "
+            "regenerate PLANS with the round-13 plan_audit.py"
+        )
+        ov = SINGLE_PARTITION_ROWS_OVERRIDES.get(name)
+        bound = ov[1] if ov else SINGLE_PARTITION_ROWS_BOUND
+        got = entry["funnel_input_rows_max"]
+        assert got <= bound, (
+            f"{name}: {got} rows crossed an Exchange SinglePartition at "
+            f"the audit SF (bound {bound}) — bound the frame or add a "
+            "justified override"
+        )
+
+
 def test_pagerank_converged_fixed_point_and_lineage(spark):
     """q_pagerank_converged must actually CONVERGE (exact integer fixed
     point before the max_iters oracle horizon — the early-exit the
