@@ -959,7 +959,202 @@ RECURSIVE_HIERARCHY_SQL = """
 """
 
 
+def q_bfs_frontier(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-GRAPH — k-hop BFS frontier profile over the part-part
+    co-purchase graph: from the seed set (part keys ≡ 0 mod 50), the
+    number of nodes FIRST reached at each hop ≤ 3 and the cumulative
+    reach — the neighborhood-growth curve that sizes any iterative
+    graph job (a frontier that stops growing means the component is
+    exhausted; one that explodes means hop-k joins won't fit).
+
+    Distributed BFS is the canonical iterative-join shape: each hop is
+    ONE key-equality join frontier⋈edges plus an anti-join against the
+    visited set; the frontier is persisted per hop so hop h+1 consumes
+    materialized hop h instead of re-expanding the whole prefix (the
+    PageRank localCheckpoint discipline, bounded here at 3 rounds).
+    Sparse substrate: the support-≥2 part graph (|E| = O(|parts|)),
+    undirected via both edge orientations. Oracle: recursive CTE whose
+    UNION-distinct state is (node, hop) pairs — bounded by 4·|V|, with
+    min(hop) recovering the BFS layer."""
+    edges = graph.copurchase_part_edges(
+        table(spark, sf, "lineitem"), min_orders=2
+    ).transform(_mat)
+    und = edges.select(
+        F.col("s1").alias("src"), F.col("s2").alias("dst")
+    ).unionByName(
+        edges.select(
+            F.col("s2").alias("src"), F.col("s1").alias("dst")
+        )
+    ).transform(_mat)
+    seeds = (
+        und.select("src").distinct().filter(F.col("src") % 50 == 0)
+    )
+    visited = seeds.select(
+        F.col("src").alias("id"), F.lit(0).alias("hop")
+    ).transform(_mat)
+    frontier = visited.select("id")
+    for h in (1, 2, 3):
+        nxt = (
+            und.join(frontier, und["src"] == frontier["id"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        new = nxt.join(visited.select("id"), "id", "left_anti").select(
+            "id", F.lit(h).alias("hop")
+        ).transform(_mat)
+        visited = visited.unionByName(new).transform(_mat)
+        frontier = new.select("id")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("hop").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    per = visited.groupBy("hop").agg(
+        F.count(F.lit(1)).cast("long").alias("frontier_n")
+    )
+    return (
+        per.withColumn(
+            "cum_n", F.sum("frontier_n").over(w).cast("long")
+        )
+        .orderBy("hop")
+    )
+
+
+def q_kanon_generalization(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT-PRIVACY — k-anonymity GENERALIZATION LADDER (the step after
+    the q_k_anonymity audit: not "are we k-anonymous" but "how much
+    generalization buys it"): quasi-identifier hierarchies
+    (nation, segment) → (region, segment) → (region) → (), evaluated
+    in ONE aggregate via GROUPING SETS (the engine computes all four
+    grain levels in a single pass — no 4× re-scan), then per level the
+    class count, the smallest class, and whether min ≥ k = 10; the
+    chosen level is the least-generalized one meeting k (broadcast
+    scalar join, the decorrelated-subquery pattern). Equivalence
+    classes at coarser grains only merge, so min class size is
+    monotone up the ladder — level 3 (suppress everything) always
+    meets k: the ladder terminates by construction."""
+    cust = table(spark, sf, "customer")
+    nat = table(spark, sf, "nation")
+    j = cust.join(
+        F.broadcast(
+            nat.select(
+                F.col("n_nationkey"), F.col("n_regionkey").alias("rkey")
+            )
+        ),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select(
+        F.col("c_nationkey").alias("nkey"), "rkey",
+        F.col("c_mktsegment").alias("seg"),
+    )
+    classes = j.groupingSets(
+        [
+            [F.col("nkey"), F.col("rkey"), F.col("seg")],
+            [F.col("rkey"), F.col("seg")],
+            [F.col("rkey")],
+            [],
+        ],
+        F.col("nkey"), F.col("rkey"), F.col("seg"),
+    ).agg(
+        F.count(F.lit(1)).alias("csize"),
+        F.grouping_id("nkey", "rkey", "seg").alias("gid"),
+    )
+    # gid bits (nkey, rkey, seg): level 0 = (nation,region,segment) ≡
+    # gid 0; level 1 = (region,segment) ≡ gid 4 (nkey rolled up);
+    # level 2 = (region) ≡ gid 5; level 3 = () ≡ gid 7
+    lvl = (
+        F.when(F.col("gid") == 0, F.lit(0))
+        .when(F.col("gid") == 4, F.lit(1))
+        .when(F.col("gid") == 5, F.lit(2))
+        .when(F.col("gid") == 7, F.lit(3))
+    )
+    per = (
+        classes.withColumn("level", lvl)
+        .filter(F.col("level").isNotNull())
+        .groupBy("level")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.min("csize").cast("long").alias("min_class"),
+        )
+        .withColumn(
+            "meets_k",
+            (F.col("min_class") >= 10).cast("long"),
+        )
+    )
+    chosen = per.filter(F.col("meets_k") == 1).agg(
+        F.min("level").alias("chosen_level")
+    )
+    return (
+        per.join(F.broadcast(chosen))
+        .select(
+            "level", "n_classes", "min_class", "meets_k",
+            (F.col("level") == F.col("chosen_level"))
+            .cast("long")
+            .alias("is_chosen"),
+        )
+        .orderBy("level")
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_bfs_frontier": f"""
+        WITH RECURSIVE {_PART_EDGES},
+        und AS (
+          SELECT s1 AS src, s2 AS dst FROM pe
+          UNION SELECT s2, s1 FROM pe
+        ),
+        seeds AS (
+          SELECT DISTINCT src AS id FROM und WHERE src % 50 = 0
+        ),
+        reach(id, hop) AS (
+          SELECT id, 0 FROM seeds
+          UNION
+          SELECT u.dst, r.hop + 1
+          FROM und u JOIN reach r ON u.src = r.id WHERE r.hop < 3
+        ),
+        mh AS (SELECT id, CAST(min(hop) AS INTEGER) AS hop
+               FROM reach GROUP BY id)
+        SELECT hop, CAST(count(*) AS BIGINT) AS frontier_n,
+               CAST(sum(count(*)) OVER (
+                 ORDER BY hop ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS cum_n
+        FROM mh GROUP BY hop ORDER BY hop
+    """,
+    "q_kanon_generalization": """
+        WITH j AS (
+          SELECT c.c_nationkey AS nkey, n.n_regionkey AS rkey,
+                 c.c_mktsegment AS seg
+          FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ),
+        classes AS (
+          SELECT nkey, rkey, seg, count(*) AS csize,
+                 GROUPING(nkey) * 4 + GROUPING(rkey) * 2 + GROUPING(seg)
+                   AS gid
+          FROM j GROUP BY CUBE (nkey, rkey, seg)
+        ),
+        per AS (
+          SELECT CASE gid WHEN 0 THEN 0 WHEN 4 THEN 1
+                          WHEN 5 THEN 2 WHEN 7 THEN 3 END AS level,
+                 CAST(count(*) AS BIGINT) AS n_classes,
+                 CAST(min(csize) AS BIGINT) AS min_class
+          FROM classes
+          WHERE gid IN (0, 4, 5, 7)
+          GROUP BY 1
+        ),
+        flagged AS (
+          SELECT level, n_classes, min_class,
+                 CASE WHEN min_class >= 10 THEN CAST(1 AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END AS meets_k
+          FROM per
+        ),
+        chosen AS (
+          SELECT min(level) AS chosen_level FROM flagged WHERE meets_k = 1
+        )
+        SELECT f.level, f.n_classes, f.min_class, f.meets_k,
+               CASE WHEN f.level = c.chosen_level THEN CAST(1 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS is_chosen
+        FROM flagged f, chosen c
+        ORDER BY f.level
+    """,
     "q_recursive_hierarchy": RECURSIVE_HIERARCHY_SQL.format(div="//"),
     "q_resource_allocation": f"""
         WITH {_PR_EDGES},

@@ -1206,7 +1206,38 @@ def q_repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ONE SQL text executed literally by BOTH engines (the geohash / Hilbert
+# discipline): the count-derived SRP sizing law as a design table.
+_SRP_SIZING_SQL = """
+    SELECT n,
+           CAST(LEAST(63, GREATEST(4, LENGTH(BIN(CAST(n AS BIGINT) * 8))))
+                AS BIGINT) AS r,
+           floor(((CAST(n AS DOUBLE) * 8) / POWER(2.0,
+             LEAST(63, GREATEST(4, LENGTH(BIN(CAST(n AS BIGINT) * 8))))))
+             * 10000 + 0.5) / 10000 AS noise_per_vec
+    FROM (VALUES (1000), (10000), (100000), (1000000), (10000000),
+                 (100000000), (1000000000), (10000000000),
+                 (100000000000), (1000000000000)) t(n)
+    ORDER BY n
+"""
+
+
+def q_srp_sizing_table(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — the round-13 dynamic SRP sizing law as a DESIGN TABLE (the
+    q_lsh_design_table companion for the embedding tier): for corpus
+    sizes 10^3..10^12, the count-derived rows_per_band r =
+    clamp(bitlen(n·b), 4, 63) that embedding_near_dup_pairs
+    (rows_per_band=None) and its oracle both compute, and the expected
+    NOISE candidates per vector n·b/2^r it buys — ≈1 at every scale,
+    the number that keeps the verify stage linear where a fixed r goes
+    quadratic once n outgrows it. Same literal SQL text on both
+    engines (SQL-parity shape; the r formula string is the oracle's
+    own); tests pin the formula against dedup.auto_rows_per_band."""
+    return spark.sql(_SRP_SIZING_SQL)
+
+
 ORACLES: dict[str, str | None] = {
+    "q_srp_sizing_table": _SRP_SIZING_SQL,
     "q_repeated_spans": f"""
         WITH toked AS (
           SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents

@@ -1829,7 +1829,127 @@ def q_mahalanobis_outliers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_survivorship(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — golden-record SURVIVORSHIP (the MDM step after entity
+    resolution): per customer, each field of the golden record is taken
+    from the MOST RECENT order where that field survives (non-null),
+    independently per field — the "most recent non-null wins" rule,
+    with (o_orderdate, o_orderkey) as the deterministic recency key.
+    The testdata has no natural nulls, so field dropout is PLANTED
+    deterministically (priority void when o_orderkey % 7 = 3, status
+    when % 5 = 2) — same discipline as DIRTY_CITIES / the SymSpell
+    typos. One hash aggregate: each field's winner is a max(struct)
+    argmax over its non-null rows, so the whole golden-record build is
+    a single shuffle on the entity key regardless of field count — the
+    shape that matters when survivorship runs over 10^10 records. The
+    struct ranks on (date, key) which is UNIQUE, so the trailing
+    payload field never influences the ordering (the cross-engine
+    struct-comparison trap from the PQ argmin lesson does not arise).
+    Oracle: per-field row_number() windows + left joins."""
+    o = table(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.when(F.col("o_orderkey") % 7 == 3, F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("prio"),
+        F.when(F.col("o_orderkey") % 5 == 2, F.lit(None))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+        (F.col("o_totalprice").cast("decimal(20,6)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.count(F.when(F.col("prio").isNull(), F.lit(1)))
+        .cast("long")
+        .alias("null_priority"),
+        F.count(F.when(F.col("status").isNull(), F.lit(1)))
+        .cast("long")
+        .alias("null_status"),
+        F.max(
+            F.when(
+                F.col("prio").isNotNull(),
+                F.struct("o_orderdate", "o_orderkey", "prio"),
+            )
+        ).alias("_p"),
+        F.max(
+            F.when(
+                F.col("status").isNotNull(),
+                F.struct("o_orderdate", "o_orderkey", "status"),
+            )
+        ).alias("_s"),
+        F.max("cents").cast("long").alias("gold_price_cents"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias(
+            "first_seen"
+        ),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias(
+            "last_seen"
+        ),
+    )
+    return per.select(
+        F.col("o_custkey").alias("custkey"),
+        "n_records",
+        "null_priority",
+        "null_status",
+        F.col("_p.prio").alias("gold_priority"),
+        F.col("_s.status").alias("gold_status"),
+        "gold_price_cents",
+        "first_seen",
+        "last_seen",
+    ).orderBy("custkey")
+
+
 ORACLES: dict[str, str | None] = {
+    "q_survivorship": """
+        WITH o AS (
+          SELECT o_custkey, o_orderkey, o_orderdate,
+                 CASE WHEN o_orderkey % 7 = 3 THEN NULL
+                      ELSE o_orderpriority END AS prio,
+                 CASE WHEN o_orderkey % 5 = 2 THEN NULL
+                      ELSE o_orderstatus END AS status,
+                 CAST(CAST(o_totalprice AS DECIMAL(20,6)) * 100 AS BIGINT)
+                   AS cents
+          FROM orders
+        ),
+        p AS (
+          SELECT o_custkey, prio FROM (
+            SELECT o_custkey, prio, row_number() OVER (
+              PARTITION BY o_custkey
+              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM o WHERE prio IS NOT NULL
+          ) WHERE rn = 1
+        ),
+        s AS (
+          SELECT o_custkey, status FROM (
+            SELECT o_custkey, status, row_number() OVER (
+              PARTITION BY o_custkey
+              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM o WHERE status IS NOT NULL
+          ) WHERE rn = 1
+        ),
+        base AS (
+          SELECT o_custkey,
+                 CAST(count(*) AS BIGINT) AS n_records,
+                 CAST(count(CASE WHEN prio IS NULL THEN 1 END) AS BIGINT)
+                   AS null_priority,
+                 CAST(count(CASE WHEN status IS NULL THEN 1 END) AS BIGINT)
+                   AS null_status,
+                 CAST(max(cents) AS BIGINT) AS gold_price_cents,
+                 strftime(min(o_orderdate), '%Y-%m-%d') AS first_seen,
+                 strftime(max(o_orderdate), '%Y-%m-%d') AS last_seen
+          FROM o GROUP BY o_custkey
+        )
+        SELECT b.o_custkey AS custkey, b.n_records, b.null_priority,
+               b.null_status, p.prio AS gold_priority,
+               s.status AS gold_status, b.gold_price_cents,
+               b.first_seen, b.last_seen
+        FROM base b
+        LEFT JOIN p ON p.o_custkey = b.o_custkey
+        LEFT JOIN s ON s.o_custkey = b.o_custkey
+        ORDER BY custkey
+    """,
     "q_quantile_normalization": """
         WITH base AS (
           SELECT c_custkey % 4 AS shard, c_custkey,

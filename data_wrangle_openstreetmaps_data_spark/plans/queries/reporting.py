@@ -1472,7 +1472,201 @@ def q_dq_expectations(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("rule")
 
 
+def q_ipw_ate(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — stratified inverse-propensity (Horvitz–Thompson) average
+    treatment effect: treated = urgent/high-priority orders, outcome =
+    order value, strata = customer nation. Within a stratum the
+    estimated propensity is nt/n, so the IPW estimate collapses to the
+    exact stratification estimator ATE = Σ_s (n_s/N)·(ȳt_s − ȳc_s) —
+    computed engine-side with ONE broadcast dim join and ONE hash
+    aggregate onto ≤25 nation strata; no per-row weights ever
+    materialize, which is what makes the estimator a single shuffle at
+    100 TB. The naive (unstratified) difference is reported next to it:
+    the gap is the confounding the stratification removes.
+
+    Cross-engine determinism: money in exact decimal cents; the
+    per-stratum arm difference is ONE double expression tree
+    (sum_t/nt − sum_c/nc)/100 → round4, identical on both engines;
+    those round4 values go back onto the 1e-4 integer grid
+    (floor(d·1e4+0.5)·n_s, exact BIGINT) before the cross-stratum sum,
+    so no float sum with undefined order ever occurs. Strata lacking
+    either arm are excluded from the estimate and counted."""
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer")
+    j = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        F.col("c_nationkey").alias("stratum"),
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .alias("treated"),
+        (F.col("o_totalprice").cast("decimal(20,6)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    per = j.groupBy("stratum").agg(
+        F.count(F.when(F.col("treated"), F.lit(1))).alias("nt"),
+        F.count(F.when(~F.col("treated"), F.lit(1))).alias("nc"),
+        F.coalesce(
+            F.sum(F.when(F.col("treated"), F.col("cents"))), F.lit(0)
+        ).alias("st"),
+        F.coalesce(
+            F.sum(F.when(~F.col("treated"), F.col("cents"))), F.lit(0)
+        ).alias("sc"),
+    )
+    ok = F.col("nt") > 0
+    ok = ok & (F.col("nc") > 0)
+    d4 = text.round4(
+        (
+            F.col("st") / F.col("nt") - F.col("sc") / F.col("nc")
+        )
+        / F.lit(100.0)
+    )
+    g = per.select(
+        "nt",
+        "nc",
+        F.when(ok, F.lit(1)).otherwise(F.lit(0)).alias("used"),
+        F.when(
+            ok,
+            F.floor(d4 * 10000 + F.lit(0.5)).cast("long")
+            * (F.col("nt") + F.col("nc")),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("grid"),
+        F.when(ok, F.col("nt") + F.col("nc"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("nw"),
+        F.col("st").alias("st"),
+        F.col("sc").alias("sc"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("used").cast("long").alias("strata_used"),
+        F.sum("nt").cast("long").alias("n_treated"),
+        F.sum("nc").cast("long").alias("n_control"),
+        text.round4(F.sum("grid") / (F.sum("nw") * F.lit(10000.0))).alias(
+            "ate_dollars"
+        ),
+        text.round4(
+            (
+                F.sum("st") / F.sum("nt") - F.sum("sc") / F.sum("nc")
+            )
+            / F.lit(100.0)
+        ).alias("naive_dollars"),
+    )
+
+
+def q_observe_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — pipeline observability via Spark's NATIVE Observation API
+    (CollectMetrics): a quality gate over documents instrumented with
+    df.observe(...) so the INPUT-side audit metrics (docs, chars,
+    English share) are collected in the SAME pass that computes the
+    gated output — zero extra scans. At 100 TB this is the difference
+    between a free audit row and a second full-table aggregation; the
+    observe node is a streaming-safe accumulator, not a shuffle.
+
+    The query executes its one action internally (the kept-side
+    aggregate), then returns the combined 1-row report (documented
+    driver-side 1-row materialization, same class as the decorrelated
+    scalar sites). Oracle: the identical aggregates as plain SQL —
+    which is exactly the second pass observe() avoids."""
+    from pyspark.sql import Observation
+
+    docs = table(spark, sf, "documents")
+    obs = Observation("ingest_audit")
+    kept = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("in_docs"),
+        F.sum("n_chars").alias("in_chars"),
+        F.count(F.when(F.col("lang") == "en", F.lit(1))).alias("in_en"),
+    ).filter(F.col("n_chars") >= 200)
+    row = kept.agg(
+        F.count(F.lit(1)).cast("long").alias("kept_docs"),
+        F.coalesce(F.sum("n_chars"), F.lit(0))
+        .cast("long")
+        .alias("kept_chars"),
+    ).collect()[0]
+    m = obs.get
+    out = [
+        (
+            int(m["in_docs"]),
+            int(m["in_chars"]),
+            int(m["in_en"]),
+            int(row["kept_docs"]),
+            int(row["kept_chars"]),
+        )
+    ]
+    res = spark.createDataFrame(
+        out, "in_docs long, in_chars long, in_en long, kept_docs long, "
+        "kept_chars long",
+    )
+    return res.withColumn(
+        "kept_ratio",
+        text.round4(F.col("kept_docs") / F.col("in_docs")),
+    )
+
+
 ORACLES: dict[str, str | None] = {
+    "q_ipw_ate": """
+        WITH j AS (
+          SELECT c.c_nationkey AS stratum,
+                 o.o_orderpriority IN ('1-URGENT', '2-HIGH') AS treated,
+                 CAST(CAST(o.o_totalprice AS DECIMAL(20,6)) * 100 AS BIGINT)
+                   AS cents
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        per AS (
+          SELECT stratum,
+                 CAST(count(CASE WHEN treated THEN 1 END) AS BIGINT) AS nt,
+                 CAST(count(CASE WHEN NOT treated THEN 1 END) AS BIGINT) AS nc,
+                 CAST(coalesce(sum(CASE WHEN treated THEN cents END), 0)
+                      AS BIGINT) AS st,
+                 CAST(coalesce(sum(CASE WHEN NOT treated THEN cents END), 0)
+                      AS BIGINT) AS sc
+          FROM j GROUP BY stratum
+        ),
+        g AS (
+          SELECT nt, nc, st, sc,
+                 CASE WHEN nt > 0 AND nc > 0 THEN 1 ELSE 0 END AS used,
+                 CASE WHEN nt > 0 AND nc > 0 THEN
+                   CAST(floor(
+                     (floor(((CAST(st AS DOUBLE) / nt
+                              - CAST(sc AS DOUBLE) / nc) / 100.0)
+                            * 10000 + 0.5) / 10000)
+                     * 10000 + 0.5) AS BIGINT) * (nt + nc)
+                 ELSE 0 END AS grid,
+                 CASE WHEN nt > 0 AND nc > 0 THEN nt + nc ELSE 0 END AS nw
+          FROM per
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_strata,
+               CAST(sum(used) AS BIGINT) AS strata_used,
+               CAST(sum(nt) AS BIGINT) AS n_treated,
+               CAST(sum(nc) AS BIGINT) AS n_control,
+               floor((CAST(sum(grid) AS DOUBLE)
+                      / (CAST(sum(nw) AS DOUBLE) * 10000.0))
+                     * 10000 + 0.5) / 10000 AS ate_dollars,
+               floor(((CAST(sum(st) AS DOUBLE) / sum(nt)
+                       - CAST(sum(sc) AS DOUBLE) / sum(nc)) / 100.0)
+                     * 10000 + 0.5) / 10000 AS naive_dollars
+        FROM g
+    """,
+    "q_observe_metrics": """
+        SELECT CAST(count(*) AS BIGINT) AS in_docs,
+               CAST(sum(n_chars) AS BIGINT) AS in_chars,
+               CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT)
+                 AS in_en,
+               CAST(count(CASE WHEN n_chars >= 200 THEN 1 END) AS BIGINT)
+                 AS kept_docs,
+               CAST(coalesce(sum(CASE WHEN n_chars >= 200 THEN n_chars END),
+                             0) AS BIGINT) AS kept_chars,
+               floor((CAST(count(CASE WHEN n_chars >= 200 THEN 1 END)
+                           AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000
+                 AS kept_ratio
+        FROM documents
+    """,
     "q_dq_expectations": """
         WITH checks AS (
           SELECT 'orders.o_custkey not_null' AS rule,

@@ -1215,7 +1215,102 @@ def q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("lang")
 
 
+def q_udtf_chunker(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT — RAG-style sliding-window CHUNKING via a Spark-4 Python
+    UDTF (user-defined TABLE function) in a LATERAL join: per document,
+    emit overlapping chunks of width 50 tokens at stride 30 — the new
+    engine surface this query exists to exercise (arrow-evaluated,
+    one-to-many, the shape a row-returning pandas_udf cannot express).
+    The UDTF receives only the TOKEN COUNT (an int), never the text, so
+    the Python-path payload per row is a few bytes; per-source report:
+    chunked docs, chunk count, chunk-token sum (overlap included),
+    input tokens, and the overlap blowup ratio a vector-store capacity
+    plan needs.
+
+    Oracle: the chunk loop has a closed form — every non-final chunk is
+    exactly `width` tokens (the loop only continues while n - s >
+    width), so k = 1 if n <= 50 else (n - 21) div 30 + 1 and the
+    chunk-token sum is n + 20·(k - 1) — the SQL oracle checks the UDTF
+    against that algebra, a genuinely independent derivation."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx: long, start_tok: long, n_tok: long")
+    class _Chunker:
+        def eval(self, n, width: int, stride: int):
+            if n is None or n <= 0:
+                return
+            i, s = 0, 0
+            while s < n:
+                yield i, s, min(width, n - s)
+                if s + width >= n:
+                    break
+                s += stride
+                i += 1
+
+    spark.udtf.register("doc_chunker", _Chunker)
+    docs = table(spark, sf, "documents")
+    docs.select(
+        "doc_id", "source", text.token_count("text").alias("n")
+    ).createOrReplaceTempView("_chunk_docs")
+    ch = spark.sql(
+        """
+        SELECT d.source, d.n, c.chunk_idx, c.n_tok
+        FROM _chunk_docs d, LATERAL doc_chunker(d.n, 50, 30) c
+        """
+    )
+    agg = ch.groupBy("source").agg(
+        F.count(F.when(F.col("chunk_idx") == 0, F.lit(1)))
+        .cast("long")
+        .alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("n_tok").cast("long").alias("chunk_tokens"),
+        F.coalesce(
+            F.sum(F.when(F.col("chunk_idx") == 0, F.col("n"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("input_tokens"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_chunks",
+        "chunk_tokens",
+        "input_tokens",
+        F.when(
+            F.col("input_tokens") > 0,
+            text.round4(F.col("chunk_tokens") / F.col("input_tokens")),
+        ).alias("overlap_ratio"),
+    ).orderBy("source")
+
+
 ORACLES: dict[str, str | None] = {
+    "q_udtf_chunker": rf"""
+        WITH d AS (
+          SELECT source, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n
+          FROM documents
+        ),
+        k AS (
+          SELECT source, n,
+                 CASE WHEN n <= 0 THEN 0
+                      WHEN n <= 50 THEN 1
+                      ELSE (n - 21) // 30 + 1 END AS k
+          FROM d
+        )
+        SELECT source,
+               CAST(count(CASE WHEN k > 0 THEN 1 END) AS BIGINT) AS n_docs,
+               CAST(sum(k) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN k > 0 THEN n + 20 * (k - 1)
+                             ELSE 0 END) AS BIGINT) AS chunk_tokens,
+               CAST(sum(CASE WHEN k > 0 THEN n ELSE 0 END) AS BIGINT)
+                 AS input_tokens,
+               CASE WHEN sum(CASE WHEN k > 0 THEN n ELSE 0 END) > 0 THEN
+                 floor((CAST(sum(CASE WHEN k > 0 THEN n + 20 * (k - 1)
+                                      ELSE 0 END) AS DOUBLE)
+                        / sum(CASE WHEN k > 0 THEN n ELSE 0 END))
+                       * 10000 + 0.5) / 10000
+               END AS overlap_ratio
+        FROM k GROUP BY source ORDER BY source
+    """,
     "q_tokenizer_fertility": rf"""
         WITH d AS (
           SELECT lang,

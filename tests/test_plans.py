@@ -665,6 +665,7 @@ GLOBAL_ORDER_WINDOW_ALLOWLIST = {
     "q_seasonal_decompose": "day grain (7-day centered MA)",
     "q_kaplan_meier": "hour grain (event-time buckets)",
     "q_backfill_plan": "day grain (failed-partition islands)",
+    "q_bfs_frontier": "hop grain (≤4 rows: cumulative reach over hops)",
     # dimension/catalog grain: one row per catalog entity (brands, items,
     # nations) — the window never sees fact-table rows
     "q_abc_classification": "brand×type grain (catalog)",
