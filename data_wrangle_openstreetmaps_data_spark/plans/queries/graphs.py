@@ -602,7 +602,7 @@ def q_modularity(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _PART_EDGES = """
-  pe AS (
+  pe AS MATERIALIZED (
     SELECT a.p AS s1, b.p AS s2
     FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) a
     JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) b
@@ -1260,7 +1260,7 @@ ORACLES: dict[str, str | None] = {
     """,
     "q_modularity": f"""
         WITH {_PART_EDGES},
-        be AS (
+        be AS MATERIALIZED (
           SELECT s1, s2, pa.p_brand AS b1, pb.p_brand AS b2
           FROM pe
           JOIN part pa ON s1 = pa.p_partkey

@@ -22,18 +22,33 @@ from data_wrangle_openstreetmaps_data_spark.plans.queries._shared import *  # no
 
 def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q1 (pricing summary report) adapted to the testdata schema —
-    the canonical scan-heavy aggregate; exact decimal arithmetic."""
+    the canonical scan-heavy aggregate; exact decimal arithmetic.
+
+    Money sums use the µ-UNIT BIGINT form (r13): sum exact integer
+    micro-units, then ONE int64→double conversion + one division —
+    both correctly-rounded IEEE ops on identical inputs in both
+    engines. The direct decimal-sum→DOUBLE cast diverged by 1 ulp at
+    sf1 (sum_charge ≈ 2.8e10: DuckDB's int128-scaled DECIMAL→DOUBLE
+    double-rounds where Spark's BigDecimal.doubleValue is correctly
+    rounded) — the first scale-only value bug the sf1 oracle sweep
+    caught."""
     li = table(spark, sf, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+
+    def _mu_sum(c):
+        return F.sum(
+            (c.cast("decimal(20,6)") * 1000000).cast("long")
+        ) / F.lit(1000000.0)
+
     out = (
         li.filter(F.col("l_shipdate") <= _ts("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dec_sum(F.col("l_quantity")).alias("sum_qty"),
-            _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
-            _dec_sum(disc_price).alias("sum_disc_price"),
-            _dec_sum(charge).alias("sum_charge"),
+            _mu_sum(F.col("l_quantity")).alias("sum_qty"),
+            _mu_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _mu_sum(disc_price).alias("sum_disc_price"),
+            _mu_sum(charge).alias("sum_charge"),
             text.round4(
                 _dec_sum(F.col("l_quantity")) / F.count(F.lit(1))
             ).alias("avg_qty"),
@@ -684,10 +699,10 @@ def q_tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
 ORACLES: dict[str, str | None] = {
     "q_tpch_q1": """
         SELECT l_returnflag, l_linestatus,
-               CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS sum_base_price,
-               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS sum_disc_price,
-               CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(20,6))) AS DOUBLE) AS sum_charge,
+               CAST(sum(CAST(CAST(l_quantity AS DECIMAL(20,6)) * 1000000 AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_qty,
+               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(20,6)) * 1000000 AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_base_price,
+               CAST(sum(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6)) * 1000000 AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_disc_price,
+               CAST(sum(CAST(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(20,6)) * 1000000 AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_charge,
                floor(CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_qty,
                floor(CAST(sum(CAST(l_discount AS DECIMAL(20,6))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_disc,
                count(*) AS count_order

@@ -47,10 +47,14 @@ def main() -> int:
     only = set(sys.argv[2:])
     spark = get_spark("check-oracle")
     con = duckdb.connect()
+    import os
+
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        p = f"{sf_dir}/{t}.parquet"
+        # driver testdata ships single files; make_sfN (Spark) writes
+        # directories of part files — glob those for DuckDB
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     n_pass = n_fail = n_rowsonly = 0
