@@ -539,11 +539,26 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20,
     # sf0.1, ~35s once materialized). MEMORY_AND_DISK per the r10
     # lesson (row-format localCheckpoint blocks lose to cached columnar
     # batches for multi-consumer frames).
+    #
+    # Symmetrization is ONE explode over ONE execution of `pairs`, not
+    # pairs ∪ pairs.swapped: Spark does not reuse identical non-exchange
+    # subtrees, so the union form executed the caller's whole pairs
+    # pipeline twice just to flip two columns (r13 measured: the edge
+    # materialization was 2× the pairs cost for q_dedup_semantic).
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+                    ),
+                )
+            ).alias("_e")
         )
+        .select(F.col("_e.src").alias("src"), F.col("_e.dst").alias("dst"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

@@ -2351,7 +2351,13 @@ def q_max_concurrency(spark: SparkSession, sf: str) -> DataFrame:
             F.max("peak_concurrency").alias("peak_concurrency"),
         )
     )
-    n = sess.agg(F.count("*").alias("n_sessions"))
+    # n_sessions from the MATERIALIZED deltas (each session contributes
+    # exactly one +1 row), not sess.agg(count) — that form re-executed
+    # the whole scan→sessionize-window→groupBy subtree a second time
+    # (r13; Spark does not reuse identical non-exchange subtrees)
+    n = deltas.filter(F.col("d") == 1).agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
     return out.crossJoin(F.broadcast(n)).select(
         "peak_concurrency", "at_us", "n_sessions"
     )

@@ -586,13 +586,20 @@ def q_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
         emb, threshold=0.4, bands=8, rows_per_band=None, dim=64
     )
     cc = dedup.dup_clusters(pairs)
+    # Join on the raw text FIRST, derive quality/tokens ABOVE the join:
+    # cc covers only the clustered documents (34 of 5000 at sf0.1 —
+    # near-dup components are sparse by construction at every scale),
+    # so tokenizing + quality-scoring the whole corpus below the join
+    # wastes ~99% of the regex work. Values are identical: the same
+    # expressions over the same surviving rows (r13, guide §2.3
+    # "project/filter before the expensive compute").
     memb = cc.join(
-        docs.select(
-            F.col("doc_id").alias("id"),
-            F.size(text.tokens(F.col("text"))).alias("n_tokens"),
-            text.quality_score(F.col("text")).alias("quality"),
-        ),
+        docs.select(F.col("doc_id").alias("id"), "text"), "id"
+    ).select(
+        "cluster_id",
         "id",
+        F.size(text.tokens(F.col("text"))).alias("n_tokens"),
+        text.quality_score(F.col("text")).alias("quality"),
     )
     per_cluster = memb.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("csize"),
