@@ -531,9 +531,16 @@ def tfidf_search(
     )
 
     n_docs = docs.count()  # scalar corpus size (one cheap job)
+    # persisted: df(t) and tf below each re-ran the tokenize+explode
+    # over the whole corpus otherwise (r13); post-filter this is
+    # query-term occurrences only — tiny at any scale
+    from pyspark.storagelevel import StorageLevel
+
     toks = docs.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
-    ).filter(F.col("tok").isin(*query_terms))
+    ).filter(F.col("tok").isin(*query_terms)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     df_t = toks.groupBy("tok").agg(
         F.countDistinct("id").alias("df")
     )
@@ -565,19 +572,29 @@ def bm25_search(
     broadcast single-row crossJoin so no driver-side collect happens for
     them. Score = Σ_t idf(t) · tf(k1+1) / (tf + k1(1 − b + b·dl/avgdl)),
     idf = ln((N − df + ½)/(df + ½) + 1)."""
+    from pyspark.storagelevel import StorageLevel
+
     from data_wrangle_openstreetmaps_data_spark.functions.text import (
         round4,
-        token_count,
         tokens,
     )
 
-    n_docs = docs.count()  # scalar corpus size (one cheap job)
-    dl = docs.select(
-        F.col(id_col).alias("id"), token_count(text_col).alias("dl")
-    )
+    # ONE persisted tokenization pass feeds everything below. The four
+    # consumers (doc lengths ×2: avgdl scalar + per-doc join; the
+    # inverted-index probe ×2: df(t) + tf) each re-ran the regex
+    # tokenizer over the whole corpus before (Spark does not reuse
+    # identical non-exchange subtrees) — 4 tokenize scans for one
+    # query. The count() that materializes the cache IS the n_docs
+    # scalar (one row per doc). Blocks are LRU-evicted; at real scale
+    # dl and the inverted index are written once as bronze tables.
+    tk = docs.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("_tk")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n_docs = tk.count()
+    dl = tk.select("id", F.size("_tk").alias("dl"))
     stats = dl.agg(F.avg("dl").alias("avgdl"))  # 1 row → broadcast
-    toks = docs.select(
-        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
+    toks = tk.select(
+        "id", F.explode("_tk").alias("tok")
     ).filter(F.col("tok").isin(*query_terms))
     df_t = toks.groupBy("tok").agg(F.countDistinct("id").alias("df"))
     tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
