@@ -1404,8 +1404,16 @@ def q_skyline(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
-    pts = cust.groupBy("spend_cents", "n_orders").agg(
-        F.count(F.lit(1)).alias("n_customers")
+    # skyline2d consumes its input FOUR times (bounds count, bounds
+    # sample, block maxima, prefixed join) and each consumption
+    # re-executed the whole orders→agg→agg pipeline before (r13).
+    # Lazy persist: the bounds count() inside skyline2d fills the cache.
+    from pyspark.storagelevel import StorageLevel
+
+    pts = (
+        cust.groupBy("spend_cents", "n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     return skyline2d(pts, "spend_cents", "n_orders").orderBy(
         F.desc("spend_cents")
