@@ -146,7 +146,7 @@ EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
 def _mat(df: DataFrame) -> DataFrame:
     """Materialize a STRAIGHT-LINE shared subtree consumed by 2+
-    downstream plans: persist(MEMORY_AND_DISK) + eager count.
+    downstream plans: LAZY persist(MEMORY_AND_DISK).
 
     Measured r10 (PERF.md): beats localCheckpoint(eager=True) 2.2-2.8x
     on the exact pair joins and 5-10% on the graph queries, because a
@@ -156,12 +156,20 @@ def _mat(df: DataFrame) -> DataFrame:
     read outside whole-stage codegen. Keep localCheckpoint ONLY where
     the lineage CUT is the point — iterative plans (BFS frontiers,
     PageRank rounds, k-core peeling) whose unrolled static plans would
-    otherwise re-expand per round."""
+    otherwise re-expand per round.
+
+    LAZY since r13: the eager count() was one extra scheduled job per
+    call site whose only effect was filling the cache the first real
+    consumer would fill anyway (within one action, concurrent branch
+    tasks at worst duplicate a partition's compute — bounded waste, not
+    a correctness risk, and no _mat site sits inside a per-action
+    iteration loop). Same-session interleaved A/B at sf0.1:
+    q_resource_allocation_capped 1.71→1.30, q_modularity 1.62→1.45,
+    q_max_concurrency 1.17→0.97, q_funnel_steps 0.54→0.49 (best-of-4,
+    outputs asserted identical). ~57 registry call sites."""
     from pyspark import StorageLevel
 
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    df.count()
-    return df
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def _pick(key_col: F.Column, values: list[str]) -> F.Column:
