@@ -648,13 +648,20 @@ def q_quantile_sketch_grouped(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
+    # o has THREE consumers (candidate windows, exact per-group counts,
+    # certification rank pass) and each re-ran the scan + decimal cast
+    # + per-row md5 block hash; cand's two-window pipeline has TWO
+    # consumers (n_cand + the median pick). Lazy persists (r13): one
+    # md5 pass and one window pass instead of three/two.
+    from pyspark.storagelevel import StorageLevel
+
     o = o.withColumn(
         "blk",
         F.pmod(
             portable_token_hash(F.col("o_orderkey").cast("string")),
             F.lit(BLOCKS),
         ),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     rn = F.row_number().over(
         Window.partitionBy("grp", "blk").orderBy("cents", "o_orderkey")
     )
@@ -664,7 +671,11 @@ def q_quantile_sketch_grouped(spark: SparkSession, sf: str) -> DataFrame:
     rc = F.row_number().over(
         Window.partitionBy("grp").orderBy("cents", "o_orderkey")
     )
-    cand = cand.select("grp", "cents", "o_orderkey").withColumn("rc", rc)
+    cand = (
+        cand.select("grp", "cents", "o_orderkey")
+        .withColumn("rc", rc)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     nc = cand.groupBy("grp").agg(F.count(F.lit(1)).alias("n_cand"))
     nr = o.groupBy("grp").agg(F.count(F.lit(1)).alias("n_rows"))
     est = (
