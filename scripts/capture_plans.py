@@ -34,7 +34,7 @@ def main() -> None:
         names = list(bench.HEADLINE)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture_plans")
