@@ -273,6 +273,48 @@ def band_rows(sigs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
     )
 
 
+def _class_hash(col) -> "F.Column":
+    """8-byte BIGINT class key for exact-dup collapse member joins."""
+    return F.xxhash64(col)
+
+
+def _class_keys(classes: DataFrame, key_col: str, extra_cols=()) -> DataFrame:
+    """(hash, rep, *extra) projection of an exact-dup ``classes`` frame
+    (one row per DISTINCT class key) with an engine-side collision
+    audit: since classes is distinct on ``key_col``, two rows sharing
+    ``xxhash64(key)`` means two DISTINCT keys collided at 64 bits — the
+    guard raise_errors mid-query instead of silently merging classes,
+    so the narrow-key members join is machine-checked, never assumed.
+    NULL keys are dropped, matching raw-key equi-join semantics.
+    ``extra_cols`` are class-constant expressions (aggregated with min —
+    all rows in a non-colliding group are the same class row)."""
+    pre = classes.filter(F.col(key_col).isNotNull()).select(
+        _class_hash(F.col(key_col)).alias("_h"), F.col("rep"), *extra_cols
+    )
+    names = [c for c in pre.columns if c not in ("_h", "rep")]
+    agged = pre.groupBy("_h").agg(
+        F.min("rep").alias("rep"),
+        F.count(F.lit(1)).alias("_nc"),
+        *[F.min(n).alias(n) for n in names],
+    )
+    return agged.select(
+        "_h",
+        F.when(
+            F.col("_nc") > 1,
+            F.raise_error(
+                F.lit(
+                    "64-bit class-key collision in exact-dup collapse: "
+                    "two distinct class keys share one xxhash64 value; "
+                    "rerun this corpus with a raw-key members join"
+                )
+            ),
+        )
+        .otherwise(F.col("rep"))
+        .alias("rep"),
+        *names,
+    )
+
+
 def dedup_minhash_lsh(
     df: DataFrame,
     text_col: str = "text",
@@ -334,9 +376,30 @@ def dedup_minhash_lsh(
         # consumer — persist the projected form once (r13 A/B: full
         # query 2.77s → 2.37s best-of at sf0.1). Only the tiny
         # (member, rep, non-empty) triple is cached, never the text.
+        #
+        # NARROW-KEY join (r14, guide §2.3 "shuffle keys instead of
+        # payloads"): member→rep assignment only needs CLASS IDENTITY,
+        # so both join sides key on xxhash64(normalized text) — 8 bytes
+        # per row through the exchange instead of the full document
+        # text. classes itself keeps the raw-text groupBy: partial
+        # aggregation already moves one text per map-partition-distinct
+        # class (byte-optimal — the text must come out of the aggregate
+        # anyway for shingling) and stays a codegen HashAggregate,
+        # whereas hash-key grouping needs min/max(text) audit buffers.
+        # COLLISION AUDIT, machine-checked: classes has exactly one row
+        # per distinct text, so two classes rows sharing a hash == a
+        # real 64-bit collision; the guard raise_errors mid-query
+        # instead of silently merging two classes. NULL texts are
+        # filtered on both sides, exactly like the raw-key equi-join
+        # (SQL equality never matches NULL).
+        ckeys = _class_keys(
+            classes, "_nt", [(F.col("_nt") != "").alias("_ne")]
+        )
         members = (
-            norm.join(classes, "_nt")
-            .select("m_id", "rep", (F.col("_nt") != "").alias("_ne"))
+            norm.filter(F.col("_nt").isNotNull())
+            .select("m_id", _class_hash(F.col("_nt")).alias("_h"))
+            .join(ckeys, "_h")
+            .select("m_id", "rep", "_ne")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         if caches is not None:
@@ -868,6 +931,7 @@ def embedding_near_dup_pairs(
     seed: int = 42,
     use_arrow: bool = True,
     collapse_exact: bool = True,
+    caches: list | None = None,
 ) -> DataFrame:
     """EXT-D2 (fifth tier) — embedding-cosine near-dup: all pairs with
     cosine similarity >= threshold, found via banded sign-random-projection
@@ -924,19 +988,39 @@ def embedding_near_dup_pairs(
             .agg(F.min(id_col).alias("rep"), F.count(F.lit(1)).alias("csize"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        if caches is not None:
+            caches.append(classes)
         # members has THREE consumers below (mem_a, mem_b, mm) — persist
         # the projected (m_id, rep) pair once instead of re-executing
         # the scan→join-on-vector subtree per consumer (r13, same move
         # as the minhash collapse path; the 512-byte vectors never ride
-        # the cache)
+        # the cache).
+        #
+        # NARROW-KEY join (r14, guide §2.3 "shuffle keys instead of
+        # payloads"): member→rep assignment only needs CLASS IDENTITY,
+        # so both join sides key on xxhash64(vector) — 8 bytes per row
+        # through the exchange instead of the raw 64-double array
+        # (~530 B/row). classes keeps the raw-vector groupBy: partial
+        # aggregation already moves one vector per map-partition-
+        # distinct class (byte-optimal — the vector must come out of
+        # the aggregate anyway for SRP bucketing) and stays a codegen
+        # HashAggregate, whereas hash-key grouping puts min/max(array)
+        # audit buffers into the aggregate and Spark demotes it to a
+        # SortAggregate (measured: scripts/ab_collapse_key.py — a sort
+        # + spill hazard at scale for zero byte savings). Collisions
+        # are machine-checked by _class_keys (raise, never merge).
         members = (
-            df.select(
-                F.col(id_col).alias("m_id"), F.col(vec_col).alias("_v")
+            df.filter(F.col(vec_col).isNotNull())
+            .select(
+                F.col(id_col).alias("m_id"),
+                _class_hash(F.col(vec_col)).alias("_h"),
             )
-            .join(classes, "_v")
+            .join(_class_keys(classes, "_v"), "_h")
             .select("m_id", "rep")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        if caches is not None:
+            caches.append(members)
         reps = classes.select(
             F.col("rep").alias(id_col), F.col("_v").alias(vec_col)
         )
