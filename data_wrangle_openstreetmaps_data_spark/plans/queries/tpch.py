@@ -31,15 +31,30 @@ def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
     sf1 (sum_charge ≈ 2.8e10: DuckDB's int128-scaled DECIMAL→DOUBLE
     double-rounds where Spark's BigDecimal.doubleValue is correctly
     rounded) — the first scale-only value bug the sf1 oracle sweep
-    caught."""
+    caught.
+
+    Per-row µ-units come from the FLOOR trick (r14, the round4
+    discipline): floor(x·1e6 + 0.5) stays inside whole-stage codegen as
+    primitive double/long ops, where the cast-to-DECIMAL(20,6) route
+    allocated two BigDecimals per row per column (8/row total). On
+    this data the two are value-IDENTICAL: every input sits on a
+    2/4/6-dp grid with |x| ≤ ~1.2e5, so x·1e6 is within ~1e-5 of the
+    grid integer — never near a .5 tie — and both engines' double→
+    decimal casts land on the same grid point. Machine-checked, not
+    assumed: scripts/ab_q1_forms.py collects the decimal and floor
+    forms and asserts exact equality at sf0.001/0.01/0.1 and the
+    .tmp/sf1 ladder (A/B at sf0.1: 1.14 → 0.44 s best-of-4). The avgs
+    use the same µ-unit sums (round4(Σµ/1e6/count) ≡ the decimal-sum
+    average on the same grid argument, same 4-SF equality check)."""
     li = table(spark, sf, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
 
+    def _mu(c):
+        return F.sum(F.floor(c * 1000000 + F.lit(0.5)).cast("long"))
+
     def _mu_sum(c):
-        return F.sum(
-            (c.cast("decimal(20,6)") * 1000000).cast("long")
-        ) / F.lit(1000000.0)
+        return _mu(c) / F.lit(1000000.0)
 
     out = (
         li.filter(F.col("l_shipdate") <= _ts("1998-09-02"))
@@ -50,10 +65,14 @@ def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
             _mu_sum(disc_price).alias("sum_disc_price"),
             _mu_sum(charge).alias("sum_charge"),
             text.round4(
-                _dec_sum(F.col("l_quantity")) / F.count(F.lit(1))
+                _mu(F.col("l_quantity"))
+                / F.lit(1000000.0)
+                / F.count(F.lit(1))
             ).alias("avg_qty"),
             text.round4(
-                _dec_sum(F.col("l_discount")) / F.count(F.lit(1))
+                _mu(F.col("l_discount"))
+                / F.lit(1000000.0)
+                / F.count(F.lit(1))
             ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
