@@ -163,10 +163,21 @@ def _mat(df: DataFrame) -> DataFrame:
     consumer would fill anyway (within one action, concurrent branch
     tasks at worst duplicate a partition's compute — bounded waste, not
     a correctness risk, and no _mat site sits inside a per-action
-    iteration loop). Same-session interleaved A/B at sf0.1:
-    q_resource_allocation_capped 1.71→1.30, q_modularity 1.62→1.45,
-    q_max_concurrency 1.17→0.97, q_funnel_steps 0.54→0.49 (best-of-4,
-    outputs asserted identical). ~57 registry call sites."""
+    iteration loop: q_bfs_frontier briefly violated that and measured
+    2.4-2.7× slower than per-hop localCheckpoint — r14 verdict item 6,
+    scripts/ab_bfs_mat.py — so iterative loop state must use
+    localCheckpoint, never _mat). Same-session interleaved A/B at
+    sf0.1: q_resource_allocation_capped 1.71→1.30, q_modularity
+    1.62→1.45, q_max_concurrency 1.17→0.97, q_funnel_steps 0.54→0.49
+    (best-of-4, outputs asserted identical). ~57 registry call sites.
+
+    CONTRACT: _mat inputs must be DETERMINISTIC plans (pure functions
+    of their source rows). Because the persist is lazy, two branches of
+    one action can race to compute the same uncached partition; a frame
+    containing rand()/sample()/spark_partition_id() could then diverge
+    between consumers — the repartitionByRange block-id bug class. No
+    registry caller passes such a plan (grep-verified r13/r14); keep it
+    that way or materialize eagerly first."""
     from pyspark import StorageLevel
 
     return df.persist(StorageLevel.MEMORY_AND_DISK)

@@ -969,13 +969,22 @@ def q_bfs_frontier(spark: SparkSession, sf: str) -> DataFrame:
 
     Distributed BFS is the canonical iterative-join shape: each hop is
     ONE key-equality join frontier⋈edges plus an anti-join against the
-    visited set; the frontier is persisted per hop so hop h+1 consumes
-    materialized hop h instead of re-expanding the whole prefix (the
-    PageRank localCheckpoint discipline, bounded here at 3 rounds).
-    Sparse substrate: the support-≥2 part graph (|E| = O(|parts|)),
-    undirected via both edge orientations. Oracle: recursive CTE whose
-    UNION-distinct state is (node, hop) pairs — bounded by 4·|V|, with
-    min(hop) recovering the BFS layer."""
+    visited set; each hop's state is localCheckpoint'ed so hop h+1
+    consumes materialized hop h instead of re-expanding the whole
+    prefix (the PageRank localCheckpoint discipline, bounded here at 3
+    rounds). r14 (verdict item 6): the loop state originally used the
+    lazy `_mat` persist — the one _mat site inside an iteration loop —
+    and the A/B (scripts/ab_bfs_mat.py, outputs asserted identical)
+    measured the three forms at sf0.1: in-loop lazy persist 6.6-7.5 s
+    (nested unfilled InMemoryRelations re-expand per hop and branches
+    race to fill them), in-loop eager persist 14.7-17.5 s (one
+    scheduled job per hop), in-loop localCheckpoint with the
+    multi-consumer edge frames kept as columnar `_mat` 2.5-3.3 s —
+    exactly the _mat docstring's discipline (lineage CUT is the point
+    inside iterative plans). Sparse substrate: the support-≥2 part
+    graph (|E| = O(|parts|)), undirected via both edge orientations.
+    Oracle: recursive CTE whose UNION-distinct state is (node, hop)
+    pairs — bounded by 4·|V|, with min(hop) recovering the BFS layer."""
     edges = graph.copurchase_part_edges(
         table(spark, sf, "lineitem"), min_orders=2
     ).transform(_mat)
@@ -991,7 +1000,7 @@ def q_bfs_frontier(spark: SparkSession, sf: str) -> DataFrame:
     )
     visited = seeds.select(
         F.col("src").alias("id"), F.lit(0).alias("hop")
-    ).transform(_mat)
+    ).localCheckpoint(eager=True)
     frontier = visited.select("id")
     for h in (1, 2, 3):
         nxt = (
@@ -1001,8 +1010,8 @@ def q_bfs_frontier(spark: SparkSession, sf: str) -> DataFrame:
         )
         new = nxt.join(visited.select("id"), "id", "left_anti").select(
             "id", F.lit(h).alias("hop")
-        ).transform(_mat)
-        visited = visited.unionByName(new).transform(_mat)
+        ).localCheckpoint(eager=True)
+        visited = visited.unionByName(new).localCheckpoint(eager=True)
         frontier = new.select("id")
     from pyspark.sql import Window
 
