@@ -517,6 +517,7 @@ def tfidf_search(
     k: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    caches: list | None = None,
 ) -> DataFrame:
     """Keyword search: rank documents by tf-idf overlap with the query.
 
@@ -541,6 +542,8 @@ def tfidf_search(
     ).filter(F.col("tok").isin(*query_terms)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    if caches is not None:
+        caches.append(toks)
     df_t = toks.groupBy("tok").agg(
         F.countDistinct("id").alias("df")
     )
@@ -562,6 +565,7 @@ def bm25_search(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    caches: list | None = None,
 ) -> DataFrame:
     """BM25 ranking (Robertson/Sparck-Jones idf, doc-length normalized tf)
     for a fixed term query — the production cousin of ``tfidf_search``.
@@ -590,6 +594,8 @@ def bm25_search(
     tk = docs.select(
         F.col(id_col).alias("id"), tokens(text_col).alias("_tk")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    if caches is not None:
+        caches.append(tk)
     n_docs = tk.count()
     dl = tk.select("id", F.size("_tk").alias("dl"))
     stats = dl.agg(F.avg("dl").alias("avgdl"))  # 1 row → broadcast
