@@ -413,10 +413,6 @@ def q_negative_sampling(spark: SparkSession, sf: str) -> DataFrame:
     from data_wrangle_openstreetmaps_data_spark.operators.dedup import (
         portable_token_hash,
     )
-    from data_wrangle_openstreetmaps_data_spark.operators.graph import (
-        copurchase_edges,
-    )
-
     ns = table(spark, sf, "supplier").agg(
         F.count(F.lit(1)).alias("n_supp")
     )
@@ -444,22 +440,49 @@ def q_negative_sampling(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("suppkey"),
         )
     )
-    edges = copurchase_edges(
-        table(spark, sf, "lineitem"), table(spark, sf, "orders")
-    ).withColumn("_hit", F.lit(1))
-    flagged = cand.join(
-        edges,
-        (F.col("c_custkey") == F.col("custkey"))
-        & (cand["suppkey"] == edges["suppkey"]),
-        "left",
+    # LEFT SEMI against the RAW (non-distinct) edge pairs (r14): a semi
+    # match flag is duplicate-insensitive, so copurchase_edges'
+    # closing .distinct() — one full exchange + hash aggregate over the
+    # edge set, the query's largest intermediate — is dropped. Counting
+    # candidates and matches separately is provably the old left-join
+    # null-count over distinct edges (a candidate either has >=1 edge
+    # or none); outputs asserted identical before landing, locally
+    # bench-neutral (~2s either way — the fact-fact join dominates at
+    # sf0.1), one fewer exchange of the edge set at scale.
+    edges = (
+        table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            table(spark, sf, "orders").select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+    )
+    matched = (
+        cand.join(
+            edges,
+            (F.col("c_custkey") == F.col("custkey"))
+            & (cand["suppkey"] == edges["suppkey"]),
+            "left_semi",
+        )
+        .groupBy("j")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    n_cands = cand.groupBy("j").agg(
+        F.count(F.lit(1)).alias("n_candidates")
     )
     return (
-        flagged.groupBy("j")
-        .agg(
-            F.count(F.lit(1)).alias("n_candidates"),
-            F.count(F.when(F.col("_hit").isNull(), 1)).alias(
-                "n_negatives"
-            ),
+        n_cands.join(matched, "j", "left")
+        .select(
+            "j",
+            "n_candidates",
+            (
+                F.col("n_candidates")
+                - F.coalesce(F.col("n_matched"), F.lit(0))
+            ).alias("n_negatives"),
         )
         .orderBy("j")
     )
