@@ -679,9 +679,15 @@ def q_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
         ),
         F.col("l_partkey") == F.col("p_partkey"),
     )
+    # cents via the FLOOR trick (r14, the q_tpch_q1 discipline):
+    # floor(x·100 + 0.5) is value-identical to the decimal(20,6) cast
+    # on 2-dp-grid money (x·100 lands within ~1e-9 of the grid integer,
+    # never near a .5 tie) and stays primitive in codegen instead of
+    # allocating two BigDecimals per lineitem row; oracle re-verified
+    # at 3 SFs after the swap.
     d = li.select(
         F.col("p_brand").alias("brand"),
-        (F.col("l_extendedprice").cast("decimal(20,6)") * 100)
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
         .cast("long")
         .alias("cents"),
         F.col("l_quantity").cast("long").alias("w"),
