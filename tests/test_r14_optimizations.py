@@ -91,3 +91,47 @@ def test_class_keys_drops_null_keys(spark):
     )
     rows = dedup._class_keys(classes, "_nt").collect()
     assert [r["rep"] for r in rows] == [1]
+
+
+def test_q1_floor_mu_units_equal_decimal_form(spark):
+    """q_tpch_q1's floor-trick µ-unit sums must stay value-identical to
+    the decimal(20,6)-cast form they replaced (the r13 sf1 correctness
+    semantics). Grid argument in the query docstring; this pins it at
+    sf0.001 so a regression fails pytest, scripts/ab_q1_forms.py covers
+    the other three SFs."""
+    from pyspark.sql import functions as F
+
+    from data_wrangle_openstreetmaps_data_spark.plans.queries.tpch import (
+        q_tpch_q1,
+    )
+
+    li = catalog.table(spark, SF, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+
+    def mu_dec(c):
+        return F.sum(
+            (c.cast("decimal(20,6)") * 1000000).cast("long")
+        ) / F.lit(1000000.0)
+
+    def mu_floor(c):
+        return F.sum(
+            F.floor(c * 1000000 + F.lit(0.5)).cast("long")
+        ) / F.lit(1000000.0)
+
+    agg = li.agg(
+        *[
+            f(c).alias(f"{n}_{t}")
+            for n, c in [
+                ("qty", F.col("l_quantity")),
+                ("price", F.col("l_extendedprice")),
+                ("disc", disc_price),
+                ("charge", charge),
+            ]
+            for t, f in [("dec", mu_dec), ("floor", mu_floor)]
+        ]
+    ).collect()[0]
+    for n in ("qty", "price", "disc", "charge"):
+        assert agg[f"{n}_dec"] == agg[f"{n}_floor"], n
+    # and the shipped query still runs
+    assert q_tpch_q1(spark, SF).count() > 0
